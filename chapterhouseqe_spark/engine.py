@@ -1,0 +1,250 @@
+"""Query lifecycle engine: run_query → query_id, status polling, paged fetch.
+
+Mirrors the reference's client-visible API surface —
+``run_query(sql) -> query_id`` / ``get_query_status(query_id)`` /
+``get_query_data(query_id, cursor, limit, forward)``
+(reference: src/client/async_query_client.rs:40-154,
+src/handlers/query_handler/query_handler.rs:418-458,
+src/handlers/query_handler/query_data_handler.rs:183-571) — while the
+entire distributed runtime underneath (stages, exchanges, heartbeats,
+scheduling) is Spark's: Catalyst plans, DAGScheduler schedules, tasks
+retry via lineage (SURVEY.md §2.11 — none of it is rebuilt).
+
+Status lifecycle is the reference's: Queued → Running → Complete | Error
+(query_handler_state.rs:28-44). Results are materialized as Parquet under
+``<results_root>/<query_id>/`` (reference writes
+``/query_results/<uuid>/rec_<n>.parquet``, materialize_files_task.rs:117-141)
+with a global ``__row_id`` column so fetch supports forward AND reverse
+cursor paging (the reference walks ``(file, row_group, row)`` cursors;
+a row-id predicate gives identical semantics and lets Parquet row-group
+stats prune the scan server-side).
+"""
+
+from __future__ import annotations
+
+import enum
+import threading
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chapterhouseqe_spark.connections import ConnectionRegistry
+from chapterhouseqe_spark.sql.compiler import compile_expression, project
+from chapterhouseqe_spark.sql.parser import (
+    ReadFilesSource,
+    SelectStatement,
+    TableSource,
+    parse_select,
+)
+from chapterhouseqe_spark.sql.read_files import load_glob, rewrite_read_files
+
+ROW_ID = "__row_id"
+
+
+class QueryStatus(enum.Enum):
+    """reference: query_handler_state.rs:28-35."""
+
+    QUEUED = "queued"
+    RUNNING = "running"
+    COMPLETE = "complete"
+    ERROR = "error"
+
+
+def with_row_ids(df: DataFrame, col_name: str = ROW_ID) -> DataFrame:
+    """Assign dense global row ids 0..n-1 preserving partition order.
+
+    Scale note: a ``row_number() OVER ()`` window would funnel the whole
+    result through ONE task. Instead: monotonically_increasing_id encodes
+    (partition_id, local offset); we aggregate per-partition counts (a
+    tiny 1-row-per-partition shuffle), compute cumulative offsets on the
+    driver (O(num_partitions), not O(rows)), and broadcast them back into
+    a join-free expression. This works unchanged with 100k partitions.
+    """
+    spark = df.sparkSession
+    tagged = df.withColumn("__mid", F.monotonically_increasing_id()).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    tagged.persist()
+    counts = (
+        tagged.groupBy("__pid").count().orderBy("__pid").collect()
+    )  # one row per partition — small by construction
+    offsets: dict[int, int] = {}
+    running = 0
+    for row in counts:
+        offsets[row["__pid"]] = running
+        running += row["count"]
+    offset_map = F.create_map(
+        *[F.lit(x) for pair in offsets.items() for x in pair]
+    ) if offsets else F.create_map()
+    # local offset = mid - (pid << 33); monotonically_increasing_id puts
+    # the partition id in the upper 31 bits.
+    out = tagged.withColumn(
+        col_name,
+        (
+            F.col("__mid")
+            - (F.col("__pid").cast("long") * F.lit(1 << 33).cast("long"))
+            + offset_map[F.col("__pid")]
+        ).cast("long"),
+    ).drop("__mid", "__pid")
+    out._chqe_unpersist = tagged.unpersist  # caller may release after its action
+    return out
+
+
+@dataclass
+class _QueryState:
+    query_id: str
+    sql: str
+    status: QueryStatus = QueryStatus.QUEUED
+    error: str | None = None
+    result_path: str | None = None
+    num_rows: int = 0
+    schema: object | None = None
+    thread: threading.Thread | None = None
+    done: threading.Event = field(default_factory=threading.Event)
+
+
+class QueryEngine:
+    """run_query / status / fetch over a shared SparkSession.
+
+    ``mode`` selects the SQL dialect per query:
+      - ``"spark"`` (default): full Spark SQL after ``read_files`` rewrite
+        — covers every operator the reference declared but never built
+        (joins, GROUP BY, ORDER BY, set ops, functions; README
+        "Supported SQL" unchecked items).
+      - ``"reference"``: the reference's exact executable surface
+        (SELECT items FROM source [WHERE expr]) through the
+        reference-semantics expression compiler — integer division,
+        float literals, ``unnamed_<i>`` naming (SURVEY.md §7.4).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        results_root: str = "/tmp/chqe_query_results",
+        registry: ConnectionRegistry | None = None,
+    ) -> None:
+        self.spark = spark
+        self.results_root = results_root.rstrip("/")
+        self.registry = registry or ConnectionRegistry()
+        self._queries: dict[str, _QueryState] = {}
+        self._lock = threading.Lock()
+
+    # ------------------------------------------------------------ plan
+    def dataframe_for(self, sql: str, mode: str = "spark") -> DataFrame:
+        """Build the (lazy) DataFrame for a SQL string — the logical plan."""
+        if mode == "reference":
+            return self._build_reference(parse_select(sql))
+        rewritten = rewrite_read_files(self.spark, sql, self.registry)
+        return self.spark.sql(rewritten)
+
+    def _build_reference(self, stmt: SelectStatement) -> DataFrame:
+        if isinstance(stmt.source, ReadFilesSource):
+            df = load_glob(
+                self.spark, stmt.source.path_glob, stmt.source.connection, self.registry
+            )
+        elif isinstance(stmt.source, TableSource):
+            df = self.spark.table(stmt.source.name)
+        else:  # pragma: no cover
+            raise ValueError(f"unknown source {stmt.source!r}")
+        alias = stmt.source.alias
+        if alias:
+            df = df.alias(alias)
+        if stmt.where is not None:
+            cond, _ = compile_expression(stmt.where, df, alias)
+            # empty-result batches still flow through (filter_record.rs:17-39)
+            df = df.filter(cond)
+        return project(df, stmt.items, alias)
+
+    # ------------------------------------------------------------- run
+    def run_query(self, sql: str, mode: str = "spark") -> str:
+        """Submit asynchronously; returns a query_id immediately
+        (reference: RunQueryResp::Created{query_id}, query_handler.rs:445-450)."""
+        query_id = str(uuid.uuid4())
+        state = _QueryState(query_id=query_id, sql=sql)
+        with self._lock:
+            self._queries[query_id] = state
+
+        def _run() -> None:
+            state.status = QueryStatus.RUNNING
+            try:
+                df = self.dataframe_for(sql, mode)
+                path = f"{self.results_root}/{query_id}"
+                ided = with_row_ids(df)
+                ided.write.mode("overwrite").parquet(path)
+                getattr(ided, "_chqe_unpersist", lambda: None)()
+                result = self.spark.read.parquet(path)
+                state.num_rows = result.count()
+                state.schema = result.drop(ROW_ID).schema
+                state.result_path = path
+                state.status = QueryStatus.COMPLETE
+            except Exception as exc:  # noqa: BLE001 — reported via status API
+                state.error = f"{type(exc).__name__}: {exc}"
+                state.status = QueryStatus.ERROR
+            finally:
+                state.done.set()
+
+        state.thread = threading.Thread(target=_run, daemon=True)
+        state.thread.start()
+        return query_id
+
+    def run_query_sync(self, sql: str, mode: str = "spark") -> str:
+        qid = self.run_query(sql, mode)
+        self.wait(qid)
+        return qid
+
+    # ---------------------------------------------------------- status
+    def status(self, query_id: str) -> QueryStatus:
+        return self._state(query_id).status
+
+    def error(self, query_id: str) -> str | None:
+        return self._state(query_id).error
+
+    def num_rows(self, query_id: str) -> int:
+        return self._state(query_id).num_rows
+
+    def wait(self, query_id: str, timeout: float | None = None) -> QueryStatus:
+        """Block until terminal (client polling loop,
+        async_query_client.rs:62-114, made synchronous)."""
+        state = self._state(query_id)
+        state.done.wait(timeout)
+        return state.status
+
+    # ----------------------------------------------------------- fetch
+    def fetch(
+        self,
+        query_id: str,
+        offset: int = 0,
+        limit: int = 1000,
+        forward: bool = True,
+    ) -> list[dict]:
+        """Cursor paging over the materialized result.
+
+        ``forward=True`` returns rows [offset, offset+limit);
+        ``forward=False`` returns the ``limit`` rows ENDING at ``offset``
+        inclusive, in ascending order — the reference's reverse paging
+        (query_data_handler.rs:239-534) reworked as a row-id range
+        predicate, which Parquet row-group stats prune to the few files
+        containing the range (no full scan per page).
+        """
+        state = self._state(query_id)
+        if state.status is not QueryStatus.COMPLETE:
+            raise RuntimeError(f"query {query_id} not complete: {state.status.value}")
+        df = self.spark.read.parquet(state.result_path)
+        if forward:
+            lo, hi = offset, offset + limit
+        else:
+            lo, hi = max(0, offset + 1 - limit), offset + 1
+        page = (
+            df.filter((F.col(ROW_ID) >= lo) & (F.col(ROW_ID) < hi))
+            .orderBy(ROW_ID)
+            .drop(ROW_ID)
+        )
+        return [row.asDict() for row in page.collect()]
+
+    def _state(self, query_id: str) -> _QueryState:
+        with self._lock:
+            if query_id not in self._queries:
+                raise KeyError(f"unknown query_id {query_id!r}")
+            return self._queries[query_id]

@@ -1,0 +1,70 @@
+"""SparkSession construction with scale-oriented defaults.
+
+Local testing runs ``local[$SPARK_GRAFT_CPUS]`` but every config here is
+chosen to also be the right default on a large cluster: AQE on (runtime
+re-planning, skew-join splitting, partition coalescing), broadcast-join
+threshold generous enough for dimension tables, Arrow enabled for the
+Python boundary, UTC session timezone so timestamp semantics match
+engines that store UTC-naive (the DuckDB oracle, Parquet footers).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONFS: dict[str, str] = {
+    # --- optimizer / adaptive execution -------------------------------
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # dimension tables (region/nation/customer/supplier/part at any SF's
+    # head) should broadcast; 64m is safe with multi-GiB executors.
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # --- python boundary ----------------------------------------------
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # --- determinism for oracle comparison ----------------------------
+    "spark.sql.session.timeZone": "UTC",
+    # --- parquet ------------------------------------------------------
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.mergeSchema": "false",
+    "spark.sql.files.maxPartitionBytes": "128m",
+    # local mode niceties; harmless on a cluster
+    "spark.ui.enabled": "false",
+    "spark.sql.warehouse.dir": os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/chqe_warehouse"),
+}
+
+
+def get_spark(
+    app_name: str = "chapterhouseqe_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    when no cluster master is configured; on a real deployment the
+    launcher supplies ``--master`` and this falls through to it.
+    ``shuffle_partitions`` defaults to the local core count — at cluster
+    scale, AQE coalesces the initial number downward so a generous value
+    is the right call there too.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
+    elif "SPARK_MASTER" not in os.environ:
+        builder = builder.master(f"local[{cpus}]")
+    builder = builder.config(
+        "spark.sql.shuffle.partitions", str(shuffle_partitions or cpus)
+    )
+    for k, v in DEFAULT_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

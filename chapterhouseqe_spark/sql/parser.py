@@ -1,0 +1,314 @@
+"""Tokenizer + recursive-descent parser for the reference's SQL surface.
+
+The reference parses full SQL with sqlparser-rs but *executes* only this
+grammar (reference: src/planner/logical_planner.rs:263-300 consumes only
+``Select{projection, from, selection}``; expression cases implemented in
+src/handlers/operator_handler/operators/record_utils/compute_value.rs:57-344):
+
+    statement   := SELECT select_list FROM source [WHERE expr]
+    select_list := '*' | item (',' item)*
+    item        := expr [AS ident] | expr ident
+    source      := read_files('<glob>' [, connection=>'<name>']) [alias]
+                 | ident [alias]
+    expr        := or_expr
+    or_expr     := and_expr (OR and_expr)*
+    and_expr    := cmp_expr (AND cmp_expr)*
+    cmp_expr    := add_expr (('='|'!='|'<>'|'>'|'>='|'<'|'<=') add_expr)?
+    add_expr    := mul_expr (('+'|'-') mul_expr)*
+    mul_expr    := unary (('*'|'/'|'%') unary)*
+    unary       := '-' unary | primary
+    primary     := number | string | TRUE | FALSE | ident('.'ident)* | '(' expr ')'
+
+Binary-op inventory matches compute_value.rs:66-218 exactly (AND OR
++ / * % = != <> > >= < <=); ``-`` and unary minus are small extensions the
+reference errors on (BinaryOperatorNotImplemented, compute_value.rs:210-216).
+
+Everything beyond this grammar (joins, GROUP BY, functions, ...) goes
+through Spark SQL directly — see engine.QueryEngine(mode="spark").
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+# --------------------------------------------------------------------- AST
+
+
+@dataclass
+class Literal:
+    value: object  # int | float | bool | str
+    kind: str  # "int" | "float" | "bool" | "string"
+
+
+@dataclass
+class Identifier:
+    parts: tuple[str, ...]  # ("col",) or ("alias", "col")
+
+
+@dataclass
+class BinaryOp:
+    op: str
+    left: object
+    right: object
+
+
+@dataclass
+class UnaryMinus:
+    operand: object
+
+
+@dataclass
+class SelectItem:
+    expr: object | None  # None => wildcard '*'
+    alias: str | None
+    wildcard: bool = False
+
+
+@dataclass
+class ReadFilesSource:
+    path_glob: str
+    connection: str = "default"
+    alias: str | None = None
+
+
+@dataclass
+class TableSource:
+    name: str
+    alias: str | None = None
+
+
+@dataclass
+class SelectStatement:
+    items: list[SelectItem]
+    source: object  # ReadFilesSource | TableSource
+    where: object | None = None
+
+
+# ------------------------------------------------------------------ tokens
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<string>'(?:[^']|'')*')
+  | (?P<number>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?|\.\d+)
+  | (?P<arrow>=>)
+  | (?P<op><=|>=|!=|<>|[=<>+\-*/%(),.;])
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+    """,
+    re.VERBOSE,
+)
+
+_KEYWORDS = {"SELECT", "FROM", "WHERE", "AS", "AND", "OR", "TRUE", "FALSE", "NOT"}
+
+
+@dataclass
+class Token:
+    kind: str  # "string" | "number" | "op" | "ident" | "keyword" | "arrow" | "eof"
+    text: str
+    pos: int
+
+
+class SqlSyntaxError(ValueError):
+    pass
+
+
+def tokenize(sql: str) -> list[Token]:
+    tokens: list[Token] = []
+    pos = 0
+    while pos < len(sql):
+        m = _TOKEN_RE.match(sql, pos)
+        if m is None:
+            raise SqlSyntaxError(f"unexpected character {sql[pos]!r} at {pos}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        text = m.group()
+        if kind == "ident" and text.upper() in _KEYWORDS:
+            tokens.append(Token("keyword", text.upper(), m.start()))
+        else:
+            tokens.append(Token(kind, text, m.start()))
+    tokens.append(Token("eof", "", len(sql)))
+    return tokens
+
+
+class _Parser:
+    def __init__(self, tokens: list[Token]):
+        self.tokens = tokens
+        self.i = 0
+
+    # -- cursor helpers ------------------------------------------------
+    def peek(self) -> Token:
+        return self.tokens[self.i]
+
+    def next(self) -> Token:
+        tok = self.tokens[self.i]
+        self.i += 1
+        return tok
+
+    def accept(self, kind: str, text: str | None = None) -> Token | None:
+        tok = self.peek()
+        if tok.kind == kind and (text is None or tok.text == text):
+            return self.next()
+        return None
+
+    def expect(self, kind: str, text: str | None = None) -> Token:
+        tok = self.accept(kind, text)
+        if tok is None:
+            got = self.peek()
+            raise SqlSyntaxError(
+                f"expected {text or kind} at {got.pos}, got {got.text!r}"
+            )
+        return tok
+
+    # -- expressions (precedence climbing) ------------------------------
+    def expression(self):
+        return self._or()
+
+    def _or(self):
+        node = self._and()
+        while self.accept("keyword", "OR"):
+            node = BinaryOp("OR", node, self._and())
+        return node
+
+    def _and(self):
+        node = self._cmp()
+        while self.accept("keyword", "AND"):
+            node = BinaryOp("AND", node, self._cmp())
+        return node
+
+    def _cmp(self):
+        node = self._add()
+        tok = self.peek()
+        if tok.kind == "op" and tok.text in ("=", "!=", "<>", ">", ">=", "<", "<="):
+            self.next()
+            op = "!=" if tok.text == "<>" else tok.text
+            node = BinaryOp(op, node, self._add())
+        return node
+
+    def _add(self):
+        node = self._mul()
+        while True:
+            tok = self.peek()
+            if tok.kind == "op" and tok.text in ("+", "-"):
+                self.next()
+                node = BinaryOp(tok.text, node, self._mul())
+            else:
+                return node
+
+    def _mul(self):
+        node = self._unary()
+        while True:
+            tok = self.peek()
+            if tok.kind == "op" and tok.text in ("*", "/", "%"):
+                self.next()
+                node = BinaryOp(tok.text, node, self._unary())
+            else:
+                return node
+
+    def _unary(self):
+        if self.accept("op", "-"):
+            return UnaryMinus(self._unary())
+        return self._primary()
+
+    def _primary(self):
+        tok = self.peek()
+        if tok.kind == "number":
+            self.next()
+            # literal typing mirrors compute_value.rs:220-250: integer
+            # literals → Int32 if they fit else Int64; decimal-pointed /
+            # exponent literals → float.
+            if re.fullmatch(r"\d+", tok.text):
+                return Literal(int(tok.text), "int")
+            return Literal(float(tok.text), "float")
+        if tok.kind == "string":
+            self.next()
+            return Literal(tok.text[1:-1].replace("''", "'"), "string")
+        if tok.kind == "keyword" and tok.text in ("TRUE", "FALSE"):
+            self.next()
+            return Literal(tok.text == "TRUE", "bool")
+        if tok.kind == "ident":
+            parts = [self.next().text]
+            while self.accept("op", "."):
+                parts.append(self.expect("ident").text)
+            if len(parts) > 2:
+                # compute_value.rs:275-337 supports 1- and 2-part only
+                raise SqlSyntaxError(
+                    f"compound identifier with >2 parts at {tok.pos}: {'.'.join(parts)}"
+                )
+            return Identifier(tuple(parts))
+        if self.accept("op", "("):
+            node = self.expression()
+            self.expect("op", ")")
+            return node
+        raise SqlSyntaxError(f"unexpected token {tok.text!r} at {tok.pos}")
+
+    # -- statement -------------------------------------------------------
+    def select_statement(self) -> SelectStatement:
+        self.expect("keyword", "SELECT")
+        items = self._select_list()
+        self.expect("keyword", "FROM")
+        source = self._source()
+        where = None
+        if self.accept("keyword", "WHERE"):
+            where = self.expression()
+        self.accept("op", ";")
+        self.expect("eof")
+        return SelectStatement(items, source, where)
+
+    def _select_list(self) -> list[SelectItem]:
+        items = []
+        while True:
+            if self.accept("op", "*"):
+                items.append(SelectItem(None, None, wildcard=True))
+            else:
+                expr = self.expression()
+                alias = None
+                if self.accept("keyword", "AS"):
+                    alias = self.expect("ident").text
+                elif self.peek().kind == "ident":
+                    alias = self.next().text
+                items.append(SelectItem(expr, alias))
+            if not self.accept("op", ","):
+                return items
+
+    def _source(self):
+        tok = self.expect("ident")
+        if tok.text.lower() == "read_files" and self.accept("op", "("):
+            # arg grammar mirrors read_files_task.rs:64-105: first arg a
+            # string glob, optional named arg connection=>'name'.
+            path = self.expect("string").text[1:-1].replace("''", "'")
+            connection = "default"
+            while self.accept("op", ","):
+                name = self.expect("ident").text
+                self.expect("arrow")
+                value = self.expect("string").text[1:-1]
+                if name.lower() == "connection":
+                    connection = value
+                else:
+                    raise SqlSyntaxError(f"unknown read_files argument {name!r}")
+            self.expect("op", ")")
+            alias = self._opt_alias()
+            return ReadFilesSource(path, connection, alias)
+        name = tok.text
+        alias = self._opt_alias()
+        return TableSource(name, alias)
+
+    def _opt_alias(self) -> str | None:
+        if self.accept("keyword", "AS"):
+            return self.expect("ident").text
+        if self.peek().kind == "ident":
+            return self.next().text
+        return None
+
+
+def parse_expression(text: str):
+    p = _Parser(tokenize(text))
+    node = p.expression()
+    p.expect("eof")
+    return node
+
+
+def parse_select(sql: str) -> SelectStatement:
+    return _Parser(tokenize(sql)).select_statement()
