@@ -1,0 +1,99 @@
+"""Registry of named queries with DuckDB oracles.
+
+Each entry pairs a Spark DataFrame builder with the ANSI-SQL string the
+driver runs through DuckDB on the same parquet tables. The driver
+compares row count + schema + order-insensitive value hash, so every
+computed column is (a) explicitly aliased identically on both sides and
+(b) made bit-deterministic across engines:
+
+- Sums over doubles go through ``CAST(... AS DECIMAL)`` (exact, order-
+  insensitive) and come back as DOUBLE — see helpers ``dsum``/``o_dsum``.
+  A 4-6 digit decimal scale can never hit a rounding tie on IEEE-754
+  input (a tie needs the value to be an odd multiple of 10^-s/2, whose
+  reduced denominator contains 5^s — not a binary fraction), so HALF_UP
+  vs HALF_EVEN differences between engines cannot surface.
+- Per-row float expressions use the same IEEE-754 op sequence in both
+  engines (products, divisions), which is bit-exact.
+- Hash-derived values use md5 (standardized) → first 15 hex digits →
+  BIGINT, identical in Spark (`conv`) and DuckDB (`'0x'||…::BIGINT`).
+- Timestamps are output as formatted strings to avoid tz/precision
+  ambiguity between engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None => driver does rows-only check
+    tags: tuple[str, ...] = ()
+    doc: str = ""
+
+
+QUERIES: dict[str, Query] = {}
+
+
+def query(name: str, oracle: str | None, tags: tuple[str, ...] = (), doc: str = ""):
+    """Decorator registering a (spark, sf_dir) -> DataFrame builder."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = Query(name, fn, oracle, tags, doc)
+        return fn
+
+    return deco
+
+
+# ----------------------------------------------------------------- helpers
+
+
+def dsum(col: Column, scale: int = 4) -> Column:
+    """Order-insensitive, engine-exact sum of a double column (Spark side)."""
+    return F.sum(col.cast(f"decimal(27,{scale})")).cast("double")
+
+
+def o_dsum(expr: str, scale: int = 4) -> str:
+    """DuckDB oracle twin of :func:`dsum`."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(27,{scale}))) AS DOUBLE)"
+
+
+def md5_int(col: Column) -> Column:
+    """Deterministic 60-bit hash of a string (Spark side)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def o_md5_int(expr: str) -> str:
+    """DuckDB oracle twin of :func:`md5_int`."""
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def ts_str(col: Column) -> Column:
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+
+
+def o_ts_str(expr: str) -> str:
+    return f"strftime({expr}, '%Y-%m-%d %H:%M:%S')"
+
+
+def _ensure_registered() -> None:
+    # importing the modules runs their @query decorators
+    from chapterhouseqe_spark.queries import core_sql  # noqa: F401
+    from chapterhouseqe_spark.queries import pipeline_queries  # noqa: F401
+    from chapterhouseqe_spark.queries import streaming_queries  # noqa: F401
+
+
+def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _ensure_registered()
+    return {name: q.build for name, q in QUERIES.items()}
+
+
+def get_oracles() -> dict[str, str]:
+    _ensure_registered()
+    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}

@@ -1,0 +1,40 @@
+"""Test-table loading (TESTDATA.md star schema + events/documents/embeddings)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor —
+# region/nation are fixed-size; documents/embeddings are fixed 500 rows
+# in this dataset. customer/supplier/part grow with SF and are left to
+# Catalyst's size-based broadcast decision (threshold in session.py).
+ALWAYS_BROADCAST = {"region", "nation"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register all tables as temp views (for spark.sql-built queries)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
