@@ -303,6 +303,33 @@ class _Parser:
         return None
 
 
+def split_statements(sql: str) -> list[str]:
+    """Split a script into statements on ``;`` outside string literals.
+
+    The reference client splits multi-statement files the same way
+    (client_tui.rs:885 — regex split honoring quoted semicolons, pinned
+    by test_sqlparser_behavior.rs:6-28). Empty/whitespace-only fragments
+    are dropped.
+    """
+    parts: list[str] = []
+    buf: list[str] = []
+    in_string = False
+    i = 0
+    while i < len(sql):
+        ch = sql[i]
+        if ch == "'":
+            in_string = not in_string  # '' escaping flips twice — parity holds
+            buf.append(ch)
+        elif ch == ";" and not in_string:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
+
+
 def parse_expression(text: str):
     p = _Parser(tokenize(text))
     node = p.expression()

@@ -16,6 +16,7 @@ plus ``.csv`` / ``.json`` which the reference declares but never built
 
 from __future__ import annotations
 
+import hashlib
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -57,17 +58,37 @@ def rewrite_read_files(
 
     Returns SQL that Spark's parser accepts; any trailing alias in the
     original text keeps working because ``FROM <view> <alias>`` is valid.
-    View names are deterministic per (path, connection) so repeated use
-    in one statement resolves to one scan (Catalyst reuses the exchange).
+    View names are deterministic per (connection, path) — a short hash of
+    the raw pair is appended so distinct sources can never collide after
+    sanitization (e.g. ``a/b.parquet`` vs ``a_b.parquet`` — ADVICE r1) —
+    so repeated use in one statement resolves to one scan (Catalyst
+    reuses the exchange).
+
+    Occurrences inside single-quoted SQL string literals are left alone:
+    a match is a genuine call site iff an even number of quote characters
+    precedes it (SQL escapes a quote by doubling it, which preserves that
+    parity invariant).
     """
     registry = registry or ConnectionRegistry()
 
-    def _sub(m: re.Match) -> str:
+    out: list[str] = []
+    last = 0
+    for m in _READ_FILES_RE.finditer(sql):
+        if sql.count("'", 0, m.start()) % 2 == 1:
+            continue  # inside a string literal — not a call site
         path = m.group("path").replace("''", "'")
         conn = m.group("conn") or "default"
-        view = "read_files_" + re.sub(r"[^A-Za-z0-9]", "_", f"{conn}_{path}")
+        digest = hashlib.md5(f"{conn}\x00{path}".encode()).hexdigest()[:10]
+        view = (
+            "read_files_"
+            + re.sub(r"[^A-Za-z0-9]", "_", f"{conn}_{path}")[:64]
+            + "_"
+            + digest
+        )
         df = load_glob(spark, path, conn, registry)
         df.createOrReplaceTempView(view)
-        return view
-
-    return _READ_FILES_RE.sub(_sub, sql)
+        out.append(sql[last : m.start()])
+        out.append(view)
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)

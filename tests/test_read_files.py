@@ -1,0 +1,82 @@
+"""``read_files`` rewrite + loader tests (read_files_task.rs:64-199 analog,
+plus the ADVICE r1 findings: view-name collisions and string-literal
+rewriting).
+"""
+
+from __future__ import annotations
+
+from chapterhouseqe_spark.connections import ConnectionRegistry
+from chapterhouseqe_spark.sql.read_files import load_glob, rewrite_read_files
+
+
+def test_load_glob_parquet(spark, sf_dir):
+    df = load_glob(spark, f"{sf_dir}/region.parquet")
+    assert df.count() == 5
+
+
+def test_connection_relative_path(spark, sf_dir):
+    registry = ConnectionRegistry(default_base="/nowhere")
+    registry.register("testdata", sf_dir)
+    df = load_glob(spark, "region.parquet", "testdata", registry)
+    assert df.count() == 5
+
+
+def test_rewrite_produces_runnable_sql(spark, sf_dir):
+    sql = rewrite_read_files(
+        spark, f"select count(*) as n from read_files('{sf_dir}/nation.parquet')"
+    )
+    assert "read_files(" not in sql
+    assert spark.sql(sql).collect()[0]["n"] == 25
+
+
+def test_rewrite_distinct_sources_get_distinct_views(spark, sf_dir):
+    # ADVICE r1: paths that sanitize identically (e.g. 'a/b.parquet' vs
+    # 'a.b.parquet') must land in distinct views — the hash suffix keeps
+    # them apart; identical sources keep a deterministic shared view.
+    a = rewrite_read_files(spark, f"select * from read_files('{sf_dir}/region.parquet')")
+    b = rewrite_read_files(spark, f"select * from read_files('{sf_dir}/region.parquet')")
+    assert a == b  # same source → same deterministic view name
+    c = rewrite_read_files(spark, f"select * from read_files('{sf_dir}/nation.parquet')")
+    assert a != c
+    # sanitized-identical but distinct raw paths → distinct view names
+    from chapterhouseqe_spark.sql.read_files import _READ_FILES_RE  # noqa: F401
+    import hashlib, re
+
+    def view_name(conn, path):
+        digest = hashlib.md5(f"{conn}\x00{path}".encode()).hexdigest()[:10]
+        return (
+            "read_files_"
+            + re.sub(r"[^A-Za-z0-9]", "_", f"{conn}_{path}")[:64]
+            + "_"
+            + digest
+        )
+
+    assert view_name("default", "a/b.parquet") != view_name("default", "a.b.parquet")
+
+
+def test_rewrite_skips_string_literals(spark, sf_dir):
+    # an occurrence inside a string literal is data, not a call site
+    sql = (
+        f"select 'read_files(''/nope/*.parquet'')' as s "
+        f"from read_files('{sf_dir}/region.parquet')"
+    )
+    rewritten = rewrite_read_files(spark, sql)
+    assert "read_files(''/nope" in rewritten  # literal untouched
+    rows = spark.sql(rewritten).collect()
+    assert len(rows) == 5
+    assert rows[0]["s"] == "read_files('/nope/*.parquet')"
+
+
+def test_csv_and_json_sources(spark, sf_dir, tmp_path):
+    # CSV/JSON are declared-but-missing in the reference (README
+    # "Supported SQL" unchecked); we support them by suffix.
+    src = spark.read.parquet(f"{sf_dir}/region.parquet")
+    csv_dir = str(tmp_path / "region_csv")
+    json_dir = str(tmp_path / "region_json")
+    src.coalesce(1).write.mode("overwrite").option("header", "true").csv(csv_dir)
+    src.coalesce(1).write.mode("overwrite").json(json_dir)
+    csv_df = load_glob(spark, csv_dir + "/*.csv")
+    json_df = load_glob(spark, json_dir + "/*.json")
+    assert csv_df.count() == 5
+    assert json_df.count() == 5
+    assert set(csv_df.columns) == {"r_regionkey", "r_name"}
