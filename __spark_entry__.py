@@ -1,38 +1,57 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (the reference's
+sample_queries/simple.sql q4 shape — SURVEY.md §7.2) through the
+engine's reference-semantics mode on sf0.001. ``queries()`` /
+``oracle_sql()`` expose the full registry from
+:mod:`chapterhouseqe_spark.queries` — one entry per implemented
+operator from SURVEY.md §2 plus the pipeline/streaming extensions.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from chapterhouseqe_spark.connections import ConnectionRegistry
+    from chapterhouseqe_spark.engine import QueryEngine
+
+    engine = QueryEngine(
+        spark, registry=ConnectionRegistry(default_base="/root/testdata/sf0.001")
+    )
+    # reference flagship shape (sample_queries/simple.sql q4): projection
+    # with arithmetic, float literals, integer division, WHERE with
+    # constant folding — through the reference-semantics compiler.
+    return engine.dataframe_for(
+        "select l_orderkey, l_quantity, l_quantity + 10.0 as qty_plus_10, "
+        "(l_linenumber + 10) / 100 as lnum_div, l_orderkey * l_orderkey as key_sq "
+        "from read_files('lineitem.parquet') where l_quantity > 25 + 0.0",
+        mode="reference",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+    Every computed column is aliased identically to ``oracle_sql``.
     """
-    return {}
+    from chapterhouseqe_spark.queries.registry import get_queries
+
+    return get_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent ANSI SQL per query (omitted for probabilistic
+    ops like hyperplane LSH, which get rows-only checks)."""
+    from chapterhouseqe_spark.queries.registry import get_oracles
+
+    return get_oracles()

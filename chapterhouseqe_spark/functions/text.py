@@ -1,0 +1,99 @@
+"""Text-analysis column functions: language ID, quality scoring, token
+counting, content fingerprinting.
+
+All pure Column expressions (JVM-side, codegen-friendly) — at 100 TB
+these run inside the scan stage with zero extra shuffles. Every function
+is deliberately SQL-expressible so the DuckDB oracle can recompute it
+exactly; hashes go through md5 (standardized across engines) rather than
+engine-specific hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "y", "es"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "de", "et", "est"),
+}
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (BIGINT)."""
+    return F.size(_tokens(text)).cast("bigint")
+
+
+def word_token_count(text: Column) -> Column:
+    """BPE-ish token proxy: count of letter-runs, digit-runs, and other
+    non-space symbols — ``[a-z]+|[0-9]+|[^a-z0-9\\s]`` over the lowered
+    text. A cheap, deterministic stand-in for a real tokenizer's token
+    count (the actual BPE vocab isn't available engine-side)."""
+    return F.regexp_count(F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]")).cast(
+        "bigint"
+    )
+
+
+def _marker_hits(text: Column, markers: tuple[str, ...]) -> Column:
+    """How many tokens of ``text`` are in the marker set (term frequency)."""
+    toks = _tokens(F.lower(text))
+    return F.size(F.filter(toks, lambda tk: tk.isin(*markers))).cast("bigint")
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-marker language heuristic.
+
+    Scores each candidate language by marker-token frequency; returns the
+    argmax with a fixed alphabetical tiebreak, or 'und' when nothing hits.
+    Deterministic and SQL-expressible (greatest + case chain).
+    """
+    scores = {lang: _marker_hits(text, m) for lang, m in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    # alphabetical order, first match wins (build reversed so earlier
+    # languages take precedence) — mirror this exact rule in the oracle
+    result = F.lit("und")
+    for lang in sorted(scores, reverse=True):
+        result = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(
+            result
+        )
+    return result
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0,1]: length band + alpha ratio +
+    stopword presence. Same double arithmetic on both engines → exact.
+    """
+    n_chars = F.length(text).cast("double")
+    n_toks = token_count(text).cast("double")
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("double")
+    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
+    len_band = (
+        F.when((n_chars >= 100) & (n_chars <= 10000), F.lit(1.0))
+        .when(n_chars >= 20, F.lit(0.5))
+        .otherwise(F.lit(0.0))
+    )
+    stop_hits = _marker_hits(text, LANG_MARKERS["en"]).cast("double")
+    stop_ratio = F.when(n_toks > 0, stop_hits / n_toks).otherwise(F.lit(0.0))
+    stop_band = (
+        F.when(stop_ratio >= 0.05, F.lit(1.0))
+        .when(stop_ratio > 0, F.lit(0.5))
+        .otherwise(F.lit(0.0))
+    )
+    return (len_band * 0.4 + alpha_ratio * 0.3 + stop_band * 0.3).alias("quality")
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Normalization-stable content fingerprint: lower, collapse
+    whitespace, strip punctuation, md5 → 60-bit BIGINT. Two documents
+    differing only in case/spacing/punctuation share a fingerprint."""
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.trim(text)), r"[^a-z0-9\s]", ""), r"\s+", " "
+    )
+    return F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long")

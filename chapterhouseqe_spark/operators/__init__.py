@@ -1,0 +1,29 @@
+"""Large-scale data-pipeline operators (dedup, similarity) — the
+beyond-reference extension surface (SURVEY §7.3 milestone 6).
+
+Everything here is pure DataFrame algebra (JVM-side, whole-stage
+codegen); no Python row loops. Each operator documents its 100 TB
+execution shape: what shuffles, what broadcasts, where skew hides.
+"""
+
+from chapterhouseqe_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from chapterhouseqe_spark.operators.similarity import (
+    cosine_pairs,
+    cosine_topk,
+    lsh_bucket_candidates,
+)
+
+__all__ = [
+    "cosine_pairs",
+    "cosine_topk",
+    "exact_dedup",
+    "lsh_bucket_candidates",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_fingerprints",
+]

@@ -1,0 +1,236 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The reference has no dedup surface; these are the training-data-pipeline
+extension (BASELINE.json north star). All four are pure DataFrame
+algebra — array/hash functions that stay inside whole-stage codegen; no
+Python UDFs anywhere.
+
+100 TB execution shapes:
+
+- ``exact_dedup``: one hash-partitioned aggregation on the fingerprint.
+  Map-side partial agg collapses most duplicates before the shuffle;
+  the shuffle carries (128-bit hash, id, count) — tiny vs the corpus.
+- ``minhash_lsh_pairs``: the scale path for near-dup. Cost is one pass
+  to build signatures (narrow), an explode to B band rows per doc, one
+  shuffle on (band, band_hash), and a per-bucket self-join. Bucket
+  sizes are the skew risk — a degenerate band (e.g. empty docs) makes
+  one bucket quadratic; filter degenerate docs first and cap bucket
+  size if needed. Candidate verification touches only candidate pairs,
+  never all pairs.
+- ``ngram_jaccard_pairs``: EXACT near-dup via an inverted index on
+  shingles. O(sum over shingles of bucket²) — correct at any scale but
+  only economical when shingle buckets are small; at 100 TB use
+  ``minhash_lsh_pairs`` and reserve this for verification/audit. A
+  stop-shingle cap (``max_shingle_freq``) bounds the quadratic term.
+- ``simhash_fingerprints``: one narrow pass (token hash → 60 weighted
+  bit sums → fingerprint), one aggregation keyed by doc. Grouping equal
+  fingerprints is another tiny shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# deterministic 31-bit affine permutation parameters (seeded LCG — keeps
+# signatures reproducible across runs/sessions, required for the oracle)
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _perm_params(n: int, seed: int = 42) -> list[tuple[int, int]]:
+    state = seed
+    out = []
+    for _ in range(n):
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        a = state | 1  # odd, non-zero
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        b = state
+        out.append((a % _MERSENNE31 or 1, b % _MERSENNE31))
+    return out
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact duplicate groups by md5 content fingerprint.
+
+    Returns (fingerprint, keep_id, n_copies); keep_id is the smallest id
+    in the group (the canonical survivor).
+    """
+    return df.groupBy(F.md5(F.col(text_col)).alias("fingerprint")).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a whitespace-tokenized text, JVM-side."""
+    toks = F.split(F.trim(text), r"\s+")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        )
+    )
+
+
+def with_shingles(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+
+
+def minhash_signature(shingles: Column, num_perm: int = 128, seed: int = 42) -> Column:
+    """MinHash signature as an array<long> of ``num_perm`` values.
+
+    Base hash is a 31-bit reduction of xxhash64 so the affine step
+    (a*h+b mod 2^31-1) never overflows 64-bit math (ANSI mode safe).
+    """
+    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)))
+    sig = []
+    for a, b in _perm_params(num_perm, seed):
+        sig.append(
+            F.array_min(
+                F.transform(base, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE31))
+            )
+        )
+    return F.array(*sig)
+
+
+def _jaccard_on_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate (id_a, id_b) pairs via shingle arrays."""
+    sa = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("double"),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    k: int = 3,
+    num_perm: int = 128,
+    bands: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs with exact Jaccard ≥ threshold, found via
+    MinHash banding and verified exactly.
+
+    With 64 bands × 2 rows, a pair at jaccard s collides in ≥1 band with
+    probability 1-(1-s²)^64 — ≥ 1-1e-8 at s=0.5 — so the verified output
+    equals the exact all-pairs answer (candidates are never false
+    positives: each is re-checked against true shingle sets).
+    """
+    rows = num_perm // bands
+    sh = with_shingles(df, text_col, id_col, k)
+    sig = sh.select("id", minhash_signature(F.col("shingles"), num_perm, seed).alias("sig"))
+    band_rows = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.concat_ws(",", F.slice("sig", b * rows + 1, rows)), b).alias(
+                        "bh"
+                    ),
+                ),
+            )
+        ).alias("e"),
+    ).select("id", "e.band", "e.bh")
+    left = band_rows.select(F.col("id").alias("id_a"), "band", "bh")
+    right = band_rows.select(F.col("id").alias("id_b"), "band", "bh")
+    cand = (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _jaccard_on_pairs(cand, sh).filter(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    k: int = 3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs via an inverted index on shingles.
+
+    ``max_shingle_freq`` drops shingles shared by more than N docs
+    (stop-shingles) before pairing — the standard bound on the quadratic
+    blow-up; leave None for a fully exact answer.
+    """
+    sh = with_shingles(df, text_col, id_col, k)
+    posting = sh.select("id", F.explode("shingles").alias("s"))
+    if max_shingle_freq is not None:
+        hot = (
+            posting.groupBy("s")
+            .count()
+            .filter(F.col("count") > max_shingle_freq)
+            .select("s")
+        )
+        posting = posting.join(hot, "s", "left_anti")
+    a = posting.select(F.col("id").alias("id_a"), "s")
+    b = posting.select(F.col("id").alias("id_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sh.select("id", F.size("shingles").alias("n"))
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 60
+) -> DataFrame:
+    """SimHash fingerprint per document (md5-based, 60-bit, term-frequency
+    weighted) — equal fingerprints ⇒ near-identical token multisets.
+
+    md5 (not xxhash64) so the DuckDB oracle can recompute bit-for-bit.
+    One explode + one groupBy(id) shuffle; the 60 bit-sums are map-side
+    partial aggregates.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tk"),
+    )
+    h = F.conv(F.substring(F.md5("tk"), 1, 15), 16, 10).cast("long")
+    weighted = toks.select("id", h.alias("h"))
+    bit_sums = weighted.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"w{j}")
+            for j in range(bits)
+        ]
+    )
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"w{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return bit_sums.select(F.col("id").alias("doc_id"), fp.alias("fingerprint"))

@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the correctness baseline; LSH bucketing is
+the scale path. All dot products run JVM-side via ``zip_with`` +
+``aggregate`` — no Python UDFs.
+
+Determinism: dot products and norms accumulate as a SEQUENTIAL left
+fold over the array (``F.aggregate`` here, ``list_reduce`` in the
+DuckDB oracle) — identical IEEE op order on both engines makes the
+doubles bit-exact; ranking ties break on the neighbor id.
+
+100 TB execution shapes:
+
+- ``cosine_topk``: probes broadcast (small), corpus scanned once,
+  per-partition partial top-k via window over (probe, sim) — the
+  shuffle carries only candidate rows. Brute force is O(|corpus| ×
+  |probes|): right for reranking and small probe sets.
+- ``cosine_pairs``: all-pairs — audit/verification only; quadratic.
+- ``lsh_bucket_candidates``: random-hyperplane signatures bucket the
+  corpus; candidate pairs come from within-bucket joins. One narrow
+  signature pass + one shuffle on the bucket key. Recall tunes with
+  ``n_planes`` (fewer planes → bigger buckets → higher recall, more
+  compute). Hot buckets (near-zero vectors) are the skew risk — cap
+  or salt them.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+def exact_dot(a: Column, b: Column) -> Column:
+    """Deterministic dot product of two float arrays (as double).
+
+    float32×float32 products are exact in double (24+24 ≤ 53 mantissa
+    bits); the sum is a sequential left fold in array order, so any
+    engine folding the same way (DuckDB ``list_reduce``) gets the same
+    bits. 64-element arrays — the fold is register-resident, not a
+    bottleneck.
+    """
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return exact_dot(a, b) / (F.sqrt(exact_dot(a, a)) * F.sqrt(exact_dot(b, b)))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    probe_filter: Column,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine neighbors for every probe row (brute-force baseline).
+
+    Returns (probe_id, id_b, sim). Probes are the rows matching
+    ``probe_filter``; neighbors exclude the probe itself.
+    """
+    probes = emb.filter(probe_filter).select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("ea")
+    )
+    corpus = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("eb"))
+    pairs = F.broadcast(probes).crossJoin(corpus).filter(F.col("probe_id") != F.col("id_b"))
+    scored = pairs.select(
+        "probe_id", "id_b", cosine(F.col("ea"), F.col("eb")).alias("sim")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("id_b"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", "id_b", "sim")
+    )
+
+
+def cosine_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold — exact quadratic baseline."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("ea"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("ea"), F.col("eb")).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket_candidates(
+    emb: DataFrame,
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Candidate pairs from random-hyperplane LSH buckets (scale path).
+
+    Each vector gets an ``n_planes``-bit signature (sign of the dot with
+    each fixed seeded hyperplane); pairs sharing a signature are
+    candidates. Feed the result into :func:`cosine` for exact rerank.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    sig = None
+    for j, p in enumerate(planes):
+        plane = F.array(*[F.lit(v) for v in p])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    bucketed = emb.select(F.col(id_col).alias("id"), sig.alias("bucket"))
+    a = bucketed.select(F.col("id").alias("id_a"), "bucket")
+    b = bucketed.select(F.col("id").alias("id_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "bucket")
+    )

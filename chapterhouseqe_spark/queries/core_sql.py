@@ -1,0 +1,893 @@
+"""Core SQL queries with DuckDB oracles — one per SURVEY.md §2 operator.
+
+Covers the reference's implemented surface (read_files scan, filter,
+projection incl. ``unnamed_<i>``, the 12 binary ops, integer division,
+coercion) through the engine's reference mode, and every
+declared-but-missing operator (README "Supported SQL" unchecked boxes:
+joins, GROUP BY/HAVING, ORDER BY/LIMIT, set ops, LIKE/``||``, CSV/JSON,
+named tables) the Spark-native way.
+
+Determinism rules (see registry docstring): double sums through
+``dsum``/``o_dsum``, timestamps through ``ts_str``/``o_ts_str``,
+identical IEEE op order on both sides, unique ORDER BY tiebreakers
+under every LIMIT.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from chapterhouseqe_spark.connections import ConnectionRegistry
+from chapterhouseqe_spark.engine import QueryEngine
+from chapterhouseqe_spark.queries.registry import (
+    drevenue,
+    dsum,
+    o_drevenue,
+    o_dsum,
+    o_ts_str,
+    query,
+    ts_str,
+)
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # events carries TIMESTAMP(NANOS); with nanosAsLong it reads as
+        # long nanos — truncate to micros (what DuckDB also stores).
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.call_function("div", F.col("ts"), F.lit(1000)))
+        )
+    return df
+
+
+def _ref_engine(spark: SparkSession, sf_dir: str) -> QueryEngine:
+    return QueryEngine(spark, registry=ConnectionRegistry(default_base=sf_dir))
+
+
+# =====================================================================
+# Reference-mode surface (SURVEY §2.1-2.2): read_files → filter → project
+# through the reference-semantics parser/compiler.
+# =====================================================================
+
+
+@query(
+    "ref_scan_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_quantity > 25
+    """,
+    tags=("reference", "scan", "filter"),
+    doc="read_files scan + WHERE + projection (read_files_task.rs, filter_task.rs)",
+)
+def ref_scan_filter_project(spark, sf_dir):
+    return _ref_engine(spark, sf_dir).dataframe_for(
+        "select l_orderkey, l_linenumber, l_quantity "
+        "from read_files('lineitem.parquet') where l_quantity > 25",
+        mode="reference",
+    )
+
+
+@query(
+    "ref_projection_unnamed",
+    oracle="""
+    SELECT l_orderkey, l_orderkey + 1 AS nxt, l_orderkey * 2 AS unnamed_2,
+           l_linenumber
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+    tags=("reference", "projection"),
+    doc="unnamed_<i> naming for unaliased expressions (record_projection.rs:49-53)",
+)
+def ref_projection_unnamed(spark, sf_dir):
+    return _ref_engine(spark, sf_dir).dataframe_for(
+        "select l_orderkey, l_orderkey + 1 as nxt, l_orderkey * 2, l_linenumber "
+        "from read_files('lineitem.parquet') where l_linenumber = 1",
+        mode="reference",
+    )
+
+
+@query(
+    "ref_int_division",
+    oracle="""
+    SELECT l_orderkey,
+           (l_orderkey * 1000000000000) // 7 AS big_q,
+           CAST(l_linenumber // 2 AS INTEGER) AS half
+    FROM lineitem WHERE l_orderkey % 2 = 0
+    """,
+    tags=("reference", "expression"),
+    doc="integral '/' incl. >2^53 operands (compute_value.rs:126-134)",
+)
+def ref_int_division(spark, sf_dir):
+    return _ref_engine(spark, sf_dir).dataframe_for(
+        "select l_orderkey, (l_orderkey * 1000000000000) / 7 as big_q, "
+        "l_linenumber / 2 as half "
+        "from read_files('lineitem.parquet') where l_orderkey % 2 = 0",
+        mode="reference",
+    )
+
+
+@query(
+    "ref_coercion_mixed",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(l_linenumber + 0.5 AS DOUBLE) AS f,
+           l_quantity + 1 AS q,
+           CAST(l_linenumber AS BIGINT) + l_orderkey AS wide
+    FROM lineitem WHERE l_quantity > 25 AND l_quantity < 27
+    """,
+    tags=("reference", "coercion"),
+    doc="coercion lattice: int⊕float32→float32, int widening (compute_value.rs:350-431)",
+)
+def ref_coercion_mixed(spark, sf_dir):
+    df = _ref_engine(spark, sf_dir).dataframe_for(
+        "select l_orderkey, l_linenumber + 0.5 as f, l_quantity + 1 as q, "
+        "l_linenumber + l_orderkey as wide "
+        "from read_files('lineitem.parquet') where l_quantity > 25 and l_quantity < 27",
+        mode="reference",
+    )
+    # f is Float32 per the reference lattice; present as double for the
+    # oracle (x.5 fractions are exact in both widths).
+    return df.select(
+        "l_orderkey", F.col("f").cast("double").alias("f"), "q", "wide"
+    )
+
+
+@query(
+    "ref_comparison_ops",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_quantity >  30 AS gt,  l_quantity >= 30 AS ge,
+           l_quantity <  10 AS lt,  l_quantity <= 10 AS le,
+           l_linenumber =  1 AS eq, l_linenumber != 1 AS ne,
+           (l_quantity > 30 AND l_linenumber = 1) AS b_and,
+           (l_quantity > 45 OR  l_quantity < 5)   AS b_or
+    FROM lineitem
+    """,
+    tags=("reference", "expression"),
+    doc="all 6 comparison kernels + AND/OR (compute_value.rs:66-218)",
+)
+def ref_comparison_ops(spark, sf_dir):
+    return _ref_engine(spark, sf_dir).dataframe_for(
+        "select l_orderkey, l_linenumber, "
+        "l_quantity > 30 as gt, l_quantity >= 30 as ge, "
+        "l_quantity < 10 as lt, l_quantity <= 10 as le, "
+        "l_linenumber = 1 as eq, l_linenumber != 1 as ne, "
+        "l_quantity > 30 and l_linenumber = 1 as b_and, "
+        "l_quantity > 45 or l_quantity < 5 as b_or "
+        "from read_files('lineitem.parquet')",
+        mode="reference",
+    )
+
+
+@query(
+    "ref_string_filter",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("reference", "filter", "string"),
+    doc="string eq/neq kernels (test_compute_value.rs:178-227)",
+)
+def ref_string_filter(spark, sf_dir):
+    return _ref_engine(spark, sf_dir).dataframe_for(
+        "select o_orderkey, o_orderstatus from read_files('orders.parquet') "
+        "where o_orderstatus = 'F'",
+        mode="reference",
+    )
+
+
+# =====================================================================
+# Sources beyond parquet (§2.1 — CSV/JSON declared-but-missing) + named
+# tables (§2.1 S2).
+# =====================================================================
+
+
+def _format_dir(spark, sf_dir, fmt: str, table: str) -> str:
+    """Deterministic one-time conversion of a parquet table to csv/json."""
+    out = f"/tmp/chqe_formats/{abs(hash(sf_dir)) % 10**8}/{table}_{fmt}"
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        src = t(spark, sf_dir, table)
+        w = src.coalesce(1).write.mode("overwrite")
+        if fmt == "csv":
+            w.option("header", "true").csv(out)
+        else:
+            w.json(out)
+    return out
+
+
+@query(
+    "csv_scan",
+    oracle="SELECT r_regionkey, r_name FROM region",
+    tags=("source", "csv"),
+    doc="CSV source (README 'Supported SQL' unchecked box)",
+)
+def csv_scan(spark, sf_dir):
+    path = _format_dir(spark, sf_dir, "csv", "region")
+    eng = _ref_engine(spark, sf_dir)
+    df = eng.dataframe_for(
+        f"select * from read_files('{path}/*.csv')", mode="reference"
+    )
+    return df.select(F.col("r_regionkey").cast("int"), "r_name")
+
+
+@query(
+    "json_scan",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    tags=("source", "json"),
+    doc="JSON source (README 'Supported SQL' unchecked box)",
+)
+def json_scan(spark, sf_dir):
+    path = _format_dir(spark, sf_dir, "json", "nation")
+    eng = _ref_engine(spark, sf_dir)
+    df = eng.dataframe_for(
+        f"select * from read_files('{path}/*.json')", mode="reference"
+    )
+    return df.select(
+        F.col("n_nationkey").cast("int"), "n_name", F.col("n_regionkey").cast("int")
+    )
+
+
+@query(
+    "named_table_scan",
+    oracle="SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 2",
+    tags=("source", "table"),
+    doc="named-table scan, the reference's NotImplemented S2 (builder.rs:67-72)",
+)
+def named_table_scan(spark, sf_dir):
+    t(spark, sf_dir, "nation").createOrReplaceTempView("chqe_nation_tbl")
+    return _ref_engine(spark, sf_dir).dataframe_for(
+        "select n_nationkey, n_name from chqe_nation_tbl where n_regionkey = 2",
+        mode="reference",
+    )
+
+
+# =====================================================================
+# Joins (§2.3 — all declared-but-missing in the reference). Every join
+# keys on the natural key; dimension sides are broadcast-size so AQE /
+# the 64m threshold turns them into broadcast hash joins (no shuffle of
+# the big side) — verified via .explain in tests.
+# =====================================================================
+
+
+@query(
+    "join_inner_agg",
+    oracle=f"""
+    SELECT c_mktsegment, COUNT(*) AS cnt,
+           {o_dsum('o_totalprice')} AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("join", "agg"),
+    doc="inner join + group-by; dimension side broadcast",
+)
+def join_inner_agg(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum(F.col("o_totalprice")).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "join_left_with_zeros",
+    oracle="""
+    SELECT c_custkey, COUNT(o_orderkey) AS cnt
+    FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) big
+      ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+    tags=("join",),
+    doc="left outer join preserving unmatched left rows",
+)
+def join_left_with_zeros(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    big = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(big, big.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("cnt"))
+    )
+
+
+@query(
+    "join_right",
+    oracle="""
+    SELECT o_orderkey, COUNT(l_orderkey) AS n_items
+    FROM (SELECT * FROM lineitem WHERE l_quantity > 49) l
+    RIGHT JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderkey
+    """,
+    tags=("join",),
+    doc="right outer join preserving unmatched right rows",
+)
+def join_right(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 49)
+    o = t(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "right")
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").alias("n_items"))
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT COALESCE(p_partkey, l_partkey) AS key, p_size, hi.cnt
+    FROM (SELECT * FROM part WHERE p_size > 25) p
+    FULL JOIN (SELECT l_partkey, COUNT(*) AS cnt
+               FROM lineitem WHERE l_quantity > 49 GROUP BY l_partkey) hi
+      ON p_partkey = l_partkey
+    """,
+    tags=("join",),
+    doc="full outer join with NULLs on both sides",
+)
+def join_full_outer(spark, sf_dir):
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") > 25)
+    hi = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 49)
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return p.join(hi, p.p_partkey == hi.l_partkey, "full").select(
+        F.coalesce("p_partkey", "l_partkey").alias("key"), "p_size", "cnt"
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    tags=("join",),
+    doc="left semi join (EXISTS)",
+)
+def join_semi(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    big = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    tags=("join",),
+    doc="left anti join (NOT EXISTS)",
+)
+def join_anti(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    big = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_multiway_star",
+    oracle="""
+    SELECT r_name, n_name, COUNT(*) AS n_cust
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+    tags=("join", "agg"),
+    doc="3-way star join over the dimension chain customer→nation→region",
+)
+def join_multiway_star(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+
+
+# =====================================================================
+# Aggregations / ordering / sets (§2.4, §2.6, §2.7)
+# =====================================================================
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {o_dsum('l_quantity')} AS sum_qty,
+           {o_dsum('l_extendedprice')} AS sum_base,
+           {o_drevenue('l_extendedprice', 'l_discount')} AS sum_disc_price,
+           {o_drevenue('l_extendedprice', 'l_discount', 'l_tax')} AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "headline"),
+    doc="TPC-H Q1 shape: wide aggregation with map-side partial agg",
+)
+def tpch_q1_pricing_summary(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    price, disc, tax = F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base"),
+            drevenue(price, disc).alias("sum_disc_price"),
+            drevenue(price, disc, tax).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "group_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS cnt
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) > 12
+    """,
+    tags=("agg",),
+    doc="GROUP BY + HAVING (README unchecked box)",
+)
+def group_having(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 12)
+    )
+
+
+@query(
+    "order_by_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    tags=("sort", "limit"),
+    doc="ORDER BY + LIMIT = distributed top-k (TakeOrderedAndProject)",
+)
+def order_by_limit_topk(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+@query(
+    "distinct_values",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    tags=("agg",),
+    doc="DISTINCT = hash aggregate without measures",
+)
+def distinct_values(spark, sf_dir):
+    return t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@query(
+    "set_union_all",
+    oracle="""
+    SELECT c_nationkey AS k FROM customer
+    UNION ALL
+    SELECT s_nationkey AS k FROM supplier
+    """,
+    tags=("setop",),
+    doc="UNION ALL (bag union — no shuffle, plain concat of partitions)",
+)
+def set_union_all(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.unionAll(s)
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9000
+    INTERSECT
+    SELECT s_nationkey AS k FROM supplier
+    """,
+    tags=("setop",),
+    doc="INTERSECT (set semantics in both engines)",
+)
+def set_intersect(spark, sf_dir):
+    c = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").alias("k"))
+    )
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.intersect(s)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT c_nationkey AS k FROM customer
+    EXCEPT
+    SELECT s_nationkey AS k FROM supplier WHERE s_acctbal > 0
+    """,
+    tags=("setop",),
+    doc="EXCEPT (set semantics in both engines)",
+)
+def set_except(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 0)
+        .select(F.col("s_nationkey").alias("k"))
+    )
+    return c.subtract(s)
+
+
+@query(
+    "rollup_agg",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt
+    FROM customer GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+    """,
+    tags=("agg",),
+    doc="ROLLUP grouping sets (Spark-native extension beyond reference)",
+)
+def rollup_agg(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "customer")
+        .rollup("c_mktsegment", "c_nationkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# =====================================================================
+# Window functions (§2.5), CTEs, subqueries (all beyond-reference)
+# =====================================================================
+
+
+@query(
+    "window_rank_topn",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn,
+             RANK()       OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      FROM customer) x
+    WHERE rn <= 5
+    """,
+    tags=("window",),
+    doc="window functions: per-group top-N via row_number/rank",
+)
+def window_rank_topn(spark, sf_dir):
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+        )
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@query(
+    "window_lag_running",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_order,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running
+    FROM orders
+    """,
+    tags=("window",),
+    doc="lag + running sum over a partitioned ordered frame",
+)
+def window_lag_running(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.sum(F.col("o_totalprice").cast("decimal(27,4)"))
+        .over(wsum)
+        .cast("double")
+        .alias("running"),
+    )
+
+
+@query(
+    "cte_segment_totals",
+    oracle=f"""
+    WITH seg AS (
+      SELECT c_mktsegment AS seg, {o_dsum('c_acctbal')} AS total,
+             COUNT(*) AS n
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT seg, total, n FROM seg WHERE n > 100
+    """,
+    tags=("cte",),
+    doc="CTE (WITH clause) — declared-but-missing in the reference",
+)
+def cte_segment_totals(spark, sf_dir):
+    seg = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(dsum(F.col("c_acctbal")).alias("total"), F.count(F.lit(1)).alias("n"))
+    )
+    return seg.filter(F.col("n") > 100)
+
+
+@query(
+    "in_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+      AND o_totalprice > 300000
+    """,
+    tags=("subquery",),
+    doc="IN subquery → left semi join under Catalyst",
+)
+def in_subquery(spark, sf_dir):
+    t(spark, sf_dir, "orders").createOrReplaceTempView("chqe_orders_v")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("chqe_customer_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey FROM chqe_orders_v
+        WHERE o_custkey IN (SELECT c_custkey FROM chqe_customer_v
+                            WHERE c_mktsegment = 'BUILDING')
+          AND o_totalprice > 300000
+        """
+    )
+
+
+@query(
+    "scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > 2 * (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) / COUNT(*)
+      FROM orders)
+    """,
+    tags=("subquery",),
+    doc="scalar subquery with an exact (decimal-summed) global average",
+)
+def scalar_subquery(spark, sf_dir):
+    t(spark, sf_dir, "orders").createOrReplaceTempView("chqe_orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM chqe_orders_v
+        WHERE o_totalprice > 2 * (
+          SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) / COUNT(*)
+          FROM chqe_orders_v)
+        """
+    )
+
+
+# =====================================================================
+# Scalar function library (§2.8) — string / math / date / conditional
+# =====================================================================
+
+
+@query(
+    "string_functions",
+    oracle="""
+    SELECT n_nationkey,
+           UPPER(n_name) AS up, LOWER(n_name) AS lo,
+           CAST(LENGTH(n_name) AS BIGINT) AS len,
+           SUBSTRING(n_name, 1, 3) AS pre,
+           n_name || '-' || CAST(n_regionkey AS VARCHAR) AS tagged,
+           REPLACE(n_name, 'A', '@') AS repl,
+           TRIM('  ' || n_name || ' ') AS trimmed
+    FROM nation
+    """,
+    tags=("functions", "string"),
+    doc="string library: ||, upper/lower/length/substr/replace/trim",
+)
+def string_functions(spark, sf_dir):
+    n = t(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.upper("n_name").alias("up"),
+        F.lower("n_name").alias("lo"),
+        F.length("n_name").cast("bigint").alias("len"),
+        F.substring("n_name", 1, 3).alias("pre"),
+        F.concat_ws("-", F.col("n_name"), F.col("n_regionkey").cast("string")).alias(
+            "tagged"
+        ),
+        F.replace(F.col("n_name"), F.lit("A"), F.lit("@")).alias("repl"),
+        F.trim(F.concat(F.lit("  "), F.col("n_name"), F.lit(" "))).alias("trimmed"),
+    )
+
+
+@query(
+    "like_patterns",
+    oracle="""
+    SELECT p_partkey, p_name, p_type FROM part
+    WHERE p_type LIKE 'PRO%' OR p_name LIKE '%#13%'
+    """,
+    tags=("functions", "string"),
+    doc="LIKE patterns (explicit reference TODO: 'Support string operations')",
+)
+def like_patterns(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_type").like("PRO%") | F.col("p_name").like("%#13%")
+    ).select("p_partkey", "p_name", "p_type")
+
+
+@query(
+    "math_functions",
+    oracle="""
+    SELECT o_orderkey,
+           ABS(o_totalprice - 250000) AS dist,
+           CAST(FLOOR(o_totalprice / 1000) AS BIGINT) AS bucket_floor,
+           CAST(CEIL(o_totalprice / 1000)  AS BIGINT) AS bucket_ceil,
+           o_orderkey % 97 AS m,
+           SQRT(o_totalprice) AS rt
+    FROM orders WHERE o_orderkey % 10 = 3
+    """,
+    tags=("functions", "math"),
+    doc="math library: abs/floor/ceil/mod/sqrt (IEEE-exact both engines)",
+)
+def math_functions(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 3)
+    return o.select(
+        "o_orderkey",
+        F.abs(F.col("o_totalprice") - 250000).alias("dist"),
+        F.floor(F.col("o_totalprice") / 1000).cast("bigint").alias("bucket_floor"),
+        F.ceil(F.col("o_totalprice") / 1000).cast("bigint").alias("bucket_ceil"),
+        (F.col("o_orderkey") % 97).alias("m"),
+        F.sqrt("o_totalprice").alias("rt"),
+    )
+
+
+@query(
+    "date_functions",
+    oracle=f"""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS BIGINT) AS y,
+           CAST(MONTH(o_orderdate) AS BIGINT) AS mo,
+           CAST(DAY(o_orderdate) AS BIGINT) AS d,
+           {o_ts_str("date_trunc('month', o_orderdate)")} AS month_start
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+    tags=("functions", "date"),
+    doc="date/time extraction (time types absent in reference — §1.3)",
+)
+def date_functions(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("y"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("d"),
+        ts_str(F.date_trunc("month", F.col("o_orderdate"))).alias("month_start"),
+    )
+
+
+@query(
+    "case_when_buckets",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 400000 THEN 'high'
+                WHEN o_totalprice > 200000 THEN 'mid'
+                ELSE 'low' END AS bucket
+    FROM orders
+    """,
+    tags=("functions",),
+    doc="CASE WHEN conditional",
+)
+def case_when_buckets(spark, sf_dir):
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 400000, "high")
+        .when(F.col("o_totalprice") > 200000, "mid")
+        .otherwise("low")
+        .alias("bucket"),
+    )
+
+
+# =====================================================================
+# Headline analytical queries (bench workload; joins + agg at scale)
+# =====================================================================
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+    SELECT o_orderkey, {o_drevenue('l_extendedprice', 'l_discount')} AS revenue,
+           {o_ts_str('o_orderdate')} AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o_orderkey, o_orderdate
+    """,
+    tags=("join", "agg", "headline"),
+    doc="TPC-H Q3 shape: selective dimension filter + fact join + agg",
+)
+def tpch_q3_shipping_priority(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(drevenue(F.col("l_extendedprice"), F.col("l_discount")).alias("revenue"))
+        .select(
+            "o_orderkey", "revenue", ts_str(F.col("o_orderdate")).alias("orderdate")
+        )
+    )
+
+
+@query(
+    "tpch_q5_local_supplier",
+    oracle=f"""
+    SELECT n_name, {o_drevenue('l_extendedprice', 'l_discount')} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    tags=("join", "agg", "headline"),
+    doc="TPC-H Q5 shape: 6-way join with a region filter",
+)
+def tpch_q5_local_supplier(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(drevenue(F.col("l_extendedprice"), F.col("l_discount")).alias("revenue"))
+    )

@@ -1,0 +1,404 @@
+"""LLM-data-pipeline queries over ``documents`` and ``embeddings``.
+
+These wire the operators in :mod:`chapterhouseqe_spark.operators`,
+:mod:`chapterhouseqe_spark.functions`, and
+:mod:`chapterhouseqe_spark.sources` into the driver's correctness gate.
+Where the operator is SQL-expressible the oracle recomputes it exactly
+in DuckDB (md5-based hashing + decimal-exact float accumulation make
+that possible); probabilistic candidate generation (hyperplane LSH)
+gets a rows-only check.
+
+Each operator documents its own 100 TB scaling shape in its module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chapterhouseqe_spark.functions.text import (
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+    word_token_count,
+)
+from chapterhouseqe_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from chapterhouseqe_spark.operators.similarity import (
+    cosine_pairs,
+    cosine_topk,
+    lsh_bucket_candidates,
+)
+from chapterhouseqe_spark.queries.core_sql import t
+from chapterhouseqe_spark.queries.registry import query
+from chapterhouseqe_spark.sources.multimodal import (
+    attach_binary_payload,
+    decode_features,
+)
+
+# shared oracle CTEs for word-shingle jaccard (k=3)
+_SHINGLE_CTE = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+        FROM toks) z
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= {tau}
+"""
+
+
+# ---------------------------------------------------------------- text
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars2,
+           CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT)
+             AS n_tokens,
+           CAST(LENGTH(REPLACE(text, ' ', '')) AS BIGINT) AS n_nonspace
+    FROM documents
+    """,
+    tags=("pipeline", "text"),
+    doc="basic text statistics — JVM-side length/replace, no Python UDFs",
+)
+def text_stats(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars2"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1)
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("bigint").alias(
+            "n_nonspace"
+        ),
+    )
+
+
+@query(
+    "text_token_counts",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+                AS BIGINT) AS bpe_ish_tokens
+    FROM documents
+    """,
+    tags=("pipeline", "text"),
+    doc="whitespace + BPE-ish regex token counting (functions/text.py)",
+)
+def text_token_counts(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("ws_tokens"),
+        word_token_count(F.col("text")).alias("bpe_ish_tokens"),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=r"""
+    WITH hits AS (
+      SELECT doc_id, lang,
+        len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+            x -> x IN ('the','a','of','and','is')))  AS h_en,
+        len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+            x -> x IN ('el','la','de','y','es')))    AS h_es,
+        len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+            x -> x IN ('der','die','das','und','ist'))) AS h_de,
+        len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+            x -> x IN ('le','la','de','et','est')))  AS h_fr
+      FROM documents
+    )
+    SELECT doc_id, lang AS labeled,
+      CASE WHEN greatest(h_en,h_es,h_de,h_fr) = 0 THEN 'und'
+           WHEN h_de = greatest(h_en,h_es,h_de,h_fr) THEN 'de'
+           WHEN h_en = greatest(h_en,h_es,h_de,h_fr) THEN 'en'
+           WHEN h_es = greatest(h_en,h_es,h_de,h_fr) THEN 'es'
+           ELSE 'fr' END AS lang_guess
+    FROM hits
+    """,
+    tags=("pipeline", "text"),
+    doc="stopword-marker language heuristic (functions/text.py:lang_id)",
+)
+def text_lang_id(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.col("lang").alias("labeled"), lang_id(F.col("text")).alias("lang_guess")
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=r"""
+    WITH m AS (
+      SELECT doc_id,
+        CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+        CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_toks,
+        CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+        CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             x -> x IN ('the','a','of','and','is'))) AS DOUBLE) AS stop_hits
+      FROM documents
+    )
+    SELECT doc_id,
+      (CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 1.0
+            WHEN n_chars >= 20 THEN 0.5 ELSE 0.0 END) * 0.4
+      + (CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END) * 0.3
+      + (CASE WHEN (CASE WHEN n_toks > 0 THEN stop_hits / n_toks ELSE 0.0 END) >= 0.05
+              THEN 1.0
+              WHEN (CASE WHEN n_toks > 0 THEN stop_hits / n_toks ELSE 0.0 END) > 0
+              THEN 0.5 ELSE 0.0 END) * 0.3 AS quality
+    FROM m
+    """,
+    tags=("pipeline", "text"),
+    doc="length/alpha/stopword quality heuristic (functions/text.py)",
+)
+def text_quality_score(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+@query(
+    "text_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+      ('0x' || substr(md5(regexp_replace(regexp_replace(lower(trim(text)),
+          '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), 1, 15))::BIGINT AS fingerprint
+    FROM documents
+    """,
+    tags=("pipeline", "text"),
+    doc="normalization-stable md5 content fingerprint (functions/text.py)",
+)
+def text_fingerprint(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", doc_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+# --------------------------------------------------------------- dedup
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS fingerprint, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    tags=("pipeline", "dedup"),
+    doc="exact dedup by content hash — groupBy fingerprint, keep min id",
+)
+def dedup_exact(spark, sf_dir):
+    return exact_dedup(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_SHINGLE_CTE.format(tau=0.5),
+    tags=("pipeline", "dedup"),
+    doc=(
+        "MinHash(128)+LSH(64 bands) candidates, exact-verified to jaccard"
+        " ≥ 0.5 — detection probability 1-1e-8 at the threshold, so output"
+        " equals the exact all-pairs answer (the DuckDB oracle)"
+    ),
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    return minhash_lsh_pairs(
+        t(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.5
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_SHINGLE_CTE.format(tau=0.3),
+    tags=("pipeline", "dedup"),
+    doc="EXACT 3-shingle jaccard pairs ≥ 0.3 via inverted shingle index",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.3
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tk
+      FROM documents
+    ),
+    th AS (
+      SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS h FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, j,
+             SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS w
+      FROM th, generate_series(0, 59) AS g(j)
+      GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           SUM(CASE WHEN w > 0 THEN CAST(1 AS BIGINT) << j
+                    ELSE CAST(0 AS BIGINT) END) AS fingerprint
+    FROM bits GROUP BY doc_id
+    """,
+    tags=("pipeline", "dedup"),
+    doc="60-bit md5 SimHash fingerprints (term-frequency weighted)",
+)
+def dedup_simhash(spark, sf_dir):
+    return simhash_fingerprints(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ---------------------------------------------------------- similarity
+
+
+_COSINE_NORMS_CTE = """
+norms AS (
+  SELECT vec_id,
+         SQRT(list_reduce(
+           list_transform(generate_series(1, len(embedding)),
+                          i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+           (acc, x) -> acc + x)) AS nrm
+  FROM embeddings
+)
+"""
+
+
+@query(
+    "embedding_cosine_topk",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS probe_id, b.vec_id AS id_b,
+             a.embedding AS ea, b.embedding AS eb
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < 8 AND b.vec_id != a.vec_id
+    ),
+    dots AS (
+      SELECT probe_id, id_b,
+             list_reduce(
+               list_transform(generate_series(1, len(ea)),
+                              i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)),
+               (acc, x) -> acc + x) AS dot
+      FROM pairs
+    ),
+    {_COSINE_NORMS_CTE}
+    SELECT probe_id, id_b, sim FROM (
+      SELECT d.probe_id, d.id_b, d.dot / (na.nrm * nb.nrm) AS sim,
+             ROW_NUMBER() OVER (PARTITION BY d.probe_id
+                                ORDER BY d.dot / (na.nrm * nb.nrm) DESC, d.id_b) AS rn
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.probe_id
+      JOIN norms nb ON nb.vec_id = d.id_b
+    ) x WHERE rn <= 3
+    """,
+    tags=("pipeline", "similarity"),
+    doc="brute-force cosine top-3 for probes vec_id<8 (decimal-exact dots)",
+)
+def embedding_cosine_topk(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, F.col("vec_id") < 8, k=3)
+
+
+@query(
+    "embedding_cosine_pairs",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.embedding AS ea, b.embedding AS eb
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < b.vec_id
+    ),
+    dots AS (
+      SELECT id_a, id_b,
+             list_reduce(
+               list_transform(generate_series(1, len(ea)),
+                              i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)),
+               (acc, x) -> acc + x) AS dot
+      FROM pairs
+    ),
+    {_COSINE_NORMS_CTE}
+    SELECT id_a, id_b, d.dot / (na.nrm * nb.nrm) AS sim
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.id_a
+    JOIN norms nb ON nb.vec_id = d.id_b
+    WHERE d.dot / (na.nrm * nb.nrm) >= 0.4
+    """,
+    tags=("pipeline", "similarity"),
+    doc="embedding near-dup pairs at cosine ≥ 0.4 (exact quadratic baseline)",
+)
+def embedding_cosine_pairs(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb, threshold=0.4)
+
+
+@query(
+    "embedding_ann_lsh",
+    oracle=None,  # probabilistic bucketing — rows-only check
+    tags=("pipeline", "similarity"),
+    doc="hyperplane-LSH candidate pairs (scale path; rerank with cosine)",
+)
+def embedding_ann_lsh(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    return lsh_bucket_candidates(emb, dim=64, n_planes=8)
+
+
+# ----------------------------------------------------------- multimodal
+
+
+@query(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS payload_sha
+    FROM documents
+    """,
+    tags=("pipeline", "multimodal"),
+    doc="binary payload column + typed metadata (sources/multimodal.py)",
+)
+def multimodal_binary_meta(spark, sf_dir):
+    mm = attach_binary_payload(t(spark, sf_dir, "documents"))
+    return mm.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.sha256").alias("payload_sha"),
+    )
+
+
+@query(
+    "multimodal_decode_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           ascii(substr(text, 1, 1)) AS first_byte,
+           [CAST(ascii(substr(text, 1, 1)) AS DOUBLE),
+            CAST(ascii(substr(text, 2, 1)) AS DOUBLE),
+            CAST(ascii(substr(text, 3, 1)) AS DOUBLE),
+            CAST(ascii(substr(text, 4, 1)) AS DOUBLE)] AS feature
+    FROM documents
+    """,
+    tags=("pipeline", "multimodal"),
+    doc="Arrow-batched mapInPandas decode stub over the binary column",
+)
+def multimodal_decode_features(spark, sf_dir):
+    mm = attach_binary_payload(t(spark, sf_dir, "documents"))
+    return decode_features(mm.select("doc_id", "payload"))

@@ -64,6 +64,34 @@ def o_dsum(expr: str, scale: int = 4) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(27,{scale}))) AS DOUBLE)"
 
 
+def drevenue(price: Column, discount: Column, tax: Column | None = None) -> Column:
+    """Exact revenue sum: SUM(price * (1 - disc) [* (1 + tax)]).
+
+    Inputs are generated with ≤2 decimal digits, so casting THEM to
+    decimal is exact in both engines; the arithmetic then stays in the
+    decimal domain (order-insensitive, no double-rounding divergence —
+    casting a computed double product to decimal is NOT portable because
+    Spark rounds via the shortest string repr while DuckDB rounds the
+    exact binary value).
+    """
+    one = F.lit(1).cast("decimal(3,2)")
+    expr = price.cast("decimal(12,2)") * (one - discount.cast("decimal(3,2)"))
+    if tax is not None:
+        expr = expr * (one + tax.cast("decimal(3,2)"))
+    return F.sum(expr).cast("double")
+
+
+def o_drevenue(price: str, discount: str, tax: str | None = None) -> str:
+    """DuckDB oracle twin of :func:`drevenue`."""
+    e = (
+        f"CAST({price} AS DECIMAL(12,2)) * "
+        f"(CAST(1 AS DECIMAL(3,2)) - CAST({discount} AS DECIMAL(3,2)))"
+    )
+    if tax is not None:
+        e = f"({e}) * (CAST(1 AS DECIMAL(3,2)) + CAST({tax} AS DECIMAL(3,2)))"
+    return f"CAST(SUM({e}) AS DOUBLE)"
+
+
 def md5_int(col: Column) -> Column:
     """Deterministic 60-bit hash of a string (Spark side)."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")

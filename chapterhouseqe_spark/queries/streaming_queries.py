@@ -1,0 +1,94 @@
+"""Streaming-shaped queries over the ``events`` table.
+
+The reference has NO streaming (SURVEY §2.9 — the README "Ideas" block is
+design fiction); these are the Spark-native extension. Each registered
+query here is the *batch-equivalent* of a Structured Streaming pipeline in
+:mod:`chapterhouseqe_spark.streaming` — identical transformations, so the
+DuckDB oracle validates the streaming logic's semantics while the
+streaming tests (tests/test_streaming.py) validate the incremental
+execution path (watermarks, availableNow triggers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chapterhouseqe_spark.queries.registry import dsum, o_dsum, o_ts_str, query, ts_str
+from chapterhouseqe_spark.queries.core_sql import t
+
+
+@query(
+    "events_tumbling_window",
+    oracle=f"""
+    SELECT {o_ts_str("date_trunc('hour', ts)")} AS window_start, event_type,
+           COUNT(*) AS cnt, {o_dsum('value')} AS sum_value
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    """,
+    tags=("streaming", "window"),
+    doc="1h tumbling window agg — batch equivalent of streaming.window_counts",
+)
+def events_tumbling_window(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum(F.col("value")).alias("sum_value"))
+        .select(
+            ts_str(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "events_sliding_window",
+    oracle=f"""
+    WITH slides AS (
+      SELECT ts, value,
+             date_trunc('hour', ts) AS h0,
+             date_trunc('hour', ts - INTERVAL 30 MINUTE) + INTERVAL 30 MINUTE AS h1
+      FROM events
+    )
+    SELECT {o_ts_str('w')} AS window_start, COUNT(*) AS cnt
+    FROM (
+      SELECT h0 AS w, value FROM slides
+      UNION ALL
+      SELECT h1 AS w, value FROM slides
+    ) x
+    GROUP BY w
+    """,
+    tags=("streaming", "window"),
+    doc="1h window sliding every 30min — each event lands in 2 windows",
+)
+def events_sliding_window(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(ts_str(F.col("w.start")).alias("window_start"), "cnt")
+    )
+
+
+@query(
+    "events_user_activity",
+    oracle=f"""
+    SELECT user_id, COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_types,
+           {o_ts_str('MIN(ts)')} AS first_seen,
+           {o_ts_str('MAX(ts)')} AS last_seen
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "agg"),
+    doc="per-user lifetime rollup — batch equivalent of a stateful stream agg",
+)
+def events_user_activity(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        ts_str(F.min("ts")).alias("first_seen"),
+        ts_str(F.max("ts")).alias("last_seen"),
+    )

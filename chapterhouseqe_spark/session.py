@@ -28,6 +28,9 @@ DEFAULT_CONFS: dict[str, str] = {
     # --- determinism for oracle comparison ----------------------------
     "spark.sql.session.timeZone": "UTC",
     # --- parquet ------------------------------------------------------
+    # nanosecond-precision timestamps (e.g. the events table) arrive as
+    # LongType nanos instead of failing the scan; loaders convert.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.mergeSchema": "false",
     "spark.sql.files.maxPartitionBytes": "128m",

@@ -1,0 +1,95 @@
+"""Multimodal columns: opaque binary payloads with typed metadata, and a
+Pandas-UDF decode/feature-extraction stage.
+
+Pattern for 100 TB multimodal pipelines: media lives as an opaque
+``binary`` column (or an object-store path) next to typed metadata
+(mime, byte size, checksum). Decode / resize / frame-sample runs as
+``mapInPandas`` — Arrow-batched, one Python worker per partition, no
+per-row overhead — and ONLY over the rows that survived relational
+pruning, so Catalyst pushes filters below the expensive Python stage.
+
+The actual media codecs (PIL/ffmpeg/…) are not available in this
+container, so :func:`_decode_stub` is a clearly-marked deterministic
+fake; the Spark-side plumbing — schema, batching, partitioning, UDF
+signature — is real and tested. Swap ``_decode_stub`` for a real decoder
+in production.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def attach_binary_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Model a multimodal table: (id, payload binary, meta struct).
+
+    Here the payload is the utf-8 encoded document (a stand-in for image
+    /audio bytes); metadata carries mime, byte length, and a sha256
+    checksum — all computed JVM-side.
+    """
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.length(payload).cast("bigint").alias("n_bytes"),
+            F.sha2(payload, 256).alias("sha256"),
+        ).alias("meta"),
+    )
+
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("first_byte", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _decode_stub(payload: bytes) -> list[float]:
+    """DETERMINISTIC FAKE decoder.
+
+    A real implementation would decode the media (image → pixels, audio
+    → samples) and extract features; those codecs aren't installed here.
+    This stub derives a fixed-length 4-float "feature" from the first
+    bytes so the full pipeline shape (binary in → vector out) is
+    exercised end-to-end. Raise instead if accidental production use
+    must be prevented:  ``raise NotImplementedError("no media codecs")``.
+    """
+    head = payload[:4].ljust(4, b"\0")
+    return [float(b) for b in head]
+
+
+def decode_features(multimodal: DataFrame) -> DataFrame:
+    """Arrow-batched decode/feature-extract over the binary column.
+
+    ``mapInPandas`` keeps the Python boundary at one Arrow batch per
+    call (spark.sql.execution.arrow.maxRecordsPerBatch rows), the right
+    shape for expensive media decoding at scale.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "first_byte": payloads.map(
+                        lambda p: p[0] if len(p) else -1
+                    ).astype("int32"),
+                    "feature": payloads.map(_decode_stub),
+                }
+            )
+
+    return multimodal.mapInPandas(batches, schema=_FEATURE_SCHEMA)
