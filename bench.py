@@ -1,0 +1,96 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs the engine's headline workload — reference-parity scan/filter (the
+reference's own huge_simple benchmark shape), TPC-H-shaped join/agg
+queries, window functions, and the pipeline operators (dedup,
+similarity, text) — on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is fully materialized via a count/collect-free foreach-noop
+(``df.write.format("noop")``) so the measured time is scan+compute, not
+driver transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# the headline subset: representative, covers every operator family,
+# and completes in minutes at sf0.1
+BENCH_QUERIES = [
+    # reference-parity scan+filter (huge_simple shape: id % 2 = 0)
+    "ref_scan_filter_project",
+    "ref_int_division",
+    "ref_comparison_ops",
+    # joins / aggregation
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "join_inner_agg",
+    "group_having",
+    "order_by_limit_topk",
+    # window / sets
+    "window_rank_topn",
+    "set_union_all",
+    # streaming-shaped
+    "events_tumbling_window",
+    "events_user_activity",
+    # pipeline operators
+    "text_quality_score",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embedding_cosine_topk",
+    "embedding_ann_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = 0.0
+
+    from chapterhouseqe_spark.queries.registry import get_queries
+    from chapterhouseqe_spark.session import get_spark
+
+    spark = get_spark("chqe-bench")
+    queries = get_queries()
+
+    # warm the JVM + file listing once (tiny query, not timed)
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        build = queries[name]
+        t0 = time.time()
+        df = build(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

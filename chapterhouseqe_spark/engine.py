@@ -35,10 +35,15 @@ from chapterhouseqe_spark.sql.compiler import compile_expression, project
 from chapterhouseqe_spark.sql.parser import (
     ReadFilesSource,
     SelectStatement,
+    TableFunctionSource,
     TableSource,
     parse_select,
 )
-from chapterhouseqe_spark.sql.read_files import load_glob, rewrite_read_files
+from chapterhouseqe_spark.sql.read_files import load_glob, rewrite_table_functions
+from chapterhouseqe_spark.sql.table_functions import (
+    TableFunctionRegistry,
+    default_table_functions,
+)
 
 ROW_ID = "__row_id"
 
@@ -141,10 +146,12 @@ class QueryEngine:
         spark: SparkSession,
         results_root: str = "/tmp/chqe_query_results",
         registry: ConnectionRegistry | None = None,
+        table_functions: TableFunctionRegistry | None = None,
     ) -> None:
         self.spark = spark
         self.results_root = results_root.rstrip("/")
         self.registry = registry or ConnectionRegistry()
+        self.table_functions = table_functions or default_table_functions()
         self._queries: dict[str, _QueryState] = {}
         self._lock = threading.Lock()
 
@@ -153,13 +160,23 @@ class QueryEngine:
         """Build the (lazy) DataFrame for a SQL string — the logical plan."""
         if mode == "reference":
             return self._build_reference(parse_select(sql))
-        rewritten = rewrite_read_files(self.spark, sql, self.registry)
+        rewritten = rewrite_table_functions(
+            self.spark, sql, self.registry, self.table_functions
+        )
         return self.spark.sql(rewritten)
 
     def _build_reference(self, stmt: SelectStatement) -> DataFrame:
         if isinstance(stmt.source, ReadFilesSource):
             df = load_glob(
                 self.spark, stmt.source.path_glob, stmt.source.connection, self.registry
+            )
+        elif isinstance(stmt.source, TableFunctionSource):
+            # resolved through the registry — the reference's
+            # TaskBuilder/TableFuncSyntaxValidator extension point
+            # (operator_task_registry.rs:36-162)
+            fn = self.table_functions.get(stmt.source.name)
+            df = fn.build(
+                self.spark, stmt.source.args, stmt.source.kwargs, self.registry
             )
         elif isinstance(stmt.source, TableSource):
             df = self.spark.table(stmt.source.name)

@@ -29,8 +29,11 @@ Python UDFs anywhere.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from chapterhouseqe_spark.operators.util import ensure_parallelism
 
 # deterministic 31-bit affine permutation parameters (seeded LCG — keeps
 # signatures reproducible across runs/sessions, required for the oracle)
@@ -61,39 +64,59 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles of a whitespace-tokenized text, JVM-side."""
+    """Distinct k-word shingles of a whitespace-tokenized text, JVM-side.
+
+    Guard: ``sequence(1, 0)`` would generate a DESCENDING [1, 0] (step
+    defaults to -1 when start > stop), so texts shorter than k tokens
+    get an explicit empty index array instead.
+    """
     toks = F.split(F.trim(text), r"\s+")
+    n = F.size(toks) - (k - 1)
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-        )
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
     )
 
 
 def with_shingles(
     df: DataFrame, text_col: str, id_col: str, k: int = 3
 ) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("shingles")
-    ).filter(F.size("shingles") > 0)
-
-
-def minhash_signature(shingles: Column, num_perm: int = 128, seed: int = 42) -> Column:
-    """MinHash signature as an array<long> of ``num_perm`` values.
-
-    Base hash is a 31-bit reduction of xxhash64 so the affine step
-    (a*h+b mod 2^31-1) never overflows 64-bit math (ANSI mode safe).
-    """
-    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)))
-    sig = []
-    for a, b in _perm_params(num_perm, seed):
-        sig.append(
-            F.array_min(
-                F.transform(base, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE31))
-            )
+    return (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col), k).alias("shingles"),
         )
-    return F.array(*sig)
+        .filter(F.size("shingles") > 0)
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, num_perm: int = 128, seed: int = 42
+) -> DataFrame:
+    """MinHash signatures as (id, sig array<long>) — distributed form.
+
+    Explodes shingles to rows, hashes each shingle ONCE (31-bit
+    reduction of xxhash64 so the affine step a*h+b mod 2^31-1 never
+    overflows 64-bit math), then computes the ``num_perm`` mins as
+    map-side-combinable aggregates. One explode + one shuffle keyed by
+    id; the per-permutation work is scalar arithmetic inside codegen —
+    ~6× faster than per-row array lambdas (which recompute the shingle
+    hash per permutation) and the shape that scales to 100 TB.
+    """
+    hashed = sh.select(F.col("id"), F.explode("shingles").alias("s")).select(
+        "id", F.pmod(F.xxhash64("s"), F.lit(_MERSENNE31)).alias("h31")
+    )
+    aggs = [
+        F.min((F.col("h31") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE31)).alias(f"m{i}")
+        for i, (a, b) in enumerate(_perm_params(num_perm, seed))
+    ]
+    wide = hashed.groupBy("id").agg(*aggs)
+    return wide.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig")
+    )
 
 
 def _jaccard_on_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
@@ -132,8 +155,13 @@ def minhash_lsh_pairs(
     positives: each is re-checked against true shingle sets).
     """
     rows = num_perm // bands
-    sh = with_shingles(df, text_col, id_col, k)
-    sig = sh.select("id", minhash_signature(F.col("shingles"), num_perm, seed).alias("sig"))
+    # the shingle frame feeds three branches (signatures + both sides of
+    # the verify join); persist it so the tokenize/shingle work runs
+    # once — MEMORY_AND_DISK spills rather than pins at 100 TB, and the
+    # frame is (id, shingles), ~corpus-sized, the standard cache point
+    # in dedup pipelines.
+    sh = with_shingles(df, text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = minhash_signatures(sh, num_perm, seed)
     band_rows = sig.select(
         "id",
         F.explode(
@@ -173,7 +201,7 @@ def ngram_jaccard_pairs(
     (stop-shingles) before pairing — the standard bound on the quadratic
     blow-up; leave None for a fully exact answer.
     """
-    sh = with_shingles(df, text_col, id_col, k)
+    sh = with_shingles(df, text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
     posting = sh.select("id", F.explode("shingles").alias("s"))
     if max_shingle_freq is not None:
         hot = (
@@ -215,7 +243,7 @@ def simhash_fingerprints(
     One explode + one groupBy(id) shuffle; the 60 bit-sums are map-side
     partial aggregates.
     """
-    toks = df.select(
+    toks = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tk"),
     )

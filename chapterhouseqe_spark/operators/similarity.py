@@ -31,6 +31,8 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from chapterhouseqe_spark.operators.util import ensure_parallelism
+
 def exact_dot(a: Column, b: Column) -> Column:
     """Deterministic dot product of two float arrays (as double).
 
@@ -63,7 +65,9 @@ def cosine_topk(
     probes = emb.filter(probe_filter).select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("ea")
     )
-    corpus = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("eb"))
+    corpus = ensure_parallelism(emb).select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("eb")
+    )
     pairs = F.broadcast(probes).crossJoin(corpus).filter(F.col("probe_id") != F.col("id_b"))
     scored = pairs.select(
         "probe_id", "id_b", cosine(F.col("ea"), F.col("eb")).alias("sim")
@@ -83,7 +87,7 @@ def cosine_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold — exact quadratic baseline."""
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("ea"))
+    a = ensure_parallelism(emb).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("ea"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("eb"))
     return (
         a.crossJoin(b)
@@ -123,7 +127,7 @@ def lsh_bucket_candidates(
         )
         bit = F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
-    bucketed = emb.select(F.col(id_col).alias("id"), sig.alias("bucket"))
+    bucketed = ensure_parallelism(emb).select(F.col(id_col).alias("id"), sig.alias("bucket"))
     a = bucketed.select(F.col("id").alias("id_a"), "bucket")
     b = bucketed.select(F.col("id").alias("id_b"), "bucket")
     return (

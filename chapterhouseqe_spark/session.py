@@ -19,6 +19,9 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # wide aggregations (e.g. 128 MinHash mins) stay in whole-stage
+    # codegen instead of falling back to interpreted eval at >100 fields
+    "spark.sql.codegen.maxFields": "256",
     # dimension tables (region/nation/customer/supplier/part at any SF's
     # head) should broadcast; 64m is safe with multi-GiB executors.
     "spark.sql.autoBroadcastJoinThreshold": "64m",

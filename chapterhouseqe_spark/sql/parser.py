@@ -79,6 +79,17 @@ class TableSource:
 
 
 @dataclass
+class TableFunctionSource:
+    """A registered table-function call, resolved by the engine against
+    the TableFunctionRegistry (reference: operator_task_registry.rs)."""
+
+    name: str
+    args: list[str] = field(default_factory=list)
+    kwargs: dict[str, str] = field(default_factory=dict)
+    alias: str | None = None
+
+
+@dataclass
 class SelectStatement:
     items: list[SelectItem]
     source: object  # ReadFilesSource | TableSource
@@ -275,22 +286,35 @@ class _Parser:
 
     def _source(self):
         tok = self.expect("ident")
-        if tok.text.lower() == "read_files" and self.accept("op", "("):
-            # arg grammar mirrors read_files_task.rs:64-105: first arg a
-            # string glob, optional named arg connection=>'name'.
-            path = self.expect("string").text[1:-1].replace("''", "'")
-            connection = "default"
-            while self.accept("op", ","):
-                name = self.expect("ident").text
-                self.expect("arrow")
-                value = self.expect("string").text[1:-1]
-                if name.lower() == "connection":
-                    connection = value
-                else:
-                    raise SqlSyntaxError(f"unknown read_files argument {name!r}")
-            self.expect("op", ")")
+        if self.accept("op", "("):
+            # generic table-function call grammar (mirrors the arg shape
+            # of read_files_task.rs:64-105): positional string args,
+            # then named args ``ident=>'value'``.
+            args: list[str] = []
+            kwargs: dict[str, str] = {}
+            if not self.accept("op", ")"):
+                while True:
+                    if self.peek().kind == "ident":
+                        name = self.expect("ident").text
+                        self.expect("arrow")
+                        kwargs[name.lower()] = self.expect("string").text[1:-1]
+                    else:
+                        args.append(
+                            self.expect("string").text[1:-1].replace("''", "'")
+                        )
+                    if not self.accept("op", ","):
+                        break
+                self.expect("op", ")")
             alias = self._opt_alias()
-            return ReadFilesSource(path, connection, alias)
+            if tok.text.lower() == "read_files":
+                # parse-time validation, reference parity
+                if len(args) != 1:
+                    raise SqlSyntaxError("read_files takes exactly one path glob")
+                for name in kwargs:
+                    if name != "connection":
+                        raise SqlSyntaxError(f"unknown read_files argument {name!r}")
+                return ReadFilesSource(args[0], kwargs.get("connection", "default"), alias)
+            return TableFunctionSource(tok.text.lower(), args, kwargs, alias)
         name = tok.text
         alias = self._opt_alias()
         return TableSource(name, alias)

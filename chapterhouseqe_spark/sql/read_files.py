@@ -49,6 +49,69 @@ def load_glob(
     return spark.read.parquet(resolved)
 
 
+def rewrite_table_functions(
+    spark: SparkSession,
+    sql: str,
+    registry: ConnectionRegistry | None = None,
+    functions=None,
+) -> str:
+    """Replace each registered table-function call with a temp-view name.
+
+    Covers every function in the TableFunctionRegistry (``read_files``,
+    ``read_table``, and any user-registered builder), so full Spark SQL
+    can mix them with joins/aggregates/CTEs. See
+    :func:`rewrite_read_files` for the rewrite rules.
+    """
+    from chapterhouseqe_spark.sql.table_functions import default_table_functions
+
+    registry = registry or ConnectionRegistry()
+    functions = functions or default_table_functions()
+    pattern = re.compile(
+        r"\b(?P<fn>" + "|".join(map(re.escape, functions.names())) + r")\s*\((?P<argstr>[^)]*)\)",
+        re.IGNORECASE,
+    )
+    arg_re = re.compile(
+        r"\s*(?:(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*=>\s*)?'(?P<val>(?:[^']|'')*)'\s*"
+    )
+
+    out: list[str] = []
+    last = 0
+    for m in pattern.finditer(sql):
+        if sql.count("'", 0, m.start()) % 2 == 1:
+            continue  # inside a string literal — not a call site
+        fn = m.group("fn").lower()
+        args: list[str] = []
+        kwargs: dict[str, str] = {}
+        argstr = m.group("argstr")
+        for part in argstr.split(",") if argstr.strip() else []:
+            am = arg_re.fullmatch(part)
+            if am is None:
+                break  # not a rewritable literal call — leave untouched
+            val = am.group("val").replace("''", "'")
+            if am.group("name"):
+                kwargs[am.group("name").lower()] = val
+            else:
+                args.append(val)
+        else:
+            digest = hashlib.md5(
+                f"{fn}\x00{args}\x00{sorted(kwargs.items())}".encode()
+            ).hexdigest()[:10]
+            view = (
+                fn
+                + "_"
+                + re.sub(r"[^A-Za-z0-9]", "_", "_".join(args))[:64]
+                + "_"
+                + digest
+            )
+            df = functions.get(fn).build(spark, args, kwargs, registry)
+            df.createOrReplaceTempView(view)
+            out.append(sql[last : m.start()])
+            out.append(view)
+            last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
+
+
 def rewrite_read_files(
     spark: SparkSession,
     sql: str,
@@ -68,27 +131,8 @@ def rewrite_read_files(
     a match is a genuine call site iff an even number of quote characters
     precedes it (SQL escapes a quote by doubling it, which preserves that
     parity invariant).
-    """
-    registry = registry or ConnectionRegistry()
 
-    out: list[str] = []
-    last = 0
-    for m in _READ_FILES_RE.finditer(sql):
-        if sql.count("'", 0, m.start()) % 2 == 1:
-            continue  # inside a string literal — not a call site
-        path = m.group("path").replace("''", "'")
-        conn = m.group("conn") or "default"
-        digest = hashlib.md5(f"{conn}\x00{path}".encode()).hexdigest()[:10]
-        view = (
-            "read_files_"
-            + re.sub(r"[^A-Za-z0-9]", "_", f"{conn}_{path}")[:64]
-            + "_"
-            + digest
-        )
-        df = load_glob(spark, path, conn, registry)
-        df.createOrReplaceTempView(view)
-        out.append(sql[last : m.start()])
-        out.append(view)
-        last = m.end()
-    out.append(sql[last:])
-    return "".join(out)
+    Thin wrapper over :func:`rewrite_table_functions` restricted to the
+    default registry (which includes ``read_files``).
+    """
+    return rewrite_table_functions(spark, sql, registry)

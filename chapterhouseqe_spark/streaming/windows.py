@@ -1,0 +1,103 @@
+"""Watermarked window aggregations over the events stream.
+
+These are the streaming twins of the batch queries in
+``queries/streaming_queries.py`` — same transformations, incremental
+execution. The batch versions carry the DuckDB oracles; the tests run
+these with ``Trigger.AvailableNow`` and assert the streaming results
+equal the batch results (exactly-once, no late drops when the watermark
+covers the data).
+
+100 TB notes: a file-source stream with ``maxFilesPerTrigger`` gives
+bounded micro-batches; state for windowed aggs is bounded by the
+watermark horizon (here 2 hours), so state store size is O(windows ×
+keys in horizon), not O(stream length). ``spark.sql.shuffle.partitions``
+sizes the state store parallelism — set it once for the job; AQE does
+not apply inside streaming aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chapterhouseqe_spark.queries.registry import dsum, ts_str
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the events parquet (schema from the batch
+    reader; ts arrives as long nanos under nanosAsLong — convert)."""
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the file-stream source wants a DIRECTORY; the events table is a
+    # single file, so stream the directory with a glob filter.
+    reader = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(sf_dir)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.call_function("div", F.col("ts"), F.lit(1000)))
+        )
+    return df
+
+
+def stream_window_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """1h tumbling window counts + value sums with late-data watermark.
+
+    Matches queries/streaming_queries.py::events_tumbling_window.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum(F.col("value")).alias("sum_value"))
+        .select(
+            ts_str(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def stream_user_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Per-user lifetime rollup as an update-mode stateful aggregation.
+
+    Matches queries/streaming_queries.py::events_user_activity (without
+    countDistinct, which streaming aggs don't support — approx_count_
+    distinct is the streaming-safe alternative).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            ts_str(F.min("ts")).alias("first_seen"),
+            ts_str(F.max("ts")).alias("last_seen"),
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion with AvailableNow and
+    return the result as a batch DataFrame from the memory sink.
+
+    AvailableNow processes all currently-available input in bounded
+    micro-batches then stops — the streaming analog of a batch run, and
+    the driver-friendly way to smoke a stream without a long-lived job.
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    spark = stream_df.sparkSession
+    return spark.table(name)

@@ -1,0 +1,147 @@
+"""Operator unit tests with planted duplicates/neighbors — prove the
+dedup and similarity operators actually find what they claim to find."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chapterhouseqe_spark.functions.text import (
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from chapterhouseqe_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+from chapterhouseqe_spark.operators.similarity import (
+    cosine_pairs,
+    cosine_topk,
+    lsh_bucket_candidates,
+)
+from chapterhouseqe_spark.sources.multimodal import (
+    attach_binary_payload,
+    decode_features,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away today"
+NEAR = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+OTHER = "completely different content about databases and distributed query engines"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, NEAR),  # near dup of 0/1
+        (3, OTHER),
+        (4, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(docs):
+    out = {r["keep_id"]: r["n_copies"] for r in exact_dedup(docs, "text", "doc_id").collect()}
+    assert out[0] == 2  # docs 0 and 1 collapse
+    assert out[2] == 1 and out[3] == 1
+
+
+def test_minhash_finds_planted_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # exact dup
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.7  # near dup
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_minhash_equals_exact_jaccard(docs):
+    lsh = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5)
+    exact = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+    as_set = lambda df: {(r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()}
+    assert as_set(lsh) == as_set(exact)
+
+
+def test_simhash_identical_docs_share_fingerprint(docs):
+    fps = {r["doc_id"]: r["fingerprint"] for r in simhash_fingerprints(docs, "text", "doc_id").collect()}
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[3]
+    assert all(fp >= 0 for fp in fps.values())  # 60-bit, sign-safe
+
+
+def test_stop_shingle_cap(docs):
+    # with an aggressive cap every shingle shared by >1 doc is dropped,
+    # so only the exact-dup pair (via their unique shingles) remains
+    capped = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.1, max_shingle_freq=1)
+    for r in capped.collect():
+        assert (r["id_a"], r["id_b"]) == (0, 1)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),  # near 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.98, 0.2, 0.0]),  # near 2
+        (4, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_finds_neighbors(vectors):
+    out = cosine_topk(vectors, F.col("vec_id") == 0, k=1).collect()
+    assert len(out) == 1 and out[0]["id_b"] == 1
+    assert out[0]["sim"] > 0.9
+
+
+def test_cosine_pairs_threshold(vectors):
+    got = {(r["id_a"], r["id_b"]) for r in cosine_pairs(vectors, 0.9).collect()}
+    assert got == {(0, 1), (2, 3)}
+
+
+def test_lsh_buckets_recall_planted_pairs(vectors):
+    cand = {(r["id_a"], r["id_b"]) for r in lsh_bucket_candidates(vectors, dim=4, n_planes=2).collect()}
+    # near-identical vectors must share every hyperplane side
+    assert (0, 1) in cand and (2, 3) in cand
+
+
+def test_multimodal_roundtrip(spark):
+    df = spark.createDataFrame([(7, "AbcXyz")], "doc_id long, text string")
+    mm = attach_binary_payload(df)
+    row = mm.collect()[0]
+    assert bytes(row["payload"]) == b"AbcXyz"
+    assert row["meta"]["n_bytes"] == 6
+    feats = decode_features(mm.select("doc_id", "payload")).collect()[0]
+    assert feats["n_bytes"] == 6
+    assert feats["first_byte"] == ord("A")
+    assert feats["feature"] == [65.0, 98.0, 99.0, 88.0]
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat is on the mat"), (2, "el perro es de la casa"), (3, "xyzzy")],
+        "id long, text string",
+    )
+    out = df.select(
+        "id",
+        lang_id(F.col("text")).alias("lang"),
+        token_count(F.col("text")).alias("n"),
+        quality_score(F.col("text")).alias("q"),
+        doc_fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    by_id = {r["id"]: r for r in out}
+    assert by_id[1]["lang"] == "en"
+    assert by_id[2]["lang"] == "es"
+    assert by_id[3]["lang"] == "und"
+    assert by_id[1]["n"] == 6
+    assert 0.0 <= by_id[3]["q"] <= by_id[1]["q"] <= 1.0
+    # fingerprint is normalization-stable
+    fp2 = df.filter("id=1").select(doc_fingerprint(F.lit("  THE CAT is on, the mat!! ")).alias("fp")).collect()[0]["fp"]
+    assert fp2 == by_id[1]["fp"]

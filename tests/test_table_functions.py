@@ -1,0 +1,86 @@
+"""Table-function registry tests — a second registered function working
+end-to-end proves the extension point (VERDICT r1 'done' criterion #8)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chapterhouseqe_spark.connections import ConnectionRegistry
+from chapterhouseqe_spark.engine import QueryEngine, QueryStatus
+from chapterhouseqe_spark.sql.parser import TableFunctionSource, parse_select
+from chapterhouseqe_spark.sql.table_functions import (
+    TableFunctionError,
+    default_table_functions,
+)
+
+
+@pytest.fixture
+def engine(spark, sf_dir, tmp_path):
+    return QueryEngine(
+        spark,
+        results_root=str(tmp_path / "results"),
+        registry=ConnectionRegistry(default_base=sf_dir),
+    )
+
+
+def test_parser_generic_table_function():
+    stmt = parse_select("select * from read_table('mytbl') t")
+    src = stmt.source
+    assert isinstance(src, TableFunctionSource)
+    assert src.name == "read_table"
+    assert src.args == ["mytbl"]
+    assert src.alias == "t"
+
+
+def test_read_table_reference_mode(engine, spark, sf_dir):
+    spark.read.parquet(f"{sf_dir}/region.parquet").createOrReplaceTempView("tf_region")
+    qid = engine.run_query_sync(
+        "select r_name from read_table('tf_region') where r_regionkey > 1",
+        mode="reference",
+    )
+    assert engine.status(qid) is QueryStatus.COMPLETE, engine.error(qid)
+    assert engine.num_rows(qid) == 3
+
+
+def test_read_table_spark_mode(engine, spark, sf_dir):
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView("tf_nation")
+    qid = engine.run_query_sync(
+        "select count(*) as n from read_table('tf_nation') "
+        "join read_files('region.parquet') on n_regionkey = r_regionkey"
+    )
+    assert engine.status(qid) is QueryStatus.COMPLETE, engine.error(qid)
+    assert engine.fetch(qid, 0, 1)[0]["n"] == 25
+
+
+def test_custom_function_registration(spark, sf_dir, tmp_path):
+    fns = default_table_functions()
+
+    def build_numbers(spark_, args, kwargs, connections):
+        return spark_.range(int(args[0])).select(F.col("id").alias("n"))
+
+    fns.register("numbers", build_numbers, "0..n-1")
+    engine = QueryEngine(
+        spark,
+        results_root=str(tmp_path / "results"),
+        registry=ConnectionRegistry(default_base=sf_dir),
+        table_functions=fns,
+    )
+    qid = engine.run_query_sync(
+        "select n, n * 2 as dbl from numbers('5') where n > 1", mode="reference"
+    )
+    assert engine.status(qid) is QueryStatus.COMPLETE, engine.error(qid)
+    assert [r["dbl"] for r in engine.fetch(qid, 0, 10)] == [4, 6, 8]
+
+
+def test_unknown_function_errors(engine):
+    qid = engine.run_query_sync("select * from frobnicate('x')", mode="reference")
+    assert engine.status(qid) is QueryStatus.ERROR
+    assert "unknown table function" in engine.error(qid)
+
+
+def test_registry_validation():
+    fns = default_table_functions()
+    with pytest.raises(TableFunctionError):
+        fns.get("nope")
+    assert "read_files" in fns and "read_table" in fns
