@@ -165,23 +165,28 @@ class QueryEngine:
         )
         return self.spark.sql(rewritten)
 
-    def _build_reference(self, stmt: SelectStatement) -> DataFrame:
-        if isinstance(stmt.source, ReadFilesSource):
-            df = load_glob(
-                self.spark, stmt.source.path_glob, stmt.source.connection, self.registry
+    def _load_source(self, source) -> DataFrame:
+        if isinstance(source, ReadFilesSource):
+            return load_glob(
+                self.spark, source.path_glob, source.connection, self.registry
             )
-        elif isinstance(stmt.source, TableFunctionSource):
+        if isinstance(source, TableFunctionSource):
             # resolved through the registry — the reference's
             # TaskBuilder/TableFuncSyntaxValidator extension point
             # (operator_task_registry.rs:36-162)
-            fn = self.table_functions.get(stmt.source.name)
-            df = fn.build(
-                self.spark, stmt.source.args, stmt.source.kwargs, self.registry
-            )
-        elif isinstance(stmt.source, TableSource):
-            df = self.spark.table(stmt.source.name)
-        else:  # pragma: no cover
-            raise ValueError(f"unknown source {stmt.source!r}")
+            fn = self.table_functions.get(source.name)
+            return fn.build(self.spark, source.args, source.kwargs, self.registry)
+        if isinstance(source, TableSource):
+            return self.spark.table(source.name)
+        raise ValueError(f"unknown source {source!r}")  # pragma: no cover
+
+    def _build_reference(self, stmt: SelectStatement) -> DataFrame:
+        df = self._load_source(stmt.source)
+        for extra in stmt.more_sources:
+            # multiple FROM relations all feed the same downstream stage
+            # in the reference — a bag union of their batches, NOT a
+            # cross join (logical_planner.rs:277-283, SURVEY §2.7)
+            df = df.unionByName(self._load_source(extra))
         alias = stmt.source.alias
         if alias:
             df = df.alias(alias)
@@ -261,6 +266,7 @@ class QueryEngine:
         offset: int = 0,
         limit: int = 1000,
         forward: bool = True,
+        allow_overflow: bool = False,
     ) -> list[dict]:
         """Cursor paging over the materialized result.
 
@@ -270,6 +276,11 @@ class QueryEngine:
         (query_data_handler.rs:239-534) reworked as a row-id range
         predicate, which Parquet row-group stats prune to the few files
         containing the range (no full scan per page).
+
+        ``allow_overflow`` mirrors query_data_handler.rs:425-463: when a
+        reverse page hits the start of the result before filling
+        ``limit`` rows, the window overflows FORWARD past the cursor so
+        the client still gets a full page when rows exist.
         """
         state = self._state(query_id)
         if state.status is not QueryStatus.COMPLETE:
@@ -279,6 +290,8 @@ class QueryEngine:
             lo, hi = offset, offset + limit
         else:
             lo, hi = max(0, offset + 1 - limit), offset + 1
+            if allow_overflow and hi - lo < limit:
+                hi = min(lo + limit, state.num_rows)
         page = (
             df.filter((F.col(ROW_ID) >= lo) & (F.col(ROW_ID) < hi))
             .orderBy(ROW_ID)

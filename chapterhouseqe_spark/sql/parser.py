@@ -92,8 +92,12 @@ class TableFunctionSource:
 @dataclass
 class SelectStatement:
     items: list[SelectItem]
-    source: object  # ReadFilesSource | TableSource
+    source: object  # ReadFilesSource | TableSource | TableFunctionSource
     where: object | None = None
+    # additional comma-separated FROM relations: the reference wires each
+    # into the SAME downstream stage — a bag union, not a cross join
+    # (logical_planner.rs:277-283 + connect_stages :149-166)
+    more_sources: list = field(default_factory=list)
 
 
 # ------------------------------------------------------------------ tokens
@@ -261,12 +265,15 @@ class _Parser:
         items = self._select_list()
         self.expect("keyword", "FROM")
         source = self._source()
+        more = []
+        while self.accept("op", ","):
+            more.append(self._source())
         where = None
         if self.accept("keyword", "WHERE"):
             where = self.expression()
         self.accept("op", ";")
         self.expect("eof")
-        return SelectStatement(items, source, where)
+        return SelectStatement(items, source, where, more)
 
     def _select_list(self) -> list[SelectItem]:
         items = []

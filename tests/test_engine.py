@@ -124,3 +124,32 @@ def test_with_row_ids_empty(spark):
     ided = with_row_ids(df)
     assert ided.count() == 0
     assert ided._chqe_total_rows == 0
+
+
+def test_fetch_allow_overflow(engine, sf_dir):
+    # query_data_handler.rs:425-463: a reverse page that hits row 0
+    # short of `limit` overflows FORWARD to fill the page
+    qid = engine.run_query_sync(
+        f"select n_nationkey from read_files('{sf_dir}/nation.parquet')",
+        mode="reference",
+    )
+    short = engine.fetch(qid, offset=4, limit=10, forward=False)
+    assert len(short) == 5  # clamped without the flag
+    full = engine.fetch(qid, offset=4, limit=10, forward=False, allow_overflow=True)
+    assert len(full) == 10
+    assert full[:5] == short  # same leading rows, window extended forward
+    # near the end the overflow cannot exceed the result size
+    tail = engine.fetch(qid, offset=23, limit=30, forward=False, allow_overflow=True)
+    assert len(tail) == 25
+
+
+def test_multi_from_bag_union(engine, sf_dir):
+    # the reference wires multiple FROM relations into the same stage —
+    # a bag union of their batches (logical_planner.rs:277-283)
+    qid = engine.run_query_sync(
+        f"select r_regionkey from read_files('{sf_dir}/region.parquet'), "
+        f"read_files('{sf_dir}/region.parquet') where r_regionkey >= 0",
+        mode="reference",
+    )
+    assert engine.status(qid) is QueryStatus.COMPLETE, engine.error(qid)
+    assert engine.num_rows(qid) == 10  # 5 + 5, not 25 (no cross join)
