@@ -152,6 +152,12 @@ class QueryEngine:
         self.results_root = results_root.rstrip("/")
         self.registry = registry or ConnectionRegistry()
         self.table_functions = table_functions or default_table_functions()
+        # result compaction: the reference writes one file per 10k-row
+        # batch and lists compaction as an open TODO ("Materializing
+        # files should be able to compact", README "Next work") —
+        # maxRecordsPerFile bounds file size without a coalesce that
+        # would reduce write parallelism.
+        self.max_records_per_file: int | None = None
         self._queries: dict[str, _QueryState] = {}
         self._lock = threading.Lock()
 
@@ -168,7 +174,11 @@ class QueryEngine:
     def _load_source(self, source) -> DataFrame:
         if isinstance(source, ReadFilesSource):
             return load_glob(
-                self.spark, source.path_glob, source.connection, self.registry
+                self.spark,
+                source.path_glob,
+                source.connection,
+                self.registry,
+                merge_schema=source.merge_schema,
             )
         if isinstance(source, TableFunctionSource):
             # resolved through the registry — the reference's
@@ -211,7 +221,12 @@ class QueryEngine:
                 df = self.dataframe_for(sql, mode)
                 path = f"{self.results_root}/{query_id}"
                 ided = with_row_ids(df)
-                ided.write.mode("overwrite").parquet(path)
+                writer = ided.write.mode("overwrite")
+                if self.max_records_per_file:
+                    writer = writer.option(
+                        "maxRecordsPerFile", self.max_records_per_file
+                    )
+                writer.parquet(path)
                 getattr(ided, "_chqe_unpersist", lambda: None)()
                 # row count comes from with_row_ids' per-partition counts —
                 # no second full read of the result (VERDICT r1 #5).
@@ -298,6 +313,18 @@ class QueryEngine:
             .drop(ROW_ID)
         )
         return [row.asDict() for row in page.collect()]
+
+    def iter_results(self, query_id: str, page_size: int = 1000):
+        """Forward-only iterator over a completed result — the client's
+        QueryDataIterator (reference: client/query_data_iterator.rs:58-142)
+        reworked over row-id pages."""
+        offset = 0
+        while True:
+            page = self.fetch(query_id, offset, page_size)
+            if not page:
+                return
+            yield from page
+            offset += len(page)
 
     def _state(self, query_id: str) -> _QueryState:
         with self._lock:

@@ -891,3 +891,170 @@ def tpch_q5_local_supplier(spark, sf_dir):
         .groupBy("n_name")
         .agg(drevenue(F.col("l_extendedprice"), F.col("l_discount")).alias("revenue"))
     )
+
+
+# =====================================================================
+# Null handling / date arithmetic / regexp / CUBE / UDFs — rounding out
+# §2.8 and §2.10
+# =====================================================================
+
+
+@query(
+    "null_handling",
+    oracle="""
+    SELECT o_orderkey,
+           NULLIF(o_orderstatus, 'O') AS closed_status,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status2,
+           (NULLIF(o_orderstatus, 'O') IS NULL) AS is_open
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+    tags=("functions", "null"),
+    doc="NULLIF / COALESCE / IS NULL",
+)
+def null_handling(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    closed = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return o.select(
+        "o_orderkey",
+        closed.alias("closed_status"),
+        F.coalesce(closed, F.lit("open")).alias("status2"),
+        closed.isNull().alias("is_open"),
+    )
+
+
+@query(
+    "date_arithmetic",
+    oracle=f"""
+    SELECT event_id,
+           {o_ts_str("ts + INTERVAL 1 HOUR")} AS plus_hour,
+           CAST(HOUR(ts) AS BIGINT) AS h,
+           CAST(MINUTE(ts) AS BIGINT) AS m,
+           {o_ts_str("date_trunc('day', ts)")} AS day_start
+    FROM events WHERE event_id % 50 = 0
+    """,
+    tags=("functions", "date"),
+    doc="timestamp interval arithmetic + extraction",
+)
+def date_arithmetic(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") % 50 == 0)
+    return ev.select(
+        "event_id",
+        ts_str(F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("plus_hour"),
+        F.hour("ts").cast("bigint").alias("h"),
+        F.minute("ts").cast("bigint").alias("m"),
+        ts_str(F.date_trunc("day", F.col("ts"))).alias("day_start"),
+    )
+
+
+@query(
+    "regexp_ops",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_name, '[0-9]+') AS num,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           regexp_matches(p_type, '^(PRO|STA)') AS pro_or_sta
+    FROM part WHERE p_partkey % 5 = 0
+    """,
+    tags=("functions", "string"),
+    doc="regexp extract/replace/match",
+)
+def regexp_ops(spark, sf_dir):
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") % 5 == 0)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "[0-9]+", 0).alias("num"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_type").rlike("^(PRO|STA)").alias("pro_or_sta"),
+    )
+
+
+@query(
+    "cube_agg",
+    oracle="""
+    SELECT n_regionkey, c_mktsegment, COUNT(*) AS cnt
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY CUBE (n_regionkey, c_mktsegment)
+    """,
+    tags=("agg",),
+    doc="CUBE grouping sets over a joined dimension",
+)
+def cube_agg(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .cube("n_regionkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "count_distinct",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(DISTINCT c_nationkey) AS n_nations,
+           COUNT(*) AS n_rows
+    FROM customer GROUP BY c_mktsegment
+    """,
+    tags=("agg",),
+    doc="exact COUNT(DISTINCT) — expand-based distinct aggregate",
+)
+def count_distinct(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "array_split_ops",
+    oracle="""
+    SELECT n_nationkey,
+           string_split(n_name, 'A') AS parts,
+           CAST(len(string_split(n_name, 'A')) AS INTEGER) AS n_parts,
+           string_split(n_name, 'A')[1] AS head
+    FROM nation
+    """,
+    tags=("functions", "array"),
+    doc="split → array ops (size, element_at)",
+)
+def array_split_ops(spark, sf_dir):
+    n = t(spark, sf_dir, "nation")
+    parts = F.split(F.col("n_name"), "A")
+    return n.select(
+        "n_nationkey",
+        parts.alias("parts"),
+        F.size(parts).alias("n_parts"),
+        F.element_at(parts, 1).alias("head"),
+    )
+
+
+@query(
+    "udf_pandas_charge",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+           CAST(len(string_split_regex(trim(l_returnflag || ' ' || l_linestatus), '\\s+'))
+                AS BIGINT) AS wc
+    FROM lineitem WHERE l_orderkey % 100 = 0
+    """,
+    tags=("functions", "udf"),
+    doc="registered Arrow-batched pandas UDFs callable from SQL (§2.10)",
+)
+def udf_pandas_charge(spark, sf_dir):
+    from chapterhouseqe_spark.functions.udfs import register_default_udfs
+
+    register_default_udfs(spark)
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("chqe_lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber,
+               chqe_charge(l_extendedprice, l_discount, l_tax) AS charge,
+               chqe_word_count(l_returnflag || ' ' || l_linestatus) AS wc
+        FROM chqe_lineitem_v WHERE l_orderkey % 100 = 0
+        """
+    )

@@ -92,3 +92,33 @@ def events_user_activity(spark, sf_dir):
         ts_str(F.min("ts")).alias("first_seen"),
         ts_str(F.max("ts")).alias("last_seen"),
     )
+
+
+@query(
+    "events_sessionization",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sno
+      FROM marked
+    )
+    SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sno
+    """,
+    tags=("streaming", "session"),
+    doc="session windows (30min gap) — native session_window operator; "
+    "oracle recomputes sessions via lag + cumulative-sum (same ≥gap rule)",
+)
+def events_sessionization(spark, sf_dir):
+    from chapterhouseqe_spark.streaming.sessions import sessionize
+
+    return sessionize(t(spark, sf_dir, "events"), gap="30 minutes")

@@ -70,6 +70,7 @@ class ReadFilesSource:
     path_glob: str
     connection: str = "default"
     alias: str | None = None
+    merge_schema: bool = False
 
 
 @dataclass
@@ -318,9 +319,14 @@ class _Parser:
                 if len(args) != 1:
                     raise SqlSyntaxError("read_files takes exactly one path glob")
                 for name in kwargs:
-                    if name != "connection":
+                    if name not in ("connection", "merge_schema"):
                         raise SqlSyntaxError(f"unknown read_files argument {name!r}")
-                return ReadFilesSource(args[0], kwargs.get("connection", "default"), alias)
+                return ReadFilesSource(
+                    args[0],
+                    kwargs.get("connection", "default"),
+                    alias,
+                    kwargs.get("merge_schema", "false").lower() == "true",
+                )
             return TableFunctionSource(tok.text.lower(), args, kwargs, alias)
         name = tok.text
         alias = self._opt_alias()

@@ -37,8 +37,14 @@ def load_glob(
     path_glob: str,
     connection: str = "default",
     registry: ConnectionRegistry | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
-    """Resolve a connection-relative glob and load it as a DataFrame."""
+    """Resolve a connection-relative glob and load it as a DataFrame.
+
+    ``merge_schema=True`` unions parquet footer schemas across the
+    glob's files — the reference's open TODO "Allow for differences in
+    schema" (README "Next work"), free in Spark.
+    """
     registry = registry or ConnectionRegistry()
     resolved = registry.get(connection).resolve(path_glob)
     lower = resolved.lower()
@@ -46,7 +52,7 @@ def load_glob(
         return spark.read.option("header", "true").option("inferSchema", "true").csv(resolved)
     if lower.endswith((".json", ".jsonl", ".ndjson")):
         return spark.read.json(resolved)
-    return spark.read.parquet(resolved)
+    return spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(resolved)
 
 
 def rewrite_table_functions(

@@ -66,10 +66,16 @@ def _build_read_files(spark, args, kwargs, connections) -> DataFrame:
 
     if len(args) != 1:
         raise TableFunctionError("read_files takes exactly one path glob")
-    unknown = set(kwargs) - {"connection"}
+    unknown = set(kwargs) - {"connection", "merge_schema"}
     if unknown:
         raise TableFunctionError(f"unknown read_files argument {sorted(unknown)[0]!r}")
-    return load_glob(spark, args[0], kwargs.get("connection", "default"), connections)
+    return load_glob(
+        spark,
+        args[0],
+        kwargs.get("connection", "default"),
+        connections,
+        merge_schema=kwargs.get("merge_schema", "false").lower() == "true",
+    )
 
 
 def _build_read_table(spark, args, kwargs, connections) -> DataFrame:

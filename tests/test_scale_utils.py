@@ -1,0 +1,84 @@
+"""Scale-utility tests: salted joins, schema drift, compaction, iterators."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from chapterhouseqe_spark.connections import ConnectionRegistry
+from chapterhouseqe_spark.engine import QueryEngine, QueryStatus
+from chapterhouseqe_spark.operators.util import salted_join
+
+
+def test_salted_join_equals_plain_join(spark):
+    # heavily skewed large side: 90% of rows share key 1
+    large = spark.createDataFrame(
+        [(1 if i % 10 else i, i) for i in range(1000)], "k int, payload int"
+    )
+    small = spark.createDataFrame([(i, f"dim{i}") for i in range(10)], "k int, name string")
+    plain = large.join(small, "k").select("k", "payload", "name")
+    salted = salted_join(large, small, ["k"]).select("k", "payload", "name")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_left_join(spark):
+    large = spark.createDataFrame([(1, 1), (2, 2), (99, 3)], "k int, payload int")
+    small = spark.createDataFrame([(1, "a"), (2, "b")], "k int, name string")
+    out = salted_join(large, small, ["k"], how="left").select("k", "payload", "name")
+    rows = {(r["k"], r["payload"]): r["name"] for r in out.collect()}
+    assert rows[(99, 3)] is None  # unmatched left row survives
+    assert rows[(1, 1)] == "a"
+
+
+def test_merge_schema_drift(spark, tmp_path):
+    # the reference's open TODO: schema differences across files
+    d = str(tmp_path / "drift")
+    spark.createDataFrame([(1, "a")], "id long, s string").write.parquet(d + "/f1.parquet")
+    spark.createDataFrame([(2, "b", 9.5)], "id long, s string, extra double").write.parquet(
+        d + "/f2.parquet"
+    )
+    eng = QueryEngine(spark, registry=ConnectionRegistry(default_base=d))
+    qid = eng.run_query_sync(
+        f"select * from read_files('{d}/f*.parquet', merge_schema=>'true')",
+        mode="reference",
+    )
+    assert eng.status(qid) is QueryStatus.COMPLETE, eng.error(qid)
+    rows = eng.fetch(qid, 0, 10)
+    assert len(rows) == 2
+    assert "extra" in rows[0]
+    by_id = {r["id"]: r for r in rows}
+    assert by_id[1]["extra"] is None and by_id[2]["extra"] == 9.5
+
+
+def test_result_compaction(spark, sf_dir, tmp_path):
+    eng = QueryEngine(
+        spark,
+        results_root=str(tmp_path / "res"),
+        registry=ConnectionRegistry(default_base=sf_dir),
+    )
+    eng.max_records_per_file = 10
+    qid = eng.run_query_sync(
+        f"select n_nationkey from read_files('{sf_dir}/nation.parquet')",
+        mode="reference",
+    )
+    state_path = f"{tmp_path}/res/{qid}"
+    files = glob.glob(f"{state_path}/*.parquet")
+    # 25 rows at ≤10 rows/file → at least 3 files
+    assert len(files) >= 3
+    assert eng.num_rows(qid) == 25
+
+
+def test_iter_results(spark, sf_dir, tmp_path):
+    eng = QueryEngine(
+        spark,
+        results_root=str(tmp_path / "res"),
+        registry=ConnectionRegistry(default_base=sf_dir),
+    )
+    qid = eng.run_query_sync(
+        f"select n_nationkey from read_files('{sf_dir}/nation.parquet')",
+        mode="reference",
+    )
+    seen = [r["n_nationkey"] for r in eng.iter_results(qid, page_size=7)]
+    assert len(seen) == 25
+    assert sorted(seen) == list(range(25))

@@ -45,3 +45,32 @@ def test_stream_bounded_micro_batches(spark, sf_dir):
         stream_window_counts(ev), "t_stream_bounded", "complete"
     )
     assert result.count() > 0
+
+
+def test_streaming_sessionize_equals_batch(spark, sf_dir):
+    from chapterhouseqe_spark.streaming.sessions import sessionize
+    from chapterhouseqe_spark.queries.streaming_queries import events_sessionization
+
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    result = run_stream_to_memory(sessionize(ev), "t_stream_sessions", "complete")
+    batch = events_sessionization(spark, sf_dir)
+    cols = ["user_id", "session_start", "n_events"]
+    assert _as_sorted_rows(result, cols) == _as_sorted_rows(batch, cols)
+
+
+def test_stateful_user_stats_custom_op(spark, sf_dir):
+    # applyInPandasWithState: running per-user (count, sum) must match
+    # the plain batch aggregate after one AvailableNow pass
+    from chapterhouseqe_spark.streaming.sessions import stateful_user_stats
+    from pyspark.sql import functions as F
+
+    ev = read_events_stream(spark, sf_dir)
+    result = run_stream_to_memory(stateful_user_stats(ev), "t_stateful_users", "update")
+    expect = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    got = {r["user_id"]: r["n_events"] for r in result.collect()}
+    want = {r["user_id"]: r["n_events"] for r in expect.collect()}
+    assert got == want
