@@ -1058,3 +1058,62 @@ def udf_pandas_charge(spark, sf_dir):
         FROM chqe_lineitem_v WHERE l_orderkey % 100 = 0
         """
     )
+
+
+@query(
+    "percentile_stats",
+    oracle="""
+    SELECT c_mktsegment,
+           quantile_cont(o_totalprice, 0.5) AS median_price,
+           quantile_cont(o_totalprice, 0.9) AS p90_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("agg", "stats"),
+    doc="exact interpolated percentiles (Spark percentile ≡ DuckDB quantile_cont)",
+)
+def percentile_stats(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.percentile("o_totalprice", 0.5).alias("median_price"),
+            F.percentile("o_totalprice", 0.9).alias("p90_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+@query(
+    "variance_exact",
+    oracle="""
+    SELECT c_mktsegment,
+           (CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(27,4)) * CAST(c_acctbal AS DECIMAL(27,4))) AS VARCHAR) AS DOUBLE)
+            - CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(27,4))) AS VARCHAR) AS DOUBLE)
+              * CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(27,4))) AS VARCHAR) AS DOUBLE) / COUNT(*))
+           / (COUNT(*) - 1) AS var_acctbal,
+           COUNT(*) AS n
+    FROM customer GROUP BY c_mktsegment
+    """,
+    tags=("agg", "stats"),
+    doc=(
+        "sample variance via the explicit sum-of-squares formula with "
+        "decimal-exact sums — engine-native stddev/variance use "
+        "different accumulation orders and would not hash-match"
+    ),
+)
+def variance_exact(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    dec = F.col("c_acctbal").cast("decimal(27,4)")
+    ssq = F.sum(dec * dec).cast("string").cast("double")
+    s1 = F.sum(dec).cast("string").cast("double")
+    n = F.count(F.lit(1))
+    return c.groupBy("c_mktsegment").agg(
+        ((ssq - s1 * s1 / n) / (n - F.lit(1))).alias("var_acctbal"),
+        n.alias("n"),
+    )

@@ -402,3 +402,27 @@ def multimodal_binary_meta(spark, sf_dir):
 def multimodal_decode_features(spark, sf_dir):
     mm = attach_binary_payload(t(spark, sf_dir, "documents"))
     return decode_features(mm.select("doc_id", "payload"))
+
+
+@query(
+    "custom_datasource_scan",
+    oracle="""
+    SELECT i AS id, (i * 37 % 1000) / 10.0 AS value, 'l' || CAST(i % 5 AS VARCHAR) AS label
+    FROM generate_series(0, 199) g(i)
+    WHERE (i * 37 % 1000) / 10.0 > 50.0
+    """,
+    tags=("source", "extension"),
+    doc="custom Python Data Source (PySpark DataSource API) — the "
+    "reference's deployable-source-operator vision (§2.10)",
+)
+def custom_datasource_scan(spark, sf_dir):
+    from chapterhouseqe_spark.sources.synthetic import register_synthetic_source
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("chqe_synthetic")
+        .option("rows", 200)
+        .option("partitions", 4)
+        .load()
+    )
+    return df.filter(F.col("value") > 50.0)

@@ -1,0 +1,74 @@
+"""Bucketed co-located joins: pre-shuffled tables join without an
+exchange — the 100 TB pattern for repeated joins on the same key
+(prompt: 'repartition()/bucketing for co-located joins')."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    import shutil
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    # a fresh Derby metastore per session doesn't know about last run's
+    # tables, but their warehouse directories persist — clear them or
+    # saveAsTable fails with LOCATION_ALREADY_EXISTS
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for name in ("b_orders", "b_customer"):
+        shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+    (
+        o.write.mode("overwrite")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable("b_orders")
+    )
+    (
+        c.write.mode("overwrite")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable("b_customer")
+    )
+    return "b_orders", "b_customer"
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
+    ot, ct = bucketed_tables
+    # disable broadcast so the join must pick a shuffle or bucket strategy
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(ot).join(
+            spark.table(ct), F.col("o_custkey") == F.col("c_custkey")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # bucket-aligned SortMergeJoin: zero shuffle exchanges
+        assert "Exchange" not in plan, plan[:2000]
+        assert joined.count() == spark.table(ot).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_join_correct(spark, bucketed_tables, sf_dir):
+    ot, ct = bucketed_tables
+    bucketed = (
+        spark.table(ot)
+        .join(spark.table(ct), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    plain = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .join(
+            spark.read.parquet(f"{sf_dir}/customer.parquet"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    assert sorted(map(tuple, bucketed.collect())) == sorted(map(tuple, plain.collect()))

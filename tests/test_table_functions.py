@@ -84,3 +84,22 @@ def test_registry_validation():
     with pytest.raises(TableFunctionError):
         fns.get("nope")
     assert "read_files" in fns and "read_table" in fns
+
+
+def test_custom_python_datasource(spark):
+    # PySpark DataSource API: partition-parallel deterministic source
+    from chapterhouseqe_spark.sources.synthetic import register_synthetic_source
+
+    register_synthetic_source(spark)
+    df = (
+        spark.read.format("chqe_synthetic")
+        .option("rows", 50)
+        .option("partitions", 5)
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 50
+    assert df.rdd.getNumPartitions() == 5
+    by_id = {r["id"]: r for r in rows}
+    assert by_id[10]["value"] == (10 * 37 % 1000) / 10.0
+    assert by_id[13]["label"] == "l3"
