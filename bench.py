@@ -43,14 +43,20 @@ BENCH_QUERIES = [
     # streaming-shaped
     "events_tumbling_window",
     "events_user_activity",
+    "events_sessionization",
+    # stats
+    "percentile_stats",
     # pipeline operators
     "text_quality_score",
     "text_fingerprint",
+    "text_lang_id",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "dedup_simhash",
     "embedding_cosine_topk",
     "embedding_ann_lsh",
+    "multimodal_decode_features",
 ]
 
 

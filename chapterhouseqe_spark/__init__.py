@@ -21,10 +21,18 @@ Public surface:
     - :mod:`~chapterhouseqe_spark.streaming` — Structured Streaming ops.
 """
 
+from chapterhouseqe_spark.client import QueryClient, QueryHandle
 from chapterhouseqe_spark.connections import ConnectionRegistry
 from chapterhouseqe_spark.engine import QueryEngine, QueryStatus
 from chapterhouseqe_spark.session import get_spark
 
-__all__ = ["ConnectionRegistry", "QueryEngine", "QueryStatus", "get_spark"]
+__all__ = [
+    "ConnectionRegistry",
+    "QueryClient",
+    "QueryEngine",
+    "QueryHandle",
+    "QueryStatus",
+    "get_spark",
+]
 
 __version__ = "0.1.0"

@@ -7,9 +7,14 @@ over the same parquet tables, watermarked windowed aggregation, and
 stateful per-key processing.
 """
 
+from chapterhouseqe_spark.streaming.sessions import (
+    sessionize,
+    stateful_user_stats,
+)
 from chapterhouseqe_spark.streaming.windows import (
     read_events_stream,
     run_stream_to_memory,
+    stream_dedup,
     stream_user_rollup,
     stream_window_counts,
 )
@@ -17,6 +22,9 @@ from chapterhouseqe_spark.streaming.windows import (
 __all__ = [
     "read_events_stream",
     "run_stream_to_memory",
+    "sessionize",
+    "stateful_user_stats",
+    "stream_dedup",
     "stream_user_rollup",
     "stream_window_counts",
 ]

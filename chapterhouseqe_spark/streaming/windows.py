@@ -101,3 +101,20 @@ def run_stream_to_memory(
     q.awaitTermination(120)
     spark = stream_df.sparkSession
     return spark.table(name)
+
+
+def stream_dedup(
+    events: DataFrame, key_cols: list[str], watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence per key within the
+    watermark horizon (``dropDuplicatesWithinWatermark``).
+
+    The streaming arm of operators/dedup.py:exact_dedup — state holds
+    one entry per key seen inside the horizon, so memory is bounded by
+    key cardinality × horizon, not stream length. At 100 TB/day this is
+    the dedup-on-ingest pattern; the batch MinHash pipeline handles
+    retrospective near-dup sweeps.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )

@@ -153,3 +153,42 @@ def test_multi_from_bag_union(engine, sf_dir):
     )
     assert engine.status(qid) is QueryStatus.COMPLETE, engine.error(qid)
     assert engine.num_rows(qid) == 10  # 5 + 5, not 25 (no cross join)
+
+
+def test_query_client_facade(engine, sf_dir):
+    # AsyncQueryClient-shaped API (async_query_client.rs:40-154)
+    from chapterhouseqe_spark.client import QueryClient
+
+    client = QueryClient(engine)
+    handle = client.run_query(
+        f"select r_regionkey from read_files('{sf_dir}/region.parquet')",
+        mode="reference",
+    )
+    assert client.wait_for_query(handle) is QueryStatus.COMPLETE
+    assert client.get_query_status(handle) is QueryStatus.COMPLETE
+    page = client.get_query_data(handle, 0, 3)
+    assert len(page) == 3
+    assert len(list(client.iter_query_data(handle, page_size=2))) == 5
+
+
+def test_concurrent_queries(engine, sf_dir):
+    # multi-query sessions: the reference's query handler tracks many
+    # in-flight queries (query_handler_state.rs:104-117)
+    qids = [
+        engine.run_query(
+            f"select n_nationkey from read_files('{sf_dir}/nation.parquet') "
+            f"where n_nationkey % {k} = 0",
+            mode="reference",
+        )
+        for k in (2, 3, 5, 7)
+    ]
+    for qid in qids:
+        assert engine.wait(qid, timeout=120) is QueryStatus.COMPLETE, engine.error(qid)
+    counts = [engine.num_rows(q) for q in qids]
+    assert counts == [13, 9, 5, 4]  # multiples of k in 0..24
+
+
+def test_fetch_before_complete_raises(engine, sf_dir):
+    qid = engine.run_query_sync("select * from read_files('/nope/*.parquet')")
+    with pytest.raises(RuntimeError):
+        engine.fetch(qid, 0, 10)

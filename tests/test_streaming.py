@@ -74,3 +74,21 @@ def test_stateful_user_stats_custom_op(spark, sf_dir):
     got = {r["user_id"]: r["n_events"] for r in result.collect()}
     want = {r["user_id"]: r["n_events"] for r in expect.collect()}
     assert got == want
+
+
+def test_stream_dedup_first_occurrence(spark, sf_dir):
+    from chapterhouseqe_spark.streaming.windows import stream_dedup
+
+    ev = read_events_stream(spark, sf_dir)
+    result = run_stream_to_memory(
+        stream_dedup(ev, ["user_id", "event_type"]), "t_stream_dedup", "append"
+    )
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    assert result.count() == batch.count()
+    got = {(r["user_id"], r["event_type"]) for r in result.select("user_id", "event_type").collect()}
+    want = {(r["user_id"], r["event_type"]) for r in batch.collect()}
+    assert got == want
