@@ -135,3 +135,84 @@ def lsh_bucket_candidates(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "bucket")
     )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantization: (centroids, assignments).
+
+    Centroids are seeded deterministically from the first ``n_centroids``
+    vectors by id (production: swap for Spark ML k-means — the
+    assignment/search machinery below is unchanged). Every corpus vector
+    joins its nearest centroid: one broadcast cross join + one window
+    argmin, a single pass over the corpus.
+    """
+    centroids = (
+        ensure_parallelism(emb)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+    )
+    corpus = ensure_parallelism(emb).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+        "id", "vec", "cid", cosine(F.col("vec"), F.col("cvec")).alias("csim")
+    )
+    w = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("cid"))
+    assignments = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "vec", "cid")
+    )
+    return centroids, assignments
+
+
+def ivf_topk(
+    emb: DataFrame,
+    probe_filter: Column,
+    k: int = 3,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: search only the ``nprobe`` closest
+    centroid buckets per probe.
+
+    With ``nprobe == n_centroids`` this is EXACT (equals
+    :func:`cosine_topk`) — the test pins that. At scale the win is that
+    each probe touches ~nprobe/n_centroids of the corpus; buckets are
+    the shuffle key, so a probe batch fans out to its buckets only.
+    """
+    centroids, assignments = ivf_assign(emb, n_centroids, id_col, vec_col)
+    probes = emb.filter(probe_filter).select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pvec")
+    )
+    pscored = F.broadcast(probes).crossJoin(F.broadcast(centroids)).select(
+        "probe_id", "pvec", "cid", cosine(F.col("pvec"), F.col("cvec")).alias("csim")
+    )
+    wp = Window.partitionBy("probe_id").orderBy(F.col("csim").desc(), F.col("cid"))
+    probe_buckets = (
+        pscored.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select("probe_id", "pvec", "cid")
+    )
+    cand = probe_buckets.join(assignments, "cid").filter(
+        F.col("probe_id") != F.col("id")
+    )
+    scored = cand.select(
+        "probe_id",
+        F.col("id").alias("id_b"),
+        cosine(F.col("pvec"), F.col("vec")).alias("sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("id_b"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", "id_b", "sim")
+    )

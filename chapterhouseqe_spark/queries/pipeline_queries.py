@@ -426,3 +426,79 @@ def custom_datasource_scan(spark, sf_dir):
         .load()
     )
     return df.filter(F.col("value") > 50.0)
+
+
+@query(
+    "embedding_ivf_topk",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS probe_id, b.vec_id AS id_b,
+             a.embedding AS ea, b.embedding AS eb
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < 8 AND b.vec_id != a.vec_id
+    ),
+    dots AS (
+      SELECT probe_id, id_b,
+             list_reduce(
+               list_transform(generate_series(1, len(ea)),
+                              i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)),
+               (acc, x) -> acc + x) AS dot
+      FROM pairs
+    ),
+    {_COSINE_NORMS_CTE}
+    SELECT probe_id, id_b, sim FROM (
+      SELECT d.probe_id, d.id_b, d.dot / (na.nrm * nb.nrm) AS sim,
+             ROW_NUMBER() OVER (PARTITION BY d.probe_id
+                                ORDER BY d.dot / (na.nrm * nb.nrm) DESC, d.id_b) AS rn
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.probe_id
+      JOIN norms nb ON nb.vec_id = d.id_b
+    ) x WHERE rn <= 3
+    """,
+    tags=("pipeline", "similarity"),
+    doc="IVF top-3 at exhaustive probe (nprobe=n_centroids ⇒ exact; "
+    "exercises the bucket-assignment/candidate-join path in the gate)",
+)
+def embedding_ivf_topk(spark, sf_dir):
+    from chapterhouseqe_spark.operators.similarity import ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, F.col("vec_id") < 8, k=3, n_centroids=16, nprobe=16)
+
+
+@query(
+    "embedding_ivf_topk_approx",
+    oracle=None,  # nprobe < n_centroids is genuinely approximate
+    tags=("pipeline", "similarity"),
+    doc="IVF top-3 at nprobe=4/16 — the scale path (searches ~1/4 of buckets)",
+)
+def embedding_ivf_topk_approx(spark, sf_dir):
+    from chapterhouseqe_spark.operators.similarity import ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, F.col("vec_id") < 8, k=3, n_centroids=16, nprobe=4)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, octet_length(encode(text)) AS n, text,
+             unnest(generate_series(0, 3)) AS frame_idx
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+           substr(text, CAST(greatest(n - 16, 0) * frame_idx // 3 AS BIGINT) + 1, 16) AS frame,
+           CAST(greatest(n - 16, 0) * frame_idx // 3 AS BIGINT) AS frame_off
+    FROM f
+    """,
+    tags=("pipeline", "multimodal"),
+    doc="evenly-spaced frame sampling over binary payloads (mapInPandas)",
+)
+def multimodal_frame_sample(spark, sf_dir):
+    from chapterhouseqe_spark.sources.multimodal import sample_frames
+
+    mm = attach_binary_payload(
+        t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    )
+    return sample_frames(mm.select("doc_id", "payload"), n_frames=4, frame_size=16)

@@ -93,3 +93,54 @@ def decode_features(multimodal: DataFrame) -> DataFrame:
             )
 
     return multimodal.mapInPandas(batches, schema=_FEATURE_SCHEMA)
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.StringType()),
+        T.StructField("frame_off", T.LongType()),
+    ]
+)
+
+
+def sample_frames(
+    multimodal: DataFrame, n_frames: int = 4, frame_size: int = 16
+) -> DataFrame:
+    """Deterministic "frame sampling" over binary payloads (video
+    frame-extraction pattern, stubbed).
+
+    Real video sampling would decode N evenly-spaced frames per clip;
+    the codecs aren't installed, so this strides the payload bytes:
+    frame i starts at ``floor(i * (len - frame_size) / (n_frames - 1))``
+    — the same even-spacing rule a frame sampler uses over timestamps.
+    One output row per (doc, frame), Arrow-batched; at scale the explode
+    happens inside the Python stage so only sampled frames (not whole
+    payloads) flow downstream.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames, offs = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                span = max(n - frame_size, 0)
+                for i in range(n_frames):
+                    off = span * i // (n_frames - 1) if n_frames > 1 else 0
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(
+                        payload[off : off + frame_size].decode("utf-8", "replace")
+                    )
+                    offs.append(off)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame": frames,
+                    "frame_off": pd.array(offs, dtype="int64"),
+                }
+            )
+
+    return multimodal.mapInPandas(batches, schema=_FRAME_SCHEMA)

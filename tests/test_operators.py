@@ -145,3 +145,39 @@ def test_text_functions(spark):
     # fingerprint is normalization-stable
     fp2 = df.filter("id=1").select(doc_fingerprint(F.lit("  THE CAT is on, the mat!! ")).alias("fp")).collect()[0]["fp"]
     assert fp2 == by_id[1]["fp"]
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    # nprobe == n_centroids searches every bucket → must equal cosine_topk
+    from chapterhouseqe_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    brute = cosine_topk(emb, F.col("vec_id") < 4, k=3)
+    ivf = ivf_topk(emb, F.col("vec_id") < 4, k=3, n_centroids=8, nprobe=8)
+    as_set = lambda df: {(r["probe_id"], r["id_b"], r["sim"]) for r in df.collect()}
+    assert as_set(ivf) == as_set(brute)
+
+
+def test_ivf_partial_probe_shape(spark, sf_dir):
+    from chapterhouseqe_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = ivf_topk(emb, F.col("vec_id") < 4, k=3, n_centroids=8, nprobe=2)
+    rows = out.collect()
+    per_probe = {}
+    for r in rows:
+        per_probe.setdefault(r["probe_id"], []).append(r["sim"])
+    assert set(per_probe) == {0, 1, 2, 3}
+    assert all(len(v) == 3 for v in per_probe.values())
+
+
+def test_sample_frames_even_spacing(spark):
+    from chapterhouseqe_spark.sources.multimodal import sample_frames
+
+    text = "0123456789" * 5  # 50 bytes
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    mm = attach_binary_payload(df)
+    frames = sample_frames(mm.select("doc_id", "payload"), n_frames=4, frame_size=16)
+    rows = sorted(frames.collect(), key=lambda r: r["frame_idx"])
+    assert [r["frame_off"] for r in rows] == [0, 11, 22, 34]  # (50-16)*i//3
+    assert rows[0]["frame"] == text[0:16]
+    assert rows[3]["frame"] == text[34:50]
