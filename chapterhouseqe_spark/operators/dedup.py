@@ -145,6 +145,7 @@ def minhash_lsh_pairs(
     num_perm: int = 128,
     bands: int = 64,
     seed: int = 42,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs with exact Jaccard ≥ threshold, found via
     MinHash banding and verified exactly.
@@ -153,6 +154,13 @@ def minhash_lsh_pairs(
     probability 1-(1-s²)^64 — ≥ 1-1e-8 at s=0.5 — so the verified output
     equals the exact all-pairs answer (candidates are never false
     positives: each is re-checked against true shingle sets).
+
+    ``max_band_bucket`` is the skew guard for 100 TB corpora: a
+    degenerate band value (boilerplate/empty-ish docs) makes one bucket
+    quadratic; capping drops buckets larger than N ids from candidate
+    generation (pairs inside them usually surface via their other 63
+    bands — detection probability loses one band's worth). Default off,
+    output exact.
     """
     rows = num_perm // bands
     # the shingle frame feeds three branches (signatures + both sides of
@@ -176,6 +184,14 @@ def minhash_lsh_pairs(
             )
         ).alias("e"),
     ).select("id", "e.band", "e.bh")
+    if max_band_bucket is not None:
+        hot = (
+            band_rows.groupBy("band", "bh")
+            .count()
+            .filter(F.col("count") > max_band_bucket)
+            .select("band", "bh")
+        )
+        band_rows = band_rows.join(hot, ["band", "bh"], "left_anti")
     left = band_rows.select(F.col("id").alias("id_a"), "band", "bh")
     right = band_rows.select(F.col("id").alias("id_b"), "band", "bh")
     cand = (

@@ -181,3 +181,14 @@ def test_sample_frames_even_spacing(spark):
     assert [r["frame_off"] for r in rows] == [0, 11, 22, 34]  # (50-16)*i//3
     assert rows[0]["frame"] == text[0:16]
     assert rows[3]["frame"] == text[34:50]
+
+
+def test_minhash_band_bucket_cap(docs):
+    # default (no cap) equals capped-at-huge; an aggressive cap of 1
+    # drops every bucket (all buckets for a dup pair have ≥2 members)
+    uncapped = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5)
+    huge_cap = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5, max_band_bucket=1000)
+    as_set = lambda df: {(r["id_a"], r["id_b"]) for r in df.collect()}
+    assert as_set(uncapped) == as_set(huge_cap)
+    tiny_cap = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5, max_band_bucket=1)
+    assert tiny_cap.count() == 0
