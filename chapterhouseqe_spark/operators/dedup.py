@@ -278,3 +278,70 @@ def simhash_fingerprints(
         term = F.when(F.col(f"w{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
         fp = term if fp is None else fp + term
     return bit_sums.select(F.col("id").alias("doc_id"), fp.alias("fingerprint"))
+
+
+def connected_components(pairs: DataFrame, ids: DataFrame) -> DataFrame:
+    """Minimum-label connected components over near-dup pairs.
+
+    ``pairs`` is (id_a, id_b); ``ids`` is every id (single column
+    ``id``). Returns (id, component) where component is the smallest id
+    reachable through the pair graph — the canonical survivor.
+
+    Iterative label propagation: each round every node takes the min of
+    its own label and its neighbors' labels; converges in O(graph
+    diameter) rounds. Near-dup clusters are shallow (pairs share
+    content), so this is 2-4 rounds in practice; each round is one
+    join + one aggregation, all shuffle-partitioned by id — the standard
+    big-graph CC shape when GraphFrames isn't available.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    labels = ids.select(F.col("id"), F.col("id").alias("component"))
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            return labels
+
+
+def near_dedup_keep(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    **minhash_kwargs,
+) -> DataFrame:
+    """The deduplicated corpus: drop near-duplicates, keep the smallest
+    id of each near-dup cluster (plus all unique documents).
+
+    Composition of :func:`minhash_lsh_pairs` (candidate pairs, exact-
+    verified) and :func:`connected_components` (canonical per cluster).
+    """
+    pairs = minhash_lsh_pairs(df, text_col, id_col, threshold, **minhash_kwargs)
+    ids = df.select(F.col(id_col).alias("id"))
+    comp = connected_components(pairs, ids)
+    survivors = comp.filter(F.col("id") == F.col("component")).select("id")
+    return df.join(
+        survivors.withColumnRenamed("id", id_col), id_col, "left_semi"
+    )

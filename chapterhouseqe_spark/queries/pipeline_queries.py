@@ -502,3 +502,53 @@ def multimodal_frame_sample(spark, sf_dir):
         t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     )
     return sample_frames(mm.select("doc_id", "payload"), n_frames=4, frame_size=16)
+
+
+@query(
+    "dedup_keep_canonical",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+            FROM toks) z
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    dup_pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM dup_pairs
+      UNION SELECT id_b, id_a FROM dup_pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a
+    )
+    SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM reach r WHERE r.a = d.doc_id AND r.b < d.doc_id)
+    """,
+    tags=("pipeline", "dedup"),
+    doc="the deduplicated corpus: near-dup clusters collapse to their "
+    "smallest id (minhash pairs → connected components); oracle uses a "
+    "recursive transitive closure over the exact pair set",
+)
+def dedup_keep_canonical(spark, sf_dir):
+    from chapterhouseqe_spark.operators.dedup import near_dedup_keep
+
+    d = t(spark, sf_dir, "documents")
+    return near_dedup_keep(d, "text", "doc_id", threshold=0.5).select(
+        "doc_id", "lang", "n_chars"
+    )

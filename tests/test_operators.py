@@ -192,3 +192,21 @@ def test_minhash_band_bucket_cap(docs):
     assert as_set(uncapped) == as_set(huge_cap)
     tiny_cap = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5, max_band_bucket=1)
     assert tiny_cap.count() == 0
+
+
+def test_near_dedup_keep_canonical(docs):
+    from chapterhouseqe_spark.operators.dedup import near_dedup_keep
+
+    kept = sorted(r["doc_id"] for r in near_dedup_keep(docs, "text", "doc_id", 0.5).collect())
+    # docs 0/1/2 are one near-dup cluster (keep 0); 3 and 4 unique
+    assert kept == [0, 3, 4]
+
+
+def test_connected_components_chain(spark):
+    from chapterhouseqe_spark.operators.dedup import connected_components
+
+    # chain 1-2, 2-3, 5-6: components {1,2,3}→1, {5,6}→5, {9}→9
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 6, 9)], "id long")
+    comp = {r["id"]: r["component"] for r in connected_components(pairs, ids).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9}
