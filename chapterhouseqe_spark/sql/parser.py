@@ -341,12 +341,14 @@ class _Parser:
 
 
 def split_statements(sql: str) -> list[str]:
-    """Split a script into statements on ``;`` outside string literals.
+    """Split a script into statements on ``;`` outside string literals,
+    dropping ``--`` line comments.
 
     The reference client splits multi-statement files the same way
     (client_tui.rs:885 — regex split honoring quoted semicolons, pinned
-    by test_sqlparser_behavior.rs:6-28). Empty/whitespace-only fragments
-    are dropped.
+    by test_sqlparser_behavior.rs:6-28; sqlparser tolerates the line
+    comments in its sample_queries/*.sql). Empty/whitespace-only
+    fragments are dropped.
     """
     parts: list[str] = []
     buf: list[str] = []
@@ -357,6 +359,10 @@ def split_statements(sql: str) -> list[str]:
         if ch == "'":
             in_string = not in_string  # '' escaping flips twice — parity holds
             buf.append(ch)
+        elif not in_string and ch == "-" and sql[i : i + 2] == "--":
+            while i < len(sql) and sql[i] != "\n":
+                i += 1
+            continue
         elif ch == ";" and not in_string:
             parts.append("".join(buf))
             buf = []
