@@ -204,6 +204,17 @@ class QueryEngine:
             cond, _ = compile_expression(stmt.where, df, alias)
             # empty-result batches still flow through (filter_record.rs:17-39)
             df = df.filter(cond)
+        if stmt.order_by:
+            # reference TODO "Implement the `order by` operator" — a
+            # Spark global sort (range-partitioned); with LIMIT below,
+            # Catalyst collapses it to TakeOrderedAndProject (top-k).
+            order_cols = []
+            for item in stmt.order_by:
+                col, _ = compile_expression(item.expr, df, alias)
+                order_cols.append(col.asc() if item.ascending else col.desc())
+            df = df.orderBy(*order_cols)
+        if stmt.limit is not None:
+            df = df.limit(stmt.limit)
         return project(df, stmt.items, alias)
 
     # ------------------------------------------------------------- run

@@ -1117,3 +1117,23 @@ def variance_exact(spark, sf_dir):
         ((ssq - s1 * s1 / n) / (n - F.lit(1))).alias("var_acctbal"),
         n.alias("n"),
     )
+
+
+@query(
+    "ref_order_by_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > 100000
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+    tags=("reference", "sort", "limit"),
+    doc="ORDER BY + LIMIT in the reference dialect (both reference TODOs) "
+    "— plans as TakeOrderedAndProject top-k",
+)
+def ref_order_by_limit(spark, sf_dir):
+    return _ref_engine(spark, sf_dir).dataframe_for(
+        "select o_orderkey, o_totalprice from read_files('orders.parquet') "
+        "where o_totalprice > 100000 "
+        "order by o_totalprice desc, o_orderkey limit 20",
+        mode="reference",
+    )

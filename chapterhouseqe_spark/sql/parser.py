@@ -91,6 +91,12 @@ class TableFunctionSource:
 
 
 @dataclass
+class OrderItem:
+    expr: object
+    ascending: bool = True
+
+
+@dataclass
 class SelectStatement:
     items: list[SelectItem]
     source: object  # ReadFilesSource | TableSource | TableFunctionSource
@@ -99,6 +105,11 @@ class SelectStatement:
     # into the SAME downstream stage — a bag union, not a cross join
     # (logical_planner.rs:277-283 + connect_stages :149-166)
     more_sources: list = field(default_factory=list)
+    # ORDER BY / LIMIT: both explicit reference TODOs ("Implement the
+    # `order by` operator", README "Next work"; LIMIT absent from the
+    # planner) — implemented here as grammar extensions.
+    order_by: list[OrderItem] = field(default_factory=list)
+    limit: int | None = None
 
 
 # ------------------------------------------------------------------ tokens
@@ -115,7 +126,10 @@ _TOKEN_RE = re.compile(
     re.VERBOSE,
 )
 
-_KEYWORDS = {"SELECT", "FROM", "WHERE", "AS", "AND", "OR", "TRUE", "FALSE", "NOT"}
+_KEYWORDS = {
+    "SELECT", "FROM", "WHERE", "AS", "AND", "OR", "TRUE", "FALSE", "NOT",
+    "ORDER", "BY", "ASC", "DESC", "LIMIT",
+}
 
 
 @dataclass
@@ -272,9 +286,28 @@ class _Parser:
         where = None
         if self.accept("keyword", "WHERE"):
             where = self.expression()
+        order_by: list[OrderItem] = []
+        if self.accept("keyword", "ORDER"):
+            self.expect("keyword", "BY")
+            while True:
+                expr = self.expression()
+                asc = True
+                if self.accept("keyword", "DESC"):
+                    asc = False
+                else:
+                    self.accept("keyword", "ASC")
+                order_by.append(OrderItem(expr, asc))
+                if not self.accept("op", ","):
+                    break
+        limit = None
+        if self.accept("keyword", "LIMIT"):
+            tok = self.expect("number")
+            if not re.fullmatch(r"\d+", tok.text):
+                raise SqlSyntaxError(f"LIMIT expects an integer at {tok.pos}")
+            limit = int(tok.text)
         self.accept("op", ";")
         self.expect("eof")
-        return SelectStatement(items, source, where, more)
+        return SelectStatement(items, source, where, more, order_by, limit)
 
     def _select_list(self) -> list[SelectItem]:
         items = []

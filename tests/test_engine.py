@@ -192,3 +192,25 @@ def test_fetch_before_complete_raises(engine, sf_dir):
     qid = engine.run_query_sync("select * from read_files('/nope/*.parquet')")
     with pytest.raises(RuntimeError):
         engine.fetch(qid, 0, 10)
+
+
+def test_reference_mode_order_by_limit(engine, sf_dir):
+    # the reference's own TODOs, implemented in its dialect
+    qid = engine.run_query_sync(
+        f"select n_nationkey, n_name from read_files('{sf_dir}/nation.parquet') "
+        "where n_nationkey > 2 order by n_nationkey desc limit 4",
+        mode="reference",
+    )
+    assert engine.status(qid) is QueryStatus.COMPLETE, engine.error(qid)
+    rows = engine.fetch(qid, 0, 10)
+    assert [r["n_nationkey"] for r in rows] == [24, 23, 22, 21]
+    # multi-key ordering with expression
+    qid2 = engine.run_query_sync(
+        f"select n_regionkey, n_nationkey from read_files('{sf_dir}/nation.parquet') "
+        "order by n_regionkey asc, n_nationkey desc limit 3",
+        mode="reference",
+    )
+    rows2 = engine.fetch(qid2, 0, 10)
+    assert [(r["n_regionkey"], r["n_nationkey"]) for r in rows2] == [
+        (0, 20), (0, 15), (0, 10)
+    ]
