@@ -1,0 +1,156 @@
+"""Temporal joins Spark lacks as single operators: as-of join and
+interval range join, built shuffle-minimal.
+
+The reference declares joins but never implements them (README
+"Supported SQL" unchecked; builder.rs:67-72 returns NotImplemented for
+every non-source operator), so these extend the declared surface the
+way an event/time-series user would need first.
+
+Scale design (100 TB event streams):
+
+- ``asof_join`` is the union-sort formulation: tag both inputs, union,
+  ONE shuffle on the join key, then a running ``last(..., ignorenulls)``
+  window within each key. No range explode, no per-row binary search,
+  no broadcast of either side; cost is a single sort-merge pass, the
+  same shape as Flink's event-time interval join and pandas
+  ``merge_asof`` generalized to a cluster. A pathologically hot key
+  serializes its own window only — split such keys upstream (e.g.
+  sessionize first) or pre-filter with :func:`operators.util.salted_join`
+  shapes.
+- ``range_join`` avoids the O(rows × intervals) cross-join that a naive
+  ``ON p >= start AND p < end`` plan degrades to: intervals are exploded
+  to fixed-width buckets (bounded: ceil(len/width) rows each), points
+  map to exactly one bucket, and the match becomes an equi-join Spark
+  can hash-partition — then the exact predicate filters within bucket.
+  Pick ``bucket_width`` ≈ median interval length so the explode factor
+  stays ~2×.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str | None = None,
+    direction: str = "backward",
+    tolerance: Column | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Left as-of join: each left row picks the nearest right row per key.
+
+    ``backward`` matches the latest right row with ``right_ts <=
+    left_ts`` (inclusive); ``forward`` the earliest with ``right_ts >=
+    left_ts``. Unmatched left rows keep nulls (left-join semantics).
+    ``tolerance`` (an interval/duration Column, e.g. ``F.expr("INTERVAL
+    1 HOUR")``) nulls out matches farther than that from the left row.
+
+    Right value columns (everything but ``on``) appear in the output
+    renamed with ``suffix``; the matched right timestamp is
+    ``<right_ts><suffix>``. Ties: a right row at exactly ``left_ts``
+    is visible to that left row; among right rows with identical
+    (key, ts) the winner is unspecified — pre-aggregate the right side
+    to one row per (key, ts) when that matters.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    right_ts = right_ts or left_ts
+    val_cols = [c for c in right.columns if c not in on]
+    payload = F.struct(*[F.col(c).alias(c) for c in val_cols])
+
+    l_tagged = left.select(
+        *on,
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lp"),
+        F.lit(None).cast(right.select(payload).schema[0].dataType).alias("__rp"),
+    )
+    r_tagged = right.select(
+        *on,
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(l_tagged.schema["__lp"].dataType).alias("__lp"),
+        payload.alias("__rp"),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    # right rows sort before left rows at equal __t, so "<=" / ">=" are
+    # inclusive; the running last() then carries the nearest right
+    # payload onto every left row of the same key.
+    if direction == "backward":
+        order = [F.col("__t").asc(), F.col("__is_left").asc()]
+    else:
+        order = [F.col("__t").desc(), F.col("__is_left").asc()]
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn(
+        "__m", F.last("__rp", ignorenulls=True).over(w)
+    ).filter(F.col("__is_left") == 1)
+
+    if tolerance is not None:
+        m_ts = F.col("__m")[right_ts] if right_ts in val_cols else None
+        if m_ts is None:
+            raise ValueError("tolerance requires right_ts among right's columns")
+        if direction == "backward":
+            in_range = F.col("__t") - tolerance <= m_ts
+        else:
+            in_range = m_ts <= F.col("__t") + tolerance
+        matched = matched.withColumn(
+            "__m", F.when(in_range, F.col("__m"))
+        )
+
+    out_left = [F.col("__lp")[c].alias(c) for c in left.columns]
+    out_right = [F.col("__m")[c].alias(f"{c}{suffix}") for c in val_cols]
+    return matched.select(*out_left, *out_right)
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Join points to half-open intervals [start, end) via bucketing.
+
+    Both frames keep all their columns (names must not collide). Each
+    interval explodes to the fixed-width buckets it overlaps; each point
+    hashes to exactly one bucket, so every (point, interval) match
+    surfaces exactly once — no distinct needed. Timestamp columns are
+    compared on their epoch-seconds value.
+    """
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+
+    def _num(col: Column) -> Column:
+        return col.cast("double")
+
+    p = points.withColumn(
+        "__b", F.floor(_num(F.col(point_col)) / F.lit(bucket_width))
+    )
+    i = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(_num(F.col(start_col)) / F.lit(bucket_width)),
+                # end is exclusive but a point in end's bucket can still
+                # precede it, so the end bucket is included
+                F.floor(_num(F.col(end_col)) / F.lit(bucket_width)),
+            )
+        ),
+    )
+    joined = p.join(i, "__b", how).filter(
+        (_num(F.col(point_col)) >= _num(F.col(start_col)))
+        & (_num(F.col(point_col)) < _num(F.col(end_col)))
+    )
+    return joined.drop("__b")

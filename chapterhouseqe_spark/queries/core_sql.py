@@ -1137,3 +1137,285 @@ def ref_order_by_limit(spark, sf_dir):
         "order by o_totalprice desc, o_orderkey limit 20",
         mode="reference",
     )
+
+
+# =====================================================================
+# Temporal joins (operators/temporal.py) and further SQL shapes:
+# EXISTS / correlated-aggregate subqueries, pivot, explode, multi-
+# granularity rollup — all beyond the reference's declared-but-missing
+# join/agg surface (README "Supported SQL" unchecked boxes).
+# =====================================================================
+
+
+@query(
+    "asof_join_clicks",
+    oracle="""
+    SELECT c.event_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           p.purchase_value
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT user_id, ts, MAX(value) AS purchase_value
+                    FROM events WHERE event_type = 'purchase'
+                    GROUP BY user_id, ts) p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    tags=("join", "temporal"),
+    doc="as-of join: each click matched to the user's latest preceding "
+    "purchase — union-sort formulation, one shuffle, no range explode "
+    "(operators/temporal.py:asof_join); oracle is DuckDB's native ASOF JOIN",
+)
+def asof_join_clicks(spark, sf_dir):
+    from chapterhouseqe_spark.operators.temporal import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    # one row per (user, ts) so as-of ties are deterministic in both engines
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    j = asof_join(clicks, purchases, ["user_id"], "ts")
+    return j.select(
+        "event_id",
+        "user_id",
+        ts_str(F.col("ts")).alias("click_ts"),
+        ts_str(F.col("ts_r")).alias("purchase_ts"),
+        F.col("purchase_value_r").alias("purchase_value"),
+    )
+
+
+@query(
+    "range_join_windows",
+    oracle="""
+    SELECT w.win_id, strftime(w.w_start, '%Y-%m-%d %H:%M:%S') AS w_start_s,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(e.value AS DECIMAL(27,4))) AS DOUBLE) AS sum_value
+    FROM read_parquet_events e
+    JOIN (SELECT i AS win_id,
+                 TIMESTAMP '2024-01-01 08:00:00' + i * INTERVAL 1 DAY AS w_start,
+                 TIMESTAMP '2024-01-01 10:00:00' + i * INTERVAL 1 DAY AS w_end
+          FROM range(30) t(i)) w
+      ON e.ts >= w.w_start AND e.ts < w.w_end
+    GROUP BY w.win_id, w_start_s
+    """.replace("read_parquet_events", "events"),
+    tags=("join", "temporal"),
+    doc="interval range join: events bucketized into daily 2h maintenance "
+    "windows via equi-join on fixed-width buckets, never O(rows×intervals) "
+    "(operators/temporal.py:range_join)",
+)
+def range_join_windows(spark, sf_dir):
+    from chapterhouseqe_spark.operators.temporal import range_join
+
+    ev = t(spark, sf_dir, "events").select("ts", "value")
+    wins = spark.range(30).select(
+        F.col("id").alias("win_id"),
+        F.expr("timestampadd(DAY, CAST(id AS INT), TIMESTAMP '2024-01-01 08:00:00')").alias("w_start"),
+        F.expr("timestampadd(DAY, CAST(id AS INT), TIMESTAMP '2024-01-01 10:00:00')").alias("w_end"),
+    )
+    j = range_join(ev, wins, "ts", "w_start", "w_end", bucket_width=7200.0)
+    return j.groupBy("win_id", ts_str(F.col("w_start")).alias("w_start_s")).agg(
+        F.count(F.lit(1)).alias("cnt"), dsum(F.col("value")).alias("sum_value")
+    )
+
+
+@query(
+    "exists_subquery",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1998-01-01'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    tags=("subquery",),
+    doc="correlated EXISTS (TPC-H q4 shape) as a non-equi left-semi join; "
+    "Spark plans the equi part as the shuffle key, extra predicate post-filters",
+)
+def exists_subquery(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    matched = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"]) & (li["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "correlated_agg_subquery",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,4))) AS DOUBLE)
+             AS total_price,
+           COUNT(*) AS cnt
+    FROM lineitem l
+    JOIN (SELECT l_partkey,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE)
+                   / COUNT(*) AS avg_qty
+          FROM lineitem GROUP BY l_partkey) a
+      ON l.l_partkey = a.l_partkey
+    WHERE l.l_quantity < 0.2 * a.avg_qty
+    """,
+    tags=("subquery", "agg"),
+    doc="correlated aggregate subquery (TPC-H q17 shape) decorrelated into "
+    "a per-key aggregate + self-join on l_partkey — ONE shuffle key reused; "
+    "avg computed decimal-exact so the 0.2× threshold is bit-identical",
+)
+def correlated_agg_subquery(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    avg_q = li.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(27,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    j = li.join(avg_q, "l_partkey").filter(
+        F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty")
+    )
+    return j.agg(
+        dsum(F.col("l_extendedprice")).alias("total_price"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@query(
+    "tpch_q6_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(27,6)))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS cnt
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate < TIMESTAMP '1999-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.08
+      AND l_quantity < 24
+    """,
+    tags=("agg", "tpch"),
+    doc="TPC-H q6 forecast-revenue: pure scan+filter+agg — every predicate "
+    "pushes to the parquet scan, zero joins, one partial-agg shuffle of 1 row",
+)
+def tpch_q6_revenue(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.04)
+        & (F.col("l_discount") <= 0.08)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(27,6)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@query(
+    "pivot_returnflag",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,4)))
+                FILTER (WHERE l_returnflag = 'A') AS DOUBLE) AS qty_a,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,4)))
+                FILTER (WHERE l_returnflag = 'N') AS DOUBLE) AS qty_n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,4)))
+                FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS qty_r
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    tags=("agg", "pivot"),
+    doc="pivot (long→wide): groupBy().pivot() with explicit value list so "
+    "Spark skips the extra distinct-values job; map-side partial aggs per "
+    "(status, flag) then one shuffle",
+)
+def pivot_returnflag(spark, sf_dir):
+    p = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(dsum(F.col("l_quantity")))
+    )
+    return p.select(
+        "l_linestatus",
+        F.col("A").alias("qty_a"),
+        F.col("N").alias("qty_n"),
+        F.col("R").alias("qty_r"),
+    )
+
+
+@query(
+    "explode_word_count",
+    oracle="""
+    SELECT word, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+          FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY cnt DESC, word
+    LIMIT 50
+    """,
+    tags=("explode", "text"),
+    doc="explode/unnest (lateral flatten): tokenized word count over the "
+    "corpus — generator stays inside codegen, partial-agg combine before "
+    "the single shuffle on word",
+)
+def explode_word_count(spark, sf_dir):
+    words = (
+        t(spark, sf_dir, "documents")
+        .select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word"))
+        .limit(50)
+    )
+
+
+@query(
+    "time_rollup_multi",
+    oracle="""
+    SELECT strftime(day, '%Y-%m-%d %H:%M:%S') AS day_s,
+           strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour_s,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS sum_value
+    FROM (SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hour,
+                 value FROM events)
+    GROUP BY ROLLUP (day, hour)
+    """,
+    tags=("agg", "temporal"),
+    doc="hypertable-style multi-granularity rollup: hour + day + grand "
+    "total in ONE scan via ROLLUP grouping sets (vs a query per granularity)",
+)
+def time_rollup_multi(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "value",
+    )
+    return (
+        ev.rollup("day", "hour")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum(F.col("value")).alias("sum_value"))
+        .select(
+            ts_str(F.col("day")).alias("day_s"),
+            ts_str(F.col("hour")).alias("hour_s"),
+            "cnt",
+            "sum_value",
+        )
+    )

@@ -552,3 +552,34 @@ def dedup_keep_canonical(spark, sf_dir):
     return near_dedup_keep(d, "text", "doc_id", threshold=0.5).select(
         "doc_id", "lang", "n_chars"
     )
+
+
+@query(
+    "dedup_keep_first_window",
+    oracle="""
+    SELECT doc_id, fingerprint, n_copies FROM (
+      SELECT doc_id, md5(text) AS fingerprint,
+             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
+      FROM documents) x
+    WHERE rn = 1
+    """,
+    tags=("pipeline", "dedup"),
+    doc="window-form exact dedup: keep the first full row per fingerprint "
+    "(row_number = 1) — the shape to use when survivors must carry ALL "
+    "columns, one shuffle on fingerprint (vs groupBy min-id + join-back)",
+)
+def dedup_keep_first_window(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents").withColumn(
+        "fingerprint", F.md5(F.col("text"))
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    wc = Window.partitionBy("fingerprint")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "fingerprint", "n_copies")
+    )

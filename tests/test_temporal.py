@@ -1,0 +1,108 @@
+"""Unit semantics for operators/temporal.py: as-of join and range join.
+
+The oracle queries (asof_join_clicks, range_join_windows) gate the
+DuckDB-parity path; these tests pin the operator semantics directly —
+direction, tie inclusivity, tolerance, left-join nulls, half-open
+interval bounds, and the no-duplicate guarantee of bucketization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chapterhouseqe_spark.operators.temporal import asof_join, range_join
+
+
+def _left(spark):
+    return spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 7, "d")],
+        "k int, ts int, name string",
+    )
+
+
+def _right(spark):
+    return spark.createDataFrame(
+        [(1, 8, 100.0), (1, 20, 200.0), (3, 1, 999.0)],
+        "k int, ts int, px double",
+    )
+
+
+def test_asof_backward_inclusive_ties(spark):
+    out = {
+        r["name"]: (r["ts_r"], r["px_r"])
+        for r in asof_join(_left(spark), _right(spark), ["k"], "ts").collect()
+    }
+    assert out["c"] == (None, None)  # nothing at or before ts=5
+    assert out["a"] == (8, 100.0)  # latest <= 10
+    assert out["b"] == (20, 200.0)  # tie at 20 is inclusive
+    assert out["d"] == (None, None)  # key 2 has no right rows
+
+
+def test_asof_forward(spark):
+    out = {
+        r["name"]: (r["ts_r"], r["px_r"])
+        for r in asof_join(
+            _left(spark), _right(spark), ["k"], "ts", direction="forward"
+        ).collect()
+    }
+    assert out["c"] == (8, 100.0)  # earliest >= 5
+    assert out["a"] == (20, 200.0)
+    assert out["b"] == (20, 200.0)  # inclusive tie
+    assert out["d"] == (None, None)
+
+
+def test_asof_tolerance_nulls_far_matches(spark):
+    out = {
+        r["name"]: r["ts_r"]
+        for r in asof_join(
+            _left(spark), _right(spark), ["k"], "ts", tolerance=F.lit(3)
+        ).collect()
+    }
+    # match at 8 for left ts=10 is within 3; nothing within 3 of ts=5
+    assert out["a"] == 8 and out["c"] is None
+    # left rows are never dropped by tolerance (left-join semantics)
+    assert set(out) == {"a", "b", "c", "d"}
+
+
+def test_asof_preserves_left_rowcount(spark):
+    left, right = _left(spark), _right(spark)
+    assert asof_join(left, right, ["k"], "ts").count() == left.count()
+
+
+def test_range_join_half_open_and_no_dups(spark):
+    pts = spark.createDataFrame(
+        [(1, 5.0), (2, 6.0), (3, 0.0), (4, 19.999), (5, 20.0)],
+        "pid int, x double",
+    )
+    iv = spark.createDataFrame(
+        [(100, 0.0, 6.0), (200, 5.0, 20.0)], "iid int, s double, e double"
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(pts, iv, "x", "s", "e", bucket_width=4.0).collect()
+    )
+    # x=5 in both; x=6 excluded from [0,6) but in [5,20); x=0 start-
+    # inclusive; x=19.999 in; x=20 end-exclusive → no match
+    assert got == [(1, 100), (1, 200), (2, 200), (3, 100), (4, 200)]
+
+
+def test_range_join_timestamps(spark):
+    pts = spark.createDataFrame(
+        [(1, "2024-01-01 08:30:00"), (2, "2024-01-01 11:00:00")],
+        "pid int, s string",
+    ).select("pid", F.col("s").cast("timestamp").alias("ts"))
+    iv = spark.createDataFrame(
+        [(7, "2024-01-01 08:00:00", "2024-01-01 10:00:00")],
+        "iid int, a string, b string",
+    ).select(
+        "iid",
+        F.col("a").cast("timestamp").alias("w_start"),
+        F.col("b").cast("timestamp").alias("w_end"),
+    )
+    got = [
+        (r["pid"], r["iid"])
+        for r in range_join(
+            pts, iv, "ts", "w_start", "w_end", bucket_width=3600.0
+        ).collect()
+    ]
+    assert got == [(1, 7)]
