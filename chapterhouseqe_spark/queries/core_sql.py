@@ -1419,3 +1419,240 @@ def time_rollup_multi(spark, sf_dir):
             "sum_value",
         )
     )
+
+
+# =====================================================================
+# JSON columns, explicit GROUPING SETS, time-range window frames, more
+# TPC-H shapes, vector centroids, self-checking approximate sketches.
+# =====================================================================
+
+
+@query(
+    "json_extract_props",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    tags=("functions", "json"),
+    doc="semi-structured JSON column: extract a field from the props JSON "
+    "string and aggregate — extraction runs inside codegen, no UDF",
+)
+def json_extract_props(spark, sf_dir):
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(k).alias("sum_k"),
+            F.max(k).alias("max_k"),
+        )
+    )
+
+
+@query(
+    "grouping_sets_mix",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(27,4))) AS DOUBLE) AS sum_bal
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    """,
+    tags=("agg",),
+    doc="explicit GROUPING SETS (disjoint dims + grand total) — one scan, "
+    "one shuffle, vs three UNION'd aggregations",
+)
+def grouping_sets_mix(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("gs_customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(27,4))) AS DOUBLE) AS sum_bal
+        FROM gs_customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        """
+    )
+
+
+@query(
+    "window_time_range_avg",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           COUNT(*) OVER (
+             PARTITION BY o_orderpriority
+             ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS n_30d
+    FROM orders WHERE o_orderkey % 5 = 0
+    """,
+    tags=("window", "temporal"),
+    doc="RANGE window frame over event time (trailing 30 days) — a "
+    "value-range frame, not a row-count frame; epoch-seconds ordering "
+    "keeps both engines' frame bounds identical",
+)
+def window_time_range_avg(spark, sf_dir):
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-2592000, 0)
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.count(F.lit(1)).over(w).alias("n_30d"),
+        )
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    oracle="""
+    SELECT 100.0 * CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
+                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                   AS DECIMAL(27,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                   AS DECIMAL(27,6))) AS DOUBLE) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate < TIMESTAMP '1998-07-01'
+    """,
+    tags=("tpch", "join", "agg"),
+    doc="TPC-H q14 promo revenue: broadcast the part dim into the filtered "
+    "fact scan; conditional aggregation, decimal-exact then one double division",
+)
+def tpch_q14_promo_revenue(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-07-01").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return j.agg(
+        (
+            F.lit(100.0)
+            * F.sum(promo.cast("decimal(27,6)")).cast("double")
+            / F.sum(rev.cast("decimal(27,6)")).cast("double")
+        ).alias("promo_pct")
+    )
+
+
+@query(
+    "tpch_q18_large_orders",
+    oracle="""
+    SELECT c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate_s,
+           o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(27,4))) > 150)
+    GROUP BY c_name, o_orderkey, orderdate_s, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    tags=("tpch", "join", "agg"),
+    doc="TPC-H q18 large-volume orders: HAVING-filtered semi-join back into "
+    "the fact — the qualifying-keys aggregate reuses the same shuffle key "
+    "(l_orderkey) as the main join, so AQE plans one exchange per side",
+)
+def tpch_q18_large_orders(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(27,4)")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    o = t(spark, sf_dir, "orders").join(
+        big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi"
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    j = o.join(li, o["o_orderkey"] == li["l_orderkey"]).join(
+        F.broadcast(c), o["o_custkey"] == c["c_custkey"]
+    )
+    return (
+        j.groupBy(
+            "c_name",
+            "o_orderkey",
+            ts_str(F.col("o_orderdate")).alias("orderdate_s"),
+            "o_totalprice",
+        )
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+    SELECT label, dim - 1 AS dim,
+           SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+             AS sum_x_micro,
+           COUNT(*) AS n
+    FROM (SELECT label, unnest(embedding) AS x,
+                 generate_subscripts(embedding, 1) AS dim
+          FROM embeddings)
+    GROUP BY label, dim
+    """,
+    tags=("pipeline", "similarity"),
+    doc="per-label centroid components via posexplode — the scalable "
+    "long-form vector aggregate (one shuffle on (label, dim)). Values "
+    "sum in the micro-scaled integer domain: float→double is exact, one "
+    "IEEE multiply + floor is bit-identical in both engines, and BIGINT "
+    "sums are order-insensitive (float/decimal sums are not)",
+)
+def embedding_centroids(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    micro = F.floor(F.col("x").cast("double") * F.lit(1000000.0)).cast("long")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.sum(micro).alias("sum_x_micro"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "approx_sketches_within_bounds",
+    oracle="""
+    SELECT event_type, TRUE AS hll_ok, TRUE AS pctl_ok
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "sketch"),
+    doc="self-checking approximate aggregates: HLL distinct count "
+    "(rsd=0.02) and approx_percentile must land within 10% / absolute "
+    "0.5 of the exact answers computed in the same pass — the oracle "
+    "pins the booleans TRUE, so a drifting sketch turns the row red. "
+    "At 100 TB these sketches replace exact distinct/percentile "
+    "shuffles with fixed-size mergeable state.",
+)
+def approx_sketches_within_bounds(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("hll"),
+        F.countDistinct("user_id").alias("exact_n"),
+        F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+        F.expr("percentile(value, 0.5)").alias("p50_exact"),
+    )
+    return agg.select(
+        "event_type",
+        (
+            F.abs(F.col("hll") - F.col("exact_n"))
+            <= F.lit(0.1) * F.col("exact_n")
+        ).alias("hll_ok"),
+        (F.abs(F.col("p50_approx") - F.col("p50_exact")) <= F.lit(0.5)).alias(
+            "pctl_ok"
+        ),
+    )
