@@ -1656,3 +1656,127 @@ def approx_sketches_within_bounds(spark, sf_dir):
             "pctl_ok"
         ),
     )
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           {o_drevenue('l_extendedprice', 'l_discount')} AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("tpch", "join", "agg"),
+    doc="TPC-H q10 returned items: one quarter of orders, returned lines "
+    "only — both filters push into their scans before the joins; nation "
+    "and customer broadcast; top-20 is TakeOrderedAndProject, not a "
+    "global sort",
+)
+def tpch_q10_returned_items(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(drevenue(F.col("l_extendedprice"), F.col("l_discount")).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q12_priority_class",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag
+    """,
+    tags=("tpch", "join", "agg"),
+    doc="TPC-H q12 shape (shipmode → returnflag: testdata has no "
+    "l_shipmode): conditional classification counts over a fact-dim "
+    "join — integer CASE sums are order-insensitive, no float hazard",
+)
+def tpch_q12_priority_class(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q19_disjunctive",
+    oracle=f"""
+    SELECT {o_drevenue('l_extendedprice', 'l_discount')} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+           AND p_size BETWEEN 1 AND 5)
+       OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+           AND p_size BETWEEN 1 AND 10)
+       OR (p_brand = 'Brand#15' AND l_quantity BETWEEN 20 AND 30
+           AND p_size BETWEEN 1 AND 15)
+    """,
+    tags=("tpch", "join", "filter"),
+    doc="TPC-H q19 shape: disjunction of brand × quantity × size "
+    "conjunctions across a join — Catalyst pushes the common per-side "
+    "implications (brand IN set, quantity/size envelope) below the join "
+    "and evaluates the residual OR after; part broadcasts",
+)
+def tpch_q19_disjunctive(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("l_quantity").between(1, 11)
+            & F.col("p_size").between(1, 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("l_quantity").between(10, 20)
+            & F.col("p_size").between(1, 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("l_quantity").between(20, 30)
+            & F.col("p_size").between(1, 15)
+        )
+    )
+    return j.filter(cond).agg(
+        drevenue(F.col("l_extendedprice"), F.col("l_discount")).alias("revenue")
+    )
