@@ -34,6 +34,8 @@ BENCH_QUERIES = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
+    "tpch_q14_promo_revenue",
+    "tpch_q18_large_orders",
     "join_inner_agg",
     "group_having",
     "order_by_limit_topk",

@@ -92,3 +92,67 @@ def test_stream_dedup_first_occurrence(spark, sf_dir):
     got = {(r["user_id"], r["event_type"]) for r in result.select("user_id", "event_type").collect()}
     want = {(r["user_id"], r["event_type"]) for r in batch.collect()}
     assert got == want
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """An event older than the watermark horizon, arriving AFTER its
+    window was finalized, must be dropped in append mode — the late-data
+    semantics watermarks exist for. Two checkpointed AvailableNow runs:
+    the watermark survives in the checkpoint, exactly like a restarted
+    production job that receives a straggler."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    staging = tmp_path / "late_events"
+    staging.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(name, rows):
+        ts, et, val = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array(list(ts), pa.timestamp("us")),
+                    "event_type": pa.array(list(et)),
+                    "value": pa.array(list(val), pa.float64()),
+                }
+            ),
+            str(staging / name),
+        )
+
+    def run():
+        ev = (
+            spark.readStream.schema("ts timestamp, event_type string, value double")
+            .parquet(str(staging))
+        )
+        agg = (
+            ev.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("w.start").alias("ws"), "event_type", "cnt")
+        )
+        emitted = []
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda bdf, _id: emitted.extend(bdf.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {(r.ws.hour, r.cnt) for r in emitted}
+
+    d = lambda h, m: datetime(2026, 1, 1, h, m)
+    # run 1: two rows in the 10:00 window + one at 13:00 that pushes the
+    # watermark (10 min lag) far past the 10:00 window's end, closing it
+    write("f1.parquet", [(d(10, 0), "a", 1.0), (d(10, 20), "a", 1.0), (d(13, 0), "a", 1.0)])
+    assert run() == {(10, 2)}
+    # run 2: a LATE straggler for the already-finalized 10:00 window —
+    # the checkpointed watermark (12:50) drops it; nothing new finalizes
+    write("f2.parquet", [(d(10, 15), "a", 1.0)])
+    assert run() == set()
