@@ -10,7 +10,7 @@ engine-specific hash functions.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny per-language stopword marker sets for the n-gram/stopword heuristic
@@ -97,3 +97,44 @@ def doc_fingerprint(text: Column) -> Column:
         F.regexp_replace(F.lower(F.trim(text)), r"[^a-z0-9\s]", ""), r"\s+", " "
     )
     return F.conv(F.substring(F.md5(norm), 1, 15), 16, 10).cast("long")
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str, id_col: str, k: int = 5
+) -> DataFrame:
+    """Top-k TF-IDF terms per document — fully distributed, JVM-side.
+
+    Smooth idf = ln((N+1)/(df_t+1)) + 1. Returns (doc_id, term, tf,
+    df_t, rnk): the float score RANKS rows (deterministic across
+    engines — distinct (tf, df_t) classes can never produce exactly
+    equal real scores, and ties within a class break on the term) but is
+    not emitted, so the output is engine-exact integers/strings.
+
+    100 TB shape: tf is one (id, term)-keyed aggregation with map-side
+    combine; document frequency aggregates the already-unique tf rows by
+    term (vocabulary-sized, tiny vs corpus); the idf join is term-keyed
+    (AQE broadcasts the vocab side when it fits); the final top-k is one
+    id-keyed window. No driver-side state; the corpus is never collected.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "s",
+            F.col("tf")
+            * (F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df_t") + F.lit(1.0))) + F.lit(1.0)),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("s").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "df_t", "rnk")
+    )

@@ -583,3 +583,37 @@ def dedup_keep_first_window(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("doc_id", "fingerprint", "n_copies")
     )
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_t,
+             tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df_t + 1.0)) + 1.0) AS s
+      FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df_t,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, term) AS rnk
+    FROM scored
+    QUALIFY rnk <= 5
+    """,
+    tags=("pipeline", "text"),
+    doc="top-5 TF-IDF terms per document (functions/text.py:"
+    "tfidf_top_terms) — the float score ranks but is not emitted, so "
+    "the graded columns are engine-exact integers/strings",
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    from chapterhouseqe_spark.functions.text import tfidf_top_terms
+
+    return tfidf_top_terms(t(spark, sf_dir, "documents"), "text", "doc_id", k=5)
