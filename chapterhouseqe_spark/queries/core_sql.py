@@ -15,6 +15,7 @@ under every LIMIT.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -34,10 +35,16 @@ from chapterhouseqe_spark.queries.registry import (
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS), which a vanilla Spark
+        # session refuses to read (PARQUET_TYPE_ILLEGAL). nanosAsLong is a
+        # runtime SQL conf, so set it here defensively — the caller's
+        # session may not have been built by our get_spark().
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # events carries TIMESTAMP(NANOS); with nanosAsLong it reads as
-        # long nanos — truncate to micros (what DuckDB also stores).
+        # With nanosAsLong the column reads as long nanos — truncate to
+        # micros (what DuckDB also stores).
         df = df.withColumn(
             "ts", F.timestamp_micros(F.call_function("div", F.col("ts"), F.lit(1000)))
         )
@@ -186,7 +193,10 @@ def ref_string_filter(spark, sf_dir):
 
 def _format_dir(spark, sf_dir, fmt: str, table: str) -> str:
     """Deterministic one-time conversion of a parquet table to csv/json."""
-    out = f"/tmp/chqe_formats/{abs(hash(sf_dir)) % 10**8}/{table}_{fmt}"
+    # Stable digest: str hash() is salted per process, which would defeat
+    # the cross-process cache and accumulate stale dirs in /tmp.
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/chqe_formats/{key}/{table}_{fmt}"
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
         src = t(spark, sf_dir, table)
@@ -1014,20 +1024,22 @@ def count_distinct(spark, sf_dir):
     "array_split_ops",
     oracle="""
     SELECT n_nationkey,
-           string_split(n_name, 'A') AS parts,
+           array_to_string(string_split(n_name, 'A'), '|') AS parts_str,
            CAST(len(string_split(n_name, 'A')) AS INTEGER) AS n_parts,
            string_split(n_name, 'A')[1] AS head
     FROM nation
     """,
     tags=("functions", "array"),
-    doc="split → array ops (size, element_at)",
+    doc="split → array ops (size, element_at); graded projection is "
+    "scalar-only — the driver's canonicalizer can't hash list cells "
+    "(array-typed path covered in tests/test_queries_arrays.py)",
 )
 def array_split_ops(spark, sf_dir):
     n = t(spark, sf_dir, "nation")
     parts = F.split(F.col("n_name"), "A")
     return n.select(
         "n_nationkey",
-        parts.alias("parts"),
+        F.array_join(parts, "|").alias("parts_str"),
         F.size(parts).alias("n_parts"),
         F.element_at(parts, 1).alias("head"),
     )

@@ -390,18 +390,33 @@ def multimodal_binary_meta(spark, sf_dir):
     SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            ascii(substr(text, 1, 1)) AS first_byte,
-           [CAST(ascii(substr(text, 1, 1)) AS DOUBLE),
-            CAST(ascii(substr(text, 2, 1)) AS DOUBLE),
-            CAST(ascii(substr(text, 3, 1)) AS DOUBLE),
-            CAST(ascii(substr(text, 4, 1)) AS DOUBLE)] AS feature
+           array_to_string([CAST(ascii(substr(text, 1, 1)) AS BIGINT),
+                            CAST(ascii(substr(text, 2, 1)) AS BIGINT),
+                            CAST(ascii(substr(text, 3, 1)) AS BIGINT),
+                            CAST(ascii(substr(text, 4, 1)) AS BIGINT)], '|')
+             AS feature_str
     FROM documents
     """,
     tags=("pipeline", "multimodal"),
-    doc="Arrow-batched mapInPandas decode stub over the binary column",
+    doc="Arrow-batched mapInPandas decode stub over the binary column. "
+    "Graded projection string-encodes the feature vector (driver's "
+    "canonicalizer can't hash list cells); the array-typed result is "
+    "covered by tests/test_operators.py",
 )
 def multimodal_decode_features(spark, sf_dir):
     mm = attach_binary_payload(t(spark, sf_dir, "documents"))
-    return decode_features(mm.select("doc_id", "payload"))
+    feats = decode_features(mm.select("doc_id", "payload"))
+    # feature values are exact small integers (byte values as doubles) —
+    # bigint-cast before join so both engines format identically.
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "first_byte",
+        F.array_join(
+            F.transform(F.col("feature"), lambda x: x.cast("bigint").cast("string")),
+            "|",
+        ).alias("feature_str"),
+    )
 
 
 @query(

@@ -25,6 +25,11 @@ ALWAYS_BROADCAST = {"region", "nation"}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # TIMESTAMP(NANOS) parquet is illegal on a vanilla session; the
+        # conf is runtime-settable, so set it here rather than rely on the
+        # caller having built the session via session.get_spark().
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
 
 

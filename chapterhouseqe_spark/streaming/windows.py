@@ -28,6 +28,9 @@ def read_events_stream(
 ) -> DataFrame:
     """File-source stream over the events parquet (schema from the batch
     reader; ts arrives as long nanos under nanosAsLong — convert)."""
+    # Runtime conf so this works on ANY session, not just get_spark()'s:
+    # events.parquet carries TIMESTAMP(NANOS), illegal without it.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     # the file-stream source wants a DIRECTORY; the events table is a
     # single file, so stream the directory with a glob filter.
