@@ -29,11 +29,15 @@ Python UDFs anywhere.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from chapterhouseqe_spark.operators.util import ensure_parallelism
+
+logger = logging.getLogger(__name__)
 
 # deterministic 31-bit affine permutation parameters (seeded LCG — keeps
 # signatures reproducible across runs/sessions, required for the oracle)
@@ -178,7 +182,7 @@ def minhash_lsh_pairs(
     num_perm: int = 128,
     bands: int = 64,
     seed: int = 42,
-    max_band_bucket: int | None = None,
+    max_band_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Near-duplicate pairs with exact Jaccard ≥ threshold, found via
     MinHash banding and verified exactly.
@@ -192,8 +196,11 @@ def minhash_lsh_pairs(
     degenerate band value (boilerplate/empty-ish docs) makes one bucket
     quadratic; capping drops buckets larger than N ids from candidate
     generation (pairs inside them usually surface via their other 63
-    bands — detection probability loses one band's worth). Default off,
-    output exact.
+    bands — detection probability loses one band's worth). Defaults ON
+    at 10k (a 10k-id bucket is already 5·10⁷ candidate pairs); pass
+    ``None`` for the uncapped fully-exact sweep. Enable DEBUG logging on
+    this module to get dropped-bucket counts (costs one extra pass over
+    the cached band frame — off the hot path by default).
     """
     rows = num_perm // bands
     # the shingle frame feeds three branches (signatures + both sides of
@@ -217,20 +224,37 @@ def minhash_lsh_pairs(
             )
         ).alias("e"),
     ).select("id", "e.band", "e.bh")
+    # persist the (id, band, bh) frame: its lineage is the whole
+    # signature pipeline, and it feeds BOTH sides of the self-join plus
+    # the final verify pass — unpersisted, Spark recomputes signatures
+    # 3× (measured 2.3× wall-clock at sf0.1). It is bands× the doc
+    # count in rows but only ~24 B/row, and spills at 100 TB. Persisting
+    # BEFORE the skew cap means the cap's bucket-count pass warms the
+    # cache instead of recomputing signatures.
+    band_rows = band_rows.persist(StorageLevel.MEMORY_AND_DISK)
     if max_band_bucket is not None:
+        # hot-bucket set is tiny by construction (only over-cap buckets)
+        # → broadcast anti-join, evaluated lazily inside the same action
+        # as the self-join so the cap costs one extra aggregation over
+        # the CACHED band frame, never a separate job.
         hot = (
             band_rows.groupBy("band", "bh")
             .count()
             .filter(F.col("count") > max_band_bucket)
             .select("band", "bh")
         )
-        band_rows = band_rows.join(hot, ["band", "bh"], "left_anti")
-    # persist the (id, band, bh) frame: its lineage is the whole
-    # signature pipeline, and it feeds BOTH sides of the self-join plus
-    # the final verify pass — unpersisted, Spark recomputes signatures
-    # 3× (measured 2.3× wall-clock at sf0.1). It is bands× the doc
-    # count in rows but only ~24 B/row, and spills at 100 TB.
-    band_rows = band_rows.persist(StorageLevel.MEMORY_AND_DISK)
+        if logger.isEnabledFor(logging.DEBUG):
+            # counting forces a pass — only pay it when drop-count
+            # observability was explicitly asked for.
+            logger.debug(
+                "minhash_lsh_pairs: %d band buckets exceed max_band_bucket=%d "
+                "and are dropped from candidate generation (pairs inside them "
+                "still surface via their other %d bands)",
+                hot.count(),
+                max_band_bucket,
+                bands - 1,
+            )
+        band_rows = band_rows.join(F.broadcast(hot), ["band", "bh"], "left_anti")
     a, b = band_rows.alias("a"), band_rows.alias("b")
     cand = (
         a.join(
@@ -251,24 +275,39 @@ def ngram_jaccard_pairs(
     id_col: str,
     threshold: float = 0.5,
     k: int = 3,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = 10_000,
 ) -> DataFrame:
     """EXACT n-gram Jaccard pairs via an inverted index on shingles.
 
     ``max_shingle_freq`` drops shingles shared by more than N docs
     (stop-shingles) before pairing — the standard bound on the quadratic
-    blow-up; leave None for a fully exact answer.
+    blow-up. Defaults ON at 10k (one 10k-doc posting list is 5·10⁷
+    pairs); pass ``None`` for the fully exact answer. DEBUG logging
+    reports dropped stop-shingle counts. Note dropping a stop-shingle can
+    only LOSE candidate pairs whose entire overlap is boilerplate —
+    Jaccard for surviving candidates stays exact because it is computed
+    from the full shingle sets, not the pruned postings.
     """
     sh = with_shingles(df, text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
     posting = sh.select("id", F.explode("shingles").alias("s"))
     if max_shingle_freq is not None:
+        # stop-shingle set is small (only over-cap postings) → broadcast
+        # anti-join, lazy — costs one aggregation over the cached shingle
+        # frame inside the main job, not a separate action.
         hot = (
             posting.groupBy("s")
             .count()
             .filter(F.col("count") > max_shingle_freq)
             .select("s")
         )
-        posting = posting.join(hot, "s", "left_anti")
+        if logger.isEnabledFor(logging.DEBUG):
+            logger.debug(
+                "ngram_jaccard_pairs: %d stop-shingles shared by more than %d "
+                "docs dropped from the inverted index",
+                hot.count(),
+                max_shingle_freq,
+            )
+        posting = posting.join(F.broadcast(hot), "s", "left_anti")
     a = posting.select(F.col("id").alias("id_a"), "s")
     b = posting.select(F.col("id").alias("id_b"), "s")
     inter = (
@@ -322,7 +361,12 @@ def simhash_fingerprints(
     return bit_sums.select(F.col("id").alias("doc_id"), fp.alias("fingerprint"))
 
 
-def connected_components(pairs: DataFrame, ids: DataFrame) -> DataFrame:
+def connected_components(
+    pairs: DataFrame,
+    ids: DataFrame,
+    max_iterations: int = 50,
+    checkpoint_every: int = 3,
+) -> DataFrame:
     """Minimum-label connected components over near-dup pairs.
 
     ``pairs`` is (id_a, id_b); ``ids`` is every id (single column
@@ -335,36 +379,67 @@ def connected_components(pairs: DataFrame, ids: DataFrame) -> DataFrame:
     content), so this is 2-4 rounds in practice; each round is one
     join + one aggregation, all shuffle-partitioned by id — the standard
     big-graph CC shape when GraphFrames isn't available.
+
+    Iteration hygiene for billion-edge graphs: every round's label frame
+    is persisted and the previous generation unpersisted, so round N
+    never recomputes rounds 1..N-1; every ``checkpoint_every`` rounds
+    the frame is ``localCheckpoint``-ed, truncating lineage so plan depth
+    (and analyzer/serialization cost) stays O(checkpoint_every) instead
+    of O(rounds). ``max_iterations`` turns a pathological non-convergence
+    (can only happen with >2^50-diameter chains or a bug) into an error
+    rather than an infinite loop.
     """
-    edges = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-    labels = ids.select(F.col("id"), F.col("id").alias("component"))
-    while True:
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("component").alias("nmin"))
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
-        updated = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = ids.select(F.col("id"), F.col("id").alias("component")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        for i in range(max_iterations):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.id)
+                .groupBy("src")
+                .agg(F.min("component").alias("nmin"))
+            )
+            updated = labels.join(
+                neighbor_min, labels.id == neighbor_min.src, "left"
+            ).select(
                 "id",
                 F.least(
                     F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
                 ).alias("component"),
             )
+            if (i + 1) % checkpoint_every == 0:
+                # eager localCheckpoint: materializes AND truncates
+                # lineage — plan depth resets here.
+                updated = updated.localCheckpoint(eager=True)
+            else:
+                updated = updated.persist(StorageLevel.MEMORY_AND_DISK)
+            # full count (not limit(1)) so `updated` is materialized into
+            # its cache before the previous generation is unpersisted —
+            # otherwise later rounds would silently recompute through the
+            # unpersisted parent.
+            changed = (
+                updated.alias("u")
+                .join(labels.alias("l"), "id")
+                .filter(F.col("u.component") != F.col("l.component"))
+                .count()
+            )
+            labels.unpersist()
+            labels = updated
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"connected_components: no convergence after {max_iterations} rounds "
+            "(graph diameter exceeds the iteration cap)"
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "id")
-            .filter(F.col("u.component") != F.col("l.component"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
-        if changed == 0:
-            return labels
+    finally:
+        edges.unpersist()
 
 
 def near_dedup_keep(

@@ -20,14 +20,15 @@ doubles bit-exact; ranking ties break on the neighbor id.
   corpus; candidate pairs come from within-bucket joins. One narrow
   signature pass + one shuffle on the bucket key. Recall tunes with
   ``n_planes`` (fewer planes → bigger buckets → higher recall, more
-  compute). Hot buckets (near-zero vectors) are the skew risk — cap
-  or salt them.
+  compute). Hot buckets (near-zero vectors) are the skew risk —
+  ``max_bucket`` salts them into bounded sub-buckets (default on).
 """
 
 from __future__ import annotations
 
 import random
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -109,12 +110,21 @@ def lsh_bucket_candidates(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """Candidate pairs from random-hyperplane LSH buckets (scale path).
 
     Each vector gets an ``n_planes``-bit signature (sign of the dot with
     each fixed seeded hyperplane); pairs sharing a signature are
     candidates. Feed the result into :func:`cosine` for exact rerank.
+
+    ``max_bucket`` is the hot-bucket guard: near-zero / duplicate-heavy
+    vectors collapse into one signature and make that bucket's self-join
+    quadratic. A bucket of size S > max_bucket is SALTED into
+    ceil(S/max_bucket) deterministic sub-buckets (``xxhash64(id)`` mod
+    n_salt), bounding each join partition at ~max_bucket ids; only pairs
+    split across salts are lost, and only for over-cap buckets — the
+    standard recall-for-boundedness trade. ``None`` disables.
     """
     planes = _hyperplanes(dim, n_planes, seed)
     sig = None
@@ -128,10 +138,35 @@ def lsh_bucket_candidates(
         bit = F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
     bucketed = ensure_parallelism(emb).select(F.col(id_col).alias("id"), sig.alias("bucket"))
-    a = bucketed.select(F.col("id").alias("id_a"), "bucket")
-    b = bucketed.select(F.col("id").alias("id_b"), "bucket")
+    if max_bucket is not None:
+        # bucketed feeds the size pass + both join sides — persist so the
+        # signature expressions run once.
+        bucketed = bucketed.persist(StorageLevel.MEMORY_AND_DISK)
+        sizes = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsize"))
+        if n_planes <= 16:
+            # ≤2^n_planes observed buckets — one row each, broadcastable;
+            # avoids a shuffle join just to attach sizes.
+            sizes = F.broadcast(sizes)
+        bucketed = (
+            bucketed.join(sizes, "bucket")
+            .withColumn(
+                "salt",
+                F.when(
+                    F.col("bsize") > max_bucket,
+                    F.pmod(
+                        F.xxhash64("id"),
+                        F.ceil(F.col("bsize") / max_bucket).cast("long"),
+                    ),
+                ).otherwise(F.lit(0).cast("long")),
+            )
+            .select("id", "bucket", "salt")
+        )
+    else:
+        bucketed = bucketed.withColumn("salt", F.lit(0).cast("long"))
+    a = bucketed.select(F.col("id").alias("id_a"), "bucket", "salt")
+    b = bucketed.select(F.col("id").alias("id_b"), "bucket", "salt")
     return (
-        a.join(b, "bucket")
+        a.join(b, ["bucket", "salt"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "bucket")
     )

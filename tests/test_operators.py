@@ -184,9 +184,10 @@ def test_sample_frames_even_spacing(spark):
 
 
 def test_minhash_band_bucket_cap(docs):
-    # default (no cap) equals capped-at-huge; an aggressive cap of 1
-    # drops every bucket (all buckets for a dup pair have ≥2 members)
-    uncapped = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5)
+    # uncapped (None) equals capped-at-huge (and the 10k default); an
+    # aggressive cap of 1 drops every bucket (all buckets for a dup pair
+    # have ≥2 members)
+    uncapped = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5, max_band_bucket=None)
     huge_cap = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5, max_band_bucket=1000)
     as_set = lambda df: {(r["id_a"], r["id_b"]) for r in df.collect()}
     assert as_set(uncapped) == as_set(huge_cap)
@@ -210,3 +211,71 @@ def test_connected_components_chain(spark):
     ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 6, 9)], "id long")
     comp = {r["id"]: r["component"] for r in connected_components(pairs, ids).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9}
+
+
+def test_connected_components_long_chain_checkpointed(spark):
+    """A 12-node chain needs ~12 label-propagation rounds — exercises the
+    per-round persist + periodic localCheckpoint path several times over
+    and pins that lineage stays truncated (bounded plan depth)."""
+    from chapterhouseqe_spark.operators.dedup import connected_components
+
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    labels = connected_components(pairs, ids)
+    comp = {r["id"]: r["component"] for r in labels.collect()}
+    assert comp == {i: 0 for i in range(n)}
+    # lineage is truncated at the last localCheckpoint (every 3 rounds),
+    # so the analyzed plan is a few rounds deep at most — without the
+    # checkpoint it would be ~12 rounds of join+agg nesting.
+    plan_len = len(labels._jdf.queryExecution().toString())
+    assert plan_len < 20_000, f"plan depth not bounded: {plan_len} chars"
+
+
+def test_connected_components_iteration_guard(spark):
+    from chapterhouseqe_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    ids = spark.createDataFrame([(i,) for i in (1, 2, 3)], "id long")
+    with pytest.raises(RuntimeError, match="no convergence"):
+        connected_components(pairs, ids, max_iterations=1)
+
+
+def test_ngram_stop_shingle_cap_bounds_boilerplate(spark):
+    """Pathological boilerplate corpus: 60 docs that differ only in a
+    unique tail token. Uncapped, every shared shingle has a 60-doc
+    posting list → C(60,2)=1770 candidate pairs; with the stop-shingle
+    cap those postings are dropped and no candidates remain."""
+    rows = [
+        (i, f"common boilerplate header repeated everywhere unique token {i}")
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5, max_shingle_freq=None)
+    assert uncapped.count() == 60 * 59 // 2
+    capped = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5, max_shingle_freq=10)
+    assert capped.count() == 0
+
+
+def test_lsh_hot_bucket_salting(spark):
+    """A cluster of colinear vectors collapses into ONE hyperplane
+    bucket; max_bucket salts it into bounded sub-buckets, so the
+    candidate count drops from quadratic to ~n_salt × C(cap, 2) while
+    every emitted pair is still a true same-bucket pair."""
+    rows = [(i, [0.01 * (1 + i % 5), 0.02, 0.03, 0.04]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    unsalted = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_bucket_candidates(
+            emb, dim=4, n_planes=2, max_bucket=None
+        ).collect()
+    }
+    assert len(unsalted) == 40 * 39 // 2  # all colinear → one bucket
+    salted = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_bucket_candidates(emb, dim=4, n_planes=2, max_bucket=10).collect()
+    }
+    assert 0 < len(salted) < len(unsalted)
+    assert salted <= unsalted
