@@ -170,6 +170,25 @@ def ref_comparison_ops(spark, sf_dir):
 
 
 @query(
+    "ref_qualified_wildcard",
+    oracle="""
+    SELECT r_regionkey, r_name, r_regionkey * 2 AS dbl
+    FROM region
+    """,
+    tags=("reference", "projection"),
+    doc="qualified wildcard t.* — reference errors here "
+    "(record_projection.rs:33-38 'Alias not supported'); implemented "
+    "with standard expansion semantics instead",
+)
+def ref_qualified_wildcard(spark, sf_dir):
+    return _ref_engine(spark, sf_dir).dataframe_for(
+        "select t.*, r_regionkey * 2 as dbl "
+        "from read_files('region.parquet') t",
+        mode="reference",
+    )
+
+
+@query(
     "ref_string_filter",
     oracle="""
     SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'

@@ -177,6 +177,8 @@ GRADE_ORDER: tuple[str, ...] = (
     "tpch_q10_returned_items",
     "tpch_q12_priority_class",
     "tpch_q19_disjunctive",
+    # new this round: qualified-wildcard parity closure
+    "ref_qualified_wildcard",
     # (c) one previously-green representative per core family
     "ref_scan_filter_project",
     "ref_projection_unnamed",
@@ -184,7 +186,6 @@ GRADE_ORDER: tuple[str, ...] = (
     "tpch_q1_pricing_summary",
     "window_rank_topn",
     "udf_pandas_charge",
-    "set_union_all",
 )
 
 

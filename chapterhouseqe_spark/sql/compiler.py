@@ -267,11 +267,21 @@ def project(
     ``*`` copies all columns; a bare identifier keeps its own name; an
     aliased expression uses the alias; any other expression is named
     ``unnamed_<i>`` by select-list position (record_projection.rs:49-53).
+
+    ``t.*`` (qualified wildcard) expands to all columns of the source
+    aliased ``t`` — the reference errors here ("Alias not supported",
+    record_projection.rs:33-38); we implement the standard semantics
+    instead. An unknown qualifier is an error either way.
     """
     schema = _schema_map(df, alias)
     cols: list[Column] = []
     for i, item in enumerate(items):
         if item.wildcard:
+            if item.qualifier is not None and item.qualifier != alias:
+                raise ValueError(
+                    f"unknown table qualifier {item.qualifier!r} in "
+                    f"{item.qualifier}.* (source alias: {alias!r})"
+                )
             cols.extend(F.col(c) for c in df.columns)
             continue
         typed = _compile(item.expr, schema)

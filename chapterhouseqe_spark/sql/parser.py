@@ -63,6 +63,10 @@ class SelectItem:
     expr: object | None  # None => wildcard '*'
     alias: str | None
     wildcard: bool = False
+    # qualified wildcard ``t.*`` — the reference ERRORS on this
+    # (record_projection.rs:33-38 "Alias not supported"); implemented
+    # here instead of replicating the gap.
+    qualifier: str | None = None
 
 
 @dataclass
@@ -314,6 +318,17 @@ class _Parser:
         while True:
             if self.accept("op", "*"):
                 items.append(SelectItem(None, None, wildcard=True))
+            elif (
+                self.peek().kind == "ident"
+                and self.tokens[self.i + 1].kind == "op"
+                and self.tokens[self.i + 1].text == "."
+                and self.tokens[self.i + 2].kind == "op"
+                and self.tokens[self.i + 2].text == "*"
+            ):
+                qual = self.next().text  # ident
+                self.next()  # '.'
+                self.next()  # '*'
+                items.append(SelectItem(None, None, wildcard=True, qualifier=qual))
             else:
                 expr = self.expression()
                 alias = None

@@ -55,6 +55,76 @@ def load_glob(
     return spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(resolved)
 
 
+def _scan_call_args(sql: str, open_paren: int) -> tuple[str, int] | None:
+    """Scan a call's argument text from the ``(`` at ``open_paren`` to its
+    MATCHING ``)``, honoring single-quoted strings (with doubled-quote
+    escapes) and nested parens — so a ``)`` or ``(`` inside a quoted
+    path never terminates the scan early. Returns (argstr, index after
+    the closing paren), or None if the parens never balance.
+    """
+    depth = 0
+    in_str = False
+    i = open_paren
+    n = len(sql)
+    while i < n:
+        c = sql[i]
+        if in_str:
+            if c == "'":
+                if i + 1 < n and sql[i + 1] == "'":
+                    i += 2  # escaped quote
+                    continue
+                in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return sql[open_paren + 1 : i], i + 1
+        i += 1
+    return None
+
+
+def _split_top_level_args(argstr: str) -> list[str]:
+    """Split an argument string on commas at paren-depth 0 and outside
+    quoted strings — a ``,`` inside a quoted path is path text."""
+    parts: list[str] = []
+    buf: list[str] = []
+    in_str = False
+    depth = 0
+    i = 0
+    n = len(argstr)
+    while i < n:
+        c = argstr[i]
+        if in_str:
+            buf.append(c)
+            if c == "'":
+                if i + 1 < n and argstr[i + 1] == "'":
+                    buf.append("'")
+                    i += 2
+                    continue
+                in_str = False
+        elif c == "'":
+            in_str = True
+            buf.append(c)
+        elif c == "(":
+            depth += 1
+            buf.append(c)
+        elif c == ")":
+            depth -= 1
+            buf.append(c)
+        elif c == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(c)
+        i += 1
+    if buf or parts:
+        parts.append("".join(buf))
+    return parts
+
+
 def rewrite_table_functions(
     spark: SparkSession,
     sql: str,
@@ -67,13 +137,19 @@ def rewrite_table_functions(
     ``read_table``, and any user-registered builder), so full Spark SQL
     can mix them with joins/aggregates/CTEs. See
     :func:`rewrite_read_files` for the rewrite rules.
+
+    Argument lists are tokenized quote- and paren-aware (a path may
+    legally contain ``)`` or ``,``); a call site whose arguments are not
+    string literals raises a clear error instead of leaking an unknown
+    function name into Spark's parser (the reference grammar only admits
+    literal args — read_files_task.rs:45-105).
     """
     from chapterhouseqe_spark.sql.table_functions import default_table_functions
 
     registry = registry or ConnectionRegistry()
     functions = functions or default_table_functions()
     pattern = re.compile(
-        r"\b(?P<fn>" + "|".join(map(re.escape, functions.names())) + r")\s*\((?P<argstr>[^)]*)\)",
+        r"\b(?P<fn>" + "|".join(map(re.escape, functions.names())) + r")\s*\(",
         re.IGNORECASE,
     )
     arg_re = re.compile(
@@ -83,37 +159,47 @@ def rewrite_table_functions(
     out: list[str] = []
     last = 0
     for m in pattern.finditer(sql):
+        if m.start() < last:
+            continue  # inside an already-consumed call span
         if sql.count("'", 0, m.start()) % 2 == 1:
             continue  # inside a string literal — not a call site
         fn = m.group("fn").lower()
+        scanned = _scan_call_args(sql, m.end() - 1)
+        if scanned is None:
+            raise ValueError(
+                f"unbalanced parentheses in {fn}(...) call at offset {m.start()}"
+            )
+        argstr, call_end = scanned
         args: list[str] = []
         kwargs: dict[str, str] = {}
-        argstr = m.group("argstr")
-        for part in argstr.split(",") if argstr.strip() else []:
+        for part in _split_top_level_args(argstr) if argstr.strip() else []:
             am = arg_re.fullmatch(part)
             if am is None:
-                break  # not a rewritable literal call — leave untouched
+                raise ValueError(
+                    f"{fn}(...) argument {part!r} is not a string literal — "
+                    "table-function arguments must be quoted literals "
+                    "(optionally name=>'value')"
+                )
             val = am.group("val").replace("''", "'")
             if am.group("name"):
                 kwargs[am.group("name").lower()] = val
             else:
                 args.append(val)
-        else:
-            digest = hashlib.md5(
-                f"{fn}\x00{args}\x00{sorted(kwargs.items())}".encode()
-            ).hexdigest()[:10]
-            view = (
-                fn
-                + "_"
-                + re.sub(r"[^A-Za-z0-9]", "_", "_".join(args))[:64]
-                + "_"
-                + digest
-            )
-            df = functions.get(fn).build(spark, args, kwargs, registry)
-            df.createOrReplaceTempView(view)
-            out.append(sql[last : m.start()])
-            out.append(view)
-            last = m.end()
+        digest = hashlib.md5(
+            f"{fn}\x00{args}\x00{sorted(kwargs.items())}".encode()
+        ).hexdigest()[:10]
+        view = (
+            fn
+            + "_"
+            + re.sub(r"[^A-Za-z0-9]", "_", "_".join(args))[:64]
+            + "_"
+            + digest
+        )
+        df = functions.get(fn).build(spark, args, kwargs, registry)
+        df.createOrReplaceTempView(view)
+        out.append(sql[last : m.start()])
+        out.append(view)
+        last = call_end
     out.append(sql[last:])
     return "".join(out)
 

@@ -249,3 +249,15 @@ def test_projection_scalar_broadcast(spark):
     stmt = parse_select("select a, 10 as ten, a + 10 as a10 from t")
     out = project(df, stmt.items).collect()
     assert [(r["a"], r["ten"], r["a10"]) for r in out] == [(1, 10, 11), (2, 10, 12)]
+
+
+def test_projection_qualified_wildcard(spark):
+    # t.* expands to the aliased source's columns; unknown qualifier errors
+    import pytest
+
+    df = spark.createDataFrame([(1, 2.0)], "id int, v float")
+    stmt = parse_select("select t.*, id + 1 as nxt from src t")
+    out = project(df, stmt.items, alias="t")
+    assert out.columns == ["id", "v", "nxt"]
+    with pytest.raises(ValueError, match="unknown table qualifier"):
+        project(df, parse_select("select zz.* from src t").items, alias="t")

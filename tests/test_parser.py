@@ -98,3 +98,11 @@ def test_split_statements_respects_quotes():
 
 def test_split_statements_drops_empty():
     assert split_statements(";;  ;") == []
+
+
+def test_qualified_wildcard_parses():
+    # t.* — the reference errors here (record_projection.rs:33-38);
+    # we parse it as a qualified wildcard instead
+    stmt = parse_select("select t.*, id from read_files('x.parquet') t")
+    assert stmt.items[0].wildcard and stmt.items[0].qualifier == "t"
+    assert not stmt.items[1].wildcard

@@ -80,3 +80,44 @@ def test_csv_and_json_sources(spark, sf_dir, tmp_path):
     assert csv_df.count() == 5
     assert json_df.count() == 5
     assert set(csv_df.columns) == {"r_regionkey", "r_name"}
+
+
+def test_rewrite_path_with_parens_and_comma(spark, sf_dir, tmp_path):
+    # ')' and ',' are legal path characters; the quote-aware scanner must
+    # not terminate the call early or mis-split the argument list.
+    weird = tmp_path / "odd (v1), final"
+    spark.read.parquet(f"{sf_dir}/region.parquet").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(weird / "region.parquet"))
+    sql = rewrite_read_files(
+        spark, f"select count(*) as n from read_files('{weird}/region.parquet')"
+    )
+    assert "read_files(" not in sql
+    assert spark.sql(sql).collect()[0]["n"] == 5
+
+
+def test_rewrite_nonliteral_arg_raises(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="not a string literal"):
+        rewrite_read_files(spark, "select * from read_files(some_column)")
+
+
+def test_rewrite_unbalanced_parens_raises(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="unbalanced"):
+        rewrite_read_files(spark, "select * from read_files('x.parquet'")
+
+
+def test_rewrite_literal_with_call_then_real_call(spark, sf_dir):
+    # a quoted literal CONTAINING a call plus a genuine call later in the
+    # same statement: parity skips the first, scanner rewrites the second
+    sql = (
+        f"select 'use read_files(''a,b).parquet'') please' as hint, r_name "
+        f"from read_files('{sf_dir}/region.parquet')"
+    )
+    rewritten = rewrite_read_files(spark, sql)
+    assert "read_files(''a,b)" in rewritten
+    assert rewritten.count("read_files(") == 1  # only the literal remains
+    assert len(spark.sql(rewritten).collect()) == 5
