@@ -224,25 +224,20 @@ def minhash_lsh_pairs(
             )
         ).alias("e"),
     ).select("id", "e.band", "e.bh")
-    # persist the (id, band, bh) frame: its lineage is the whole
-    # signature pipeline, and it feeds BOTH sides of the self-join plus
-    # the final verify pass — unpersisted, Spark recomputes signatures
-    # 3× (measured 2.3× wall-clock at sf0.1). It is bands× the doc
-    # count in rows but only ~24 B/row, and spills at 100 TB. Persisting
-    # BEFORE the skew cap means the cap's bucket-count pass warms the
-    # cache instead of recomputing signatures.
-    band_rows = band_rows.persist(StorageLevel.MEMORY_AND_DISK)
+    # One groupBy(band, bh) shuffle collects each bucket's ids; pairs
+    # are exploded JVM-side from the sorted array. This beats a band
+    # self-join: one exchange instead of two, the skew cap is a FREE
+    # filter on the aggregated array size (no separate bucket-count
+    # aggregation + anti-join), and the per-bucket quadratic work lands
+    # on exactly the same task either way (a join keyed on the bucket
+    # hashes a whole bucket to one partition too). A capped bucket is
+    # ≤ max_band_bucket ids ≈ 80 KB per array row — bounded memory.
+    buckets = (
+        band_rows.groupBy("band", "bh")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     if max_band_bucket is not None:
-        # hot-bucket set is tiny by construction (only over-cap buckets)
-        # → broadcast anti-join, evaluated lazily inside the same action
-        # as the self-join so the cap costs one extra aggregation over
-        # the CACHED band frame, never a separate job.
-        hot = (
-            band_rows.groupBy("band", "bh")
-            .count()
-            .filter(F.col("count") > max_band_bucket)
-            .select("band", "bh")
-        )
         if logger.isEnabledFor(logging.DEBUG):
             # counting forces a pass — only pay it when drop-count
             # observability was explicitly asked for.
@@ -250,20 +245,24 @@ def minhash_lsh_pairs(
                 "minhash_lsh_pairs: %d band buckets exceed max_band_bucket=%d "
                 "and are dropped from candidate generation (pairs inside them "
                 "still surface via their other %d bands)",
-                hot.count(),
+                buckets.filter(F.size("ids") > max_band_bucket).count(),
                 max_band_bucket,
                 bands - 1,
             )
-        band_rows = band_rows.join(F.broadcast(hot), ["band", "bh"], "left_anti")
-    a, b = band_rows.alias("a"), band_rows.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.id") < F.col("b.id")),
+        buckets = buckets.filter(F.size("ids") <= max_band_bucket)
+    ids = F.array_sort("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    cand = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     return _jaccard_on_pairs(cand, sh).filter(F.col("jaccard") >= threshold)
@@ -440,6 +439,41 @@ def connected_components(
         )
     finally:
         edges.unpersist()
+
+
+def embedding_dedup_keep_first(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup removal: drop every vector that has a
+    smaller-id neighbor with cosine ≥ threshold (greedy first-keeper).
+
+    The ∃-smaller-similar rule is order-independent and expressible in
+    plain SQL, so the result is oracle-checkable — unlike the
+    connected-components canonicalization in :func:`near_dedup_keep`,
+    which needs iteration. Note the two disagree on chains (1~2, 2~3,
+    1≁3: this drops BOTH 2 and 3; CC keeps only 1 as well here — they
+    differ when a dropped doc is the only link to its keeper).
+
+    ``candidates`` defaults to the exact all-pairs
+    :func:`~chapterhouseqe_spark.operators.similarity.cosine_pairs`
+    (quadratic — audit tier). At scale pass LSH candidates instead::
+
+        cand = lsh_bucket_candidates(emb)
+        cand = cand.join(emb, ...)  # rerank with cosine ≥ threshold
+        embedding_dedup_keep_first(emb, t, candidates=cand)
+
+    Any (id_a, id_b) frame with id_a < id_b and cosine ≥ threshold works.
+    """
+    if candidates is None:
+        from chapterhouseqe_spark.operators.similarity import cosine_pairs
+
+        candidates = cosine_pairs(emb, threshold, id_col, vec_col)
+    dropped = candidates.select(F.col("id_b").alias(id_col)).distinct()
+    return emb.join(dropped, id_col, "left_anti")
 
 
 def near_dedup_keep(

@@ -172,26 +172,65 @@ def lsh_bucket_candidates(
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    n_centroids: int,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Distributed k-means centroids via Spark ML (k-means|| init).
+
+    Returns (cid, cvec) with cid 0..n_centroids-1. The fit is one MLlib
+    job over the corpus (Lloyd iterations, each a map-side partial-sum
+    aggregation — the same shuffle shape as a groupBy); deterministic for
+    a fixed seed and input. Falls back to first-N-by-id seeding if
+    pyspark.ml is unavailable in the runtime.
+    """
+    spark = emb.sparkSession
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+    except ImportError:  # minimal runtimes without MLlib
+        return None
+    feats = ensure_parallelism(emb).select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feats)
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(rows, "cid long, cvec array<double>")
+
+
 def ivf_assign(
     emb: DataFrame,
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroid_method: str = "kmeans",
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantization: (centroids, assignments).
 
-    Centroids are seeded deterministically from the first ``n_centroids``
-    vectors by id (production: swap for Spark ML k-means — the
-    assignment/search machinery below is unchanged). Every corpus vector
-    joins its nearest centroid: one broadcast cross join + one window
-    argmin, a single pass over the corpus.
+    ``centroid_method='kmeans'`` (default) fits Spark ML k-means for the
+    coarse quantizer — balanced cells, the production choice.
+    ``'first'`` seeds from the first ``n_centroids`` vectors by id —
+    deterministic without an MLlib fit, useful for tests/oracles. Either
+    way the search machinery is identical, and top-k at full probe is
+    exact regardless of centroid quality. Every corpus vector joins its
+    nearest centroid: one broadcast cross join + one window argmin, a
+    single pass over the corpus.
     """
-    centroids = (
-        ensure_parallelism(emb)
-        .orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-    )
+    centroids = None
+    if centroid_method == "kmeans":
+        centroids = kmeans_centroids(emb, n_centroids, vec_col)
+    if centroids is None:  # 'first', or MLlib unavailable
+        centroids = (
+            ensure_parallelism(emb)
+            .orderBy(id_col)
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        )
     corpus = ensure_parallelism(emb).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
@@ -215,16 +254,20 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroid_method: str = "kmeans",
 ) -> DataFrame:
     """IVF approximate top-k: search only the ``nprobe`` closest
     centroid buckets per probe.
 
     With ``nprobe == n_centroids`` this is EXACT (equals
-    :func:`cosine_topk`) — the test pins that. At scale the win is that
-    each probe touches ~nprobe/n_centroids of the corpus; buckets are
-    the shuffle key, so a probe batch fans out to its buckets only.
+    :func:`cosine_topk`) — the test pins that for BOTH centroid methods.
+    At scale the win is that each probe touches ~nprobe/n_centroids of
+    the corpus; buckets are the shuffle key, so a probe batch fans out
+    to its buckets only.
     """
-    centroids, assignments = ivf_assign(emb, n_centroids, id_col, vec_col)
+    centroids, assignments = ivf_assign(
+        emb, n_centroids, id_col, vec_col, centroid_method
+    )
     probes = emb.filter(probe_filter).select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pvec")
     )

@@ -1811,3 +1811,261 @@ def tpch_q19_disjunctive(spark, sf_dir):
     return j.filter(cond).agg(
         drevenue(F.col("l_extendedprice"), F.col("l_discount")).alias("revenue")
     )
+
+
+@query(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+    tags=("tpch", "subquery", "agg"),
+    doc="TPC-H q4 shape (lateness = shipped >60 days after order date; "
+    "testdata has no commit/receipt dates): correlated EXISTS "
+    "decorrelated into a distinct-key semi-join keyed on o_orderkey — "
+    "the semi-join and the aggregation share no shuffle, but the "
+    "lineitem side carries only (l_orderkey) after pruning",
+)
+def tpch_q4_order_priority(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (
+        li.join(o.select("o_orderkey", "o_orderdate"),
+                li["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey")
+    )
+    return (
+        o.join(late, o["o_orderkey"] == late["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+      GROUP BY c_custkey
+    ) per_cust
+    GROUP BY c_count
+    """,
+    tags=("tpch", "join", "agg"),
+    doc="TPC-H q13 shape: orders-per-customer histogram — left outer "
+    "join with an ON-clause filter (kept on the join, NOT pushed to "
+    "WHERE, so zero-order customers survive), two stacked aggregations; "
+    "the second agg's input is one row per customer, tiny",
+)
+def tpch_q13_customer_distribution(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderstatus")
+    per_cust = (
+        c.join(
+            o,
+            (c["c_custkey"] == o["o_custkey"]) & (o["o_orderstatus"] != "F"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "tpch_q16_supplier_count",
+    oracle="""
+    SELECT p_brand, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45'
+      AND p_size IN (1, 2, 3, 4, 5, 10, 15, 20)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    """,
+    tags=("tpch", "subquery", "agg"),
+    doc="TPC-H q16 shape (lineitem as the part-supplier bridge: testdata "
+    "has no partsupp): NOT IN over a filtered key set as a broadcast "
+    "anti-join (s_suppkey is non-null so NOT IN ≡ anti-join), part "
+    "broadcasts, COUNT DISTINCT per group",
+)
+def tpch_q16_supplier_count(spark, sf_dir):
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & F.col("p_size").isin(1, 2, 3, 4, 5, 10, 15, 20)
+    ).select("p_partkey", "p_brand", "p_size")
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad_supp = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    li = li.join(
+        F.broadcast(bad_supp), li["l_suppkey"] == bad_supp["s_suppkey"], "left_anti"
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    WITH part_avg AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE)
+               / COUNT(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN part_avg USING (l_partkey)
+    WHERE p_brand = 'Brand#23' AND l_quantity < 0.2 * avg_qty
+    """,
+    tags=("tpch", "subquery", "agg"),
+    doc="TPC-H q17 shape: correlated per-part AVG decorrelated into a "
+    "grouped pre-aggregation joined back on l_partkey (same shuffle key "
+    "both sides); the avg is decimal-sum/count so both engines compute "
+    "bit-identical doubles before the 0.2× threshold",
+)
+def tpch_q17_small_quantity_revenue(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    part_avg = (
+        li.groupBy("l_partkey")
+        .agg(
+            (
+                F.sum(F.col("l_quantity").cast("decimal(27,4)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_qty")
+        )
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select(
+        "p_partkey"
+    )
+    return (
+        li.join(part_avg, "l_partkey")
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (dsum(F.col("l_extendedprice")) / 7.0).alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "tpch_q21_waiting_supplier",
+    oracle="""
+    WITH l AS (
+      SELECT l_orderkey, l_suppkey,
+             CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+                  THEN 1 ELSE 0 END AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+    ),
+    per_order AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS ns,
+             COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS nl
+      FROM l GROUP BY l_orderkey
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM l
+    JOIN per_order USING (l_orderkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE l.late = 1 AND per_order.ns >= 2 AND per_order.nl = 1
+    GROUP BY s_name
+    """,
+    tags=("tpch", "subquery", "agg"),
+    doc="TPC-H q21 shape (lateness = shipped >30 days after order date): "
+    "the EXISTS(other supplier)/NOT EXISTS(other late supplier) pair "
+    "decorrelates into one per-order aggregation (distinct suppliers, "
+    "distinct LATE suppliers) joined back on l_orderkey — the same "
+    "shuffle key as the lineitem-orders join, so the heavy frames stay "
+    "co-partitioned; supplier broadcasts",
+)
+def tpch_q21_waiting_supplier(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    lo = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        ).alias("late"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("ns"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("nl"),
+    )
+    qual = lo.filter(F.col("late")).join(
+        per_order.filter((F.col("ns") >= 2) & (F.col("nl") == 1)).select("l_orderkey"),
+        "l_orderkey",
+        "left_semi",
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        qual.join(F.broadcast(s), qual["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@query(
+    "tpch_q22_global_sales_opportunity",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,4))) AS DOUBLE) / COUNT(*)
+               AS a
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(27,4))) AS DOUBLE) AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > avg_bal.a
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+    tags=("tpch", "subquery", "agg"),
+    doc="TPC-H q22 shape (nationkey stands in for the phone country "
+    "code): scalar AVG subquery (decimal-sum/count, bit-identical "
+    "across engines) + NOT EXISTS as an anti-join on o_custkey; the "
+    "scalar broadcasts, the anti-join is the only shuffle",
+)
+def tpch_q22_global_sales_opportunity(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(27,4)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("a")
+        )
+    )
+    o = t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )

@@ -351,6 +351,46 @@ def embedding_cosine_pairs(spark, sf_dir):
 
 
 @query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             a.embedding AS ea, b.embedding AS eb
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < b.vec_id
+    ),
+    dots AS (
+      SELECT id_a, id_b,
+             list_reduce(
+               list_transform(generate_series(1, len(ea)),
+                              i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)),
+               (acc, x) -> acc + x) AS dot
+      FROM pairs
+    ),
+    {_COSINE_NORMS_CTE},
+    dropped AS (
+      SELECT DISTINCT d.id_b AS vec_id
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.id_a
+      JOIN norms nb ON nb.vec_id = d.id_b
+      WHERE d.dot / (na.nrm * nb.nrm) >= 0.4
+    )
+    SELECT e.vec_id FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
+    tags=("pipeline", "dedup", "similarity"),
+    doc="embedding-cosine near-dup removal (greedy first-keeper: drop "
+    "any vector with a smaller-id neighbor at cosine ≥ 0.4) — "
+    "operators/dedup.py:embedding_dedup_keep_first",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    from chapterhouseqe_spark.operators.dedup import embedding_dedup_keep_first
+
+    emb = t(spark, sf_dir, "embeddings")
+    return embedding_dedup_keep_first(emb, threshold=0.4).select("vec_id")
+
+
+@query(
     "embedding_ann_lsh",
     oracle=None,  # probabilistic bucketing — rows-only check
     tags=("pipeline", "similarity"),

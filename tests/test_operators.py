@@ -279,3 +279,32 @@ def test_lsh_hot_bucket_salting(spark):
     }
     assert 0 < len(salted) < len(unsalted)
     assert salted <= unsalted
+
+
+def test_ivf_kmeans_and_first_seeding_both_exact_at_full_probe(spark, sf_dir):
+    from chapterhouseqe_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    brute = cosine_topk(emb, F.col("vec_id") < 3, k=2)
+    as_set = lambda df: {(r["probe_id"], r["id_b"], r["sim"]) for r in df.collect()}
+    for method in ("kmeans", "first"):
+        ivf = ivf_topk(
+            emb, F.col("vec_id") < 3, k=2, n_centroids=4, nprobe=4,
+            centroid_method=method,
+        )
+        assert as_set(ivf) == as_set(brute), method
+
+
+def test_embedding_dedup_keep_first(spark):
+    from chapterhouseqe_spark.operators.dedup import embedding_dedup_keep_first
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),   # near-dup of 0 → dropped
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.98, 0.2, 0.0]),   # near-dup of 2 → dropped
+        (4, [0.0, 0.0, 0.0, 1.0]),    # unique → kept
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = sorted(r["vec_id"] for r in embedding_dedup_keep_first(emb, 0.9).collect())
+    assert kept == [0, 2, 4]
