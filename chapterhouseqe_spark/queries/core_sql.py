@@ -2069,3 +2069,190 @@ def tpch_q22_global_sales_opportunity(spark, sf_dir):
             dsum(F.col("c_acctbal")).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "tpch_q7_nation_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS l_year,
+           {o_drevenue('l_extendedprice', 'l_discount')} AS revenue
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+    """,
+    tags=("tpch", "join", "agg"),
+    doc="TPC-H q7 shape: shipping volume between two nations by year — "
+    "a five-way join where every dimension (supplier, customer, both "
+    "nation sides) broadcasts and lineitem-orders is the single "
+    "key-partitioned fact join; the nation-pair disjunction prunes "
+    "AFTER the broadcast joins but the date window pushes to the scan",
+)
+def tpch_q7_nation_volume(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), s["s_nationkey"] == F.col("n1_key"))
+        .join(F.broadcast(n2), c["c_nationkey"] == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(drevenue(F.col("l_extendedprice"), F.col("l_discount")).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q9_nation_year_profit",
+    oracle=f"""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           {o_drevenue('l_extendedprice', 'l_discount')} AS sum_profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+    tags=("tpch", "join", "agg"),
+    doc="TPC-H q9 shape (profit = discounted revenue: testdata has no "
+    "partsupp supply cost): part-name LIKE prunes the fact early via a "
+    "broadcast semi-ish join on p_partkey; nation/supplier/part all "
+    "broadcast, the lineitem-orders join is the one shuffle",
+)
+def tpch_q9_nation_year_profit(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%")).select(
+        "p_partkey"
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            drevenue(F.col("l_extendedprice"), F.col("l_discount")).alias(
+                "sum_profit"
+            )
+        )
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             {o_drevenue('l_extendedprice', 'l_discount')} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+    tags=("tpch", "subquery", "agg"),
+    doc="TPC-H q15 shape: the revenue 'view' is a grouped aggregation; "
+    "the MAX scalar subquery broadcasts back over it (1-row cross "
+    "join), exactly Spark's decorrelation of the self-referencing "
+    "MAX — revenue is decimal-exact so the equality is portable",
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        drevenue(F.col("l_extendedprice"), F.col("l_discount")).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "tpch_q20_excess_supplier",
+    oracle="""
+    WITH per_ps AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(27,4))) AS q
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%bolt%'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    per_p AS (
+      SELECT l_partkey, SUM(q) AS tq FROM per_ps GROUP BY l_partkey
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM per_ps JOIN per_p USING (l_partkey)
+      WHERE CAST(q AS DOUBLE) > 0.3 * CAST(tq AS DOUBLE))
+    """,
+    tags=("tpch", "subquery", "agg"),
+    doc="TPC-H q20 shape (shipped-share threshold stands in for "
+    "partsupp availability): two stacked aggregations on the shared "
+    "(l_partkey[, l_suppkey]) shuffle key, the dominance filter, then "
+    "IN → left-semi join into supplier",
+)
+def tpch_q20_excess_supplier(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%")).select(
+        "p_partkey"
+    )
+    per_ps = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(27,4)")).alias("q"))
+    )
+    per_p = per_ps.groupBy("l_partkey").agg(F.sum("q").alias("tq"))
+    dominant = (
+        per_ps.join(per_p, "l_partkey")
+        .filter(F.col("q").cast("double") > 0.3 * F.col("tq").cast("double"))
+        .select("l_suppkey")
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return s.join(
+        dominant, s["s_suppkey"] == dominant["l_suppkey"], "left_semi"
+    )
