@@ -268,6 +268,38 @@ class QueryEngine:
 
         return [self.run_query_sync(stmt, mode) for stmt in split_statements(sql)]
 
+    def materialize(
+        self,
+        sql: str,
+        path: str,
+        mode: str = "spark",
+        partition_by: list[str] | None = None,
+        max_records_per_file: int | None = None,
+        save_mode: str = "overwrite",
+    ) -> int:
+        """ETL-style sink: run a query and write the result as a
+        (optionally hive-partitioned) parquet dataset; returns the row
+        count.
+
+        This is the scale-out counterpart of the result-paging sink
+        (reference MaterializeFiles, materialize_files_task.rs: one flat
+        directory of 10k-row files): ``partition_by`` gives downstream
+        readers partition pruning on the listed columns, and
+        ``maxRecordsPerFile`` bounds file size WITHOUT a coalesce (write
+        parallelism = upstream partitions). No row-id column is added —
+        results fetched by cursor go through :meth:`run_query` instead.
+        """
+        df = self.dataframe_for(sql, mode)
+        writer = df.write.mode(save_mode)
+        if max_records_per_file or self.max_records_per_file:
+            writer = writer.option(
+                "maxRecordsPerFile", max_records_per_file or self.max_records_per_file
+            )
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        return self.spark.read.parquet(path).count()
+
     # ---------------------------------------------------------- status
     def status(self, query_id: str) -> QueryStatus:
         return self._state(query_id).status

@@ -137,6 +137,7 @@ GRADE_ORDER: tuple[str, ...] = (
     "events_sliding_window",
     "events_user_activity",
     "events_sessionization",
+    "events_enriched_rollup",
     # (b) never graded: dedup family
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -122,3 +122,31 @@ def events_sessionization(spark, sf_dir):
     from chapterhouseqe_spark.streaming.sessions import sessionize
 
     return sessionize(t(spark, sf_dir, "events"), gap="30 minutes")
+
+
+@query(
+    "events_enriched_rollup",
+    oracle=f"""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {o_dsum('value')} AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("streaming", "join"),
+    doc="stream-static enrichment join — batch equivalent of "
+    "streaming.windows.stream_enrich (dimension broadcasts, no "
+    "stream-side state); customer stands in for the user dimension",
+)
+def events_enriched_rollup(spark, sf_dir):
+    from chapterhouseqe_spark.streaming.windows import stream_enrich
+
+    ev = t(spark, sf_dir, "events")
+    dim = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    enriched = stream_enrich(
+        ev.withColumnRenamed("user_id", "c_custkey"), dim, "c_custkey", "inner"
+    )
+    return enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value")).alias("sum_value"),
+    )

@@ -214,3 +214,25 @@ def test_reference_mode_order_by_limit(engine, sf_dir):
     assert [(r["n_regionkey"], r["n_nationkey"]) for r in rows2] == [
         (0, 20), (0, 15), (0, 10)
     ]
+
+
+def test_materialize_partitioned(engine, sf_dir, tmp_path):
+    out = str(tmp_path / "mat")
+    n = engine.materialize(
+        f"select o_orderstatus, o_orderkey, o_totalprice "
+        f"from read_files('{sf_dir}/orders.parquet')",
+        out,
+        partition_by=["o_orderstatus"],
+    )
+    spark = engine.spark
+    assert n == spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    # hive-style partition dirs exist and partition pruning applies
+    import os
+
+    dirs = [d for d in os.listdir(out) if d.startswith("o_orderstatus=")]
+    assert len(dirs) >= 2
+    pruned = spark.read.parquet(out).filter("o_orderstatus = 'F'")
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan

@@ -156,3 +156,26 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # the checkpointed watermark (12:50) drops it; nothing new finalizes
     write("f2.parquet", [(d(10, 15), "a", 1.0)])
     assert run() == set()
+
+
+def test_stream_enrich_equals_batch_join(spark, sf_dir):
+    from chapterhouseqe_spark.streaming.windows import stream_enrich
+
+    users = spark.createDataFrame(
+        [(i, f"tier_{i % 3}") for i in range(200)], "user_id long, tier string"
+    )
+    ev = read_events_stream(spark, sf_dir)
+    enriched = stream_enrich(ev, users, "user_id").groupBy("tier").count()
+    result = run_stream_to_memory(enriched, "t_stream_enrich", "complete")
+    import pyspark.sql.functions as F
+    from chapterhouseqe_spark.queries.core_sql import t as load_t
+
+    batch = (
+        load_t(spark, sf_dir, "events")
+        .join(F.broadcast(users), "user_id", "left")
+        .groupBy("tier")
+        .count()
+    )
+    assert sorted(map(tuple, result.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
