@@ -138,6 +138,7 @@ GRADE_ORDER: tuple[str, ...] = (
     "events_user_activity",
     "events_sessionization",
     "events_enriched_rollup",
+    "events_click_to_purchase",
     # (b) never graded: dedup family
     "dedup_exact",
     "dedup_minhash_lsh",

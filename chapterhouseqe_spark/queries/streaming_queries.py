@@ -150,3 +150,36 @@ def events_enriched_rollup(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         dsum(F.col("value")).alias("sum_value"),
     )
+
+
+@query(
+    "events_click_to_purchase",
+    oracle=f"""
+    SELECT c.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           {o_dsum('p.value')} AS purchase_value
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND p.ts >  c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    GROUP BY c.user_id
+    """,
+    tags=("streaming", "join"),
+    doc="click→purchase attribution within 1h — batch equivalent of "
+    "streaming.windows.stream_stream_join (watermarked range-bounded "
+    "stream-stream join; state is O(rate × horizon))",
+)
+def events_click_to_purchase(spark, sf_dir):
+    from chapterhouseqe_spark.streaming.windows import stream_stream_join
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = stream_stream_join(clicks, purchases, "user_id")
+    return joined.groupBy(F.col("l_key").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        dsum(F.col("r_value")).alias("purchase_value"),
+    )

@@ -124,6 +124,50 @@ def stream_enrich(
     return events.join(F.broadcast(dim), on, how)
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    time_col: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Windowed stream-stream inner join: right events within
+    ``(left.ts, left.ts + within]`` for the same key.
+
+    Both sides carry watermarks and the join condition bounds the time
+    range, so Spark can evict state: each side buffers only rows inside
+    its watermark horizon — state is O(rate × horizon), not O(stream).
+    An unbounded-condition stream-stream join would grow state forever;
+    the range predicate is what makes this 100 TB/day-safe. Output
+    columns are prefixed l_/r_ to keep both sides addressable.
+    """
+    l = left.withWatermark(time_col, watermark).select(
+        F.col(key).alias("l_key"),
+        F.col(time_col).alias("l_ts"),
+        *[
+            F.col(c).alias(f"l_{c}")
+            for c in left.columns
+            if c not in (key, time_col)
+        ],
+    )
+    r = right.withWatermark(time_col, watermark).select(
+        F.col(key).alias("r_key"),
+        F.col(time_col).alias("r_ts"),
+        *[
+            F.col(c).alias(f"r_{c}")
+            for c in right.columns
+            if c not in (key, time_col)
+        ],
+    )
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond)
+
+
 def stream_dedup(
     events: DataFrame, key_cols: list[str], watermark: str = "2 hours"
 ) -> DataFrame:

@@ -179,3 +179,29 @@ def test_stream_enrich_equals_batch_join(spark, sf_dir):
     assert sorted(map(tuple, result.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    """Watermarked range-bounded stream-stream join (append mode)
+    produces exactly the batch join's pairs."""
+    import pyspark.sql.functions as F
+    from chapterhouseqe_spark.streaming.windows import stream_stream_join
+
+    ev = read_events_stream(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = stream_stream_join(clicks, purchases, "user_id")
+    result = run_stream_to_memory(joined, "t_ss_join", "append")
+
+    from chapterhouseqe_spark.queries.core_sql import t as load_t
+
+    bev = load_t(spark, sf_dir, "events")
+    bc = bev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    bp = bev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    batch = stream_stream_join(bc, bp, "user_id")
+    key = lambda r: (r["l_key"], r["l_ts"], r["r_ts"], r["r_value"])
+    assert sorted(map(key, result.collect())) == sorted(map(key, batch.collect()))
