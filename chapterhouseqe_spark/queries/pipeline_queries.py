@@ -672,3 +672,48 @@ def text_tfidf_top_terms(spark, sf_dir):
     from chapterhouseqe_spark.functions.text import tfidf_top_terms
 
     return tfidf_top_terms(t(spark, sf_dir, "documents"), "text", "doc_id", k=5)
+
+
+@query(
+    "text_top_bigrams",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split_regex(lower(trim(text)), '\\s+') AS tk
+      FROM documents
+    ),
+    bi AS (
+      SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+                                   i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+      FROM toks WHERE len(tk) >= 2
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM bi GROUP BY bigram
+    ORDER BY cnt DESC, bigram
+    LIMIT 20
+    """,
+    tags=("pipeline", "text"),
+    doc="corpus-level top-k bigram frequencies — generator + one keyed "
+    "shuffle with map-side partial counts, then TakeOrderedAndProject; "
+    "the n-gram construction mirrors operators/dedup.py:word_shingles "
+    "(explicit empty array below 2 tokens: sequence(1,0) descends)",
+)
+def text_top_bigrams(spark, sf_dir):
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n = F.size(toks) - 1
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram"))
+        .limit(20)
+    )

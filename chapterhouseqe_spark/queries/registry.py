@@ -161,6 +161,7 @@ GRADE_ORDER: tuple[str, ...] = (
     "text_quality_score",
     "text_fingerprint",
     "text_tfidf_top_terms",
+    "text_top_bigrams",
     # (b) never graded: multimodal + custom source family
     "multimodal_binary_meta",
     "multimodal_decode_features",
