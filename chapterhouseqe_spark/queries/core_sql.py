@@ -2256,3 +2256,203 @@ def tpch_q20_excess_supplier(spark, sf_dir):
     return s.join(
         dominant, s["s_suppkey"] == dominant["l_suppkey"], "left_semi"
     )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+    WITH elig AS (
+      SELECT s_suppkey, s_acctbal, s_name, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    ps AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    rps AS (
+      SELECT ps.l_partkey, ps.cost, elig.s_acctbal, elig.s_name, elig.n_name,
+             MIN(ps.cost) OVER (PARTITION BY ps.l_partkey) AS min_cost
+      FROM ps JOIN elig ON ps.l_suppkey = elig.s_suppkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, cost
+    FROM rps JOIN part ON p_partkey = l_partkey
+    WHERE p_size <= 5 AND cost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    tags=("tpch", "subquery", "window"),
+    doc="TPC-H q2 shape (min-cost supplier; unit price from lineitem "
+    "stands in for partsupp supply cost): the correlated "
+    "MIN-per-part subquery decorrelates into a window MIN over the "
+    "region-restricted part-supplier frame — one shuffle to build "
+    "(partkey, suppkey) costs, one to repartition by partkey for the "
+    "window; supplier/nation/region and the part filter all "
+    "broadcast. cost is a single IEEE double division, so the "
+    "cost = min_cost equality is bit-portable across engines",
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal", "s_name", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select("r_regionkey")
+    elig = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    ps = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    rps = (
+        ps.join(F.broadcast(elig), ps["l_suppkey"] == elig["s_suppkey"])
+        .withColumn("min_cost", F.min("cost").over(w))
+    )
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 5)
+        .select("p_partkey", "p_brand")
+    )
+    return (
+        rps.filter(F.col("cost") == F.col("min_cost"))
+        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "cost")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle="""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN nation = 'NATION_1' THEN vol
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+           / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(12,2)) *
+             (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))) AS vol,
+             n2.n_name AS nation
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region    ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+    ) AS all_nations
+    GROUP BY o_year
+    """,
+    tags=("tpch", "join", "agg"),
+    doc="TPC-H q8 shape: supplier-nation market share within a "
+    "customer region — the eight-way join keeps lineitem-orders as "
+    "the single key-partitioned shuffle (date + p_type filters push "
+    "to the scans) while part/customer/supplier/nation(x2)/region "
+    "broadcast; both numerator and denominator accumulate in the "
+    "decimal domain and only the final ratio drops to double, so "
+    "the share is order-insensitive and engine-exact",
+)
+def tpch_q8_market_share(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation"))
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    one = F.lit(1).cast("decimal(3,2)")
+    vol = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        one - F.col("l_discount").cast("decimal(3,2)")
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n1), c["c_nationkey"] == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == r["r_regionkey"])
+        .join(F.broadcast(n2), s["s_nationkey"] == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.alias("vol"),
+            "nation",
+        )
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("nation") == "NATION_1", F.col("vol")).otherwise(zero)
+                ).cast("double")
+                / F.sum("vol").cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey AS ps_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS value_dec
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'
+      GROUP BY l_partkey
+    )
+    SELECT ps_partkey, CAST(value_dec AS DOUBLE) AS part_value
+    FROM pv
+    WHERE CAST(value_dec AS DOUBLE) >
+          (SELECT CAST(SUM(value_dec) AS DOUBLE) * 0.001 FROM pv)
+    ORDER BY part_value DESC, ps_partkey
+    """,
+    tags=("tpch", "subquery", "agg"),
+    doc="TPC-H q11 shape (important stock: shipped value per part for "
+    "one nation's suppliers stands in for partsupp stock value): "
+    "nation-filtered supplier set broadcasts into the fact scan, one "
+    "partkey-shuffled decimal agg, then the global-total scalar "
+    "subquery broadcasts back over it — the HAVING-vs-global "
+    "threshold compares doubles derived from exact decimal sums on "
+    "both engines, so the cut is portable",
+)
+def tpch_q11_important_stock(spark, sf_dir):
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3").select(
+        "n_nationkey"
+    )
+    elig = s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]).select(
+        "s_suppkey"
+    )
+    pv = (
+        t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(elig), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(27,4)")).alias("value_dec"))
+    )
+    total = pv.agg((F.sum("value_dec").cast("double") * F.lit(0.001)).alias("thresh"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("value_dec").cast("double") > F.col("thresh"))
+        .select(
+            "ps_partkey", F.col("value_dec").cast("double").alias("part_value")
+        )
+        .orderBy(F.col("part_value").desc(), "ps_partkey")
+    )

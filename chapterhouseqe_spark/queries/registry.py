@@ -181,17 +181,16 @@ GRADE_ORDER: tuple[str, ...] = (
     "tpch_q10_returned_items",
     "tpch_q12_priority_class",
     "tpch_q19_disjunctive",
-    # new this round: qualified wildcard + subquery-decorrelation shapes
+    # new this round: qualified wildcard + subquery-decorrelation shapes.
+    # Exactly 50 entries — the driver grades a 50-entry prefix of
+    # queries() order, so every slot is spent on a query with no prior
+    # driver evidence (r2-red fixes + never-graded families). Everything
+    # past the window (incl. the previously-green core set and the
+    # remaining new tpch shapes) follows in registration order and is
+    # still oracle-checked locally on every pytest run.
     "ref_qualified_wildcard",
     "tpch_q4_order_priority",
     "tpch_q13_customer_distribution",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q21_waiting_supplier",
-    # (c) previously-green representative (slot 50); the rest of the
-    # previously-green core queries follow in registration order — all
-    # still oracle-checked locally every pytest run, with r2 driver rows
-    # on record.
-    "ref_scan_filter_project",
 )
 
 
