@@ -717,3 +717,36 @@ def text_top_bigrams(spark, sf_dir):
         .orderBy(F.col("cnt").desc(), F.col("bigram"))
         .limit(20)
     )
+
+
+@query(
+    "bucketed_colocated_join",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS segment_total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("pipeline", "bucketing", "join"),
+    doc="fact join through same-count bucketed table copies "
+    "(operators/bucketing.py): both sides persist HashPartitioning "
+    "with the data, so the SortMergeJoin runs with ZERO exchanges — "
+    "the 100 TB pattern for every repeated join on a shared key "
+    "(pinned by tests/test_bucketing.py::"
+    "test_colocated_join_module_has_no_exchange). The groupBy after "
+    "the join is the only shuffle in the whole plan",
+)
+def bucketed_colocated_join(spark, sf_dir):
+    from chapterhouseqe_spark.operators.bucketing import colocated_join
+
+    joined = colocated_join(
+        spark, sf_dir, "orders", "customer", "o_custkey", "c_custkey",
+        num_buckets=8,
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(27,4)"))
+        .cast("double")
+        .alias("segment_total"),
+    )

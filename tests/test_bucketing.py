@@ -72,3 +72,33 @@ def test_bucketed_join_correct(spark, bucketed_tables, sf_dir):
         .count()
     )
     assert sorted(map(tuple, bucketed.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_colocated_join_module_has_no_exchange(spark, sf_dir):
+    from chapterhouseqe_spark.operators.bucketing import colocated_join
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = colocated_join(
+            spark, sf_dir, "orders", "customer", "o_custkey", "c_custkey",
+            num_buckets=8,
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert joined.count() == spark.read.parquet(
+            f"{sf_dir}/orders.parquet"
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_tables_idempotent(spark, sf_dir):
+    from chapterhouseqe_spark.operators.bucketing import bucketed_tables
+
+    first = bucketed_tables(spark, sf_dir, {"nation": ["n_nationkey"]}, num_buckets=4)
+    second = bucketed_tables(spark, sf_dir, {"nation": ["n_nationkey"]}, num_buckets=4)
+    assert first == second
+    assert spark.table(first["nation"]).count() == spark.read.parquet(
+        f"{sf_dir}/nation.parquet"
+    ).count()
