@@ -87,13 +87,20 @@ def word_shingles(text: Column, k: int = 3) -> Column:
 def with_shingles(
     df: DataFrame, text_col: str, id_col: str, k: int = 3
 ) -> DataFrame:
+    # Filter BEFORE computing shingles, on the cheap token count. A
+    # filter on size(shingles) placed after the select gets pushed below
+    # the projection by substituting the whole shingle expression into
+    # the predicate — the array then builds twice per row (measured 3.3s
+    # vs 0.5s for the sf0.1 corpus). Token count < k ⇔ empty shingle
+    # array (word_shingles emits no index in exactly that case), so the
+    # pre-filter is equivalent.
     return (
         ensure_parallelism(df)
+        .filter(F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= k)
         .select(
             F.col(id_col).alias("id"),
             word_shingles(F.col(text_col), k).alias("shingles"),
         )
-        .filter(F.size("shingles") > 0)
     )
 
 
