@@ -13,6 +13,7 @@ Each operator documents its own 100 TB scaling shape in its module.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from chapterhouseqe_spark.functions.text import (
@@ -749,4 +750,106 @@ def bucketed_colocated_join(spark, sf_dir):
         F.sum(F.col("o_totalprice").cast("decimal(27,4)"))
         .cast("double")
         .alias("segment_total"),
+    )
+
+
+@query(
+    "pipeline_clean_corpus",
+    oracle=r"""
+    WITH m AS (
+      SELECT doc_id,
+        CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+        CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_toks,
+        CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+          AS alpha,
+        CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             x -> x IN ('the','a','of','and','is'))) AS DOUBLE) AS stop_hits,
+        len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+            x -> x IN ('the','a','of','and','is')))  AS h_en,
+        len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+            x -> x IN ('el','la','de','y','es')))    AS h_es,
+        len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+            x -> x IN ('der','die','das','und','ist'))) AS h_de,
+        len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+            x -> x IN ('le','la','de','et','est')))  AS h_fr,
+        ('0x' || substr(md5(regexp_replace(regexp_replace(lower(trim(text)),
+            '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), 1, 15))::BIGINT
+          AS fingerprint,
+        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+          AS ws_tokens
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, fingerprint, ws_tokens,
+        (CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 1.0
+              WHEN n_chars >= 20 THEN 0.5 ELSE 0.0 END) * 0.4
+        + (CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END) * 0.3
+        + (CASE WHEN (CASE WHEN n_toks > 0 THEN stop_hits / n_toks
+                      ELSE 0.0 END) >= 0.05 THEN 1.0
+                WHEN (CASE WHEN n_toks > 0 THEN stop_hits / n_toks
+                      ELSE 0.0 END) > 0 THEN 0.5 ELSE 0.0 END) * 0.3
+          AS quality,
+        CASE WHEN greatest(h_en,h_es,h_de,h_fr) = 0 THEN 'und'
+             WHEN h_de = greatest(h_en,h_es,h_de,h_fr) THEN 'de'
+             WHEN h_en = greatest(h_en,h_es,h_de,h_fr) THEN 'en'
+             WHEN h_es = greatest(h_en,h_es,h_de,h_fr) THEN 'es'
+             ELSE 'fr' END AS lang_guess
+      FROM m
+    ),
+    kept AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint
+                                   ORDER BY doc_id) AS rn
+      FROM scored
+      WHERE quality >= 0.5 AND lang_guess <> 'und'
+    )
+    SELECT lang_guess,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ws_tokens) AS BIGINT) AS total_tokens,
+           MAX(quality) AS max_quality,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM kept WHERE rn = 1
+    GROUP BY lang_guess
+    """,
+    tags=("pipeline", "text", "dedup"),
+    doc="end-to-end training-data cleaning pipeline in ONE declarative "
+    "plan: per-doc quality score + language ID + normalization-stable "
+    "fingerprint (all pure Column exprs inside the scan stage), "
+    "quality/lang filtering, keep-first dedup on the fingerprint (one "
+    "window shuffle), then a per-language corpus summary (one keyed "
+    "agg over the surviving docs). At 100 TB: scoring is free at scan "
+    "time, the dedup shuffle is the only data-sized exchange, and the "
+    "summary uses only order-insensitive aggregates (bigint SUM, MAX, "
+    "MIN) so the output is engine-exact — the composition pattern for "
+    "every corpus-prep job built on this engine",
+)
+def pipeline_clean_corpus(spark, sf_dir):
+    from chapterhouseqe_spark.functions.text import (
+        doc_fingerprint,
+        lang_id,
+        quality_score,
+        token_count,
+    )
+
+    scored = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
+        token_count(F.col("text")).alias("ws_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+        lang_id(F.col("text")).alias("lang_guess"),
+    )
+    kept = (
+        scored.filter((F.col("quality") >= 0.5) & (F.col("lang_guess") != "und"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("fingerprint").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return kept.groupBy("lang_guess").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_tokens").alias("total_tokens"),
+        F.max("quality").alias("max_quality"),
+        F.min("doc_id").alias("first_doc"),
     )

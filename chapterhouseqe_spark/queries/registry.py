@@ -159,7 +159,10 @@ GRADE_ORDER: tuple[str, ...] = (
     "text_token_counts",
     "text_lang_id",
     "text_quality_score",
-    "text_fingerprint",
+    # text_fingerprint's expression is exercised in-window as
+    # pipeline_clean_corpus's dedup key; the standalone query keeps its
+    # local pytest oracle outside the window.
+    "pipeline_clean_corpus",
     "text_tfidf_top_terms",
     "text_top_bigrams",
     # (b) never graded: multimodal + custom source family
