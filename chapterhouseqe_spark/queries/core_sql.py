@@ -2480,3 +2480,40 @@ def tpch_q11_important_stock(spark, sf_dir):
         )
         .orderBy(F.col("part_value").desc(), "ps_partkey")
     )
+
+
+@query(
+    "salted_skew_join",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {o_drevenue('l_extendedprice', 'l_discount')} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "skew"),
+    doc="skew-resistant salted join (operators/util.py:salted_join): "
+    "the fact side is salted into 16 sub-keys and the other side "
+    "replicated 16x, so a hot orderkey spreads over 16 tasks instead "
+    "of one straggler — the tool for keys too hot for AQE's skew "
+    "split. Semantics are exactly a plain inner join (oracle is the "
+    "unsalted SQL); the per-priority decimal rollup is "
+    "order-insensitive so the result is engine-exact",
+)
+def salted_skew_join(spark, sf_dir):
+    from chapterhouseqe_spark.operators.util import salted_join
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        li.withColumnRenamed("l_orderkey", "k"),
+        o.withColumnRenamed("o_orderkey", "k"),
+        on=["k"],
+        salt_buckets=16,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        drevenue(F.col("l_extendedprice"), F.col("l_discount")).alias("revenue"),
+    )
