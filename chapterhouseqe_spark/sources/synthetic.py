@@ -15,7 +15,12 @@ with executors exactly like a real external source would.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class _RangePartition(InputPartition):
@@ -46,8 +51,41 @@ class SyntheticReader(DataSourceReader):
             yield (i, (i * 37 % 1000) / 10.0, f"l{i % 5}")
 
 
+def _row(i: int):
+    # deterministic, seedless arithmetic shared by batch and stream paths
+    return (i, (i * 37 % 1000) / 10.0, f"l{i % 5}")
+
+
+class SyntheticStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch stream over the same deterministic rows.
+
+    Offsets are plain row counters, so `readBetweenOffsets` replays any
+    committed range bit-for-bit — exactly the replayability contract a
+    real offset-tracking source (Kafka, log tail) provides for
+    exactly-once sinks. ``batch_rows`` rows arrive per trigger until
+    ``max_rows``, then the stream idles (empty batches, same offset).
+    """
+
+    def __init__(self, options: dict):
+        self.batch_rows = int(options.get("batch_rows", 10))
+        self.max_rows = int(options.get("max_rows", 100))
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def read(self, start: dict):
+        lo = int(start["offset"])
+        hi = min(lo + self.batch_rows, self.max_rows)
+        return iter([_row(i) for i in range(lo, hi)]), {"offset": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_row(i) for i in range(int(start["offset"]), int(end["offset"]))])
+
+
 class SyntheticDataSource(DataSource):
-    """``spark.read.format("chqe_synthetic").option("rows", N).load()``"""
+    """``spark.read.format("chqe_synthetic").option("rows", N).load()``
+    or ``spark.readStream.format("chqe_synthetic")`` for the micro-batch
+    variant of the same deterministic rows."""
 
     @classmethod
     def name(cls) -> str:
@@ -58,6 +96,9 @@ class SyntheticDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticReader:
         return SyntheticReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SyntheticStreamReader:
+        return SyntheticStreamReader(self.options)
 
 
 def register_synthetic_source(spark) -> None:

@@ -103,3 +103,39 @@ def test_custom_python_datasource(spark):
     by_id = {r["id"]: r for r in rows}
     assert by_id[10]["value"] == (10 * 37 % 1000) / 10.0
     assert by_id[13]["label"] == "l3"
+
+
+def test_custom_python_datasource_streaming(spark, tmp_path):
+    # SimpleDataSourceStreamReader: the same deterministic rows arrive
+    # incrementally (batch_rows per trigger); the aggregate over all
+    # micro-batches must equal the batch source's answer.
+    import time
+
+    from chapterhouseqe_spark.sources.synthetic import register_synthetic_source
+
+    register_synthetic_source(spark)
+    stream = (
+        spark.readStream.format("chqe_synthetic")
+        .option("batch_rows", 7)
+        .option("max_rows", 50)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("synth_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table("synth_stream").count() >= 50:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = spark.table("synth_stream").collect()
+    assert len(got) == 50
+    batch = spark.read.format("chqe_synthetic").option("rows", 50).load()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch.collect()))
