@@ -38,3 +38,31 @@ def register_default_udfs(spark: SparkSession) -> list[str]:
     spark.udf.register("chqe_charge", chqe_charge)
     spark.udf.register("chqe_word_count", chqe_word_count)
     return ["chqe_charge", "chqe_word_count"]
+
+
+def register_default_udtfs(spark: SparkSession) -> list[str]:
+    """Register the engine's built-in Python UDTFs; returns the names.
+
+    ``chqe_ngrams`` (SURVEY §2.10's table-function mapping): one row per
+    word n-gram of the input text, with its position. Usable from SQL as
+    a lateral table function —
+    ``SELECT d.doc_id, g.ngram FROM docs d, LATERAL chqe_ngrams(d.text, 2) g``.
+
+    The class is defined inside this function ON PURPOSE: a module-level
+    class pickles by reference, and importing this module on an executor
+    re-runs the module-level ``@pandas_udf`` decorators, which need an
+    active session the Python worker doesn't have. A local class is
+    serialized by value instead.
+    """
+    from pyspark.sql.functions import udtf
+
+    class ChqeNgrams:
+        def eval(self, text: str, n: int):
+            toks = (text or "").split()
+            for i in range(len(toks) - n + 1):
+                yield " ".join(toks[i : i + n]), i
+
+    spark.udtf.register(
+        "chqe_ngrams", udtf(ChqeNgrams, returnType="ngram string, pos int")
+    )
+    return ["chqe_ngrams"]

@@ -139,3 +139,25 @@ def test_custom_python_datasource_streaming(spark, tmp_path):
     assert len(got) == 50
     batch = spark.read.format("chqe_synthetic").option("rows", 50).load()
     assert sorted(map(tuple, got)) == sorted(map(tuple, batch.collect()))
+
+
+def test_python_udtf_lateral(spark):
+    # §2.10: Python UDTF as a SQL lateral table function
+    from chapterhouseqe_spark.functions.udfs import register_default_udtfs
+
+    assert "chqe_ngrams" in register_default_udtfs(spark)
+    spark.createDataFrame(
+        [(1, "a b c"), (2, "x y")], "doc_id int, text string"
+    ).createOrReplaceTempView("udtf_docs")
+    rows = spark.sql(
+        """
+        SELECT d.doc_id, g.ngram, g.pos
+        FROM udtf_docs d, LATERAL chqe_ngrams(d.text, 2) g
+        ORDER BY d.doc_id, g.pos
+        """
+    ).collect()
+    assert [tuple(r) for r in rows] == [
+        (1, "a b", 0),
+        (1, "b c", 1),
+        (2, "x y", 0),
+    ]
