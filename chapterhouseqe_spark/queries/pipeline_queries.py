@@ -853,3 +853,61 @@ def pipeline_clean_corpus(spark, sf_dir):
         F.max("quality").alias("max_quality"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@query(
+    "pipeline_hash_split",
+    oracle=r"""
+    WITH assigned AS (
+      SELECT lang,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS ws_tokens,
+             CASE
+               WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+                 THEN 'train'
+               WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 95
+                 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM documents
+    )
+    SELECT lang, split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(ws_tokens) AS BIGINT) AS total_tokens
+    FROM assigned
+    GROUP BY lang, split
+    """,
+    tags=("pipeline", "sampling"),
+    doc="deterministic hash-based train/val/test split (90/5/5): each "
+    "document's split is a pure function of its id (md5 bucket), so "
+    "the assignment is stable across reruns, engines, partitionings, "
+    "and data growth — the correct way to split a 100 TB corpus "
+    "(random sample() is neither reproducible across cluster sizes "
+    "nor consistent when the corpus is re-read). Zero extra shuffles: "
+    "the assignment is a scan-stage expression; the summary is one "
+    "keyed agg",
+)
+def pipeline_hash_split(spark, sf_dir):
+    from chapterhouseqe_spark.queries.registry import md5_int
+
+    bucket = F.pmod(md5_int(F.col("doc_id").cast("string")), F.lit(100))
+    split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    from chapterhouseqe_spark.functions.text import token_count
+
+    return (
+        t(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            token_count(F.col("text")).alias("ws_tokens"),
+            split.alias("split"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_tokens").alias("total_tokens"),
+        )
+    )
