@@ -61,6 +61,21 @@ BENCH_QUERIES = [
     "multimodal_decode_features",
 ]
 
+# round-3 additions, timed separately so ``value`` (the headline total)
+# stays directly comparable with earlier rounds' BENCH_r{N}.json
+EXTENDED_QUERIES = [
+    "tpch_q2_min_cost_supplier",
+    "tpch_q8_market_share",
+    "tpch_q11_important_stock",
+    "pipeline_clean_corpus",
+    "pipeline_hash_split",
+    "text_top_bigrams",
+    "salted_skew_join",
+    # includes the one-time bucketed-table write (that upfront cost IS
+    # the bucketing trade: pay one write, every later join shuffles zero)
+    "bucketed_colocated_join",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -86,6 +101,14 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    extended: dict[str, float] = {}
+    for name in EXTENDED_QUERIES:
+        build = queries[name]
+        t0 = time.time()
+        df = build(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        extended[name] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -94,6 +117,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extended": extended,
+                "extended_total": round(sum(extended.values()), 3),
                 "sf": sf,
             }
         )

@@ -26,6 +26,14 @@ def _tokens(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
+def lc_tokens(text: Column) -> Column:
+    """Lower-cased whitespace tokens — materialize this ONCE (a select
+    boundary) when several scoring expressions share it: each Column
+    function below otherwise embeds its own split(), and five scoring
+    expressions over one document means five tokenizations per row."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
 def token_count(text: Column) -> Column:
     """Whitespace token count (BIGINT)."""
     return F.size(_tokens(text)).cast("bigint")
@@ -43,8 +51,12 @@ def word_token_count(text: Column) -> Column:
 
 def _marker_hits(text: Column, markers: tuple[str, ...]) -> Column:
     """How many tokens of ``text`` are in the marker set (term frequency)."""
-    toks = _tokens(F.lower(text))
-    return F.size(F.filter(toks, lambda tk: tk.isin(*markers))).cast("bigint")
+    return marker_hits_from(_tokens(F.lower(text)), markers)
+
+
+def marker_hits_from(lc_toks: Column, markers: tuple[str, ...]) -> Column:
+    """Marker hits over an already-tokenized lower-cased array."""
+    return F.size(F.filter(lc_toks, lambda tk: tk.isin(*markers))).cast("bigint")
 
 
 def lang_id(text: Column) -> Column:
@@ -54,7 +66,12 @@ def lang_id(text: Column) -> Column:
     argmax with a fixed alphabetical tiebreak, or 'und' when nothing hits.
     Deterministic and SQL-expressible (greatest + case chain).
     """
-    scores = {lang: _marker_hits(text, m) for lang, m in LANG_MARKERS.items()}
+    return lang_id_from(lc_tokens(text))
+
+
+def lang_id_from(lc_toks: Column) -> Column:
+    """:func:`lang_id` over a materialized lower-cased token array."""
+    scores = {lang: marker_hits_from(lc_toks, m) for lang, m in LANG_MARKERS.items()}
     best = F.greatest(*scores.values())
     # alphabetical order, first match wins (build reversed so earlier
     # languages take precedence) — mirror this exact rule in the oracle
@@ -66,12 +83,16 @@ def lang_id(text: Column) -> Column:
     return result
 
 
-def quality_score(text: Column) -> Column:
+def quality_score(text: Column, lc_toks: Column | None = None) -> Column:
     """Heuristic document quality in [0,1]: length band + alpha ratio +
     stopword presence. Same double arithmetic on both engines → exact.
+    Pass a materialized ``lc_toks`` (see :func:`lc_tokens`) to avoid
+    re-tokenizing when composing with other scoring expressions.
     """
     n_chars = F.length(text).cast("double")
-    n_toks = token_count(text).cast("double")
+    n_toks = (
+        F.size(lc_toks) if lc_toks is not None else token_count(text)
+    ).cast("double")
     alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("double")
     alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
     len_band = (
@@ -79,7 +100,11 @@ def quality_score(text: Column) -> Column:
         .when(n_chars >= 20, F.lit(0.5))
         .otherwise(F.lit(0.0))
     )
-    stop_hits = _marker_hits(text, LANG_MARKERS["en"]).cast("double")
+    stop_hits = (
+        marker_hits_from(lc_toks, LANG_MARKERS["en"])
+        if lc_toks is not None
+        else _marker_hits(text, LANG_MARKERS["en"])
+    ).cast("double")
     stop_ratio = F.when(n_toks > 0, stop_hits / n_toks).otherwise(F.lit(0.0))
     stop_band = (
         F.when(stop_ratio >= 0.05, F.lit(1.0))

@@ -40,6 +40,50 @@ def salted_join(
     return joined.drop("__salt_l", "__salt_r")
 
 
+def targeted_salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salt_buckets: int = 16,
+    hot_row_threshold: int = 1_000_000,
+    sample_fraction: float = 0.001,
+    seed: int = 42,
+) -> DataFrame:
+    """Production skew join: salt ONLY detected hot keys.
+
+    Unconditional salting (:func:`salted_join`) replicates the whole
+    small side ``salt_buckets``× — the right tool when the caller KNOWS
+    the key is skewed, but a ~10× tax when it isn't. This variant pays a
+    seeded sample + tiny aggregation to estimate per-key row counts,
+    splits the large side into hot (estimated > ``hot_row_threshold``
+    rows) and cold partitions, salts only the hot slice (small side
+    restricted to hot keys before replication), and unions with a plain
+    join for the rest. With no skew the hot set is empty and the cost
+    converges to the plain join. Result equals the unsalted join for
+    inner/left (each large row joins the same matches either way).
+
+    At 100 TB: the sample scan piggybacks on the main scan's I/O path,
+    the hot-key set is by construction tiny (keys holding >threshold
+    rows), and the union's two branches shuffle-partition independently
+    so a single pathological key no longer defines the straggler task.
+    """
+    est = (
+        large.sample(fraction=sample_fraction, seed=seed)
+        .groupBy(*on)
+        .count()
+        .filter(F.col("count") * (1.0 / sample_fraction) > hot_row_threshold)
+        .select(*on)
+    )
+    hot_keys = F.broadcast(est)
+    large_hot = large.join(hot_keys, on, "left_semi")
+    large_cold = large.join(hot_keys, on, "left_anti")
+    small_hot = small.join(hot_keys, on, "left_semi")
+    cold = large_cold.join(small, on, how)
+    hot = salted_join(large_hot, small_hot, on, how, salt_buckets)
+    return cold.unionByName(hot)
+
+
 def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Repartition when the scan under-partitions the cluster.
 

@@ -2492,22 +2492,24 @@ def tpch_q11_important_stock(spark, sf_dir):
     GROUP BY o_orderpriority
     """,
     tags=("join", "skew"),
-    doc="skew-resistant salted join (operators/util.py:salted_join): "
-    "the fact side is salted into 16 sub-keys and the other side "
-    "replicated 16x, so a hot orderkey spreads over 16 tasks instead "
-    "of one straggler — the tool for keys too hot for AQE's skew "
-    "split. Semantics are exactly a plain inner join (oracle is the "
+    doc="skew-resistant targeted salted join (operators/util.py:"
+    "targeted_salted_join): a seeded sample estimates per-key row "
+    "counts, keys hotter than the threshold are salted into 16 "
+    "sub-keys (small side replicated only for those keys), everything "
+    "else takes the plain join — so the operator costs ~a plain join "
+    "when the data isn't skewed and bounds the straggler task when it "
+    "is. Semantics are exactly a plain inner join (oracle is the "
     "unsalted SQL); the per-priority decimal rollup is "
     "order-insensitive so the result is engine-exact",
 )
 def salted_skew_join(spark, sf_dir):
-    from chapterhouseqe_spark.operators.util import salted_join
+    from chapterhouseqe_spark.operators.util import targeted_salted_join
 
     li = t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    joined = salted_join(
+    joined = targeted_salted_join(
         li.withColumnRenamed("l_orderkey", "k"),
         o.withColumnRenamed("o_orderkey", "k"),
         on=["k"],

@@ -82,3 +82,35 @@ def test_iter_results(spark, sf_dir, tmp_path):
     seen = [r["n_nationkey"] for r in eng.iter_results(qid, page_size=7)]
     assert len(seen) == 25
     assert sorted(seen) == list(range(25))
+
+
+def test_targeted_salted_join_equals_plain_join_under_skew(spark):
+    from chapterhouseqe_spark.operators.util import targeted_salted_join
+
+    # one pathologically hot key (90% of rows) + a uniform tail
+    hot = [(7, i) for i in range(9000)]
+    tail = [(k, k * 10) for k in range(1000)]
+    large = spark.createDataFrame(hot + tail, "k int, payload int")
+    small = spark.createDataFrame(
+        [(k, f"n{k}") for k in range(1000)], "k int, name string"
+    )
+    got = targeted_salted_join(
+        large, small, ["k"],
+        hot_row_threshold=1000, sample_fraction=0.1,
+    ).select("k", "payload", "name")
+    want = large.join(small, "k").select("k", "payload", "name")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_targeted_salted_join_no_skew_converges_to_plain(spark):
+    from chapterhouseqe_spark.operators.util import targeted_salted_join
+
+    large = spark.createDataFrame(
+        [(k % 100, k) for k in range(5000)], "k int, payload int"
+    )
+    small = spark.createDataFrame(
+        [(k, f"n{k}") for k in range(100)], "k int, name string"
+    )
+    got = targeted_salted_join(large, small, ["k"], hot_row_threshold=10**9)
+    want = large.join(small, "k")
+    assert got.count() == want.count() == 5000
