@@ -6,6 +6,11 @@ codegen); no Python row loops. Each operator documents its 100 TB
 execution shape: what shuffles, what broadcasts, where skew hides.
 """
 
+from chapterhouseqe_spark.operators.bucketing import (
+    bucketed_tables,
+    colocated_join,
+    write_bucketed,
+)
 from chapterhouseqe_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -17,13 +22,22 @@ from chapterhouseqe_spark.operators.similarity import (
     cosine_topk,
     lsh_bucket_candidates,
 )
+from chapterhouseqe_spark.operators.util import (
+    salted_join,
+    targeted_salted_join,
+)
 
 __all__ = [
+    "bucketed_tables",
+    "colocated_join",
     "cosine_pairs",
     "cosine_topk",
     "exact_dedup",
     "lsh_bucket_candidates",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
+    "salted_join",
     "simhash_fingerprints",
+    "targeted_salted_join",
+    "write_bucketed",
 ]
