@@ -2519,3 +2519,38 @@ def salted_skew_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_items"),
         drevenue(F.col("l_extendedprice"), F.col("l_discount")).alias("revenue"),
     )
+
+
+@query(
+    "heavy_hitters_freq",
+    oracle="""
+    WITH counts AS (
+      SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
+    ), tot AS (SELECT COUNT(*) AS total FROM orders)
+    SELECT o_custkey AS hot_key, CAST(n AS BIGINT) AS n_orders
+    FROM counts, tot
+    WHERE n > 0.0005 * total
+    ORDER BY n_orders DESC, hot_key
+    """,
+    tags=("agg", "sketch", "skew"),
+    doc="exact heavy hitters (support > 0.05% of rows): one keyed "
+    "count with map-side partial aggregation + a 1-row total that "
+    "broadcasts back — the exact two-pass formulation of "
+    "frequent-items. This is also the detection pass behind "
+    "targeted_salted_join's skew handling; Spark's freqItems "
+    "(approximate, fixed-size state) is the sketch alternative when "
+    "even the keyed count is too expensive, pinned in "
+    "tests/test_scale_utils.py",
+)
+def heavy_hitters_freq(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").select("o_custkey")
+    counts = o.groupBy(F.col("o_custkey").alias("hot_key")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    tot = o.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_orders") > F.lit(0.0005) * F.col("total"))
+        .select("hot_key", "n_orders")
+        .orderBy(F.col("n_orders").desc(), "hot_key")
+    )

@@ -114,3 +114,12 @@ def test_targeted_salted_join_no_skew_converges_to_plain(spark):
     got = targeted_salted_join(large, small, ["k"], hot_row_threshold=10**9)
     want = large.join(small, "k")
     assert got.count() == want.count() == 5000
+
+
+def test_freq_items_sketch_finds_hot_key(spark):
+    # the approximate (fixed-state) alternative to heavy_hitters_freq's
+    # exact keyed count: freqItems must surface a 60%-frequency key
+    rows = [(7,)] * 6000 + [(k,) for k in range(4000)]
+    df = spark.createDataFrame(rows, "k int")
+    found = df.freqItems(["k"], support=0.3).collect()[0]["k_freqItems"]
+    assert 7 in found
