@@ -102,3 +102,31 @@ def test_bucketed_tables_idempotent(spark, sf_dir):
     assert spark.table(first["nation"]).count() == spark.read.parquet(
         f"{sf_dir}/nation.parquet"
     ).count()
+
+
+def test_bucket_pruning_point_lookup(spark, sf_dir):
+    # a point lookup on the bucket key reads ONE bucket, not the table.
+    # autoBucketedScan normally disables bucketed scans when no
+    # join/agg consumes the distribution — turn it off so the pruned
+    # scan (and its SelectedBucketsCount) is observable.
+    import re
+
+    from pyspark.sql import functions as F
+
+    from chapterhouseqe_spark.operators.bucketing import bucketed_tables
+
+    prev = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        tables = bucketed_tables(
+            spark, sf_dir, {"customer": ["c_custkey"]}, num_buckets=8
+        )
+        df = spark.table(tables["customer"]).filter(F.col("c_custkey") == 5)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m and m.group(1) == "1" and m.group(2) == "8", plan[:1500]
+        assert df.count() == 1
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev
+        )
