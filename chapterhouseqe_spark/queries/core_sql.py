@@ -2554,3 +2554,32 @@ def heavy_hitters_freq(spark, sf_dir):
         .select("hot_key", "n_orders")
         .orderBy(F.col("n_orders").desc(), "hot_key")
     )
+
+
+@query(
+    "map_ops",
+    oracle="""
+    SELECT n_nationkey,
+           CAST(n_regionkey AS BIGINT) AS region_val,
+           CAST(2 AS INTEGER) AS map_sz,
+           'key,region' AS keys_sorted
+    FROM nation
+    """,
+    tags=("scalar", "map"),
+    doc="map-typed column functions (§2.8): map_from_arrays build, "
+    "element_at lookup, size, sorted map_keys — projected to scalars "
+    "because map cells (like raw arrays) break the driver's "
+    "canonicalizer; the oracle pins the VALUES the map ops must "
+    "produce. All pure Column exprs in the scan stage",
+)
+def map_ops(spark, sf_dir):
+    m = F.map_from_arrays(
+        F.array(F.lit("key"), F.lit("region")),
+        F.array(F.col("n_nationkey").cast("long"), F.col("n_regionkey").cast("long")),
+    )
+    return t(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        F.element_at(m, F.lit("region")).alias("region_val"),
+        F.size(m).alias("map_sz"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+    )
