@@ -2583,3 +2583,71 @@ def map_ops(spark, sf_dir):
         F.size(m).alias("map_sz"),
         F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
     )
+
+
+@query(
+    "array_higher_order",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           array_to_string(list_transform(generate_series(1, l_linenumber),
+                                          x -> x * x), ',') AS squares,
+           CAST(list_reduce(generate_series(1, l_linenumber),
+                            (a, b) -> a + b) AS BIGINT) AS seq_sum,
+           CAST(len(list_filter(generate_series(1, l_linenumber),
+                                x -> x % 2 = 0)) AS INTEGER) AS n_even,
+           list_contains(generate_series(1, l_linenumber), 3) AS has_three
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    """,
+    tags=("functions", "array"),
+    doc="higher-order array lambdas (§2.8): transform / aggregate (left "
+    "fold) / filter / exists over a sequence() array — the same "
+    "Catalyst lambda machinery the similarity and dedup operators use "
+    "for dot products and shingling, pinned here against DuckDB's "
+    "list_transform/list_reduce/list_filter/list_contains. Integer "
+    "domain throughout, so the fold is exact on both engines; arrays "
+    "string-encoded for the scalar-only graded projection",
+)
+def array_higher_order(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    arr = F.sequence(F.lit(1), F.col("l_linenumber"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.array_join(
+            F.transform(arr, lambda x: (x * x).cast("string")), ","
+        ).alias("squares"),
+        F.aggregate(arr, F.lit(0).cast("long"), lambda a, b: a + b).alias(
+            "seq_sum"
+        ),
+        F.size(F.filter(arr, lambda x: x % 2 == 0)).alias("n_even"),
+        F.exists(arr, lambda x: x == 3).alias("has_three"),
+    )
+
+
+@query(
+    "struct_ops",
+    oracle="""
+    SELECT n_nationkey,
+           struct_pack(k := n_nationkey, r := n_regionkey).r AS field_r,
+           CAST(to_json(struct_pack(k := n_nationkey, nm := n_name))
+                AS VARCHAR) AS js
+    FROM nation
+    """,
+    tags=("scalar", "struct"),
+    doc="struct-typed column functions (§2.8): struct() build, getField "
+    "access, to_json round-trip encoding — projected to scalars for the "
+    "graded frame (struct cells, like arrays/maps, break the driver's "
+    "canonicalizer). Spark to_json and DuckDB to_json agree on compact "
+    "key:value formatting for integer/string fields",
+)
+def struct_ops(spark, sf_dir):
+    n = t(spark, sf_dir, "nation")
+    s = F.struct(
+        F.col("n_nationkey").alias("k"), F.col("n_regionkey").alias("r")
+    )
+    js = F.struct(F.col("n_nationkey").alias("k"), F.col("n_name").alias("nm"))
+    return n.select(
+        "n_nationkey",
+        s.getField("r").alias("field_r"),
+        F.to_json(js).alias("js"),
+    )
