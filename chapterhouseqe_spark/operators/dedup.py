@@ -503,3 +503,46 @@ def near_dedup_keep(
     return df.join(
         survivors.withColumnRenamed("id", id_col), id_col, "left_semi"
     )
+
+
+def contamination_overlap(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark-contamination check: per train document, the number of
+    distinct k-word shingles it shares with ANY document in the eval
+    set (ref has no analog — standard training-data hygiene, same role
+    as the n-gram overlap checks used to decontaminate pretraining
+    corpora against held-out benchmarks).
+
+    Scale shape: eval sets are tiny relative to a 100 TB train corpus
+    (benchmarks are 1e3–1e5 docs), so the distinct eval shingle set is
+    collected into a broadcast hash relation — the train side is ONE
+    scan with no shuffle before the final doc-keyed count, and that
+    count is map-side combinable because each train partition holds
+    contiguous (doc, shingle) rows from its own explode. Nothing here
+    is quadratic: cost = |train shingles| hash probes.
+
+    Returns (id_col, n_overlap) for train docs with n_overlap >=
+    min_overlap.
+    """
+    ev = (
+        eval_df.select(
+            F.explode(word_shingles(F.col(text_col), k)).alias("s")
+        )
+        .distinct()
+    )
+    tr = train.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), k)).alias("s"),
+    )
+    return (
+        tr.join(F.broadcast(ev), "s")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )

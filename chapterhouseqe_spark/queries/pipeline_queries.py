@@ -921,3 +921,39 @@ def pipeline_hash_split(spark, sf_dir):
             F.sum("ws_tokens").alias("total_tokens"),
         )
     )
+
+
+@query(
+    "pipeline_contamination_check",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+            FROM toks) z
+    ),
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+    tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0)
+    SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+    FROM tr JOIN ev USING (s)
+    GROUP BY tr.doc_id
+    HAVING COUNT(*) >= 3
+    """,
+    tags=("pipeline", "hygiene"),
+    doc="benchmark-contamination check: train docs sharing >= 3 distinct "
+    "3-gram shingles with a (deterministic doc_id%50) eval split. Eval "
+    "shingles broadcast; the 100 TB train side is one scan + hash probe "
+    "+ map-side-combinable count — no train-side shuffle of text",
+)
+def pipeline_contamination_check(spark, sf_dir):
+    from chapterhouseqe_spark.operators.dedup import contamination_overlap
+
+    docs = t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    tr = docs.filter(F.col("doc_id") % 50 != 0)
+    return contamination_overlap(
+        tr, ev, "text", "doc_id", k=3, min_overlap=3
+    ).select("doc_id", F.col("n_overlap").cast("long").alias("n_overlap"))
