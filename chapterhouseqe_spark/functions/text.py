@@ -163,3 +163,24 @@ def tfidf_top_terms(
         .filter(F.col("rnk") <= k)
         .select("doc_id", "term", "tf", "df_t", "rnk")
     )
+
+
+def ngram_repetition_counts(text: Column, k: int) -> tuple[Column, Column]:
+    """(total, distinct) k-gram counts of a whitespace-tokenized text —
+    the inputs to a Gopher-style duplicate-n-gram quality filter
+    (repetitious boilerplate has distinct << total). Pure Column exprs
+    (sequence/transform/array_distinct) evaluated inside the scan stage;
+    both counts cast to long so they compare exactly against DuckDB's
+    BIGINT len(). Same sequence(1,0)-descending guard as
+    operators/dedup.py:word_shingles.
+    """
+    toks = _tokens(text)
+    n = F.size(toks) - (k - 1)
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    return (
+        F.size(grams).cast("long"),
+        F.size(F.array_distinct(grams)).cast("long"),
+    )

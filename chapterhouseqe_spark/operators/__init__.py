@@ -12,6 +12,7 @@ from chapterhouseqe_spark.operators.bucketing import (
     write_bucketed,
 )
 from chapterhouseqe_spark.operators.dedup import (
+    contamination_overlap,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -30,6 +31,7 @@ from chapterhouseqe_spark.operators.util import (
 __all__ = [
     "bucketed_tables",
     "colocated_join",
+    "contamination_overlap",
     "cosine_pairs",
     "cosine_topk",
     "exact_dedup",

@@ -957,3 +957,77 @@ def pipeline_contamination_check(spark, sf_dir):
     return contamination_overlap(
         tr, ev, "text", "doc_id", k=3, min_overlap=3
     ).select("doc_id", F.col("n_overlap").cast("long").alias("n_overlap"))
+
+
+@query(
+    "text_repetition_score",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    )
+    SELECT doc_id,
+           CAST(greatest(len(w) - 1, 0) AS BIGINT) AS total2,
+           CAST(len(list_distinct(list_transform(
+                generate_series(1, greatest(len(w) - 1, 0)),
+                i -> w[i] || ' ' || w[i+1]))) AS BIGINT) AS uniq2,
+           CAST(greatest(len(w) - 2, 0) AS BIGINT) AS total3,
+           CAST(len(list_distinct(list_transform(
+                generate_series(1, greatest(len(w) - 2, 0)),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS BIGINT)
+             AS uniq3
+    FROM toks
+    """,
+    tags=("pipeline", "text"),
+    doc="duplicate n-gram repetition profile (Gopher-style quality "
+    "signal): per-doc total vs distinct bigram/trigram counts — the "
+    "duplicate fraction 1 - uniq/total flags repetitious boilerplate. "
+    "Integer-domain outputs (no float ratio) so the oracle matches "
+    "bit-for-bit; all pure Column exprs in the scan stage, no shuffle "
+    "at any scale",
+)
+def text_repetition_score(spark, sf_dir):
+    from chapterhouseqe_spark.functions.text import ngram_repetition_counts
+
+    docs = t(spark, sf_dir, "documents")
+    t2, u2 = ngram_repetition_counts(F.col("text"), 2)
+    t3, u3 = ngram_repetition_counts(F.col("text"), 3)
+    return docs.select(
+        "doc_id",
+        t2.alias("total2"),
+        u2.alias("uniq2"),
+        t3.alias("total3"),
+        u3.alias("uniq3"),
+    )
+
+
+@query(
+    "pipeline_stratified_sample",
+    oracle=r"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+          < CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 50 ELSE 20 END
+    """,
+    tags=("pipeline", "sampling"),
+    doc="deterministic stratified sampling: per-language keep fractions "
+    "(en 80%, de 50%, others 20%) decided by an md5 bucket of the doc "
+    "id — unlike sampleBy(), membership is reproducible across reruns, "
+    "cluster sizes, and partitionings, and downstream stages can "
+    "recompute it as a pure filter (rebalancing language mix is a "
+    "standard pretraining-corpus step). Scan-stage expression only: "
+    "pushdown-friendly, no shuffle, no RNG state",
+)
+def pipeline_stratified_sample(spark, sf_dir):
+    from chapterhouseqe_spark.queries.registry import md5_int
+
+    thr = (
+        F.when(F.col("lang") == "en", F.lit(80))
+        .when(F.col("lang") == "de", F.lit(50))
+        .otherwise(F.lit(20))
+    )
+    bucket = F.pmod(md5_int(F.col("doc_id").cast("string")), F.lit(100))
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(bucket < thr)
+        .select("doc_id", "lang")
+    )
