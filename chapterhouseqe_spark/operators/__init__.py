@@ -18,6 +18,10 @@ from chapterhouseqe_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_fingerprints,
 )
+from chapterhouseqe_spark.operators.layout import (
+    cluster_write,
+    file_key_ranges,
+)
 from chapterhouseqe_spark.operators.similarity import (
     cosine_pairs,
     cosine_topk,
@@ -30,8 +34,10 @@ from chapterhouseqe_spark.operators.util import (
 
 __all__ = [
     "bucketed_tables",
+    "cluster_write",
     "colocated_join",
     "contamination_overlap",
+    "file_key_ranges",
     "cosine_pairs",
     "cosine_topk",
     "exact_dedup",
