@@ -74,6 +74,9 @@ EXTENDED_QUERIES = [
     # includes the one-time bucketed-table write (that upfront cost IS
     # the bucketing trade: pay one write, every later join shuffles zero)
     "bucketed_colocated_join",
+    "pipeline_contamination_check",
+    "text_repetition_score",
+    "pipeline_stratified_sample",
 ]
 
 

@@ -169,17 +169,30 @@ def ngram_repetition_counts(text: Column, k: int) -> tuple[Column, Column]:
     """(total, distinct) k-gram counts of a whitespace-tokenized text —
     the inputs to a Gopher-style duplicate-n-gram quality filter
     (repetitious boilerplate has distinct << total). Pure Column exprs
-    (sequence/transform/array_distinct) evaluated inside the scan stage;
-    both counts cast to long so they compare exactly against DuckDB's
-    BIGINT len(). Same sequence(1,0)-descending guard as
-    operators/dedup.py:word_shingles.
+    inside the scan stage; both counts cast to long so they compare
+    exactly against DuckDB's BIGINT len().
+
+    Grams are built by zipping k SHIFTED SLICES of the token array
+    (zip_with folds them pairwise), not by indexing per position: a
+    per-index lambda over the raw split() re-tokenizes the document for
+    every index once CollapseProject inlines the alias — the measured
+    O(tokens²) trap from text_top_bigrams (PLANS.md round-3 pass). The
+    shifted-slice form evaluates split() k times per row total and is
+    immune to projection collapse. slice(toks, i, 0) is a valid empty
+    slice, so texts shorter than k tokens yield zero grams with no
+    special-casing.
     """
+    from functools import reduce
+
     toks = _tokens(text)
-    n = F.size(toks) - (k - 1)
-    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
-        F.array().cast("array<int>")
+    cnt = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    shifted = [F.slice(toks, i + 1, cnt) for i in range(k)]
+    grams = reduce(
+        lambda acc, nxt: F.zip_with(
+            acc, nxt, lambda x, y: F.concat_ws(" ", x, y)
+        ),
+        shifted,
     )
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
     return (
         F.size(grams).cast("long"),
         F.size(F.array_distinct(grams)).cast("long"),
