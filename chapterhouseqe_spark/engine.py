@@ -198,6 +198,13 @@ class QueryEngine:
             # cross join (logical_planner.rs:277-283, SURVEY §2.7)
             df = df.unionByName(self._load_source(extra))
         alias = stmt.source.alias
+        if alias is None and isinstance(stmt.source, TableSource):
+            # standard SQL: an unaliased table is addressable by its own
+            # name (`select region.* from region`, `region.r_name`); an
+            # explicit alias replaces it. read_files(...) without an
+            # alias has no natural qualifier, matching the reference's
+            # table_aliases sidecar which registers only named entries.
+            alias = stmt.source.name
         if alias:
             df = df.alias(alias)
         if stmt.where is not None:
@@ -288,8 +295,18 @@ class QueryEngine:
         ``maxRecordsPerFile`` bounds file size WITHOUT a coalesce (write
         parallelism = upstream partitions). No row-id column is added —
         results fetched by cursor go through :meth:`run_query` instead.
+
+        The returned count is the rows WRITTEN BY THIS CALL, observed on
+        the write job itself (``Observation``) — not a re-read of the
+        output directory, which would double-scan the dataset and, under
+        ``save_mode='append'``, report pre-existing rows as written.
         """
-        df = self.dataframe_for(sql, mode)
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        df = self.dataframe_for(sql, mode).observe(
+            obs, F.count(F.lit(1)).alias("rows_written")
+        )
         writer = df.write.mode(save_mode)
         if max_records_per_file or self.max_records_per_file:
             writer = writer.option(
@@ -298,7 +315,7 @@ class QueryEngine:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
-        return self.spark.read.parquet(path).count()
+        return int(obs.get["rows_written"])
 
     # ---------------------------------------------------------- status
     def status(self, query_id: str) -> QueryStatus:

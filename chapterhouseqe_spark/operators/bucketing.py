@@ -63,9 +63,15 @@ def bucketed_tables(
     so distinct scale factors coexist; the source dirs are read-only
     test fixtures, so an existing table is always current.
     """
-    tag = hashlib.md5(f"{sf_dir}:{num_buckets}".encode()).hexdigest()[:8]
     out: dict[str, str] = {}
     for name, keys in specs.items():
+        # the cache key MUST include the bucket-key columns: the same
+        # table bucketed on a different key is a different physical
+        # layout, and silently reusing it would reintroduce the very
+        # Exchange this module exists to eliminate.
+        tag = hashlib.md5(
+            f"{sf_dir}:{num_buckets}:{','.join(keys)}".encode()
+        ).hexdigest()[:8]
         table = f"chqe_bkt{num_buckets}_{tag}_{name}"
         if not spark.catalog.tableExists(table):
             # a fresh metastore can coexist with a stale warehouse dir

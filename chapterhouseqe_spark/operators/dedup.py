@@ -268,19 +268,24 @@ def minhash_lsh_pairs(
                 bands - 1,
             )
         buckets = buckets.filter(F.size("ids") <= max_band_bucket)
+    # Two-step explode, NOT flatten(transform(...)) + one explode: the
+    # single-explode form materializes the whole O(S²) pair array as ONE
+    # row value before the generator iterates it — at the 10k cap that's
+    # 5·10⁷ structs (gigabytes) on one task. Exploding positions first
+    # and then each position's id_b slice keeps the largest in-flight
+    # value at the ids array itself (≤ ~80 KB at the cap); generators
+    # stream row-by-row, so the S² candidate rows never co-reside.
     ids = F.array_sort("ids")
-    pair_structs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
     cand = (
-        buckets.select(F.explode(pair_structs).alias("p"))
-        .select("p.id_a", "p.id_b")
+        buckets.select(
+            F.posexplode(ids).alias("i", "id_a"), ids.alias("ids")
+        )
+        .select(
+            "id_a",
+            F.explode(
+                F.slice("ids", F.col("i") + F.lit(2), F.size("ids"))
+            ).alias("id_b"),
+        )
         .distinct()
     )
     return _jaccard_on_pairs(cand, sh).filter(F.col("jaccard") >= threshold)
@@ -390,21 +395,25 @@ def connected_components(
     ``id``). Returns (id, component) where component is the smallest id
     reachable through the pair graph — the canonical survivor.
 
-    Iterative label propagation: each round every node takes the min of
-    its own label and its neighbors' labels; converges in O(graph
-    diameter) rounds. Near-dup clusters are shallow (pairs share
-    content), so this is 2-4 rounds in practice; each round is one
-    join + one aggregation, all shuffle-partitioned by id — the standard
-    big-graph CC shape when GraphFrames isn't available.
+    Each round combines one hop of neighbor-min propagation with one
+    POINTER-JUMP (every node also takes its label's label): the hop
+    moves the min label one edge, the jump halves remaining path
+    lengths, so convergence is O(log diameter) rounds — a 10^6-long
+    chain of serially-edited near-dups converges in ~20 rounds, and
+    ``max_iterations=50`` covers any graph that fits in storage (2^50
+    nodes) rather than capping the diameter. Near-dup clusters are
+    shallow anyway (2-4 rounds); each round is two joins + one
+    aggregation, all shuffle-partitioned by id — the standard big-graph
+    CC shape (hash-to-min) when GraphFrames isn't available.
 
     Iteration hygiene for billion-edge graphs: every round's label frame
     is persisted and the previous generation unpersisted, so round N
     never recomputes rounds 1..N-1; every ``checkpoint_every`` rounds
     the frame is ``localCheckpoint``-ed, truncating lineage so plan depth
     (and analyzer/serialization cost) stays O(checkpoint_every) instead
-    of O(rounds). ``max_iterations`` turns a pathological non-convergence
-    (can only happen with >2^50-diameter chains or a bug) into an error
-    rather than an infinite loop.
+    of O(rounds). ``max_iterations`` turns a pathological
+    non-convergence (now only reachable through a bug, given the
+    logarithmic bound) into an error rather than an infinite loop.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -423,12 +432,27 @@ def connected_components(
                 .groupBy("src")
                 .agg(F.min("component").alias("nmin"))
             )
-            updated = labels.join(
+            hopped = labels.join(
                 neighbor_min, labels.id == neighbor_min.src, "left"
             ).select(
                 "id",
                 F.least(
                     F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+            # pointer jump: follow my label to ITS label. Labels are
+            # always ids (mins over ids), so the lookup hits; each jump
+            # halves the remaining distance to the component minimum.
+            jump = hopped.select(
+                F.col("id").alias("jid"), F.col("component").alias("jcomp")
+            )
+            updated = hopped.join(
+                jump, hopped.component == jump.jid, "left"
+            ).select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("jcomp"), F.col("component")),
                 ).alias("component"),
             )
             if (i + 1) % checkpoint_every == 0:

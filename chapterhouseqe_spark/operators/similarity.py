@@ -213,13 +213,16 @@ def ivf_assign(
     """IVF coarse quantization: (centroids, assignments).
 
     ``centroid_method='kmeans'`` (default) fits Spark ML k-means for the
-    coarse quantizer — balanced cells, the production choice.
-    ``'first'`` seeds from the first ``n_centroids`` vectors by id —
-    deterministic without an MLlib fit, useful for tests/oracles. Either
-    way the search machinery is identical, and top-k at full probe is
-    exact regardless of centroid quality. Every corpus vector joins its
-    nearest centroid: one broadcast cross join + one window argmin, a
-    single pass over the corpus.
+    coarse quantizer — balanced cells, the production choice. NOTE the
+    fit is EAGER: it runs a full MLlib job the moment this function is
+    called, not when the returned frames are acted on — callers that
+    need lazy plan construction (query registries, schema probes) should
+    pass ``'first'``, which seeds from the first ``n_centroids`` vectors
+    by id and stays entirely inside the lazy plan. Either way the search
+    machinery is identical, and top-k at full probe is exact regardless
+    of centroid quality. Every corpus vector joins its nearest centroid:
+    one broadcast cross join + one window argmin, a single pass over the
+    corpus.
     """
     centroids = None
     if centroid_method == "kmeans":

@@ -36,20 +36,10 @@ from chapterhouseqe_spark.queries.registry import (
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS), which a vanilla Spark
-        # session refuses to read (PARQUET_TYPE_ILLEGAL). nanosAsLong is a
-        # runtime SQL conf, so set it here defensively — the caller's
-        # session may not have been built by our get_spark().
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # With nanosAsLong the column reads as long nanos — truncate to
-        # micros (what DuckDB also stores).
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.call_function("div", F.col("ts"), F.lit(1000)))
-        )
-    return df
+    from chapterhouseqe_spark.queries.tables import events_ts_micros, load_table
+
+    df = load_table(spark, sf_dir, name)
+    return events_ts_micros(df) if name == "events" else df
 
 
 def _ref_engine(spark: SparkSession, sf_dir: str) -> QueryEngine:

@@ -519,7 +519,18 @@ def embedding_ivf_topk(spark, sf_dir):
     from chapterhouseqe_spark.operators.similarity import ivf_topk
 
     emb = t(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, F.col("vec_id") < 8, k=3, n_centroids=16, nprobe=16)
+    # centroid_method='first': lazy build (no eager MLlib fit when the
+    # driver/tests enumerate query schemas) and deterministic for the
+    # oracle; exactness at full probe is independent of centroids. The
+    # kmeans production path is pinned by tests/test_operators.py.
+    return ivf_topk(
+        emb,
+        F.col("vec_id") < 8,
+        k=3,
+        n_centroids=16,
+        nprobe=16,
+        centroid_method="first",
+    )
 
 
 @query(
@@ -532,7 +543,14 @@ def embedding_ivf_topk_approx(spark, sf_dir):
     from chapterhouseqe_spark.operators.similarity import ivf_topk
 
     emb = t(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, F.col("vec_id") < 8, k=3, n_centroids=16, nprobe=4)
+    return ivf_topk(
+        emb,
+        F.col("vec_id") < 8,
+        k=3,
+        n_centroids=16,
+        nprobe=4,
+        centroid_method="first",
+    )
 
 
 @query(

@@ -28,10 +28,12 @@ def read_events_stream(
 ) -> DataFrame:
     """File-source stream over the events parquet (schema from the batch
     reader; ts arrives as long nanos under nanosAsLong — convert)."""
-    # Runtime conf so this works on ANY session, not just get_spark()'s:
-    # events.parquet carries TIMESTAMP(NANOS), illegal without it.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from chapterhouseqe_spark.queries.tables import load_table
+
+    # load_table sets the nanosAsLong conf (events.parquet is
+    # TIMESTAMP(NANOS)) and returns the RAW schema — exactly what
+    # readStream needs; conversion happens on the stream below.
+    batch = load_table(spark, sf_dir, "events")
     # the file-stream source wants a DIRECTORY; the events table is a
     # single file, so stream the directory with a glob filter.
     reader = (
