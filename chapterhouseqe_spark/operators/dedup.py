@@ -474,7 +474,12 @@ def connected_components(
             labels.unpersist()
             labels = updated
             if changed == 0:
-                return labels
+                # final eager checkpoint: the frame is already
+                # materialized (the convergence count ran it), so this
+                # only writes the cached blocks — and it guarantees the
+                # RETURNED plan is one scan deep regardless of where the
+                # last periodic checkpoint fell in the round cycle.
+                return labels.localCheckpoint(eager=True)
         raise RuntimeError(
             f"connected_components: no convergence after {max_iterations} rounds "
             "(graph diameter exceeds the iteration cap)"

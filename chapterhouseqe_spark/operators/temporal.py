@@ -132,25 +132,30 @@ def range_join(
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
 
-    def _num(col: Column) -> Column:
-        return col.cast("double")
+    def _num(df: DataFrame, col_name: str) -> Column:
+        # epoch-seconds double for any timestamp flavor (TIMESTAMP_NTZ
+        # can't cast straight to double; route it through TIMESTAMP,
+        # value-preserving under the engine's UTC session timezone),
+        # plain double cast for numeric columns.
+        c = F.col(col_name)
+        if dict(df.dtypes).get(col_name, "").startswith("timestamp"):
+            return F.unix_micros(c.cast("timestamp")) / F.lit(1_000_000.0)
+        return c.cast("double")
 
-    p = points.withColumn(
-        "__b", F.floor(_num(F.col(point_col)) / F.lit(bucket_width))
-    )
+    p_num = _num(points, point_col)
+    s_num = _num(intervals, start_col)
+    e_num = _num(intervals, end_col)
+    p = points.withColumn("__b", F.floor(p_num / F.lit(bucket_width)))
     i = intervals.withColumn(
         "__b",
         F.explode(
             F.sequence(
-                F.floor(_num(F.col(start_col)) / F.lit(bucket_width)),
+                F.floor(s_num / F.lit(bucket_width)),
                 # end is exclusive but a point in end's bucket can still
                 # precede it, so the end bucket is included
-                F.floor(_num(F.col(end_col)) / F.lit(bucket_width)),
+                F.floor(e_num / F.lit(bucket_width)),
             )
         ),
     )
-    joined = p.join(i, "__b", how).filter(
-        (_num(F.col(point_col)) >= _num(F.col(start_col)))
-        & (_num(F.col(point_col)) < _num(F.col(end_col)))
-    )
+    joined = p.join(i, "__b", how).filter((p_num >= s_num) & (p_num < e_num))
     return joined.drop("__b")

@@ -1454,7 +1454,8 @@ def time_rollup_multi(spark, sf_dir):
     oracle="""
     SELECT event_type,
            COUNT(*) AS cnt,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events GROUP BY event_type
     """,
@@ -1621,8 +1622,8 @@ def tpch_q18_large_orders(spark, sf_dir):
     "embedding_centroids",
     oracle="""
     SELECT label, dim - 1 AS dim,
-           SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
-             AS sum_x_micro,
+           CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))
+                AS BIGINT) AS sum_x_micro,
            COUNT(*) AS n
     FROM (SELECT label, unnest(embedding) AS x,
                  generate_subscripts(embedding, 1) AS dim
@@ -1729,10 +1730,10 @@ def tpch_q10_returned_items(spark, sf_dir):
     "tpch_q12_priority_class",
     oracle="""
     SELECT l_returnflag,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate < TIMESTAMP '1998-01-01'

@@ -258,8 +258,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
       GROUP BY doc_id, j
     )
     SELECT doc_id,
-           SUM(CASE WHEN w > 0 THEN CAST(1 AS BIGINT) << j
-                    ELSE CAST(0 AS BIGINT) END) AS fingerprint
+           CAST(SUM(CASE WHEN w > 0 THEN CAST(1 AS BIGINT) << j
+                    ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS fingerprint
     FROM bits GROUP BY doc_id
     """,
     tags=("pipeline", "dedup"),

@@ -43,10 +43,15 @@ def read_events_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(sf_dir)
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn(
             "ts", F.timestamp_micros(F.call_function("div", F.col("ts"), F.lit(1000)))
         )
+    elif ts_type == "timestamp_ntz":
+        # withWatermark requires TIMESTAMP (LTZ); NTZ→LTZ cast is
+        # wall-clock-preserving under the engine's UTC session timezone.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -13,6 +13,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import decimal
 import math
 import os
 import sys
@@ -26,16 +27,23 @@ TABLES = (
 
 
 def _norm_cell(v):
+    # Type-tagged normalization: the driver's value-hash stringifies cells,
+    # so int-vs-float (or Decimal) disagreements that Python `==` forgives
+    # (1 == 1.0 == Decimal('1')) must count as mismatches here too.
     if v is None:
         return None
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
-        return v
-    if isinstance(v, bool):
-        return bool(v)
+            return ("f", "NaN")
+        return ("f", repr(v))
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, decimal.Decimal):
+        return ("dec", str(v))
     if hasattr(v, "isoformat"):  # datetime/date
-        return v.isoformat()
+        return ("t", v.isoformat())
     if isinstance(v, (list, tuple)):
         return tuple(_norm_cell(x) for x in v)
     return v
@@ -66,6 +74,14 @@ def compare(name, spark_df, oracle_sql, con, max_diff=5):
     sc, sb = frame_signature(scols, srows)
     oc, ob = frame_signature(ocols, orows)
     problems = []
+    # The driver canonicalizes via pandas, where DuckDB HUGEINT/DECIMAL
+    # degrade to float64/object and hash differently than Spark's bigint.
+    for c, ty in zip(ocols, rel.types):
+        if any(tok in str(ty) for tok in ("HUGEINT", "DECIMAL")):
+            problems.append(
+                f"oracle column {c} is {ty}: CAST it to BIGINT/DOUBLE "
+                "(driver canonicalizer degrades 128-bit/decimal types)"
+            )
     if len(srows) != len(orows):
         problems.append(f"row count: spark={len(srows)} oracle={len(orows)}")
     if sc != oc:
