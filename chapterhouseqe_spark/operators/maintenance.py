@@ -1,0 +1,141 @@
+"""Table-maintenance operators: CDC upsert, SCD2 history, partitioned layout.
+
+The reference engine only ever materializes append-only result parquet
+(ref: src/operators/materialize_files.rs); a production lake needs the
+three mutation-shaped operations this module provides, each built as a
+single-shuffle batch job so it holds at 100 TB:
+
+- ``merge_upsert`` is copy-on-write MERGE (the Delta/Iceberg MERGE INTO
+  core, from vanilla primitives): union the base table with the change
+  feed, one hash shuffle on the key, keep the highest-version row per
+  key, drop tombstones. Cost is one shuffle of base+changes — the same
+  asymptotic shape engines with file-level indexes achieve per touched
+  partition; pair with partitioned layout so only dirty partitions are
+  rewritten.
+- ``scd2_intervals`` compacts a change log into slowly-changing-
+  dimension type-2 validity ranges: one window per key (change-point
+  filter + lead), no self-joins, no explode.
+- ``write_partitioned`` writes hive-style ``key=value`` directories so
+  engine-agnostic partition pruning works on every subsequent scan —
+  the coarse-grained complement to ``layout.cluster_write``'s
+  file/row-group clustering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    version_col: str | None = None,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Latest-wins MERGE of a change feed into a base table.
+
+    ``changes`` rows replace base rows with the same key; among multiple
+    change rows for one key the greatest ``version_col`` wins (ties
+    break toward the change feed, then arbitrarily — feed a
+    deterministic version when exact replay matters). Rows whose
+    ``delete_col`` is true are tombstones: they suppress the key from
+    the output entirely. Schemas must match (plus the optional
+    ``delete_col`` on the change side).
+
+    Scale shape: tag + unionByName + ONE hash shuffle on ``keys`` for
+    the row_number window. No join — a join-based MERGE shuffles base
+    twice (once to join, once to union the untouched rows); this
+    formulation shuffles every row exactly once, and AQE handles skewed
+    keys like any other window.
+    """
+    if not keys:
+        raise ValueError("merge_upsert requires at least one key column")
+    vcol = (
+        F.col(version_col)
+        if version_col is not None
+        else F.lit(0)
+    )
+    dcol = F.col(delete_col) if delete_col is not None else F.lit(False)
+    b = base.withColumn("__v", vcol).withColumn("__del", F.lit(False)).withColumn(
+        "__src", F.lit(0)
+    )
+    c = changes.withColumn("__v", vcol).withColumn(
+        "__del", F.coalesce(dcol, F.lit(False))
+    ).withColumn("__src", F.lit(1))
+    if delete_col is not None:
+        c = c.drop(delete_col)
+    merged = b.unionByName(c)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("__v").desc(), F.col("__src").desc()
+    )
+    return (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (~F.col("__del")))
+        .drop("__rn", "__v", "__del", "__src")
+    )
+
+
+def scd2_intervals(
+    log: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Compact a change log into SCD2 validity intervals.
+
+    For each key, consecutive log rows whose ``attr_cols`` are unchanged
+    collapse into one interval; output rows carry ``valid_from``
+    (first ts at the new value) and ``valid_to`` (next change's ts,
+    null for the current interval — the half-open [from, to) convention).
+
+    One window per key does everything: lag to find change points,
+    filter, lead for the closing timestamp. ``tiebreak_cols`` order
+    same-timestamp rows deterministically (e.g. an event id).
+    """
+    order = [F.col(ts_col).asc()] + [
+        F.col(c).asc() for c in (tiebreak_cols or [])
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    # the first row per key must open an interval even when its attr IS
+    # null (lag null + eqNullSafe would call that "unchanged") — flag it
+    # explicitly instead of relying on the null-lag trick.
+    changed = F.row_number().over(w) == 1
+    for c in attr_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(F.col(c)).over(w))
+    points = log.withColumn("__chg", changed).filter(F.col("__chg"))
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        points.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(F.col(ts_col)).over(w2))
+        .select(*keys, *attr_cols, "valid_from", "valid_to")
+    )
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+    files_per_partition: int | None = None,
+) -> None:
+    """Hive-partitioned parquet write (``key=value`` directories).
+
+    Partition pruning then happens at PLANNING time for any engine —
+    a filter on a partition column never lists, opens, or reads
+    non-matching directories. Choose columns with bounded cardinality
+    (date, category, region): each distinct value is a directory, and
+    at 100 TB a million tiny partitions is its own pathology.
+    ``files_per_partition`` repartitions by the partition key first so
+    each directory gets that many files instead of one per task (the
+    small-files guard).
+    """
+    out = df
+    if files_per_partition:
+        out = df.repartition(
+            files_per_partition * df.select(*partition_cols).distinct().count(),
+            *[F.col(c) for c in partition_cols],
+        )
+    out.write.mode(mode).partitionBy(*partition_cols).parquet(path)

@@ -213,6 +213,8 @@ def _format_dir(spark, sf_dir, fmt: str, table: str) -> str:
         w = src.coalesce(1).write.mode("overwrite")
         if fmt == "csv":
             w.option("header", "true").csv(out)
+        elif fmt == "orc":
+            w.orc(out)
         else:
             w.json(out)
     return out

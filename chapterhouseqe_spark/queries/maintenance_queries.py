@@ -1,0 +1,160 @@
+"""Table-maintenance queries with DuckDB oracles.
+
+Covers the mutation/layout surface a lake needs beyond the reference's
+append-only materialization (ref: src/operators/materialize_files.rs):
+CDC MERGE, SCD2 history compaction, hive-partitioned layout with
+planning-time pruning, and the ORC interchange format.
+
+The change feeds are DERIVED deterministically from the base tables
+(modular key predicates), so the oracle can reproduce the merged state
+with plain SQL instead of replaying the operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chapterhouseqe_spark.queries.core_sql import _format_dir, _ref_engine, t
+from chapterhouseqe_spark.queries.registry import dsum, o_dsum, o_ts_str, query, ts_str
+
+
+@query(
+    "merge_upsert_orders",
+    oracle=f"""
+    WITH merged AS (
+      SELECT o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0
+      UNION ALL
+      SELECT 'U' AS o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 5 AS DOUBLE)
+               AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 3 <> 0
+    )
+    SELECT o_orderstatus, COUNT(*) AS cnt,
+           {o_dsum('o_totalprice')} AS total_price
+    FROM merged GROUP BY o_orderstatus
+    """,
+    tags=("maintenance", "merge"),
+    doc="copy-on-write MERGE (upsert + tombstone deletes) of a derived "
+    "change feed into orders; one hash shuffle total "
+    "(operators/maintenance.py:merge_upsert)",
+)
+def merge_upsert_orders(spark, sf_dir):
+    from chapterhouseqe_spark.operators.maintenance import merge_upsert
+
+    orders = t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    base = orders.withColumn("__ver", F.lit(0))
+    changes = (
+        orders.filter(key % 7 == 0)
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn(
+            "o_totalprice",
+            (
+                F.col("o_totalprice").cast("decimal(12,2)")
+                + F.lit(5).cast("decimal(12,2)")
+            ).cast("double"),
+        )
+        .withColumn("__ver", F.lit(1))
+        .withColumn("__is_delete", key % 3 == 0)
+    )
+    merged = merge_upsert(
+        base, changes, ["o_orderkey"], version_col="__ver", delete_col="__is_delete"
+    ).drop("__ver")
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+@query(
+    "scd2_user_event_history",
+    oracle=f"""
+    WITH chg AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    pts AS (
+      SELECT * FROM chg WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type,
+           {o_ts_str('ts')} AS valid_from_s,
+           COALESCE({o_ts_str("lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)")},
+                    'current') AS valid_to_s
+    FROM pts
+    """,
+    tags=("maintenance", "scd2"),
+    doc="SCD2 compaction: per-user event_type change log → half-open "
+    "validity intervals, one window pass, no self-join "
+    "(operators/maintenance.py:scd2_intervals)",
+)
+def scd2_user_event_history(spark, sf_dir):
+    from chapterhouseqe_spark.operators.maintenance import scd2_intervals
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    hist = scd2_intervals(
+        ev, ["user_id"], "ts", ["event_type"], tiebreak_cols=["event_id"]
+    )
+    return hist.select(
+        "user_id",
+        "event_type",
+        ts_str(F.col("valid_from")).alias("valid_from_s"),
+        F.coalesce(ts_str(F.col("valid_to")), F.lit("current")).alias("valid_to_s"),
+    )
+
+
+@query(
+    "partition_pruned_scan",
+    oracle=f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           COUNT(*) AS cnt, {o_dsum('o_totalprice')} AS total_price
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    GROUP BY month
+    """,
+    tags=("maintenance", "layout", "pruning"),
+    doc="hive-partitioned write (orders by o_orderpriority) + scan whose "
+    "partition filter prunes 4/5 directories at planning time "
+    "(operators/maintenance.py:write_partitioned); pruning itself is "
+    "pinned by tests/test_maintenance.py",
+)
+def partition_pruned_scan(spark, sf_dir):
+    path = _partitioned_orders_dir(spark, sf_dir)
+    scan = spark.read.parquet(path).filter(F.col("o_orderpriority") == "1-URGENT")
+    return scan.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+def _partitioned_orders_dir(spark, sf_dir) -> str:
+    """Deterministic one-time hive-partitioned copy of orders."""
+    import hashlib
+    import os
+
+    from chapterhouseqe_spark.operators.maintenance import write_partitioned
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/chqe_partitioned/{key}/orders_by_priority"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        write_partitioned(t(spark, sf_dir, "orders"), out, ["o_orderpriority"])
+    return out
+
+
+@query(
+    "orc_scan",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+    tags=("source", "orc"),
+    doc="ORC source through read_files (type-preserving columnar "
+    "interchange; sql/read_files.py:load_glob)",
+)
+def orc_scan(spark, sf_dir):
+    path = _format_dir(spark, sf_dir, "orc", "supplier")
+    eng = _ref_engine(spark, sf_dir)
+    df = eng.dataframe_for(
+        f"select * from read_files('{path}/*.orc')", mode="reference"
+    )
+    return df.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")

@@ -113,6 +113,7 @@ def o_ts_str(expr: str) -> str:
 def _ensure_registered() -> None:
     # importing the modules runs their @query decorators
     from chapterhouseqe_spark.queries import core_sql  # noqa: F401
+    from chapterhouseqe_spark.queries import maintenance_queries  # noqa: F401
     from chapterhouseqe_spark.queries import pipeline_queries  # noqa: F401
     from chapterhouseqe_spark.queries import streaming_queries  # noqa: F401
 

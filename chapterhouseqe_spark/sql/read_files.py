@@ -52,6 +52,8 @@ def load_glob(
         return spark.read.option("header", "true").option("inferSchema", "true").csv(resolved)
     if lower.endswith((".json", ".jsonl", ".ndjson")):
         return spark.read.json(resolved)
+    if lower.endswith(".orc"):
+        return spark.read.orc(resolved)
     return spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(resolved)
 
 
