@@ -197,3 +197,36 @@ def ngram_repetition_counts(text: Column, k: int) -> tuple[Column, Column]:
         F.size(grams).cast("long"),
         F.size(F.array_distinct(grams)).cast("long"),
     )
+
+
+# ------------------------------------------------------------------ PII
+
+# Redaction patterns shared verbatim with the DuckDB oracle: RE2-safe
+# (no lookaround, no backreferences) so Java regex (Spark) and RE2
+# (DuckDB) agree character-for-character.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    "phone": (r"\+?\d[\d -]{7,}\d", "[PHONE]"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+}
+
+
+def pii_redact(text: Column, kinds: tuple[str, ...] = ("email", "phone", "ipv4")) -> Column:
+    """Replace each PII pattern with its placeholder token.
+
+    A chain of regexp_replace Column exprs — JVM-side, inside the scan
+    stage, global replacement per pattern. Order matters (emails before
+    phones, so digits inside an address aren't half-eaten); ``kinds``
+    applies in the order given.
+    """
+    out = text
+    for kind in kinds:
+        pattern, token = PII_PATTERNS[kind]
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_count(text: Column, kind: str) -> Column:
+    """Occurrences of one PII pattern (long, oracle: len(regexp_extract_all))."""
+    pattern, _ = PII_PATTERNS[kind]
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0))).cast("long")

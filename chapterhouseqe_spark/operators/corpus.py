@@ -1,0 +1,129 @@
+"""Corpus-preparation operators for LLM training-data pipelines:
+document chunking, sequence packing, deterministic per-key sampling.
+
+These are the steps between "cleaned corpus" (dedup.py, functions/
+text.py) and "training batches": split long documents into model-sized
+chunks, pack the token stream into fixed-budget sequences, and draw
+reproducible samples for eval/holdout. All three are built on
+hash-derived total orders (md5, engine-portable) so every run — and the
+DuckDB oracle — produces byte-identical output; none of them collects
+to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into fixed-size character chunks with overlap.
+
+    Chunk ``i`` covers ``[i*(size-overlap), i*(size-overlap)+size)``;
+    the last chunk may be short. Runs as one explode inside the scan
+    stage — no shuffle, no Python. Output: the id column, ``chunk_id``,
+    ``chunk_start`` (0-based), ``chunk_text``.
+    """
+    if size <= overlap:
+        raise ValueError("size must exceed overlap")
+    step = size - overlap
+    n = F.greatest(
+        F.lit(1),
+        F.ceil((F.length(F.col(text_col)) - F.lit(overlap)) / F.lit(step)),
+    ).cast("int")
+    return (
+        df.withColumn("chunk_id", F.explode(F.sequence(F.lit(0), n - F.lit(1))))
+        .withColumn("chunk_start", F.col("chunk_id") * F.lit(step))
+        .withColumn(
+            "chunk_text",
+            F.substring(F.col(text_col), F.col("chunk_start") + F.lit(1), size),
+        )
+        .select(id_col, "chunk_id", "chunk_start", "chunk_text")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    id_col: str = "doc_id",
+    budget: int = 2048,
+) -> DataFrame:
+    """Assign each document to a fixed-token-budget training sequence.
+
+    The streaming concat-and-chop formulation of sequence packing (the
+    standard pretraining shape: concatenate documents in a fixed order,
+    cut every ``budget`` tokens): documents are totally ordered by an
+    md5 shuffle key, the running token total is computed, and a document
+    belongs to sequence ``floor(tokens_before_it / budget)``.
+
+    Scale shape — the naive ``Window.orderBy(key)`` global cumsum is a
+    single-task bottleneck; this uses the two-phase formulation instead:
+    range-repartition on the shuffle key, per-partition cumsums (window
+    WITH a partition key, fully parallel), then add per-partition offsets
+    computed from partition totals (a partition-count-sized frame,
+    broadcast back). The result is identical for any partition boundaries
+    because the order is total.
+
+    Output: ``id_col``, ``seq_id``, ``tokens_before`` (global exclusive
+    cumsum). Deterministic across runs and engines.
+    """
+    k = F.concat(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col).cast("string")
+    )
+    ranged = (
+        df.select(F.col(id_col), F.col(token_col).alias("__tok"))
+        .withColumn("__k", k)
+        .repartitionByRange(F.col("__k"))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    in_part = Window.partitionBy("__pid").orderBy("__k")
+    local = ranged.withColumn(
+        "__local_before",
+        F.coalesce(
+            F.sum("__tok").over(in_part.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    totals = ranged.groupBy("__pid").agg(F.sum("__tok").alias("__ptot"))
+    off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "__offset", F.coalesce(F.sum("__ptot").over(off_w), F.lit(0))
+    ).select("__pid", "__offset")
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn("tokens_before", F.col("__local_before") + F.col("__offset"))
+        .withColumn(
+            "seq_id", F.floor(F.col("tokens_before") / F.lit(budget)).cast("long")
+        )
+        .select(id_col, "seq_id", "tokens_before")
+    )
+
+
+def sample_per_key(
+    df: DataFrame,
+    keys: list[str],
+    n: int,
+    id_col: str,
+) -> DataFrame:
+    """Deterministic sample of ``n`` rows per key group.
+
+    Rows are ranked by md5 of the id (a reproducible shuffle — no RNG
+    state, no seed plumbing, identical in any engine) and the first
+    ``n`` per key kept. One hash shuffle on ``keys``; skewed groups cost
+    what any window over them costs, and the rank cuts them to ``n``
+    rows before anything downstream runs.
+    """
+    w = Window.partitionBy(*keys).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )

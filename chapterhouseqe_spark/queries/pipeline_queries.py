@@ -1049,3 +1049,156 @@ def pipeline_stratified_sample(spark, sf_dir):
         .filter(bucket < thr)
         .select("doc_id", "lang")
     )
+
+
+# ------------------------------------------------------------- corpus prep
+
+
+@query(
+    "pipeline_pii_redact",
+    oracle=r"""
+    WITH synth AS (
+      SELECT doc_id,
+             'reach u' || CAST(doc_id AS VARCHAR) ||
+             '@example.com or +1 555 000' ||
+             CAST(doc_id % 9999 AS VARCHAR) || ' ip 10.0.0.' ||
+             CAST(doc_id % 255 AS VARCHAR) || ' ' || substr(text, 1, 120)
+               AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(s,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_email,
+           CAST(len(regexp_extract_all(s, '\+?\d[\d -]{7,}\d')) AS BIGINT)
+             AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(s,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\+?\d[\d -]{7,}\d', '[PHONE]', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'))
+             AS redacted_md5
+    FROM synth
+    """,
+    tags=("pipeline", "pii"),
+    doc="PII scrub: regexp redaction of emails/phones/IPs injected "
+    "deterministically into document text; counts + md5 of the redacted "
+    "string prove byte-identical replacement (functions/text.py:pii_redact)",
+)
+def pipeline_pii_redact(spark, sf_dir):
+    from chapterhouseqe_spark.functions.text import pii_count, pii_redact
+
+    d = t(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.lit("reach u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 555 000"),
+        (F.col("doc_id") % 9999).cast("string"),
+        F.lit(" ip 10.0.0."),
+        (F.col("doc_id") % 255).cast("string"),
+        F.lit(" "),
+        F.substring(F.col("text"), 1, 120),
+    )
+    return d.select(
+        "doc_id",
+        pii_count(synth, "email").alias("n_email"),
+        pii_count(synth, "phone").alias("n_phone"),
+        F.md5(pii_redact(synth)).alias("redacted_md5"),
+    )
+
+
+@query(
+    "pipeline_doc_chunks",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id, text,
+             GREATEST(1, CAST(CEIL((LENGTH(text) - 32) / 224.0) AS INT)) AS nc
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, text, unnest(generate_series(0, nc - 1)) AS i FROM n
+    )
+    SELECT doc_id, CAST(i AS INT) AS chunk_id,
+           CAST(i * 224 AS INT) AS chunk_start,
+           CAST(LENGTH(substr(text, CAST(i * 224 + 1 AS INT), 256)) AS INT)
+             AS chunk_len,
+           md5(substr(text, CAST(i * 224 + 1 AS INT), 256)) AS chunk_md5
+    FROM ex
+    """,
+    tags=("pipeline", "chunking"),
+    doc="overlapping fixed-size character chunking (size=256, overlap=32) "
+    "— one explode inside the scan stage, md5 pins chunk bytes "
+    "(operators/corpus.py:chunk_documents)",
+)
+def pipeline_doc_chunks(spark, sf_dir):
+    from chapterhouseqe_spark.operators.corpus import chunk_documents
+
+    d = t(spark, sf_dir, "documents")
+    ch = chunk_documents(d, "text", "doc_id", size=256, overlap=32)
+    return ch.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("chunk_start").cast("int").alias("chunk_start"),
+        F.length("chunk_text").cast("int").alias("chunk_len"),
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+@query(
+    "pipeline_pack_sequences",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok,
+             md5(CAST(doc_id AS VARCHAR)) || CAST(doc_id AS VARCHAR) AS k
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, tok,
+             COALESCE(CAST(SUM(tok) OVER
+               (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS BIGINT), 0) AS tokens_before
+      FROM toks
+    )
+    SELECT doc_id, CAST(FLOOR(tokens_before / 2048.0) AS BIGINT) AS seq_id,
+           tokens_before
+    FROM packed
+    """,
+    tags=("pipeline", "packing"),
+    doc="sequence packing (concat-and-chop, budget=2048 ws-tokens) via the "
+    "two-phase distributed cumsum — per-partition windows + broadcast "
+    "offsets, never a single-task global window "
+    "(operators/corpus.py:pack_sequences)",
+)
+def pipeline_pack_sequences(spark, sf_dir):
+    from chapterhouseqe_spark.functions.text import token_count
+    from chapterhouseqe_spark.operators.corpus import pack_sequences
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("tok")
+    )
+    return pack_sequences(d, "tok", "doc_id", budget=2048).select(
+        "doc_id", "seq_id", F.col("tokens_before").cast("long").alias("tokens_before")
+    )
+
+
+@query(
+    "pipeline_sample_per_key",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents) s
+    WHERE rn <= 5
+    """,
+    tags=("pipeline", "sampling"),
+    doc="deterministic per-key sampling: 5 docs per language ranked by an "
+    "md5 shuffle key — reproducible across runs and engines, no RNG "
+    "(operators/corpus.py:sample_per_key)",
+)
+def pipeline_sample_per_key(spark, sf_dir):
+    from chapterhouseqe_spark.operators.corpus import sample_per_key
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sample_per_key(d, ["lang"], 5, "doc_id")

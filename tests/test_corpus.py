@@ -1,0 +1,106 @@
+"""Corpus-prep operators: chunking, sequence packing, sampling, PII."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from chapterhouseqe_spark.functions.text import pii_count, pii_redact
+from chapterhouseqe_spark.operators.corpus import (
+    chunk_documents,
+    pack_sequences,
+    sample_per_key,
+)
+
+
+def test_chunk_documents_boundaries(spark):
+    text = "abcdefghij"  # 10 chars
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = chunk_documents(df, "text", "doc_id", size=4, overlap=1).collect()
+    # step=3: starts 0,3,6 cover through char 10; ceil((10-1)/3)=3 chunks
+    got = [(r.chunk_id, r.chunk_start, r.chunk_text) for r in out]
+    assert got == [(0, 0, "abcd"), (1, 3, "defg"), (2, 6, "ghij")]
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    out = chunk_documents(df, "text", "doc_id", size=100, overlap=10).collect()
+    assert len(out) == 1 and out[0].chunk_text == "ab"
+
+
+def test_chunk_documents_rejects_bad_sizes(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="exceed overlap"):
+        chunk_documents(df, size=10, overlap=10)
+
+
+def test_pack_sequences_matches_global_window(spark):
+    rows = [(i, 10 + (i * 37) % 50) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, tok long")
+    got = {
+        r.doc_id: (r.seq_id, r.tokens_before)
+        for r in pack_sequences(df, "tok", "doc_id", budget=100).collect()
+    }
+    # naive single-window reference (fine at test scale)
+    k = F.concat(F.md5(F.col("doc_id").cast("string")), F.col("doc_id").cast("string"))
+    w = Window.orderBy(k.alias("k")).rowsBetween(Window.unboundedPreceding, -1)
+    ref = {
+        r.doc_id: (r.before // 100, r.before)
+        for r in df.withColumn(
+            "before", F.coalesce(F.sum("tok").over(Window.orderBy(k).rowsBetween(Window.unboundedPreceding, -1)), F.lit(0))
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_pack_sequences_budget_monotone(spark):
+    df = spark.createDataFrame([(i, 30) for i in range(50)], "doc_id long, tok long")
+    out = pack_sequences(df, "tok", "doc_id", budget=90).collect()
+    # 30-token docs, budget 90: seq_id = tokens_before//90, max 3 docs start
+    # per sequence; the assignment is a non-decreasing step function of
+    # tokens_before.
+    by_before = sorted((r.tokens_before, r.seq_id) for r in out)
+    seqs = [s for _, s in by_before]
+    assert seqs == sorted(seqs)
+    from collections import Counter
+
+    assert max(Counter(seqs).values()) == 3
+
+
+def test_sample_per_key_deterministic_and_bounded(spark):
+    rows = [(i, "k%d" % (i % 3)) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, key string")
+    a = sample_per_key(df, ["key"], 4, "id").collect()
+    b = sample_per_key(df, ["key"], 4, "id").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    from collections import Counter
+
+    counts = Counter(r.key for r in a)
+    assert all(v == 4 for v in counts.values()) and len(counts) == 3
+
+
+def test_sample_per_key_small_group_returns_all(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "id long, key string")
+    out = sample_per_key(df, ["key"], 10, "id")
+    assert out.count() == 3
+
+
+def test_pii_redact_and_count(spark):
+    s = "mail bob.smith+x@corp.example.org call +1 555 123 4567 host 192.168.0.1 done"
+    df = spark.createDataFrame([(s,)], "s string")
+    row = df.select(
+        pii_redact(F.col("s")).alias("red"),
+        pii_count(F.col("s"), "email").alias("ne"),
+        pii_count(F.col("s"), "phone").alias("np"),
+        pii_count(F.col("s"), "ipv4").alias("ni"),
+    ).collect()[0]
+    assert row.red == "mail [EMAIL] call [PHONE] host [IP] done"
+    assert (row.ne, row.np, row.ni) == (1, 1, 1)
+
+
+def test_pii_redact_clean_text_unchanged(spark):
+    df = spark.createDataFrame([("no pii here at all",)], "s string")
+    assert df.select(pii_redact(F.col("s")).alias("r")).collect()[0].r == (
+        "no pii here at all"
+    )
