@@ -82,6 +82,17 @@ def pack_sequences(
         .repartitionByRange(F.col("__k"))
         .withColumn("__pid", F.spark_partition_id())
     )
+    # ``ranged`` feeds TWO branches (per-partition cumsum + partition
+    # totals) that are later joined on __pid. Both branches MUST see the
+    # same physical partitioning: repartitionByRange samples the input
+    # to pick boundaries and spark_partition_id is evaluation-dependent,
+    # so two independent instantiations of the plan (e.g. under AQE
+    # re-planning or differing scan splits) could assign different pids
+    # and silently misalign the offsets. localCheckpoint materializes
+    # the ranged frame ONCE; both branches then read the same blocks.
+    # (eager=False keeps it lazy — it still materializes exactly once,
+    # at the first action, and both branches share it.)
+    ranged = ranged.localCheckpoint(eager=False)
     in_part = Window.partitionBy("__pid").orderBy("__k")
     local = ranged.withColumn(
         "__local_before",

@@ -39,7 +39,10 @@ def merge_upsert(
     ``changes`` rows replace base rows with the same key; among multiple
     change rows for one key the greatest ``version_col`` wins (ties
     break toward the change feed, then arbitrarily — feed a
-    deterministic version when exact replay matters). Rows whose
+    deterministic version when exact replay matters). A NULL version is
+    treated as version 0 (coalesced), so a null-version change row still
+    beats the base row on the source tiebreak rather than silently
+    losing to it under Spark's NULLS LAST ordering. Rows whose
     ``delete_col`` is true are tombstones: they suppress the key from
     the output entirely. Schemas must match (plus the optional
     ``delete_col`` on the change side).
@@ -53,7 +56,7 @@ def merge_upsert(
     if not keys:
         raise ValueError("merge_upsert requires at least one key column")
     vcol = (
-        F.col(version_col)
+        F.coalesce(F.col(version_col), F.lit(0))
         if version_col is not None
         else F.lit(0)
     )
@@ -128,14 +131,25 @@ def write_partitioned(
     non-matching directories. Choose columns with bounded cardinality
     (date, category, region): each distinct value is a directory, and
     at 100 TB a million tiny partitions is its own pathology.
-    ``files_per_partition`` repartitions by the partition key first so
-    each directory gets that many files instead of one per task (the
-    small-files guard).
+
+    ``files_per_partition`` bounds the file count per directory: rows
+    are repartitioned on ``(partition_cols, salt)`` where the salt is
+    ``xxhash64(whole row) mod K`` — each directory's rows spread over at
+    most K shuffle partitions, so the write emits ≤ K files per
+    directory. Hashing only the partition columns would NOT split
+    (every row of one partition value carries the same hash → one task
+    → one file regardless of K), and counting distinct values to size
+    the repartition would add a full extra scan per write; the salt
+    formulation needs neither — zero extra jobs, and deterministic
+    under task retry because the salt is content-derived.
     """
     out = df
     if files_per_partition:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]),
+            F.lit(files_per_partition),
+        )
         out = df.repartition(
-            files_per_partition * df.select(*partition_cols).distinct().count(),
-            *[F.col(c) for c in partition_cols],
+            *[F.col(c) for c in partition_cols], salt
         )
     out.write.mode(mode).partitionBy(*partition_cols).parquet(path)

@@ -12,6 +12,7 @@ def salted_join(
     on: list[str],
     how: str = "inner",
     salt_buckets: int = 16,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Skew-resistant equi-join: salt the large side, replicate the small.
 
@@ -19,13 +20,22 @@ def salted_join(
     shuffle partitions instead of one straggler task; the small side is
     replicated ``salt_buckets``× (explode) so every salted key still
     finds its match. Use when AQE's skew-join splitting isn't enough —
-    e.g. a single key holding >10% of a 100 TB fact table. The salt is
-    derived per-row from xxhash64(monotonically_increasing_id), so it is
-    uniform and needs no extra column from the caller.
+    e.g. a single key holding >10% of a 100 TB fact table.
+
+    RETRY SAFETY: the salt is derived from row CONTENT —
+    ``xxhash64(salt_cols or all columns)`` — never from
+    ``monotonically_increasing_id``/``rand``, which are nondeterministic
+    under task retry: a lost shuffle block would re-salt recomputed rows
+    into different buckets and silently duplicate/drop them (the
+    SPARK-23207 failure class). A content salt recomputes identically on
+    every replay of the same input split. Pass ``salt_cols`` (ideally a
+    high-cardinality stable id) to cheapen the hash; default hashes the
+    whole row, which is still deterministic but wider.
 
     ``how`` must keep large-side rows unique per match (inner / left).
     """
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets))
+    salt_src = [large[c] for c in (salt_cols or large.columns)]
+    salt = F.pmod(F.xxhash64(*salt_src), F.lit(salt_buckets))
     left = large.withColumn("__salt_l", salt.cast("int"))
     right = small.withColumn(
         "__salt_r", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
@@ -49,6 +59,7 @@ def targeted_salted_join(
     hot_row_threshold: int = 1_000_000,
     sample_fraction: float = 0.001,
     seed: int = 42,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Production skew join: salt ONLY detected hot keys.
 
@@ -80,7 +91,7 @@ def targeted_salted_join(
     large_cold = large.join(hot_keys, on, "left_anti")
     small_hot = small.join(hot_keys, on, "left_semi")
     cold = large_cold.join(small, on, how)
-    hot = salted_join(large_hot, small_hot, on, how, salt_buckets)
+    hot = salted_join(large_hot, small_hot, on, how, salt_buckets, salt_cols)
     return cold.unionByName(hot)
 
 
@@ -90,11 +101,23 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     Small inputs (e.g. one parquet file) arrive as one partition, which
     single-threads every narrow-but-expensive stage downstream. At real
     scale the input split count already exceeds core count and this is a
-    no-op — the repartition only fires when partitions < half the
-    default parallelism, so it never adds a shuffle to a well-split
-    100 TB scan.
+    no-op — the repartition only fires when the estimated split count is
+    below half the default parallelism, so it never adds a shuffle to a
+    well-split 100 TB scan.
+
+    The estimate is ``len(df.inputFiles())`` — a metadata-only catalog
+    probe (file listing is already cached by the scan relation). The old
+    ``df.rdd.getNumPartitions()`` probe forced a full logical-plan →
+    RDD conversion per call, which stacked a plan-analysis tax under
+    every dedup/similarity operator; inputFiles() touches no executor
+    and never converts the plan. A file-backed frame with ≥ target/2
+    files has ≥ that many splits (maxPartitionBytes only splits further,
+    never merges below file count), so the no-op direction is safe; for
+    non-file frames (in-memory ranges, streaming) inputFiles() is empty
+    and we conservatively repartition — those frames are small by
+    construction in this engine.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    if len(df.inputFiles()) < max(2, target // 2):
         return df.repartition(target)
     return df

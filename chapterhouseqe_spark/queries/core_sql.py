@@ -201,11 +201,31 @@ def ref_string_filter(spark, sf_dir):
 # =====================================================================
 
 
+def _source_fingerprint(sf_dir: str, table: str) -> str:
+    """Cache key for derived copies of a source table.
+
+    Folds the source parquet's mtime+size into the digest so a
+    regenerated dataset at the SAME path (which happened to events in
+    round 4) invalidates the /tmp cache instead of serving a stale copy
+    that mismatches the oracle reading fresh data. str ``hash()`` is
+    salted per process, hence md5.
+    """
+    path = f"{sf_dir.rstrip('/')}/{table}.parquet"
+    h = hashlib.md5(sf_dir.encode())
+    paths = [path]
+    if os.path.isdir(path):
+        paths = sorted(
+            os.path.join(r, f) for r, _, fs in os.walk(path) for f in fs
+        )
+    for p in paths:
+        st = os.stat(p)
+        h.update(f"{os.path.basename(p)}:{st.st_mtime_ns}:{st.st_size}".encode())
+    return h.hexdigest()[:12]
+
+
 def _format_dir(spark, sf_dir, fmt: str, table: str) -> str:
     """Deterministic one-time conversion of a parquet table to csv/json."""
-    # Stable digest: str hash() is salted per process, which would defeat
-    # the cross-process cache and accumulate stale dirs in /tmp.
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    key = _source_fingerprint(sf_dir, table)
     out = f"/tmp/chqe_formats/{key}/{table}_{fmt}"
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):

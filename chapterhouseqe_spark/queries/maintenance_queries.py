@@ -73,11 +73,18 @@ def merge_upsert_orders(spark, sf_dir):
     WITH chg AS (
       SELECT user_id, event_type, ts, event_id,
              lag(event_type) OVER
-               (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+             row_number() OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS rn
       FROM events
     ),
     pts AS (
-      SELECT * FROM chg WHERE prev IS NULL OR prev <> event_type
+      -- rn=1 OR IS DISTINCT FROM mirrors the operator's explicit
+      -- first-row flag + eqNullSafe change test exactly: a non-null ->
+      -- NULL transition is a change point in both engines (plain <>
+      -- would drop it), and a first row whose attr is NULL still opens
+      -- an interval (IS DISTINCT FROM alone would drop NULL-vs-NULL).
+      SELECT * FROM chg WHERE rn = 1 OR prev IS DISTINCT FROM event_type
     )
     SELECT user_id, event_type,
            {o_ts_str('ts')} AS valid_from_s,
@@ -131,13 +138,17 @@ def partition_pruned_scan(spark, sf_dir):
 
 
 def _partitioned_orders_dir(spark, sf_dir) -> str:
-    """Deterministic one-time hive-partitioned copy of orders."""
-    import hashlib
+    """Deterministic one-time hive-partitioned copy of orders.
+
+    Keyed by the source's content fingerprint (mtime+size), not just the
+    path — a regenerated dataset invalidates the cached copy.
+    """
     import os
 
     from chapterhouseqe_spark.operators.maintenance import write_partitioned
+    from chapterhouseqe_spark.queries.core_sql import _source_fingerprint
 
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    key = _source_fingerprint(sf_dir, "orders")
     out = f"/tmp/chqe_partitioned/{key}/orders_by_priority"
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         write_partitioned(t(spark, sf_dir, "orders"), out, ["o_orderpriority"])

@@ -102,3 +102,49 @@ def test_partitioned_write_prunes_directories(spark, tmp_path):
     assert "PartitionFilters" in plan and "cat" in plan
     files = scan.select(F.input_file_name()).distinct().collect()
     assert all("cat=y" in r[0] for r in files)
+
+def test_merge_upsert_null_version_change_beats_base(spark):
+    # NULL version coalesces to 0; the __src tiebreak then lets the
+    # change row win instead of losing to base under NULLS LAST.
+    base = spark.createDataFrame([(1, "old", 0)], "id long, val string, ver long")
+    changes = spark.createDataFrame(
+        [(1, "new", None, False)], "id long, val string, ver long, is_del boolean"
+    )
+    out = merge_upsert(base, changes, ["id"], version_col="ver", delete_col="is_del")
+    assert _rows(out.select("id", "val")) == [(1, "new")]
+
+
+def test_partitioned_write_files_per_partition_splits(spark, tmp_path):
+    import glob as globmod
+
+    df = spark.createDataFrame(
+        [(i, ["x", "y"][i % 2]) for i in range(2000)], "id long, cat string"
+    ).repartition(8)
+    path = str(tmp_path / "partk")
+
+    # job-count probe: the salt formulation must not run an extra
+    # distinct().count() scan before the write. Under AQE the write's
+    # repartition runs as its own shuffle-stage job + the final write
+    # job = 2; the old distinct().count() sizing added 2 more on top.
+    # AQE's partition coalescing merges the tiny test shuffle into one
+    # partition (desirable at this size — that IS the small-files
+    # guard); disable it here so the salt's splitting is observable,
+    # as it would be at real scale where partitions exceed the
+    # advisory size and are never merged.
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        tracker = spark.sparkContext.statusTracker()
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        write_partitioned(df, path, ["cat"], files_per_partition=3)
+        after = len(tracker.getJobIdsForGroup(None) or [])
+        assert after - before <= 2, f"extra pre-write job: {after - before} jobs"
+    finally:
+        spark.conf.set(coalesce_key, prev)
+
+    for cat in ("x", "y"):
+        files = globmod.glob(f"{path}/cat={cat}/*.parquet")
+        # the salt spreads each directory over >1 and <= K files
+        assert 1 < len(files) <= 3, (cat, len(files))
+    assert spark.read.parquet(path).count() == 2000

@@ -123,3 +123,33 @@ def test_freq_items_sketch_finds_hot_key(spark):
     df = spark.createDataFrame(rows, "k int")
     found = df.freqItems(["k"], support=0.3).collect()[0]["k_freqItems"]
     assert 7 in found
+
+
+def test_salted_join_salt_stable_under_recomputation(spark):
+    # The salt must be a pure function of row content — identical across
+    # independent recomputations and any input partitioning — or task
+    # retry re-salts recomputed rows into different buckets and the join
+    # silently duplicates/drops them (SPARK-23207 class).
+    large = spark.createDataFrame(
+        [(i % 5, f"p{i}") for i in range(200)], "k long, payload string"
+    )
+    small = spark.createDataFrame([(i, f"n{i}") for i in range(5)], "k long, name string")
+
+    out = salted_join(large, small, ["k"]).select("k", "payload", "name")
+    runs = [sorted(map(tuple, out.collect())) for _ in range(2)]
+    assert runs[0] == runs[1]
+
+    # same rows, different physical partitioning -> same join result
+    # (an id-derived salt would differ here; a content salt cannot)
+    re = salted_join(large.repartition(13), small, ["k"]).select(
+        "k", "payload", "name"
+    )
+    assert sorted(map(tuple, re.collect())) == runs[0]
+
+    # and the per-row salt value itself is partitioning-invariant
+    from pyspark.sql import functions as F
+
+    salt = F.pmod(F.xxhash64("k", "payload"), F.lit(16)).alias("s")
+    a = sorted(map(tuple, large.select("payload", salt).collect()))
+    b = sorted(map(tuple, large.repartition(7).select("payload", salt).collect()))
+    assert a == b
