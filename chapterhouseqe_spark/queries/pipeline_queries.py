@@ -391,11 +391,47 @@ def dedup_embedding_cosine(spark, sf_dir):
     return embedding_dedup_keep_first(emb, threshold=0.4).select("vec_id")
 
 
+def _lsh_planes_values(dim: int = 64, n_planes: int = 8, seed: int = 42) -> str:
+    """The seeded hyperplane matrix as DuckDB VALUES rows.
+
+    "Probabilistic" LSH is deterministic for a fixed seed: the planes
+    are plain literals, so the oracle can recompute every signature
+    bit-exactly (repr() round-trips doubles; both engines then run the
+    identical sequential fold, see :mod:`operators.similarity`).
+    """
+    from chapterhouseqe_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    return ",\n      ".join(
+        f"({j}, [{', '.join(repr(v) for v in p)}]::DOUBLE[])"
+        for j, p in enumerate(planes)
+    )
+
+
 @query(
     "embedding_ann_lsh",
-    oracle=None,  # probabilistic bucketing — rows-only check
+    oracle=f"""
+    WITH sigs AS (
+      SELECT e.vec_id,
+             CAST(SUM(CASE WHEN list_reduce(
+                 list_transform(generate_series(1, len(e.embedding)),
+                                i -> CAST(e.embedding[i] AS DOUBLE) * pl.p[i]),
+                 (acc, x) -> acc + x) > 0
+               THEN (CAST(1 AS BIGINT) << pl.j) ELSE 0 END) AS INTEGER) AS bucket
+      FROM embeddings e, (VALUES
+      {_lsh_planes_values()}
+      ) pl(j, p)
+      GROUP BY e.vec_id
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket
+    FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    """,
     tags=("pipeline", "similarity"),
-    doc="hyperplane-LSH candidate pairs (scale path; rerank with cosine)",
+    doc="hyperplane-LSH candidate pairs (scale path; rerank with cosine). "
+    "Oracle embeds the seed-42 hyperplanes as literals and recomputes "
+    "signatures exactly; at sf0.01 no bucket exceeds max_bucket so the "
+    "salt is identically 0 on both sides (salting itself is pinned by "
+    "tests/test_similarity.py)",
 )
 def embedding_ann_lsh(spark, sf_dir):
     emb = t(spark, sf_dir, "embeddings")
@@ -535,9 +571,72 @@ def embedding_ivf_topk(spark, sf_dir):
 
 @query(
     "embedding_ivf_topk_approx",
-    oracle=None,  # nprobe < n_centroids is genuinely approximate
+    # "approximate" means approximate NEIGHBORS, not a nondeterministic
+    # result: with centroid_method='first' the whole pipeline (first-16
+    # centroids -> argmax assignment -> nprobe=4 probe buckets -> top-3
+    # rerank) is a pure function of the input, so the oracle replays it
+    # step for step in SQL. Ties break on (csim desc, cid) / (sim desc,
+    # id_b) identically; dots/norms use the shared sequential-fold
+    # convention so the doubles are bit-exact across engines.
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec
+      FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    {_COSINE_NORMS_CTE},
+    csims AS (
+      SELECT e.vec_id AS id, c.cid,
+             list_reduce(
+               list_transform(generate_series(1, len(e.embedding)),
+                              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)),
+               (acc, x) -> acc + x) / (ne.nrm * nc.nrm) AS csim
+      FROM embeddings e
+      CROSS JOIN cent c
+      JOIN norms ne ON ne.vec_id = e.vec_id
+      JOIN norms nc ON nc.vec_id = c.cid
+    ),
+    assign AS (
+      SELECT id, cid FROM (
+        SELECT id, cid,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS rn
+        FROM csims
+      ) x WHERE rn = 1
+    ),
+    probe_buckets AS (
+      SELECT id AS probe_id, cid FROM (
+        SELECT id, cid,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS rn
+        FROM csims WHERE id < 8
+      ) x WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT pb.probe_id, a.id AS id_b
+      FROM probe_buckets pb JOIN assign a USING (cid)
+      WHERE a.id <> pb.probe_id
+    ),
+    scored AS (
+      SELECT c.probe_id, c.id_b,
+             list_reduce(
+               list_transform(generate_series(1, len(pa.embedding)),
+                              i -> CAST(pa.embedding[i] AS DOUBLE) * CAST(pb2.embedding[i] AS DOUBLE)),
+               (acc, x) -> acc + x) / (na.nrm * nb.nrm) AS sim
+      FROM cand c
+      JOIN embeddings pa ON pa.vec_id = c.probe_id
+      JOIN embeddings pb2 ON pb2.vec_id = c.id_b
+      JOIN norms na ON na.vec_id = c.probe_id
+      JOIN norms nb ON nb.vec_id = c.id_b
+    )
+    SELECT probe_id, id_b, sim FROM (
+      SELECT probe_id, id_b, sim,
+             ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, id_b) AS rn
+      FROM scored
+    ) x WHERE rn <= 3
+    """,
     tags=("pipeline", "similarity"),
-    doc="IVF top-3 at nprobe=4/16 — the scale path (searches ~1/4 of buckets)",
+    doc="IVF top-3 at nprobe=4/16 — the scale path (searches ~1/4 of "
+    "buckets); deterministic for centroid_method='first', so the oracle "
+    "replays centroid seeding, argmax assignment, probe-bucket choice, "
+    "and rerank exactly",
 )
 def embedding_ivf_topk_approx(spark, sf_dir):
     from chapterhouseqe_spark.operators.similarity import ivf_topk

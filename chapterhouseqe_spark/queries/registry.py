@@ -118,87 +118,83 @@ def _ensure_registered() -> None:
     from chapterhouseqe_spark.queries import streaming_queries  # noqa: F401
 
 
-# Grading priority. The driver's correctness gate grades a prefix of the
-# registry (round 2: exactly the first 50 entries), so dict order decides
-# which queries get driver-oracle evidence. Order: (a) rows that were red
-# or error in the previous round's gate, (b) every query that has never
-# been graded — the whole pipeline + streaming surface and the late
-# core-SQL additions — one flagship per operator family first, (c) one
-# representative previously-green query per family. Everything NOT listed
-# here follows in registration order; all of it is still oracle-checked
-# locally by tests/test_queries_oracle.py every pytest run.
+# Grading priority. The driver's correctness gate grades a 50-entry
+# prefix of the registry, so dict order decides which queries get
+# driver-oracle evidence. Round-5 rotation: after r2 graded the core-SQL
+# prefix and r3/r4 graded the curated never-graded set, exactly 32
+# registered queries still had zero green driver rows (see COVERAGE.md
+# evidence union). This window spends its first 33 slots on those 32
+# plus the new streaming-source query, then fills the remaining 17 with
+# rotating canaries — one previously-green representative per operator
+# family, so every family keeps fresh cross-round evidence. Everything
+# NOT listed follows in registration order; all of it is still
+# oracle-checked locally by tests/test_queries_oracle.py every pytest
+# run.
 GRADE_ORDER: tuple[str, ...] = (
-    # (a) red in CORRECTNESS_r02 — fixed this round
-    "date_arithmetic",
-    "array_split_ops",
-    "asof_join_clicks",
-    "range_join_windows",
-    # (b) never graded: streaming extension (§2.9)
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_user_activity",
-    "events_sessionization",
-    "events_enriched_rollup",
-    "events_click_to_purchase",
-    # (b) never graded: dedup family
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_keep_canonical",
-    "dedup_keep_first_window",
-    "dedup_embedding_cosine",
-    # (b) never graded: similarity / embeddings family
-    "embedding_cosine_topk",
-    "embedding_cosine_pairs",
-    "embedding_ivf_topk",
-    "embedding_ivf_topk_approx",
+    # (a) the 2 rows that were `no_oracle` in r4 — now with real
+    # DuckDB oracles (seeded hyperplanes as literals / replayed
+    # first-N IVF pipeline)
     "embedding_ann_lsh",
-    "embedding_centroids",
-    # (b) never graded: text analysis family
-    "text_stats",
-    "text_token_counts",
-    "text_lang_id",
-    "text_quality_score",
-    # text_fingerprint's expression is exercised in-window as
-    # pipeline_clean_corpus's dedup key; the standalone query keeps its
-    # local pytest oracle outside the window.
-    "pipeline_clean_corpus",
-    "text_tfidf_top_terms",
-    "text_top_bigrams",
-    # (b) never graded: multimodal + custom source family
-    "multimodal_binary_meta",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "custom_datasource_scan",
-    # (b) never graded: late core-SQL additions
-    "tpch_q6_revenue",
-    "pivot_returnflag",
-    "explode_word_count",
-    "time_rollup_multi",
-    "json_extract_props",
+    "embedding_ivf_topk_approx",
+    # (b) never driver-green: round-4 maintenance + corpus-prep families
+    "merge_upsert_orders",
+    "scd2_user_event_history",
+    "partition_pruned_scan",
+    "orc_scan",
+    "pipeline_pii_redact",
+    "pipeline_doc_chunks",
+    "pipeline_pack_sequences",
+    "pipeline_sample_per_key",
+    # (b) never driver-green: remaining TPC-H shapes
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_nation_year_profit",
+    "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_count",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q20_excess_supplier",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales_opportunity",
+    # (b) never driver-green: complex-type + scale-utility queries
+    "map_ops",
+    "struct_ops",
+    "array_higher_order",
+    "heavy_hitters_freq",
+    "salted_skew_join",
+    "bucketed_colocated_join",
+    # (b) never driver-green: text + pipeline stragglers
+    "text_fingerprint",
+    "text_repetition_score",
+    "pipeline_hash_split",
+    "pipeline_stratified_sample",
+    # (c) new this round: streaming Python Data Source driven through
+    # real micro-batches (§2.10's streaming half gets a driver row)
+    "stream_source_replay_agg",
+    # (d) rotating canaries — previously-green, one per family, so each
+    # family's evidence stays fresh across rounds: scan/pushdown,
+    # sources, joins, agg, multi-dim agg, windows, set ops, subqueries,
+    # scalar fns, UDF, streaming-shaped, temporal, dedup, similarity,
+    # text, multimodal, custom batch source.
+    "ref_scan_filter_project",
+    "csv_scan",
+    "join_full_outer",
+    "tpch_q1_pricing_summary",
     "grouping_sets_mix",
     "window_time_range_avg",
-    "tpch_q14_promo_revenue",
-    "tpch_q18_large_orders",
-    "approx_sketches_within_bounds",
-    "tpch_q10_returned_items",
-    "tpch_q12_priority_class",
-    "tpch_q19_disjunctive",
-    # new this round: qualified wildcard + subquery-decorrelation shapes.
-    # Exactly 50 entries — the driver grades a 50-entry prefix of
-    # queries() order, so every slot is spent on a query with no prior
-    # driver evidence (r2-red fixes + never-graded families). Everything
-    # past the window (incl. the previously-green core set and the
-    # remaining new tpch shapes) follows in registration order and is
-    # still oracle-checked locally on every pytest run.
-    "ref_qualified_wildcard",
-    "tpch_q4_order_priority",
-    # hygiene family flagship (broadcast eval-shingle overlap) takes the
-    # last slot over tpch_q13: the q13 left-join/count-distribution shape
-    # already has adjacent r2-green evidence (join_* + group_having),
-    # while contamination has none.
-    "pipeline_contamination_check",
+    "set_intersect",
+    "correlated_agg_subquery",
+    "date_arithmetic",
+    "udf_pandas_charge",
+    "events_sessionization",
+    "asof_join_clicks",
+    "dedup_minhash_lsh",
+    "embedding_ivf_topk",
+    "text_tfidf_top_terms",
+    "multimodal_frame_sample",
+    "custom_datasource_scan",
 )
 
 

@@ -183,3 +183,67 @@ def events_click_to_purchase(spark, sf_dir):
         F.count(F.lit(1)).alias("n_pairs"),
         dsum(F.col("r_value")).alias("purchase_value"),
     )
+
+
+@query(
+    "stream_source_replay_agg",
+    oracle="""
+    SELECT 'l' || CAST(i % 5 AS VARCHAR) AS label,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST((i * 37 % 1000) / 10.0 AS DECIMAL(27,4))) AS DOUBLE)
+             AS total_value
+    FROM generate_series(0, 119) g(i)
+    GROUP BY label
+    """,
+    tags=("streaming", "source", "extension"),
+    doc="streaming Python Data Source end-to-end: the "
+    "SimpleDataSourceStreamReader (sources/synthetic.py) is driven "
+    "through real micro-batches (30 rows/trigger x 4) into a memory "
+    "sink, then aggregated; the oracle recomputes the deterministic "
+    "row function over the full offset range. Offset replay "
+    "(readBetweenOffsets) is pinned by tests/test_table_functions.py",
+)
+def stream_source_replay_agg(spark, sf_dir):
+    import tempfile
+    import time
+    import uuid
+
+    from chapterhouseqe_spark.sources.synthetic import register_synthetic_source
+
+    register_synthetic_source(spark)
+    stream = (
+        spark.readStream.format("chqe_synthetic")
+        .option("batch_rows", 30)
+        .option("max_rows", 120)
+        .load()
+    )
+    # availableNow stops after the first prefetched batch on a
+    # SimpleDataSourceStreamReader (the source generates data on demand,
+    # so "available" is one batch) — run real micro-batches and stop at
+    # the source's declared end instead. Fresh queryName/checkpoint per
+    # call keeps the build idempotent; the data is deterministic, so
+    # every run materializes identical rows.
+    name = f"stream_replay_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="chqe_stream_ckpt_"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table(name).count() >= 120:
+                break
+            time.sleep(0.25)
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+    )
