@@ -297,3 +297,173 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .select("probe_id", "id_b", "sim")
     )
+
+
+# ------------------------------------------------------------ product
+# quantization (PQ)
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace PQ codebooks, seeded from the first ``k_codes``
+    vectors by id (the deterministic 'first' convention — same trade as
+    ``ivf_assign(centroid_method='first')``: stays inside the lazy plan
+    and is exactly reproducible by the DuckDB oracle; swap in a k-means
+    fit per subspace for production codebooks).
+
+    Returns (m, k, cvec): subspace index, code index, and the
+    ``dim/m_sub``-dim sub-centroid. m_sub*k_codes rows — broadcastable
+    at any corpus scale (PQ codebooks are KB-sized by construction).
+    """
+    if dim % m_sub:
+        raise ValueError("dim must divide evenly into m_sub subspaces")
+    d = dim // m_sub
+    w = Window.orderBy(id_col)
+    seeds = (
+        ensure_parallelism(emb)
+        .orderBy(id_col)
+        .limit(k_codes)
+        .withColumn("k", F.row_number().over(w) - 1)
+    )
+    return seeds.select(
+        F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1))).alias("m"),
+        F.col("k"),
+        F.col(vec_col).alias("__v"),
+    ).select(
+        "m",
+        "k",
+        F.transform(
+            F.slice(F.col("__v"), F.col("m") * d + 1, d),
+            lambda x: x.cast("double"),
+        ).alias("cvec"),
+    )
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 distance (bit-exact across engines,
+    same convention as :func:`exact_dot`)."""
+    diffs = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: DataFrame,
+    m_sub: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-encode every vector: (id, codes array<int> of length m_sub).
+
+    Each subvector maps to its nearest sub-centroid (squared L2, ties
+    to the smaller code). 100 TB shape: the corpus fans out m_sub× (one
+    narrow explode), joins the BROADCAST codebooks (k_codes candidates
+    per subvector — a map-side nested loop over a KB-sized table, no
+    shuffle), then ONE shuffle on (id) reassembles the code array. The
+    encoded corpus is dim*4/m_sub smaller than the raw vectors — the
+    reason PQ exists: a 100 TB float corpus becomes ~3 TB of codes that
+    fit a much smaller cluster tier for serving.
+    """
+    d = dim // m_sub
+    sub = ensure_parallelism(emb).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1))).alias("m"),
+        F.col(vec_col).alias("__v"),
+    ).select(
+        "id", "m", F.slice(F.col("__v"), F.col("m") * d + 1, d).alias("sv")
+    )
+    scored = sub.join(F.broadcast(codebooks), "m").select(
+        "id", "m", "k", _l2sq(F.col("sv"), F.col("cvec")).alias("dist")
+    )
+    wmn = Window.partitionBy("id", "m").orderBy(F.col("dist").asc(), F.col("k").asc())
+    best = (
+        scored.withColumn("rn", F.row_number().over(wmn))
+        .filter(F.col("rn") == 1)
+        .select("id", "m", "k")
+    )
+    return best.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "k"))), lambda x: x.k
+        ).alias("codes")
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    probe_filter: Column,
+    k: int = 3,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k neighbors by PQ asymmetric distance (ADC).
+
+    Per probe, a distance TABLE (m_sub × k_codes doubles: exact squared
+    L2 from the probe's subvector to every sub-centroid) is built once;
+    a corpus row's approximate distance is then m_sub table lookups
+    summed — no float multiply per pair, and the corpus side touches
+    only the encoded codes, never the raw vectors. The lookup sum runs
+    as a SEQUENTIAL fold over m (array expression), so it is
+    deterministic and bit-exact vs the oracle.
+
+    Scale: probes and their tables broadcast; the encoded corpus is
+    scanned once; per-probe top-k via window. Compose with IVF bucket
+    restriction (ivf_assign) for the full IVF-PQ serving shape; rerank
+    the top-R with exact :func:`cosine` when recall matters.
+
+    Returns (probe_id, id_b, adist) — smaller adist = nearer; ties
+    break on id_b.
+    """
+    d = dim // m_sub
+    codebooks = pq_codebooks(emb, m_sub, k_codes, dim, id_col, vec_col)
+    codes = pq_encode(emb, codebooks, m_sub, dim, id_col, vec_col)
+    probes = emb.filter(probe_filter).select(
+        F.col(id_col).alias("probe_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1))).alias("m"),
+        F.col(vec_col).alias("__v"),
+    ).select(
+        "probe_id", "m", F.slice(F.col("__v"), F.col("m") * d + 1, d).alias("sv")
+    )
+    pdists = probes.join(F.broadcast(codebooks), "m").select(
+        "probe_id", "m", "k", _l2sq(F.col("sv"), F.col("cvec")).alias("pd")
+    )
+    per_m = pdists.groupBy("probe_id", "m").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("k", "pd"))), lambda x: x.pd
+        ).alias("row")
+    )
+    tables = per_m.groupBy("probe_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "row"))), lambda x: x.row
+        ).alias("tbl")
+    )
+    cand = codes.crossJoin(F.broadcast(tables)).filter(
+        F.col("id") != F.col("probe_id")
+    )
+    adist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m_sub - 1)),
+        F.lit(0.0),
+        lambda acc, m: acc
+        + F.col("tbl")[m][F.col("codes")[m]],
+    )
+    scored = cand.select(
+        "probe_id", F.col("id").alias("id_b"), adist.alias("adist")
+    )
+    wtop = Window.partitionBy("probe_id").orderBy(F.col("adist").asc(), F.col("id_b"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", "id_b", "adist")
+    )

@@ -1301,3 +1301,43 @@ def pipeline_sample_per_key(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents").select("doc_id", "lang")
     return sample_per_key(d, ["lang"], 5, "doc_id")
+
+
+@query(
+    "pipeline_segment_dedup",
+    oracle="""
+    WITH segs AS (
+      SELECT doc_id, i - 1 AS pos, w[i] AS seg,
+             doc_id * 1000000 + (i - 1) AS okey
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+           LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) g
+    ),
+    firsts AS (
+      SELECT seg, MIN(okey) AS okey FROM segs GROUP BY seg
+    ),
+    surv AS (
+      SELECT okey // 1000000 AS doc_id, okey % 1000000 AS pos, seg FROM firsts
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             string_agg(seg, ' ' ORDER BY pos) AS text_dedup,
+             COUNT(*) AS n_kept
+      FROM surv GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(r.text_dedup, '') AS text_dedup,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept
+    FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    """,
+    tags=("pipeline", "dedup"),
+    doc="corpus-wide segment-level exact dedup (C4/RefinedWeb paragraph-"
+    "dedup step: keep each distinct segment only at its globally-first "
+    "(doc_id, pos) occurrence, reassemble docs) — "
+    "operators/dedup.py:segment_dedup; graded at word granularity "
+    "because the synthetic corpus has no paragraph breaks",
+)
+def pipeline_segment_dedup(spark, sf_dir):
+    from chapterhouseqe_spark.operators.dedup import segment_dedup
+
+    docs = t(spark, sf_dir, "documents")
+    return segment_dedup(docs, "text", "doc_id", delim=" ")

@@ -171,8 +171,10 @@ GRADE_ORDER: tuple[str, ...] = (
     "pipeline_hash_split",
     "pipeline_stratified_sample",
     # (c) new this round: streaming Python Data Source driven through
-    # real micro-batches (§2.10's streaming half gets a driver row)
+    # real micro-batches (§2.10's streaming half gets a driver row),
+    # and corpus-wide segment-level dedup (C4-style paragraph dedup)
     "stream_source_replay_agg",
+    "pipeline_segment_dedup",
     # (d) rotating canaries — previously-green, one per family, so each
     # family's evidence stays fresh across rounds: scan/pushdown,
     # sources, joins, agg, multi-dim agg, windows, set ops, subqueries,
@@ -184,7 +186,6 @@ GRADE_ORDER: tuple[str, ...] = (
     "tpch_q1_pricing_summary",
     "grouping_sets_mix",
     "window_time_range_avg",
-    "set_intersect",
     "correlated_agg_subquery",
     "date_arithmetic",
     "udf_pandas_charge",

@@ -104,3 +104,37 @@ def test_pii_redact_clean_text_unchanged(spark):
     assert df.select(pii_redact(F.col("s")).alias("r")).collect()[0].r == (
         "no pii here at all"
     )
+
+
+def test_segment_dedup_keeps_first_occurrence(spark):
+    from chapterhouseqe_spark.operators.dedup import segment_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "intro\n\nbody one\n\nfooter"),
+            (2, "intro\n\nbody two\n\nfooter"),   # intro+footer are boilerplate
+            (3, "footer\n\nbody three"),
+            (4, "intro\n\nfooter"),               # fully boilerplate -> empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text_dedup"], r["n_kept"])
+        for r in segment_dedup(docs, "text", "doc_id").collect()
+    }
+    assert out[1] == ("intro\n\nbody one\n\nfooter", 3)
+    assert out[2] == ("body two", 1)
+    assert out[3] == ("body three", 1)
+    assert out[4] == ("", 0)
+
+
+def test_segment_dedup_within_doc_repeats(spark):
+    from chapterhouseqe_spark.operators.dedup import segment_dedup
+
+    docs = spark.createDataFrame(
+        [(7, "a b a b c")], "doc_id long, text string"
+    )
+    out = segment_dedup(docs, "text", "doc_id", delim=" ").collect()[0]
+    # repeated words inside ONE doc also collapse to first occurrence
+    assert out["text_dedup"] == "a b c"
+    assert out["n_kept"] == 3

@@ -70,28 +70,44 @@ def test_grade_order_names_exist():
     assert len(set(GRADE_ORDER)) == len(GRADE_ORDER), "duplicate GRADE_ORDER names"
 
 
-def test_family_flagships_in_graded_prefix():
-    """Each operator family's flagship must sit inside the first 50
-    registry entries — the driver graded exactly 50 in round 2."""
-    from chapterhouseqe_spark.queries.registry import get_queries
+def test_graded_prefix_invariants():
+    """The driver grades the first 50 registry entries. Round-5 window
+    invariants: exactly 50 curated slots, every one with a full DuckDB
+    oracle (zero rows-only checks), and every operator family keeps at
+    least one representative inside the window (rotating canaries)."""
+    from chapterhouseqe_spark.queries.registry import (
+        GRADE_ORDER,
+        _ordered,
+        get_queries,
+    )
 
+    assert len(GRADE_ORDER) == 50
+    assert len(set(GRADE_ORDER)) == 50
     first50 = list(get_queries())[:50]
-    flagships = [
-        "dedup_exact",
-        "dedup_minhash_lsh",
-        "dedup_keep_canonical",
-        "embedding_cosine_topk",
-        "embedding_ivf_topk",
-        "text_tfidf_top_terms",
-        "text_lang_id",
-        "multimodal_decode_features",
-        "custom_datasource_scan",
-        "events_tumbling_window",
-        "events_sessionization",
-        "date_arithmetic",
-        "array_split_ops",
-        "asof_join_clicks",
-        "range_join_windows",
-    ]
-    out = [f for f in flagships if f not in first50]
-    assert not out, f"flagships outside graded prefix: {out}"
+    assert first50 == list(GRADE_ORDER), "registry must lead with GRADE_ORDER"
+
+    qs = _ordered()
+    no_oracle = [n for n in first50 if qs[n].oracle is None]
+    assert not no_oracle, f"graded without oracle: {no_oracle}"
+
+    # one representative per family stays in-window across rotations
+    families = {
+        "dedup": "dedup_minhash_lsh",
+        "similarity": "embedding_ivf_topk",
+        "text": "text_tfidf_top_terms",
+        "multimodal": "multimodal_frame_sample",
+        "custom-source": "custom_datasource_scan",
+        "streaming": "events_sessionization",
+        "streaming-source": "stream_source_replay_agg",
+        "temporal": "asof_join_clicks",
+        "maintenance": "merge_upsert_orders",
+        "corpus-prep": "pipeline_pack_sequences",
+        "scan": "ref_scan_filter_project",
+        "join": "join_full_outer",
+        "agg": "tpch_q1_pricing_summary",
+        "window": "window_time_range_avg",
+        "subquery": "correlated_agg_subquery",
+        "udf": "udf_pandas_charge",
+    }
+    out = [f"{fam}:{n}" for fam, n in families.items() if n not in first50]
+    assert not out, f"families without an in-window representative: {out}"
