@@ -1341,3 +1341,80 @@ def pipeline_segment_dedup(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     return segment_dedup(docs, "text", "doc_id", delim=" ")
+
+
+@query(
+    "embedding_pq_topk",
+    # Full replay of the deterministic PQ pipeline in SQL: first-16
+    # seeded codebooks per subspace -> nearest-code encode (ties to the
+    # smaller code) -> per-probe distance tables -> ADC sum as an
+    # m-ordered sequential fold (list(pd ORDER BY m) + list_reduce, the
+    # exact op order of the Spark-side F.aggregate fold) -> top-3 with
+    # id tiebreak. All doubles bit-exact across engines.
+    oracle="""
+    WITH seeds AS (
+      SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k
+      FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+    cb AS (
+      SELECT ms.m, s.k,
+             list_transform(generate_series(1, 8),
+                            i -> CAST(s.embedding[ms.m * 8 + i] AS DOUBLE)) AS cvec
+      FROM seeds s CROSS JOIN ms
+    ),
+    sub AS (
+      SELECT e.vec_id AS id, ms.m,
+             list_transform(generate_series(1, 8),
+                            i -> CAST(e.embedding[ms.m * 8 + i] AS DOUBLE)) AS sv
+      FROM embeddings e CROSS JOIN ms
+    ),
+    enc AS (
+      SELECT id, m, k FROM (
+        SELECT sub.id, sub.m, cb.k,
+               ROW_NUMBER() OVER (
+                 PARTITION BY sub.id, sub.m
+                 ORDER BY list_reduce(
+                   list_transform(generate_series(1, 8),
+                                  i -> (sv[i] - cvec[i]) * (sv[i] - cvec[i])),
+                   (acc, x) -> acc + x), cb.k) AS rn
+        FROM sub JOIN cb ON cb.m = sub.m
+      ) x WHERE rn = 1
+    ),
+    pd AS (
+      SELECT sub.id AS probe_id, sub.m, cb.k,
+             list_reduce(
+               list_transform(generate_series(1, 8),
+                              i -> (sv[i] - cvec[i]) * (sv[i] - cvec[i])),
+               (acc, x) -> acc + x) AS pdist
+      FROM sub JOIN cb ON cb.m = sub.m
+      WHERE sub.id < 8
+    ),
+    sums AS (
+      SELECT pd.probe_id, e.id AS id_b,
+             list_reduce(list(pd.pdist ORDER BY pd.m), (acc, x) -> acc + x)
+               AS adist
+      FROM enc e
+      JOIN pd ON pd.m = e.m AND pd.k = e.k
+      WHERE e.id <> pd.probe_id
+      GROUP BY pd.probe_id, e.id
+    )
+    SELECT probe_id, id_b, adist FROM (
+      SELECT probe_id, id_b, adist,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY adist, id_b) AS rn
+      FROM sums
+    ) x WHERE rn <= 3
+    """,
+    tags=("pipeline", "similarity"),
+    doc="product-quantization ANN (asymmetric-distance top-3 over "
+    "8x16 'first'-seeded codebooks): the memory-compression serving "
+    "path — the corpus side touches only m_sub-byte codes, never raw "
+    "vectors — operators/similarity.py:pq_topk; compose with "
+    "ivf_assign for IVF-PQ and exact-cosine rerank for recall",
+)
+def embedding_pq_topk(spark, sf_dir):
+    from chapterhouseqe_spark.operators.similarity import pq_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return pq_topk(emb, F.col("vec_id") < 8, k=3)

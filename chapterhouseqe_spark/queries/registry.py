@@ -175,6 +175,7 @@ GRADE_ORDER: tuple[str, ...] = (
     # and corpus-wide segment-level dedup (C4-style paragraph dedup)
     "stream_source_replay_agg",
     "pipeline_segment_dedup",
+    "embedding_pq_topk",
     # (d) rotating canaries — previously-green, one per family, so each
     # family's evidence stays fresh across rounds: scan/pushdown,
     # sources, joins, agg, multi-dim agg, windows, set ops, subqueries,
@@ -187,7 +188,6 @@ GRADE_ORDER: tuple[str, ...] = (
     "grouping_sets_mix",
     "window_time_range_avg",
     "correlated_agg_subquery",
-    "date_arithmetic",
     "udf_pandas_charge",
     "events_sessionization",
     "asof_join_clicks",

@@ -308,3 +308,40 @@ def test_embedding_dedup_keep_first(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     kept = sorted(r["vec_id"] for r in embedding_dedup_keep_first(emb, 0.9).collect())
     assert kept == [0, 2, 4]
+
+
+def test_pq_encode_identical_vectors_share_codes(spark):
+    from chapterhouseqe_spark.operators.similarity import pq_codebooks, pq_encode
+
+    # 4-dim vectors, 2 subspaces of 2 dims, 2 codes
+    rows = [
+        (0, [1.0, 0.0, 0.0, 1.0]),
+        (1, [0.0, 1.0, 1.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 1.0]),   # identical to 0 -> same codes
+        (3, [0.95, 0.05, 0.05, 0.9]),  # near 0 -> same codes
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = pq_codebooks(emb, m_sub=2, k_codes=2, dim=4)
+    assert cb.count() == 4  # 2 subspaces x 2 codes
+    codes = {r["id"]: r["codes"] for r in pq_encode(emb, cb, m_sub=2, dim=4).collect()}
+    assert len(codes) == 4 and all(len(c) == 2 for c in codes.values())
+    assert codes[0] == codes[2] == codes[3]
+    assert codes[0] != codes[1]
+
+
+def test_pq_topk_ranks_same_cell_first(spark):
+    from chapterhouseqe_spark.operators.similarity import pq_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 1.0]),
+        (1, [0.0, 1.0, 1.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 1.0]),
+        (3, [0.9, 0.1, 0.1, 0.9]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pq_topk(emb, F.col("vec_id") == 3, k=2, m_sub=2, k_codes=2, dim=4).collect()
+    assert [r["id_b"] for r in out] == [0, 2]  # same-cell neighbors, id tiebreak
+    assert all(r["adist"] >= 0.0 for r in out)
+    # deterministic across recomputation
+    out2 = pq_topk(emb, F.col("vec_id") == 3, k=2, m_sub=2, k_codes=2, dim=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
