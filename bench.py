@@ -77,6 +77,15 @@ EXTENDED_QUERIES = [
     "pipeline_contamination_check",
     "text_repetition_score",
     "pipeline_stratified_sample",
+    # round-4/5 additions: table maintenance, corpus prep, PQ ANN,
+    # segment dedup — appended (never reordered) so earlier per-query
+    # rows stay comparable across BENCH_r{N}.json
+    "merge_upsert_orders",
+    "scd2_user_event_history",
+    "pipeline_pack_sequences",
+    "pipeline_doc_chunks",
+    "pipeline_segment_dedup",
+    "embedding_pq_topk",
 ]
 
 
