@@ -467,3 +467,96 @@ def pq_topk(
         .filter(F.col("rn") <= k)
         .select("probe_id", "id_b", "adist")
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    probe_filter: Column,
+    k: int = 3,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_method: str = "first",
+) -> DataFrame:
+    """IVF-PQ: the production ANN serving shape — IVF bucket restriction
+    composed with PQ asymmetric-distance ranking.
+
+    Per probe, only the ``nprobe``/``n_centroids`` nearest coarse cells
+    are searched (the IVF win: each probe touches a corpus fraction),
+    and within them candidates are ranked by PQ ADC over the encoded
+    codes (the PQ win: the scanned candidate payload is dim·4/m_sub
+    smaller and each comparison is m_sub table lookups). This is the
+    FAISS ``IVFx,PQy`` composition re-expressed as DataFrame ops:
+    nothing leaves the JVM, every small side broadcasts, and the only
+    wide operations are the keyed exchanges of encode/assign plus the
+    per-probe top-k window. Bucket choice uses cosine (matching
+    :func:`ivf_topk`); ranking uses squared-L2 ADC — rerank the top-R
+    with exact :func:`cosine` when the metrics must agree exactly.
+
+    Deterministic for ``centroid_method='first'`` (both the coarse
+    quantizer and the PQ codebooks seed from the first vectors by id),
+    so the DuckDB oracle replays it end-to-end.
+    """
+    centroids, assignments = ivf_assign(
+        emb, n_centroids, id_col, vec_col, centroid_method
+    )
+    codebooks = pq_codebooks(emb, m_sub, k_codes, dim, id_col, vec_col)
+    codes = pq_encode(emb, codebooks, m_sub, dim, id_col, vec_col)
+    d = dim // m_sub
+
+    probes = emb.filter(probe_filter).select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pvec")
+    )
+    pscored = F.broadcast(probes).crossJoin(F.broadcast(centroids)).select(
+        "probe_id", "pvec", "cid",
+        cosine(F.col("pvec"), F.col("cvec")).alias("csim"),
+    )
+    wp = Window.partitionBy("probe_id").orderBy(F.col("csim").desc(), F.col("cid"))
+    probe_buckets = (
+        pscored.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select("probe_id", "cid")
+    )
+    cand_ids = probe_buckets.join(
+        assignments.select("id", "cid"), "cid"
+    ).filter(F.col("id") != F.col("probe_id")).select("probe_id", "id")
+
+    psub = probes.select(
+        "probe_id",
+        F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1))).alias("m"),
+        F.col("pvec").alias("__v"),
+    ).select(
+        "probe_id", "m", F.slice(F.col("__v"), F.col("m") * d + 1, d).alias("sv")
+    )
+    pdists = psub.join(F.broadcast(codebooks), "m").select(
+        "probe_id", "m", "k", _l2sq(F.col("sv"), F.col("cvec")).alias("pd")
+    )
+    per_m = pdists.groupBy("probe_id", "m").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("k", "pd"))), lambda x: x.pd
+        ).alias("row")
+    )
+    tables = per_m.groupBy("probe_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "row"))), lambda x: x.row
+        ).alias("tbl")
+    )
+    cand = cand_ids.join(codes, "id").join(F.broadcast(tables), "probe_id")
+    adist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m_sub - 1)),
+        F.lit(0.0),
+        lambda acc, m: acc + F.col("tbl")[m][F.col("codes")[m]],
+    )
+    scored = cand.select(
+        "probe_id", F.col("id").alias("id_b"), adist.alias("adist")
+    )
+    wtop = Window.partitionBy("probe_id").orderBy(F.col("adist").asc(), F.col("id_b"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", "id_b", "adist")
+    )

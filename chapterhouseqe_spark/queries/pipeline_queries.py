@@ -1418,3 +1418,113 @@ def embedding_pq_topk(spark, sf_dir):
 
     emb = t(spark, sf_dir, "embeddings")
     return pq_topk(emb, F.col("vec_id") < 8, k=3)
+
+
+@query(
+    "embedding_ivfpq_topk",
+    # End-to-end replay of the IVF-PQ composition: cosine bucket choice
+    # (first-16 coarse centroids, nprobe=4) restricts candidates, PQ
+    # ADC (first-16-seeded 8x16 codebooks) ranks them. Shares the fold
+    # conventions of the ivf-approx and pq oracles, so every double is
+    # bit-exact.
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec
+      FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    {_COSINE_NORMS_CTE},
+    csims AS (
+      SELECT e.vec_id AS id, c.cid,
+             list_reduce(
+               list_transform(generate_series(1, len(e.embedding)),
+                              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)),
+               (acc, x) -> acc + x) / (ne.nrm * nc.nrm) AS csim
+      FROM embeddings e
+      CROSS JOIN cent c
+      JOIN norms ne ON ne.vec_id = e.vec_id
+      JOIN norms nc ON nc.vec_id = c.cid
+    ),
+    assign AS (
+      SELECT id, cid FROM (
+        SELECT id, cid,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS rn
+        FROM csims
+      ) x WHERE rn = 1
+    ),
+    probe_buckets AS (
+      SELECT id AS probe_id, cid FROM (
+        SELECT id, cid,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS rn
+        FROM csims WHERE id < 8
+      ) x WHERE rn <= 4
+    ),
+    cand_ids AS (
+      SELECT pb.probe_id, a.id
+      FROM probe_buckets pb JOIN assign a USING (cid)
+      WHERE a.id <> pb.probe_id
+    ),
+    seeds AS (
+      SELECT embedding, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k
+      FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+    cb AS (
+      SELECT ms.m, s.k,
+             list_transform(generate_series(1, 8),
+                            i -> CAST(s.embedding[ms.m * 8 + i] AS DOUBLE)) AS cvec
+      FROM seeds s CROSS JOIN ms
+    ),
+    sub AS (
+      SELECT e.vec_id AS id, ms.m,
+             list_transform(generate_series(1, 8),
+                            i -> CAST(e.embedding[ms.m * 8 + i] AS DOUBLE)) AS sv
+      FROM embeddings e CROSS JOIN ms
+    ),
+    enc AS (
+      SELECT id, m, k FROM (
+        SELECT sub.id, sub.m, cb.k,
+               ROW_NUMBER() OVER (
+                 PARTITION BY sub.id, sub.m
+                 ORDER BY list_reduce(
+                   list_transform(generate_series(1, 8),
+                                  i -> (sv[i] - cvec[i]) * (sv[i] - cvec[i])),
+                   (acc, x) -> acc + x), cb.k) AS rn
+        FROM sub JOIN cb ON cb.m = sub.m
+      ) x WHERE rn = 1
+    ),
+    pd AS (
+      SELECT sub.id AS probe_id, sub.m, cb.k,
+             list_reduce(
+               list_transform(generate_series(1, 8),
+                              i -> (sv[i] - cvec[i]) * (sv[i] - cvec[i])),
+               (acc, x) -> acc + x) AS pdist
+      FROM sub JOIN cb ON cb.m = sub.m
+      WHERE sub.id < 8
+    ),
+    sums AS (
+      SELECT ci.probe_id, ci.id AS id_b,
+             list_reduce(list(pd.pdist ORDER BY pd.m), (acc, x) -> acc + x)
+               AS adist
+      FROM cand_ids ci
+      JOIN enc e ON e.id = ci.id
+      JOIN pd ON pd.probe_id = ci.probe_id AND pd.m = e.m AND pd.k = e.k
+      GROUP BY ci.probe_id, ci.id
+    )
+    SELECT probe_id, id_b, adist FROM (
+      SELECT probe_id, id_b, adist,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY adist, id_b) AS rn
+      FROM sums
+    ) x WHERE rn <= 3
+    """,
+    tags=("pipeline", "similarity"),
+    doc="IVF-PQ composed ANN (FAISS IVF16,PQ8 shape): cosine bucket "
+    "restriction to nprobe=4/16 cells, PQ asymmetric-distance ranking "
+    "over encoded codes — operators/similarity.py:ivfpq_topk; the "
+    "production serving composition of the ivf and pq tiers",
+)
+def embedding_ivfpq_topk(spark, sf_dir):
+    from chapterhouseqe_spark.operators.similarity import ivfpq_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return ivfpq_topk(emb, F.col("vec_id") < 8, k=3)

@@ -176,13 +176,15 @@ GRADE_ORDER: tuple[str, ...] = (
     "stream_source_replay_agg",
     "pipeline_segment_dedup",
     "embedding_pq_topk",
+    "embedding_ivfpq_topk",
     # (d) rotating canaries — previously-green, one per family, so each
     # family's evidence stays fresh across rounds: scan/pushdown,
-    # sources, joins, agg, multi-dim agg, windows, set ops, subqueries,
-    # scalar fns, UDF, streaming-shaped, temporal, dedup, similarity,
-    # text, multimodal, custom batch source.
+    # joins, agg, multi-dim agg, windows, subqueries, UDF,
+    # streaming-shaped, temporal, dedup, similarity, text, multimodal,
+    # custom batch source. (csv/set-op/scalar-fn canaries rotated out
+    # in favor of the three new round-5 queries — those families keep
+    # r2 evidence and orc_scan covers sources in-window.)
     "ref_scan_filter_project",
-    "csv_scan",
     "join_full_outer",
     "tpch_q1_pricing_summary",
     "grouping_sets_mix",

@@ -345,3 +345,24 @@ def test_pq_topk_ranks_same_cell_first(spark):
     # deterministic across recomputation
     out2 = pq_topk(emb, F.col("vec_id") == 3, k=2, m_sub=2, k_codes=2, dim=4).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_ivfpq_full_buckets_matches_pq_ranking(spark):
+    from chapterhouseqe_spark.operators.similarity import ivfpq_topk, pq_topk
+
+    # with nprobe == n_centroids every candidate survives bucket
+    # restriction, so IVF-PQ ranking must equal plain PQ ADC ranking
+    # +1 offsets keep every vector non-zero (cosine bucket choice is
+    # undefined for the zero vector; real corpora pre-filter those)
+    rows = [(i, [float((i * 7 + j * 3) % 5 + 1), float((i + j) % 4),
+                 float((i * 3) % 7), float(j % 2 + i % 3 + 1)])
+            for i in range(12) for j in [i]]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    full = ivfpq_topk(
+        emb, F.col("vec_id") < 3, k=2, n_centroids=4, nprobe=4,
+        m_sub=2, k_codes=4, dim=4,
+    ).collect()
+    plain = pq_topk(
+        emb, F.col("vec_id") < 3, k=2, m_sub=2, k_codes=4, dim=4
+    ).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, plain))
