@@ -86,6 +86,7 @@ EXTENDED_QUERIES = [
     "pipeline_doc_chunks",
     "pipeline_segment_dedup",
     "embedding_pq_topk",
+    "embedding_ivfpq_topk",
 ]
 
 
