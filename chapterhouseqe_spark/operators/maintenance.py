@@ -153,3 +153,66 @@ def write_partitioned(
             *[F.col(c) for c in partition_cols], salt
         )
     out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def rollup_state(
+    df: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    count_col: str = "n",
+) -> DataFrame:
+    """Materializable aggregate STATE for SUM/COUNT rollups:
+    ``(keys..., n, sum_<c>...)`` with decimal-exact sums.
+
+    This is the self-maintainable form of a grouped view — counts and
+    decimal sums merge associatively, so the state can be incrementally
+    maintained by :func:`apply_rollup_delta` without ever rescanning
+    the base table. AVG derives as sum/n at read time; MIN/MAX are NOT
+    self-maintainable under deletes (a deleted extremum forces a group
+    rescan) and are deliberately excluded.
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias(count_col)] + [
+        F.sum(F.col(c).cast("decimal(27,4)"))
+        .cast("decimal(27,4)")
+        .alias(f"sum_{c}")
+        for c in sum_cols
+    ]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def apply_rollup_delta(
+    state: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    sign_col: str,
+    count_col: str = "n",
+) -> DataFrame:
+    """Incremental view maintenance: fold a signed change feed into a
+    :func:`rollup_state` without touching the base table.
+
+    ``delta`` rows carry ``sign_col`` = +1 (insert) or -1 (delete);
+    an update is delete(old)+insert(new). The delta is pre-aggregated
+    (one shuffle over ONLY the changes — map-side combinable), merged
+    with the state by key, and groups whose count reaches zero are
+    dropped. Maintaining a 100 TB base's rollup therefore costs
+    O(|delta| + |state|): the base is never rescanned — the whole point
+    of IVM. Deletes must replay the original row values or the sums
+    drift (standard IVM contract).
+    """
+    sign = F.col(sign_col).cast("long")
+    d_aggs = [F.sum(sign).alias(count_col)] + [
+        F.sum(F.col(c).cast("decimal(27,4)") * sign)
+        .cast("decimal(27,4)")
+        .alias(f"sum_{c}")
+        for c in sum_cols
+    ]
+    dstate = delta.groupBy(*keys).agg(*d_aggs)
+    merged = state.unionByName(dstate).groupBy(*keys).agg(
+        F.sum(count_col).cast("long").alias(count_col),
+        *[
+            F.sum(f"sum_{c}").cast("decimal(27,4)").alias(f"sum_{c}")
+            for c in sum_cols
+        ],
+    )
+    return merged.filter(F.col(count_col) > 0)

@@ -2664,3 +2664,39 @@ def struct_ops(spark, sf_dir):
         s.getField("r").alias("field_r"),
         F.to_json(js).alias("js"),
     )
+
+
+@query(
+    "window_rank_family",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           first_value(o_orderkey) OVER w AS first_key,
+           nth_value(o_orderkey, 2) OVER w AS second_key
+    FROM orders
+    WHERE o_orderkey < 2000
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    tags=("window",),
+    doc="ranking-family completeness: ntile / percent_rank / cume_dist / "
+    "first_value / nth_value over one deterministic per-status window "
+    "(unique (totalprice, orderkey) order; percent_rank and cume_dist "
+    "are integer-ratio doubles, bit-identical across engines)",
+)
+def window_rank_family(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+    )

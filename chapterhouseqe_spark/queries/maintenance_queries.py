@@ -169,3 +169,67 @@ def orc_scan(spark, sf_dir):
         f"select * from read_files('{path}/*.orc')", mode="reference"
     )
     return df.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+
+
+@query(
+    "ivm_incremental_rollup",
+    # oracle recomputes the maintained view DIRECTLY from the final
+    # table state (base minus deletes plus inserts) — the IVM result
+    # must be indistinguishable from a full recompute.
+    oracle=f"""
+    WITH base AS (
+      SELECT * FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    final AS (
+      SELECT o_orderstatus, o_totalprice FROM base WHERE o_orderkey % 5 <> 0
+      UNION ALL
+      SELECT 'U' AS o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 5 AS DOUBLE)
+        FROM orders WHERE o_orderkey % 7 = 0
+    )
+    SELECT o_orderstatus, COUNT(*) AS n,
+           {o_dsum('o_totalprice')} AS total_price
+    FROM final GROUP BY o_orderstatus
+    """,
+    tags=("maintenance", "ivm"),
+    doc="incremental view maintenance: a SUM/COUNT rollup state is "
+    "delta-maintained under signed inserts+deletes without rescanning "
+    "the base (operators/maintenance.py:rollup_state/apply_rollup_delta); "
+    "result must equal a full recompute over the final table state",
+)
+def ivm_incremental_rollup(spark, sf_dir):
+    from chapterhouseqe_spark.operators.maintenance import (
+        apply_rollup_delta,
+        rollup_state,
+    )
+
+    orders = t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    base = orders.filter(key % 7 != 0)
+    state = rollup_state(base, ["o_orderstatus"], ["o_totalprice"])
+    deletes = base.filter(key % 5 == 0).select(
+        "o_orderstatus", "o_totalprice"
+    ).withColumn("__sign", F.lit(-1))
+    inserts = (
+        orders.filter(key % 7 == 0)
+        .select(
+            F.lit("U").alias("o_orderstatus"),
+            (
+                F.col("o_totalprice").cast("decimal(12,2)")
+                + F.lit(5).cast("decimal(12,2)")
+            ).cast("double").alias("o_totalprice"),
+        )
+        .withColumn("__sign", F.lit(1))
+    )
+    new_state = apply_rollup_delta(
+        state,
+        deletes.unionByName(inserts),
+        ["o_orderstatus"],
+        ["o_totalprice"],
+        "__sign",
+    )
+    return new_state.select(
+        "o_orderstatus",
+        F.col("n"),
+        F.col("sum_o_totalprice").cast("double").alias("total_price"),
+    )

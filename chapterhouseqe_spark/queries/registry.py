@@ -177,6 +177,8 @@ GRADE_ORDER: tuple[str, ...] = (
     "pipeline_segment_dedup",
     "embedding_pq_topk",
     "embedding_ivfpq_topk",
+    "ivm_incremental_rollup",
+    "window_rank_family",
     # (d) rotating canaries — previously-green, one per family, so each
     # family's evidence stays fresh across rounds: scan/pushdown,
     # joins, agg, multi-dim agg, windows, subqueries, UDF,
@@ -187,14 +189,12 @@ GRADE_ORDER: tuple[str, ...] = (
     "ref_scan_filter_project",
     "join_full_outer",
     "tpch_q1_pricing_summary",
-    "grouping_sets_mix",
     "window_time_range_avg",
     "correlated_agg_subquery",
     "udf_pandas_charge",
     "events_sessionization",
     "asof_join_clicks",
     "dedup_minhash_lsh",
-    "embedding_ivf_topk",
     "text_tfidf_top_terms",
     "multimodal_frame_sample",
     "custom_datasource_scan",

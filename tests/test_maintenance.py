@@ -148,3 +148,30 @@ def test_partitioned_write_files_per_partition_splits(spark, tmp_path):
         # the salt spreads each directory over >1 and <= K files
         assert 1 < len(files) <= 3, (cat, len(files))
     assert spark.read.parquet(path).count() == 2000
+
+
+def test_ivm_rollup_delta_matches_recompute(spark):
+    from chapterhouseqe_spark.operators.maintenance import (
+        apply_rollup_delta,
+        rollup_state,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "b", 40.0)],
+        "id long, grp string, v double",
+    )
+    state = rollup_state(base, ["grp"], ["v"])
+    # update id=2 (delete old + insert new), delete BOTH b rows -> group b vanishes
+    delta = spark.createDataFrame(
+        [
+            ("a", 20.0, -1), ("a", 25.0, 1),   # update
+            ("b", 30.0, -1), ("b", 40.0, -1),  # full-group delete
+            ("c", 7.0, 1),                     # brand-new group
+        ],
+        "grp string, v double, sign int",
+    )
+    out = {
+        r["grp"]: (r["n"], float(r["sum_v"]))
+        for r in apply_rollup_delta(state, delta, ["grp"], ["v"], "sign").collect()
+    }
+    assert out == {"a": (2, 35.0), "c": (1, 7.0)}  # b dropped at n=0

@@ -93,7 +93,7 @@ def test_graded_prefix_invariants():
     # one representative per family stays in-window across rotations
     families = {
         "dedup": "dedup_minhash_lsh",
-        "similarity": "embedding_ivf_topk",
+        "similarity": "embedding_ivfpq_topk",
         "text": "text_tfidf_top_terms",
         "multimodal": "multimodal_frame_sample",
         "custom-source": "custom_datasource_scan",
@@ -101,6 +101,7 @@ def test_graded_prefix_invariants():
         "streaming-source": "stream_source_replay_agg",
         "temporal": "asof_join_clicks",
         "maintenance": "merge_upsert_orders",
+        "ivm": "ivm_incremental_rollup",
         "corpus-prep": "pipeline_pack_sequences",
         "scan": "ref_scan_filter_project",
         "join": "join_full_outer",
