@@ -233,3 +233,48 @@ def ivm_incremental_rollup(spark, sf_dir):
         F.col("n"),
         F.col("sum_o_totalprice").cast("double").alias("total_price"),
     )
+
+
+@query(
+    "zorder_layout_scan",
+    oracle=f"""
+    SELECT p_brand, COUNT(*) AS cnt,
+           {o_dsum('p_retailprice')} AS total_price
+    FROM part
+    WHERE p_size BETWEEN 10 AND 20
+      AND p_retailprice BETWEEN 910 AND 960
+    GROUP BY p_brand
+    """,
+    tags=("maintenance", "layout", "zorder"),
+    doc="Z-ordered copy of part on (p_size, p_retailprice) + a scan "
+    "filtered on BOTH dimensions; the result is layout-independent (the "
+    "oracle reads the raw table) while the multi-dim file-skipping "
+    "property itself is pinned by tests/test_layout.py "
+    "(operators/layout.py:zorder_write)",
+)
+def zorder_layout_scan(spark, sf_dir):
+    path = _zordered_part_dir(spark, sf_dir)
+    scan = spark.read.parquet(path).filter(
+        F.col("p_size").between(10, 20)
+        & F.col("p_retailprice").between(910, 960)
+    )
+    return scan.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum(F.col("p_retailprice")).alias("total_price"),
+    )
+
+
+def _zordered_part_dir(spark, sf_dir) -> str:
+    """Deterministic one-time z-ordered copy of part (content-keyed)."""
+    import os
+
+    from chapterhouseqe_spark.operators.layout import zorder_write
+    from chapterhouseqe_spark.queries.core_sql import _source_fingerprint
+
+    key = _source_fingerprint(sf_dir, "part")
+    out = f"/tmp/chqe_zorder/{key}/part_by_size_price"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        zorder_write(
+            t(spark, sf_dir, "part"), out, ["p_size", "p_retailprice"], num_files=8
+        )
+    return out

@@ -179,6 +179,7 @@ GRADE_ORDER: tuple[str, ...] = (
     "embedding_ivfpq_topk",
     "ivm_incremental_rollup",
     "window_rank_family",
+    "zorder_layout_scan",
     # (d) rotating canaries — previously-green, one per family, so each
     # family's evidence stays fresh across rounds: scan/pushdown,
     # joins, agg, multi-dim agg, windows, subqueries, UDF,
@@ -195,7 +196,6 @@ GRADE_ORDER: tuple[str, ...] = (
     "events_sessionization",
     "asof_join_clicks",
     "dedup_minhash_lsh",
-    "text_tfidf_top_terms",
     "multimodal_frame_sample",
     "custom_datasource_scan",
 )

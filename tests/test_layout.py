@@ -44,3 +44,35 @@ def test_unclustered_write_overlaps_by_contrast(spark, sf_dir, tmp_path):
         1 for (_, _, hi), (_, lo, _) in zip(ranges, ranges[1:]) if hi >= lo
     )
     assert overlaps > 0, "random layout unexpectedly produced disjoint files"
+
+
+def test_zorder_write_skippable_on_both_dims(spark, tmp_path):
+    from chapterhouseqe_spark.operators.layout import (
+        cluster_write,
+        file_key_ranges,
+        zorder_write,
+    )
+
+    # 64x64 grid of (x, y) points — uniform 2D key space
+    rows = [(i % 64, i // 64) for i in range(4096)]
+    df = spark.createDataFrame(rows, "x long, y long")
+
+    zpath = str(tmp_path / "zorder")
+    zorder_write(df, zpath, ["x", "y"], num_files=16, bits=6)
+    lpath = str(tmp_path / "linear")
+    cluster_write(df, lpath, ["x"], num_files=16)
+
+    def mean_width(path, col):
+        ranges = file_key_ranges(path, col)
+        assert len(ranges) >= 8
+        return sum(hi - lo for _, lo, hi in ranges) / len(ranges) / 63.0
+
+    # linear sort on x: y stats are useless (every file spans ~all of y)
+    assert mean_width(lpath, "y") > 0.9
+    # z-order: BOTH dims have narrow per-file envelopes (16 files on a
+    # z-curve ≈ 4x4 locality boxes; allow generous slack for boundary
+    # files that straddle curve seams)
+    assert mean_width(zpath, "x") < 0.6
+    assert mean_width(zpath, "y") < 0.6
+    # and the data itself round-trips
+    assert spark.read.parquet(zpath).count() == 4096

@@ -94,7 +94,8 @@ def test_graded_prefix_invariants():
     families = {
         "dedup": "dedup_minhash_lsh",
         "similarity": "embedding_ivfpq_topk",
-        "text": "text_tfidf_top_terms",
+        "text": "text_fingerprint",
+        "layout": "zorder_layout_scan",
         "multimodal": "multimodal_frame_sample",
         "custom-source": "custom_datasource_scan",
         "streaming": "events_sessionization",
