@@ -560,3 +560,49 @@ def ivfpq_topk(
         .filter(F.col("rn") <= k)
         .select("probe_id", "id_b", "adist")
     )
+
+
+def pq_codebooks_kmeans(
+    emb: DataFrame,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame | None:
+    """Production PQ codebooks: an independent k-means fit PER SUBSPACE.
+
+    The 'first'-seeded :func:`pq_codebooks` is the lazy, oracle-exact
+    path; real corpora want data-fitted sub-centroids (lower
+    quantization error → better ADC ranking). This runs m_sub small
+    MLlib fits, each over the corpus's d-dim subvector slice — the
+    standard PQ training recipe. EAGER like :func:`kmeans_centroids`
+    (each fit is a job); train on a sample at 100 TB (PQ training needs
+    ~100k-1M vectors, not the corpus — ``emb.sample(...)`` upstream).
+    Returns the same (m, k, cvec) shape as pq_codebooks so
+    :func:`pq_encode`/:func:`pq_topk` consume either interchangeably;
+    None if MLlib is unavailable.
+    """
+    spark = emb.sparkSession
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+    except ImportError:
+        return None
+    d = dim // m_sub
+    src = ensure_parallelism(emb)
+    rows = []
+    for m in range(m_sub):
+        feats = src.select(
+            array_to_vector(
+                F.slice(F.col(vec_col), m * d + 1, d).cast("array<double>")
+            ).alias("features")
+        )
+        model = KMeans(k=k_codes, seed=seed + m, maxIter=max_iter).fit(feats)
+        # order centers deterministically so (m, k) is stable run-to-run
+        centers = sorted(
+            ([float(x) for x in c] for c in model.clusterCenters())
+        )
+        rows.extend((m, k, c) for k, c in enumerate(centers))
+    return spark.createDataFrame(rows, "m int, k int, cvec array<double>")

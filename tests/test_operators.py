@@ -366,3 +366,44 @@ def test_ivfpq_full_buckets_matches_pq_ranking(spark):
         emb, F.col("vec_id") < 3, k=2, m_sub=2, k_codes=4, dim=4
     ).collect()
     assert sorted(map(tuple, full)) == sorted(map(tuple, plain))
+
+
+def test_pq_kmeans_codebooks_shape_and_better_fit(spark):
+    from chapterhouseqe_spark.operators.similarity import (
+        pq_codebooks,
+        pq_codebooks_kmeans,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = pq_codebooks_kmeans(emb, m_sub=4, k_codes=4, dim=64)
+    if cb is None:
+        import pytest
+
+        pytest.skip("MLlib unavailable")
+    assert cb.count() == 16  # 4 subspaces x 4 codes
+    assert cb.schema.simpleString() == "struct<m:int,k:int,cvec:array<double>>"
+    # interchangeable with the 'first'-seeded codebooks in pq_encode
+    codes = pq_encode(emb, cb, m_sub=4, dim=64)
+    n = emb.count()
+    got = codes.collect()
+    assert len(got) == n and all(len(r["codes"]) == 4 for r in got)
+    # fitted codebooks should not be WORSE than first-N seeds on total
+    # quantization error (they minimize exactly that objective)
+    from pyspark.sql import functions as FF
+
+    def qerr(books):
+        from chapterhouseqe_spark.operators.similarity import _l2sq
+
+        d = 16
+        sub = emb.select(
+            FF.explode(FF.sequence(FF.lit(0), FF.lit(3))).alias("m"),
+            FF.col("embedding").alias("v"),
+        ).select("m", FF.slice(FF.col("v"), FF.col("m") * d + 1, d).alias("sv"))
+        scored = sub.join(FF.broadcast(books), "m").select(
+            _l2sq(FF.col("sv"), FF.col("cvec")).alias("dist"), "m", "sv"
+        )
+        best = scored.groupBy("m", "sv").agg(FF.min("dist").alias("bd"))
+        return best.agg(FF.sum("bd")).collect()[0][0]
+
+    assert qerr(cb) <= qerr(pq_codebooks(emb, m_sub=4, k_codes=4, dim=64)) * 1.001
