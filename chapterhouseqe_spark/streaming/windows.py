@@ -190,3 +190,33 @@ def stream_dedup(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def idempotent_batch_writer(path: str, batch_col: str = "__batch_id"):
+    """An exactly-once ``foreachBatch`` parquet writer.
+
+    Structured Streaming guarantees at-least-once delivery to
+    ``foreachBatch`` — after a failure the SAME micro-batch (same
+    ``batch_id``) can be re-delivered, and a naive append sink
+    duplicates it. This writer makes the replay idempotent with vanilla
+    parquet: every batch lands in its own ``__batch_id=<n>`` hive
+    partition via DYNAMIC partition overwrite, so a re-delivered batch
+    REPLACES its directory instead of appending. Readers prune or drop
+    the batch column. This is the standard exactly-once recipe for
+    non-transactional sinks (the same idea Delta implements with
+    txn-version dedup), and it scales: each micro-batch touches only
+    its own directory, never the accumulated table.
+
+    Use: ``stream.writeStream.foreachBatch(idempotent_batch_writer(p))``.
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn(batch_col, F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(batch_col)
+            .parquet(path)
+        )
+
+    return write

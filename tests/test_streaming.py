@@ -205,3 +205,25 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
     batch = stream_stream_join(bc, bp, "user_id")
     key = lambda r: (r["l_key"], r["l_ts"], r["r_ts"], r["r_value"])
     assert sorted(map(key, result.collect())) == sorted(map(key, batch.collect()))
+
+
+def test_idempotent_batch_writer_replay_safe(spark, tmp_path):
+    from chapterhouseqe_spark.streaming.windows import idempotent_batch_writer
+
+    path = str(tmp_path / "sink")
+    write = idempotent_batch_writer(path)
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    b1 = spark.createDataFrame([(3, "c")], "id long, v string")
+    write(b0, 0)
+    write(b1, 1)
+    assert spark.read.parquet(path).count() == 3
+    # at-least-once delivery: batch 0 is REPLAYED — must replace, not append
+    write(b0, 0)
+    got = spark.read.parquet(path)
+    assert got.count() == 3
+    assert sorted(r["id"] for r in got.collect()) == [1, 2, 3]
+    # and a replay with corrected content supersedes the old directory
+    b0_fixed = spark.createDataFrame([(1, "a2"), (2, "b2")], "id long, v string")
+    write(b0_fixed, 0)
+    vals = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert vals == {1: "a2", 2: "b2", 3: "c"}
