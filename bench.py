@@ -87,6 +87,9 @@ EXTENDED_QUERIES = [
     "pipeline_segment_dedup",
     "embedding_pq_topk",
     "embedding_ivfpq_topk",
+    "ivm_incremental_rollup",
+    "window_rank_family",
+    "zorder_layout_scan",
 ]
 
 
