@@ -66,3 +66,34 @@ def register_default_udtfs(spark: SparkSession) -> list[str]:
         "chqe_ngrams", udtf(ChqeNgrams, returnType="ngram string, pos int")
     )
     return ["chqe_ngrams"]
+
+
+def make_grouped_median():
+    """Grouped-aggregate pandas UDF (the UDAF surface of SURVEY §2.10):
+    exact median per group.
+
+    Median is chosen deliberately: it is ORDER-INDEPENDENT (a rank
+    statistic over the sorted group), so the result is deterministic
+    and oracle-checkable, unlike a float sum-based custom aggregate
+    whose accumulation order Spark does not fix. Arrives Arrow-batched
+    per group — the whole group's column as one pandas Series (the
+    GROUPED_AGG execution shape; groups must fit an executor, which is
+    the standard contract for unbounded-window UDAFs).
+
+    Defined inside a factory for the same pickle-by-value reason as
+    the UDTFs in :func:`register_default_udtfs`.
+    """
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    # Series -> scalar type hints mark this as a GROUPED_AGG UDF
+    # (SPARK-28264 — the modern replacement for PandasUDFType).
+    @_pudf("double")
+    def chqe_median(v: pd.Series) -> float:
+        import numpy as np
+
+        # np.median of an even-sized group is (a+b)/2 of the two middle
+        # elements — the same interpolation DuckDB's median() uses, so
+        # the doubles agree bit-for-bit.
+        return float(np.median(v.to_numpy()))
+
+    return chqe_median

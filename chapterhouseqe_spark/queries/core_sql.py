@@ -2700,3 +2700,27 @@ def window_rank_family(spark, sf_dir):
         F.first("o_orderkey").over(w).alias("first_key"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
     )
+
+
+@query(
+    "udaf_grouped_median",
+    oracle="""
+    SELECT o_orderstatus, median(o_totalprice) AS median_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("udf", "udaf"),
+    doc="custom UDAF via grouped-aggregate pandas UDF (SURVEY §2.10's "
+    "UDAF surface): exact per-group median — a rank statistic, so "
+    "order-independent and bit-identical to DuckDB's interpolated "
+    "median (functions/udfs.py:make_grouped_median)",
+)
+def udaf_grouped_median(spark, sf_dir):
+    from chapterhouseqe_spark.functions.udfs import make_grouped_median
+
+    med = make_grouped_median()
+    o = t(spark, sf_dir, "orders")
+    # a GROUPED_AGG pandas UDF cannot mix with non-pandas aggregates in
+    # one agg (INVALID_PANDAS_UDF_PLACEMENT) — the UDAF stands alone.
+    return o.groupBy("o_orderstatus").agg(
+        med(F.col("o_totalprice")).alias("median_price"),
+    )

@@ -278,3 +278,49 @@ def _zordered_part_dir(spark, sf_dir) -> str:
             t(spark, sf_dir, "part"), out, ["p_size", "p_retailprice"], num_files=8
         )
     return out
+
+
+@query(
+    "data_quality_report",
+    oracle="""
+    SELECT 'orderkey_positive' AS rule, COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN o_orderkey > 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_fail
+    FROM orders
+    UNION ALL
+    SELECT 'priority_enum', COUNT(*),
+           CAST(SUM(CASE WHEN o_orderpriority IN
+               ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+               THEN 0 ELSE 1 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'status_enum', COUNT(*),
+           CAST(SUM(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0 ELSE 1 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'totalprice_range', COUNT(*),
+           CAST(SUM(CASE WHEN o_totalprice > 0 AND o_totalprice < 1000000
+               THEN 0 ELSE 1 END) AS BIGINT)
+    FROM orders
+    """,
+    tags=("maintenance", "quality"),
+    doc="declarative data-quality gate: 4 constraint rules (range, enums, "
+    "positivity) evaluated in ONE aggregation pass over orders — one "
+    "column-pruned scan regardless of rule count "
+    "(operators/checks.py:check_rules)",
+)
+def data_quality_report(spark, sf_dir):
+    from chapterhouseqe_spark.operators.checks import check_rules
+
+    o = t(spark, sf_dir, "orders")
+    return check_rules(
+        o,
+        {
+            "orderkey_positive": F.col("o_orderkey") > 0,
+            "totalprice_range": (F.col("o_totalprice") > 0)
+            & (F.col("o_totalprice") < 1_000_000),
+            "status_enum": F.col("o_orderstatus").isin("F", "O", "P"),
+            "priority_enum": F.col("o_orderpriority").isin(
+                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+            ),
+        },
+    )

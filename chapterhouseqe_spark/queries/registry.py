@@ -180,6 +180,8 @@ GRADE_ORDER: tuple[str, ...] = (
     "ivm_incremental_rollup",
     "window_rank_family",
     "zorder_layout_scan",
+    "udaf_grouped_median",
+    "data_quality_report",
     # (d) rotating canaries — previously-green, one per family, so each
     # family's evidence stays fresh across rounds: scan/pushdown,
     # joins, agg, multi-dim agg, windows, subqueries, UDF,
@@ -190,9 +192,7 @@ GRADE_ORDER: tuple[str, ...] = (
     "ref_scan_filter_project",
     "join_full_outer",
     "tpch_q1_pricing_summary",
-    "window_time_range_avg",
     "correlated_agg_subquery",
-    "udf_pandas_charge",
     "events_sessionization",
     "asof_join_clicks",
     "dedup_minhash_lsh",

@@ -107,9 +107,10 @@ def test_graded_prefix_invariants():
         "scan": "ref_scan_filter_project",
         "join": "join_full_outer",
         "agg": "tpch_q1_pricing_summary",
-        "window": "window_time_range_avg",
+        "window": "window_rank_family",
         "subquery": "correlated_agg_subquery",
-        "udf": "udf_pandas_charge",
+        "udf": "udaf_grouped_median",
+        "quality": "data_quality_report",
     }
     out = [f"{fam}:{n}" for fam, n in families.items() if n not in first50]
     assert not out, f"families without an in-window representative: {out}"
