@@ -175,3 +175,24 @@ def test_ivm_rollup_delta_matches_recompute(spark):
         for r in apply_rollup_delta(state, delta, ["grp"], ["v"], "sign").collect()
     }
     assert out == {"a": (2, 35.0), "c": (1, 7.0)}  # b dropped at n=0
+
+
+def test_check_rules_null_is_failure_one_pass(spark):
+    from chapterhouseqe_spark.operators.checks import check_rules
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -5.0)], "id long, v double"
+    )
+    got = {
+        r["rule"]: (r["n_total"], r["n_fail"])
+        for r in check_rules(
+            df, {"v_positive": F.col("v") > 0, "id_small": F.col("id") < 100}
+        ).collect()
+    }
+    # NULL v -> condition NULL -> conservative failure
+    assert got == {"v_positive": (3, 2), "id_small": (3, 0)}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        check_rules(df, {})
