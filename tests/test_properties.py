@@ -1,0 +1,157 @@
+"""Property-based tests: operators vs pure-Python reference models.
+
+Randomized small inputs (hypothesis) catch the edge shapes example
+tests miss — empty groups, all-duplicate feeds, single-element
+partitions, version ties. Example counts are kept small because every
+example runs real Spark jobs; the properties, not the volume, carry
+the weight.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+SMALL = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@st.composite
+def merge_case(draw):
+    keys = st.integers(0, 5)
+    base = draw(
+        st.lists(
+            st.tuples(keys, st.text("ab", max_size=3)),
+            max_size=8,
+            unique_by=lambda t: t[0],
+        )
+    )
+    changes = draw(
+        st.lists(
+            st.tuples(
+                keys,
+                st.text("cd", max_size=3),
+                st.integers(1, 3),
+                st.booleans(),
+            ),
+            max_size=8,
+        )
+    )
+    return base, changes
+
+
+@given(merge_case())
+@settings(**SMALL)
+def test_merge_upsert_matches_replay_model(spark, case):
+    from chapterhouseqe_spark.operators.maintenance import merge_upsert
+
+    base, changes = case
+    bdf = spark.createDataFrame(
+        [(k, v, 0) for k, v in base] or [(99, "x", 0)],
+        "id long, val string, ver long",
+    )
+    if not base:
+        bdf = bdf.filter("id < 0")
+    cdf = spark.createDataFrame(
+        changes or [(99, "x", 1, False)],
+        "id long, val string, ver long, is_del boolean",
+    )
+    if not changes:
+        cdf = cdf.filter("id < 0")
+
+    got = sorted(
+        (r["id"], r["val"])
+        for r in merge_upsert(
+            bdf, cdf, ["id"], version_col="ver", delete_col="is_del"
+        ).collect()
+    )
+
+    # model: per key, max-version change wins (ties -> any change beats
+    # base); tombstone at the winning version suppresses the key
+    model = {k: (0, v, False, 0) for k, v in base}  # ver, val, del, src
+    for k, v, ver, is_del in changes:
+        cur = model.get(k)
+        cand = (ver, v, is_del, 1)
+        if cur is None or (cand[0], cand[3]) > (cur[0], cur[3]):
+            # strictly-greater (version, src) wins; equal-version change
+            # rows tie-break arbitrarily, so skip ambiguous cases
+            model[k] = cand
+    ambiguous = {
+        k
+        for k in model
+        if sum(
+            1
+            for kk, _, ver, _ in changes
+            if kk == k and ver == model[k][0]
+        )
+        > 1
+    }
+    expect = sorted(
+        (k, val)
+        for k, (ver, val, is_del, src) in model.items()
+        if not is_del and k not in ambiguous
+    )
+    got_unambiguous = [t for t in got if t[0] not in ambiguous]
+    assert got_unambiguous == expect
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(1, 20)),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(4, 32),
+)
+@settings(**SMALL)
+def test_pack_sequences_matches_sequential_cumsum(spark, rows, budget):
+    from chapterhouseqe_spark.operators.corpus import pack_sequences
+
+    df = spark.createDataFrame(rows, "doc_id long, toks long")
+    got = {
+        r["doc_id"]: (r["seq_id"], r["tokens_before"])
+        for r in pack_sequences(df, "toks", "doc_id", budget=budget).collect()
+    }
+
+    # model: md5-keyed total order, sequential exclusive cumsum
+    order = sorted(
+        rows,
+        key=lambda t: hashlib.md5(str(t[0]).encode()).hexdigest() + str(t[0]),
+    )
+    acc = 0
+    for doc_id, toks in order:
+        assert got[doc_id] == (acc // budget, acc)
+        acc += toks
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=1, max_size=6),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**SMALL)
+def test_segment_dedup_matches_keep_first_model(spark, docs):
+    from chapterhouseqe_spark.operators.dedup import segment_dedup
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_dedup"], r["n_kept"])
+        for r in segment_dedup(df, "text", "doc_id", delim=" ").collect()
+    }
+
+    seen: set[str] = set()
+    for i, words in enumerate(docs):
+        kept = []
+        for w in words:
+            if w not in seen:
+                seen.add(w)
+                kept.append(w)
+        assert got[i] == (" ".join(kept), len(kept))
