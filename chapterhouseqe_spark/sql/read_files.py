@@ -46,7 +46,18 @@ def load_glob(
     schema" (README "Next work"), free in Spark.
     """
     registry = registry or ConnectionRegistry()
-    resolved = registry.get(connection).resolve(path_glob)
+    conn = registry.get(connection)
+    # per-connection Hadoop confs (e.g. per-bucket s3a credentials,
+    # reference: connection_registry.rs:104-152) must be live on the
+    # session BEFORE the first filesystem touch of this scan — Hadoop
+    # caches FileSystem instances per (scheme, authority, conf), so a
+    # scan that raced ahead of the conf would pin an unauthenticated
+    # client for the bucket.
+    if conn.hadoop_conf:
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        for k, v in conn.hadoop_conf.items():
+            hconf.set(k, v)
+    resolved = conn.resolve(path_glob)
     lower = resolved.lower()
     if lower.endswith(".csv"):
         return spark.read.option("header", "true").option("inferSchema", "true").csv(resolved)

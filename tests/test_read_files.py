@@ -121,3 +121,27 @@ def test_rewrite_literal_with_call_then_real_call(spark, sf_dir):
     assert "read_files(''a,b)" in rewritten
     assert rewritten.count("read_files(") == 1  # only the literal remains
     assert len(spark.sql(rewritten).collect()) == 5
+
+
+def test_connection_hadoop_conf_applied_on_scan(spark, sf_dir):
+    # S3-style connection profiles can't reach real object storage in
+    # this sandbox, but the wiring CAN be pinned: a connection carrying
+    # per-bucket s3a credentials must land them in the live Hadoop
+    # configuration before its first scan resolves.
+    from chapterhouseqe_spark.connections import ConnectionRegistry
+    from chapterhouseqe_spark.sql.read_files import load_glob
+
+    reg = ConnectionRegistry(default_base=sf_dir)
+    reg.register(
+        "lake",
+        sf_dir,  # local base so the scan itself works
+        hadoop_conf={
+            "fs.s3a.bucket.chqe-test.access.key": "AKTEST",
+            "fs.s3a.bucket.chqe-test.endpoint": "http://minio.local:9000",
+        },
+    )
+    df = load_glob(spark, "region.parquet", connection="lake", registry=reg)
+    assert df.count() > 0
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.bucket.chqe-test.access.key") == "AKTEST"
+    assert hconf.get("fs.s3a.bucket.chqe-test.endpoint") == "http://minio.local:9000"
