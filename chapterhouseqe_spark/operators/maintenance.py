@@ -216,3 +216,55 @@ def apply_rollup_delta(
         ],
     )
     return merged.filter(F.col(count_col) > 0)
+
+
+def write_snapshot(df: DataFrame, table_path: str) -> int:
+    """Append a new immutable table VERSION (time travel from vanilla
+    parquet — the Delta/Iceberg snapshot core without a txn log
+    service).
+
+    Each call writes the full frame under ``<table_path>/v=<n>`` (next
+    integer version) and then commits by writing the one-line
+    ``_LATEST`` pointer file. Readers either pin a version or follow
+    the pointer; because the data directory is fully written BEFORE the
+    pointer moves, a crashed writer leaves an orphan directory, never a
+    torn table — the standard pointer-swap commit protocol. Returns the
+    new version number.
+
+    At 100 TB, full-copy snapshots are for dimension/state tables (the
+    rollup states of :func:`rollup_state`, model metadata, eval sets);
+    fact-scale history belongs to partitioned appends + CDC, not full
+    rewrites.
+    """
+    import os
+
+    existing = _snapshot_versions(table_path)
+    version = (existing[-1] + 1) if existing else 1
+    df.write.mode("errorifexists").parquet(f"{table_path}/v={version}")
+    tmp = os.path.join(table_path, "_LATEST.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(tmp, os.path.join(table_path, "_LATEST"))  # atomic swap
+    return version
+
+
+def read_snapshot(spark, table_path: str, version: int | None = None) -> DataFrame:
+    """Read a pinned ``version`` (time travel) or the committed latest."""
+    if version is None:
+        import os
+
+        with open(os.path.join(table_path, "_LATEST")) as fh:
+            version = int(fh.read().strip())
+    return spark.read.parquet(f"{table_path}/v={version}")
+
+
+def _snapshot_versions(table_path: str) -> list[int]:
+    import glob as _glob
+    import re as _re
+
+    out = []
+    for d in _glob.glob(f"{table_path}/v=*"):
+        m = _re.search(r"v=(\d+)$", d)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)

@@ -324,3 +324,55 @@ def data_quality_report(spark, sf_dir):
             ),
         },
     )
+
+
+@query(
+    "snapshot_time_travel",
+    oracle="""
+    SELECT 1 AS snap_v, n_nationkey, n_name FROM nation
+    UNION ALL
+    SELECT 2 AS snap_v, n_nationkey,
+           CASE WHEN n_nationkey % 3 = 0 THEN n_name || '_X' ELSE n_name END
+    FROM nation
+    """,
+    tags=("maintenance", "snapshot"),
+    doc="table snapshots with time travel: two committed versions of a "
+    "dimension table (v2 = deterministic update of v1) read back side by "
+    "side via pinned-version reads; pointer-swap commit protocol "
+    "(operators/maintenance.py:write_snapshot/read_snapshot)",
+)
+def snapshot_time_travel(spark, sf_dir):
+    from chapterhouseqe_spark.operators.maintenance import read_snapshot
+
+    path = _snapshot_nation_dir(spark, sf_dir)
+    v1 = read_snapshot(spark, path, version=1).select(
+        F.lit(1).alias("snap_v"), "n_nationkey", "n_name"
+    )
+    # latest (no pin) must resolve to v2 through the _LATEST pointer
+    v2 = read_snapshot(spark, path).select(
+        F.lit(2).alias("snap_v"), "n_nationkey", "n_name"
+    )
+    return v1.unionByName(v2)
+
+
+def _snapshot_nation_dir(spark, sf_dir) -> str:
+    """Deterministic one-time two-version snapshot table of nation."""
+    import os
+
+    from chapterhouseqe_spark.operators.maintenance import write_snapshot
+    from chapterhouseqe_spark.queries.core_sql import _source_fingerprint
+
+    key = _source_fingerprint(sf_dir, "nation")
+    out = f"/tmp/chqe_snapshots/{key}/nation_versions"
+    if not os.path.exists(os.path.join(out, "_LATEST")):
+        os.makedirs(out, exist_ok=True)
+        base = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+        write_snapshot(base, out)
+        v2 = base.withColumn(
+            "n_name",
+            F.when(
+                F.col("n_nationkey") % 3 == 0, F.concat(F.col("n_name"), F.lit("_X"))
+            ).otherwise(F.col("n_name")),
+        )
+        write_snapshot(v2, out)
+    return out

@@ -3,10 +3,11 @@
 These wire the operators in :mod:`chapterhouseqe_spark.operators`,
 :mod:`chapterhouseqe_spark.functions`, and
 :mod:`chapterhouseqe_spark.sources` into the driver's correctness gate.
-Where the operator is SQL-expressible the oracle recomputes it exactly
-in DuckDB (md5-based hashing + decimal-exact float accumulation make
-that possible); probabilistic candidate generation (hyperplane LSH)
-gets a rows-only check.
+Every oracle recomputes its operator exactly in DuckDB (md5-based
+hashing + decimal-exact float accumulation + sequential-fold float
+conventions make that possible) — including the seeded "probabilistic"
+ANN tiers (hyperplane LSH, IVF-approx, PQ, IVF-PQ), whose fixed seeds
+make them pure functions the oracle replays end-to-end.
 
 Each operator documents its own 100 TB scaling shape in its module.
 """

@@ -182,6 +182,7 @@ GRADE_ORDER: tuple[str, ...] = (
     "zorder_layout_scan",
     "udaf_grouped_median",
     "data_quality_report",
+    "snapshot_time_travel",
     # (d) rotating canaries — previously-green, one per family, so each
     # family's evidence stays fresh across rounds: scan/pushdown,
     # joins, agg, multi-dim agg, windows, subqueries, UDF,
@@ -195,7 +196,6 @@ GRADE_ORDER: tuple[str, ...] = (
     "correlated_agg_subquery",
     "events_sessionization",
     "asof_join_clicks",
-    "dedup_minhash_lsh",
     "multimodal_frame_sample",
     "custom_datasource_scan",
 )

@@ -196,3 +196,34 @@ def test_check_rules_null_is_failure_one_pass(spark):
 
     with _pytest.raises(ValueError):
         check_rules(df, {})
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    from chapterhouseqe_spark.operators.maintenance import (
+        merge_upsert,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "dim_table")
+    v1_data = spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string")
+    assert write_snapshot(v1_data, path) == 1
+
+    changes = spark.createDataFrame(
+        [(2, "B", 1, False), (3, "c", 1, False)],
+        "id long, val string, ver long, is_del boolean",
+    )
+    v2_data = merge_upsert(
+        read_snapshot(spark, path).withColumn("ver", F.lit(0)),
+        changes,
+        ["id"],
+        version_col="ver",
+        delete_col="is_del",
+    ).drop("ver")
+    assert write_snapshot(v2_data.select("id", "val"), path) == 2
+
+    # latest follows the pointer; v1 stays readable (time travel)
+    latest = {r["id"]: r["val"] for r in read_snapshot(spark, path).collect()}
+    assert latest == {1: "a", 2: "B", 3: "c"}
+    pinned = {r["id"]: r["val"] for r in read_snapshot(spark, path, version=1).collect()}
+    assert pinned == {1: "a", 2: "b"}

@@ -92,7 +92,8 @@ def test_graded_prefix_invariants():
 
     # one representative per family stays in-window across rotations
     families = {
-        "dedup": "dedup_minhash_lsh",
+        "dedup": "pipeline_segment_dedup",
+        "snapshot": "snapshot_time_travel",
         "similarity": "embedding_ivfpq_topk",
         "text": "text_fingerprint",
         "layout": "zorder_layout_scan",
