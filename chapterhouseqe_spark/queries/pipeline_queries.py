@@ -1529,3 +1529,80 @@ def embedding_ivfpq_topk(spark, sf_dir):
 
     emb = t(spark, sf_dir, "embeddings")
     return ivfpq_topk(emb, F.col("vec_id") < 8, k=3)
+
+
+@query(
+    "embedding_ann_rerank",
+    # candidate generation (6-plane LSH, seed 42) + exact cosine rerank
+    # — the production two-stage retrieval pipeline, replayed exactly:
+    # plane literals -> signatures -> same-bucket pairs symmetrized to
+    # per-probe candidates -> sequential-fold cosine -> top-3.
+    oracle=f"""
+    WITH sigs AS (
+      SELECT e.vec_id,
+             CAST(SUM(CASE WHEN list_reduce(
+                 list_transform(generate_series(1, len(e.embedding)),
+                                i -> CAST(e.embedding[i] AS DOUBLE) * pl.p[i]),
+                 (acc, x) -> acc + x) > 0
+               THEN (CAST(1 AS BIGINT) << pl.j) ELSE 0 END) AS INTEGER) AS bucket
+      FROM embeddings e, (VALUES
+      {_lsh_planes_values(n_planes=6)}
+      ) pl(j, p)
+      GROUP BY e.vec_id
+    ),
+    cand AS (
+      SELECT a.vec_id AS probe_id, b.vec_id AS id_b
+      FROM sigs a JOIN sigs b
+        ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+      WHERE a.vec_id < 8
+    ),
+    dots AS (
+      SELECT c.probe_id, c.id_b,
+             list_reduce(
+               list_transform(generate_series(1, len(pa.embedding)),
+                              i -> CAST(pa.embedding[i] AS DOUBLE) * CAST(pb.embedding[i] AS DOUBLE)),
+               (acc, x) -> acc + x) AS dot
+      FROM cand c
+      JOIN embeddings pa ON pa.vec_id = c.probe_id
+      JOIN embeddings pb ON pb.vec_id = c.id_b
+    ),
+    {_COSINE_NORMS_CTE}
+    SELECT probe_id, id_b, sim FROM (
+      SELECT d.probe_id, d.id_b, d.dot / (na.nrm * nb.nrm) AS sim,
+             ROW_NUMBER() OVER (PARTITION BY d.probe_id
+                                ORDER BY d.dot / (na.nrm * nb.nrm) DESC, d.id_b) AS rn
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.probe_id
+      JOIN norms nb ON nb.vec_id = d.id_b
+    ) x WHERE rn <= 3
+    """,
+    tags=("pipeline", "similarity"),
+    doc="two-stage retrieval: hyperplane-LSH candidate generation (6 "
+    "planes -> bigger buckets -> higher recall) + EXACT cosine rerank "
+    "to top-3 per probe — the production ANN composition (generate "
+    "cheap, rerank exact); corpus pairs never leave the bucket join",
+)
+def embedding_ann_rerank(spark, sf_dir):
+    from chapterhouseqe_spark.operators.similarity import cosine
+
+    emb = t(spark, sf_dir, "embeddings")
+    cand = lsh_bucket_candidates(emb, dim=64, n_planes=6, seed=42)
+    # symmetrize the (id_a < id_b) pair list into per-probe candidates
+    sym = cand.select(
+        F.col("id_a").alias("probe_id"), F.col("id_b")
+    ).unionByName(
+        cand.select(F.col("id_b").alias("probe_id"), F.col("id_a").alias("id_b"))
+    ).filter(F.col("probe_id") < 8)
+    pa = emb.select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pa"))
+    pb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("pb"))
+    scored = (
+        sym.join(F.broadcast(pa), "probe_id")
+        .join(pb, "id_b")
+        .select("probe_id", "id_b", cosine(F.col("pa"), F.col("pb")).alias("sim"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("id_b"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("probe_id", "id_b", "sim")
+    )
