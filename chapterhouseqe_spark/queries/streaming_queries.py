@@ -247,3 +247,48 @@ def stream_source_replay_agg(spark, sf_dir):
             dsum(F.col("value")).alias("total_value"),
         )
     )
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             date_trunc('week', e.ts) AS act_week
+      FROM events e
+    )
+    SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week_s,
+           CAST(date_diff('week', f.cohort_week, a.act_week) AS BIGINT)
+             AS weeks_since,
+           COUNT(*) AS n_users
+    FROM firsts f JOIN activity a ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "analytics"),
+    doc="classic cohort retention over events: users grouped by "
+    "first-seen week, counted per weeks-since-cohort — two keyed "
+    "aggregations plus one join, no window over the full event stream",
+)
+def events_cohort_retention(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week_s"),
+            F.floor(
+                (F.unix_timestamp("act_week") - F.unix_timestamp("cohort_week"))
+                / (7 * 86400)
+            ).alias("weeks_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
