@@ -610,9 +610,11 @@ def segment_dedup(
     corpus, no self-join); reassembly is a second shuffle keyed on
     ``id_col`` — both AQE-managed. The occurrence order key packs
     ``(doc_id, pos)`` into one BIGINT (``doc_id * 1e6 + pos``), exact
-    while ``pos < 1e6`` segments/doc and ``doc_id < 9.2e12`` — both are
-    validated cheaply by the explode (a 1e6-segment document is a
-    pathology upstream filters should have caught).
+    while ``pos < 1e6`` segments/doc and ``0 <= doc_id <= 9.2e12`` —
+    both bounds are ENFORCED by a per-row ``raise_error`` guard inside
+    the explode stage (JVM-side, no extra pass), so an out-of-range
+    document fails loudly instead of silently producing colliding
+    order keys and corrupt dedup output.
 
     Returns one row per input document: ``(id_col, text_dedup,
     n_kept)`` — ``text_dedup``/``n_kept`` are ''/0 for documents whose
@@ -620,12 +622,29 @@ def segment_dedup(
     """
     import re as _re
 
+    okey_guarded = F.when(
+        (F.col("pos") >= 1_000_000)
+        | (F.col(id_col) < 0)
+        | (F.col(id_col) > 9_200_000_000_000),
+        F.raise_error(
+            F.concat(
+                F.lit("segment_dedup: (doc_id, pos)=("),
+                F.col(id_col).cast("string"),
+                F.lit(", "),
+                F.col("pos").cast("string"),
+                F.lit(
+                    ") outside exact packing bounds "
+                    "(pos < 1e6, 0 <= doc_id <= 9.2e12)"
+                ),
+            )
+        ).cast("long"),
+    ).otherwise(F.col(id_col) * F.lit(1_000_000) + F.col("pos"))
     segs = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), _re.escape(delim))).alias(
             "pos", "seg"
         ),
-    ).withColumn("okey", F.col(id_col) * F.lit(1_000_000) + F.col("pos"))
+    ).withColumn("okey", okey_guarded)
     first = segs.groupBy("seg").agg(F.min("okey").alias("okey"))
     survivors = first.select(
         # integral div, not `/`: float division loses exactness past

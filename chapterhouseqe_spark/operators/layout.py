@@ -149,6 +149,15 @@ def zorder_write(
     ).collect()[0]
     mins = [bounds[f"mn_{c}"] for c in cols]
     maxs = [bounds[f"mx_{c}"] for c in cols]
+    all_null = [c for c, lo in zip(cols, mins) if lo is None]
+    if all_null:
+        # min/max of an all-NULL column is None; float(None) would
+        # TypeError deep in zorder_value — name the column instead.
+        raise ValueError(
+            f"zorder_write: column(s) {all_null} are entirely NULL; "
+            "z-ordering on a column with no values is meaningless — "
+            "drop it from `cols` or filter/fill the input first"
+        )
     z = zorder_value([F.col(c) for c in cols], mins, maxs, bits)
     tagged = df.withColumn("__z", z)
     out = (

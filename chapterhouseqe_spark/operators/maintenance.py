@@ -237,10 +237,18 @@ def write_snapshot(df: DataFrame, table_path: str) -> int:
     rewrites.
     """
     import os
+    import shutil
 
-    existing = _snapshot_versions(table_path)
-    version = (existing[-1] + 1) if existing else 1
-    df.write.mode("errorifexists").parquet(f"{table_path}/v={version}")
+    # Allocate from the committed pointer, never the directory listing:
+    # a crashed prior writer leaves an orphan v=<n> dir with no pointer
+    # move, and counting it would both skip a version number and let a
+    # pinned read serve never-committed data. The orphan dir (if any)
+    # is removed and its version number reused.
+    version = _committed_latest(table_path) + 1
+    target = f"{table_path}/v={version}"
+    if os.path.isdir(target):  # orphan from a crashed writer — reclaim
+        shutil.rmtree(target)
+    df.write.mode("errorifexists").parquet(target)
     tmp = os.path.join(table_path, "_LATEST.tmp")
     with open(tmp, "w") as fh:
         fh.write(str(version))
@@ -249,13 +257,37 @@ def write_snapshot(df: DataFrame, table_path: str) -> int:
 
 
 def read_snapshot(spark, table_path: str, version: int | None = None) -> DataFrame:
-    """Read a pinned ``version`` (time travel) or the committed latest."""
-    if version is None:
-        import os
+    """Read a pinned ``version`` (time travel) or the committed latest.
 
-        with open(os.path.join(table_path, "_LATEST")) as fh:
-            version = int(fh.read().strip())
+    Pinned reads are validated against the committed ``_LATEST``
+    pointer so an orphan directory from a crashed writer can never be
+    served as a committed snapshot.
+    """
+    latest = _committed_latest(table_path)
+    if version is None:
+        if latest == 0:
+            raise FileNotFoundError(
+                f"no committed snapshot at {table_path} (missing _LATEST)"
+            )
+        version = latest
+    elif version > latest:
+        raise ValueError(
+            f"snapshot v={version} at {table_path} is not committed "
+            f"(latest committed version is {latest}); refusing to read "
+            "a possibly-partial orphan directory"
+        )
     return spark.read.parquet(f"{table_path}/v={version}")
+
+
+def _committed_latest(table_path: str) -> int:
+    """Committed latest version per the ``_LATEST`` pointer (0 if none)."""
+    import os
+
+    try:
+        with open(os.path.join(table_path, "_LATEST")) as fh:
+            return int(fh.read().strip())
+    except FileNotFoundError:
+        return 0
 
 
 def _snapshot_versions(table_path: str) -> list[int]:

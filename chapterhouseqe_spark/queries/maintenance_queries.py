@@ -359,15 +359,23 @@ def _snapshot_nation_dir(spark, sf_dir) -> str:
     """Deterministic one-time two-version snapshot table of nation."""
     import os
 
-    from chapterhouseqe_spark.operators.maintenance import write_snapshot
+    from chapterhouseqe_spark.operators.maintenance import (
+        _committed_latest,
+        write_snapshot,
+    )
     from chapterhouseqe_spark.queries.core_sql import _source_fingerprint
 
     key = _source_fingerprint(sf_dir, "nation")
     out = f"/tmp/chqe_snapshots/{key}/nation_versions"
-    if not os.path.exists(os.path.join(out, "_LATEST")):
+    # Guard on the COMMITTED version count, not mere _LATEST existence:
+    # a crash after v1's commit but before v2's leaves _LATEST=1, and
+    # write_snapshot itself reclaims any uncommitted orphan dirs.
+    committed = _committed_latest(out) if os.path.isdir(out) else 0
+    if committed < 2:
         os.makedirs(out, exist_ok=True)
         base = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-        write_snapshot(base, out)
+        if committed < 1:
+            write_snapshot(base, out)
         v2 = base.withColumn(
             "n_name",
             F.when(

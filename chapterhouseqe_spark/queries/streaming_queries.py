@@ -204,6 +204,7 @@ def events_click_to_purchase(spark, sf_dir):
     "(readBetweenOffsets) is pinned by tests/test_table_functions.py",
 )
 def stream_source_replay_agg(spark, sf_dir):
+    import shutil
     import tempfile
     import time
     import uuid
@@ -224,10 +225,11 @@ def stream_source_replay_agg(spark, sf_dir):
     # call keeps the build idempotent; the data is deterministic, so
     # every run materializes identical rows.
     name = f"stream_replay_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="chqe_stream_ckpt_")
     q = (
         stream.writeStream.format("memory")
         .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="chqe_stream_ckpt_"))
+        .option("checkpointLocation", ckpt)
         .trigger(processingTime="0 seconds")
         .start()
     )
@@ -239,6 +241,15 @@ def stream_source_replay_agg(spark, sf_dir):
             time.sleep(0.25)
     finally:
         q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    got = spark.table(name).count()
+    if got < 120:
+        # A stalled stream must fail loudly, not return a partial
+        # aggregate that the oracle would grade as a wrong answer.
+        raise RuntimeError(
+            f"stream_source_replay_agg: stream produced {got}/120 rows "
+            "before the 120s deadline — infra stall, not a query bug"
+        )
     return (
         spark.table(name)
         .groupBy("label")

@@ -57,6 +57,18 @@ def load_glob(
         hconf = spark.sparkContext._jsc.hadoopConfiguration()
         for k, v in conn.hadoop_conf.items():
             hconf.set(k, v)
+        # Hadoop caches FileSystem clients per (scheme, authority, UGI)
+        # — NOT per conf — so without this a second connection carrying
+        # different s3a credentials for the SAME bucket would silently
+        # reuse the first connection's cached client. Disabling the
+        # cache whenever non-bucket-scoped s3a keys are present makes
+        # each scan honor its own connection's credentials; per-bucket
+        # keys (fs.s3a.bucket.<b>.*) stay cache-safe and skip this.
+        if any(
+            k.startswith("fs.s3a.") and not k.startswith("fs.s3a.bucket.")
+            for k in conn.hadoop_conf
+        ):
+            hconf.set("fs.s3a.impl.disable.cache", "true")
     resolved = conn.resolve(path_glob)
     lower = resolved.lower()
     if lower.endswith(".csv"):

@@ -227,3 +227,42 @@ def test_snapshot_time_travel(spark, tmp_path):
     assert latest == {1: "a", 2: "B", 3: "c"}
     pinned = {r["id"]: r["val"] for r in read_snapshot(spark, path, version=1).collect()}
     assert pinned == {1: "a", 2: "b"}
+
+
+def test_snapshot_crash_safety(spark, tmp_path):
+    """Orphan dirs from crashed writers are reclaimed, never served."""
+    import os
+
+    import pytest as _pytest
+
+    from chapterhouseqe_spark.operators.maintenance import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "crashy")
+    os.makedirs(path)
+    # simulate a crashed writer: v=1 data dir exists, pointer never moved
+    spark.createDataFrame([(99, "partial")], "id long, val string").write.parquet(
+        f"{path}/v=1"
+    )
+    with _pytest.raises(FileNotFoundError):
+        read_snapshot(spark, path)  # nothing committed yet
+    with _pytest.raises(ValueError, match="not committed"):
+        read_snapshot(spark, path, version=1)  # pinned read of an orphan
+    # next writer reclaims version 1 instead of skipping to 2
+    good = spark.createDataFrame([(1, "a")], "id long, val string")
+    assert write_snapshot(good, path) == 1
+    assert [r["val"] for r in read_snapshot(spark, path, version=1).collect()] == ["a"]
+
+
+def test_zorder_write_all_null_column_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from chapterhouseqe_spark.operators.layout import zorder_write
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "a long, b double"
+    )
+    with _pytest.raises(ValueError, match="entirely NULL"):
+        zorder_write(df, str(tmp_path / "z"), ["a", "b"], num_files=1)

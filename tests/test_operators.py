@@ -407,3 +407,14 @@ def test_pq_kmeans_codebooks_shape_and_better_fit(spark):
         return best.agg(FF.sum("bd")).collect()[0][0]
 
     assert qerr(cb) <= qerr(pq_codebooks(emb, m_sub=4, k_codes=4, dim=64)) * 1.001
+
+
+def test_segment_dedup_packing_bounds_enforced(spark):
+    """Out-of-range doc ids fail loudly instead of corrupting okeys."""
+    import pytest as _pytest
+
+    from chapterhouseqe_spark.operators.dedup import segment_dedup
+
+    bad = spark.createDataFrame([(-1, "p1\n\np2")], "doc_id long, text string")
+    with _pytest.raises(Exception, match="packing bounds"):
+        segment_dedup(bad, "text", "doc_id").collect()
