@@ -227,6 +227,14 @@ def ivf_assign(
     centroids = None
     if centroid_method == "kmeans":
         centroids = kmeans_centroids(emb, n_centroids, vec_col)
+    elif centroid_method == "lloyd":
+        # cross-engine-replayable trained coarse quantizer (see
+        # kmeans_lloyd); centroids live in the quantized scale, which
+        # cosine assignment is invariant to. Lazy, unlike MLlib.
+        cent, _ = kmeans_lloyd(
+            emb, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+        )
+        centroids = cent.select("cid", "cvec")
     if centroids is None:  # 'first', or MLlib unavailable
         centroids = (
             ensure_parallelism(emb)
@@ -606,3 +614,121 @@ def pq_codebooks_kmeans(
         )
         rows.extend((m, k, c) for k, c in enumerate(centers))
     return spark.createDataFrame(rows, "m int, k int, cvec array<double>")
+
+
+# --------------------------------------------------- replayable k-means
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_sub: int = 1,
+    dim: int = 64,
+    quant: float = 1e6,
+) -> tuple[DataFrame, DataFrame]:
+    """Cross-engine-replayable Lloyd's k-means over (sub)vectors — the
+    production ANN training step (IVF coarse quantizer when
+    ``m_sub == 1``, per-subspace PQ codebooks when ``m_sub > 1``) as
+    pure DataFrame ops with bit-deterministic arithmetic.
+
+    Every input coordinate is quantized to a fixed-point grid
+    (``floor(x * quant)`` — one IEEE multiply + floor, identical in any
+    engine), so per-cluster sums are exact BIGINT arithmetic
+    (order-insensitive, no float summation-order dependence), centroid
+    updates are one exact BIGINT→DOUBLE cast + one IEEE division, and
+    assignment distances are a sequential left fold over dimensions in
+    index order (F.aggregate, matching DuckDB's list_reduce). The whole
+    fit is therefore exactly replayable by a SQL oracle that unrolls
+    the same ``n_iter`` Lloyd steps — see
+    queries/pipeline_queries.py:_kmeans_lloyd_oracle. The 1e-6 grid is
+    far finer than PQ's usual 8-bit codes, so training quality is
+    unaffected.
+
+    Init is first-``n_centroids``-by-id per subspace (deterministic,
+    lazy — same convention as ``ivf_assign('first')``). Empty clusters
+    drop out of the centroid frame (both engines replay that
+    identically). Ties in distance break toward the lower cid.
+
+    Scale shape (100 TB): per iteration, ONE broadcast join (centroids
+    are k*m rows) + ONE (id, m)-window argmin + ONE hash shuffle on
+    (m, cid, dim) with map-side-combinable sums — the same exchange
+    shape as MLlib's Lloyd, with nothing driver-side. ``n_iter`` is a
+    fixed small constant; production would cache the quantized input
+    between iterations (here the plan re-reads the scan, which AQE
+    dedups at this scale) and train on a sample (k-means needs ~1M
+    vectors, not the corpus).
+    """
+    d = dim // m_sub
+    src = ensure_parallelism(emb).select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(quant)).cast("long"),
+        ).alias("q"),
+    )
+    subs = src.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m_sub - 1)),
+                lambda m: F.slice(F.col("q"), m * F.lit(d) + F.lit(1), d),
+            )
+        ).alias("m", "qv"),
+    )
+
+    w_init = Window.partitionBy("m").orderBy("id")
+    cent = (
+        subs.withColumn("rn", F.row_number().over(w_init))
+        .filter(F.col("rn") <= n_centroids)
+        .select(
+            "m",
+            (F.col("rn") - 1).alias("cid"),
+            F.transform("qv", lambda x: x.cast("double")).alias("cvec"),
+        )
+    )
+
+    def _assign(cent: DataFrame) -> DataFrame:
+        scored = subs.join(F.broadcast(cent), "m").select(
+            "id",
+            "m",
+            "qv",
+            "cid",
+            F.aggregate(
+                F.zip_with(
+                    "qv",
+                    "cvec",
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+        )
+        w = Window.partitionBy("id", "m").orderBy(
+            F.col("dist").asc(), F.col("cid").asc()
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", "m", "qv", "cid")
+        )
+
+    def _update(assigned: DataFrame) -> DataFrame:
+        per_dim = assigned.select(
+            "m", "cid", F.posexplode("qv").alias("i", "x")
+        )
+        sums = per_dim.groupBy("m", "cid", "i").agg(
+            F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+        return sums.groupBy("m", "cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "s", "n"))),
+                lambda t: t.s.cast("double") / t.n.cast("double"),
+            ).alias("cvec")
+        )
+
+    for _ in range(n_iter):
+        cent = _update(_assign(cent))
+    return cent, _assign(cent).select("id", "m", "cid")

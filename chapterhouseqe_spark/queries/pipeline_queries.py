@@ -1606,3 +1606,222 @@ def embedding_ann_rerank(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("probe_id", "id_b", "sim")
     )
+
+
+# -------------------------------------------------- k-means training path
+
+
+def _kmeans_lloyd_oracle(
+    n_centroids: int,
+    n_iter: int,
+    m_sub: int,
+    dim: int,
+    final_select: str,
+    quant: str = "1000000.0",
+) -> str:
+    """Unrolled-CTE DuckDB replay of operators/similarity.py:kmeans_lloyd.
+
+    Training is bit-deterministic by construction (fixed-point input
+    quantization → exact BIGINT cluster sums → one IEEE division per
+    centroid coordinate → sequential-fold distances), so the oracle
+    replays the SAME ``n_iter`` Lloyd steps with plain SQL: c0 = first-k
+    init, a{i} = argmin assignment under c{i-1}, c{i} = exact means of
+    a{i}. Both engines fold distances left-to-right in dim order
+    (F.aggregate with 0.0 init vs list_reduce — identical for
+    non-negative addends).
+    """
+    d = dim // m_sub
+    dist = (
+        "list_reduce(list_transform(generate_series(1, {d}), "
+        "i -> (CAST(s.qv[i] AS DOUBLE) - c.cvec[i]) "
+        "* (CAST(s.qv[i] AS DOUBLE) - c.cvec[i])), "
+        "(acc, x) -> acc + x)"
+    ).format(d=d)
+    parts = [
+        f"""src AS (
+      SELECT e.vec_id AS id, t.m,
+             list_transform(generate_series(1, {d}),
+               i -> CAST(floor(CAST(e.embedding[t.m * {d} + i] AS DOUBLE)
+                               * {quant}) AS BIGINT)) AS qv
+      FROM embeddings e,
+           (SELECT unnest(generate_series(0, {m_sub - 1})) AS m) t
+    )""",
+        f"""c0 AS (
+      SELECT m, rn - 1 AS cid,
+             list_transform(qv, x -> CAST(x AS DOUBLE)) AS cvec
+      FROM (SELECT m, qv,
+                   row_number() OVER (PARTITION BY m ORDER BY id) AS rn
+            FROM src)
+      WHERE rn <= {n_centroids}
+    )""",
+    ]
+    for it in range(1, n_iter + 2):
+        parts.append(f"""a{it} AS (
+      SELECT id, m, qv, cid FROM (
+        SELECT s.id, s.m, s.qv, c.cid,
+               row_number() OVER (PARTITION BY s.id, s.m
+                 ORDER BY {dist} ASC, c.cid ASC) AS rn
+        FROM src s JOIN c{it - 1} c ON s.m = c.m)
+      WHERE rn = 1
+    )""")
+        if it <= n_iter:
+            parts.append(f"""c{it} AS (
+      SELECT m, cid, list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                          ORDER BY i) AS cvec
+      FROM (SELECT a.m, a.cid, t.i, SUM(a.qv[t.i]) AS s, COUNT(*) AS n
+            FROM a{it} a,
+                 (SELECT unnest(generate_series(1, {d})) AS i) t
+            GROUP BY a.m, a.cid, t.i)
+      GROUP BY m, cid
+    )""")
+    return (
+        "WITH " + ",\n    ".join(parts)
+        + f"\n    {final_select.format(final=f'a{n_iter + 1}', cent=f'c{n_iter}')}"
+    )
+
+
+@query(
+    "kmeans_train_assign",
+    oracle=_kmeans_lloyd_oracle(
+        n_centroids=8,
+        n_iter=2,
+        m_sub=1,
+        dim=64,
+        final_select="SELECT id AS vec_id, cid FROM {final}",
+    ),
+    tags=("pipeline", "similarity", "training"),
+    doc="production IVF coarse-quantizer TRAINING graded end-to-end: "
+    "2 Lloyd iterations of k-means (k=8, first-8 init) over the corpus "
+    "as pure DataFrame ops with bit-deterministic fixed-point "
+    "arithmetic; the oracle replays the identical iterations as "
+    "unrolled SQL CTEs (operators/similarity.py:kmeans_lloyd)",
+)
+def kmeans_train_assign(spark, sf_dir):
+    from chapterhouseqe_spark.operators.similarity import kmeans_lloyd
+
+    emb = t(spark, sf_dir, "embeddings")
+    _, assign = kmeans_lloyd(emb, n_centroids=8, n_iter=2, m_sub=1, dim=64)
+    return assign.select(F.col("id").alias("vec_id"), "cid")
+
+
+@query(
+    "pq_train_codebooks",
+    oracle=_kmeans_lloyd_oracle(
+        n_centroids=8,
+        n_iter=2,
+        m_sub=4,
+        dim=64,
+        final_select=(
+            "SELECT m, cid, COUNT(*) AS n_members, "
+            "CAST(SUM(id) AS BIGINT) AS id_sum "
+            "FROM {final} GROUP BY m, cid"
+        ),
+    ),
+    tags=("pipeline", "similarity", "training"),
+    doc="production PQ codebook TRAINING graded end-to-end: an "
+    "independent 2-iteration k-means per 16-dim subspace (4 subspaces "
+    "x 8 codes), all subspaces trained in ONE DataFrame keyed by m — "
+    "the FAISS PQ training recipe with the subspace loop turned into a "
+    "group key; result = per-(subspace, code) membership census "
+    "(operators/similarity.py:kmeans_lloyd, m_sub=4)",
+)
+def pq_train_codebooks(spark, sf_dir):
+    from chapterhouseqe_spark.operators.similarity import kmeans_lloyd
+
+    emb = t(spark, sf_dir, "embeddings")
+    _, assign = kmeans_lloyd(emb, n_centroids=8, n_iter=2, m_sub=4, dim=64)
+    return assign.groupBy("m", "cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("id").alias("id_sum"),
+    )
+
+
+_IVF_LLOYD_SEARCH_SQL = (
+    """, """ + _COSINE_NORMS_CTE + """,
+    cnorms AS (
+      SELECT cid, SQRT(list_reduce(
+               list_transform(generate_series(1, 64), i -> cvec[i] * cvec[i]),
+               (acc, x) -> acc + x)) AS nrm
+      FROM {cent}
+    ),
+    csims AS (
+      SELECT e.vec_id AS id, c.cid,
+             list_reduce(
+               list_transform(generate_series(1, 64),
+                              i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i]),
+               (acc, x) -> acc + x) / (ne.nrm * cn.nrm) AS csim
+      FROM embeddings e
+      CROSS JOIN {cent} c
+      JOIN norms ne ON ne.vec_id = e.vec_id
+      JOIN cnorms cn ON cn.cid = c.cid
+    ),
+    assign2 AS (
+      SELECT id, cid FROM (
+        SELECT id, cid,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS rn
+        FROM csims
+      ) x WHERE rn = 1
+    ),
+    probe_buckets AS (
+      SELECT id AS probe_id, cid FROM (
+        SELECT id, cid,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS rn
+        FROM csims WHERE id < 8
+      ) x WHERE rn <= 2
+    ),
+    cand2 AS (
+      SELECT pb.probe_id, a.id AS id_b
+      FROM probe_buckets pb JOIN assign2 a USING (cid)
+      WHERE a.id <> pb.probe_id
+    ),
+    rescored AS (
+      SELECT c.probe_id, c.id_b,
+             list_reduce(
+               list_transform(generate_series(1, 64),
+                              i -> CAST(pa.embedding[i] AS DOUBLE)
+                                   * CAST(pb2.embedding[i] AS DOUBLE)),
+               (acc, x) -> acc + x) / (na.nrm * nb.nrm) AS sim
+      FROM cand2 c
+      JOIN embeddings pa ON pa.vec_id = c.probe_id
+      JOIN embeddings pb2 ON pb2.vec_id = c.id_b
+      JOIN norms na ON na.vec_id = c.probe_id
+      JOIN norms nb ON nb.vec_id = c.id_b
+    )
+    SELECT probe_id, id_b, sim FROM (
+      SELECT probe_id, id_b, sim,
+             ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, id_b) AS rn
+      FROM rescored
+    ) x WHERE rn <= 3"""
+)
+
+
+@query(
+    "embedding_ivf_lloyd_topk",
+    oracle=_kmeans_lloyd_oracle(
+        n_centroids=8,
+        n_iter=2,
+        m_sub=1,
+        dim=64,
+        final_select=_IVF_LLOYD_SEARCH_SQL,
+    ),
+    tags=("pipeline", "similarity", "training"),
+    doc="the FULL production ANN path graded end-to-end: Lloyd-TRAINED "
+    "coarse quantizer (2 iterations, k=8) -> argmax bucket assignment "
+    "-> nprobe=2/8 probe-bucket search -> exact cosine top-3 rerank; "
+    "the oracle replays training (unrolled Lloyd CTEs) AND search "
+    "(cosine assignment is scale-invariant, so quantized-scale "
+    "centroids need no un-scaling) "
+    "(operators/similarity.py:kmeans_lloyd + ivf_topk(method='lloyd'))",
+)
+def embedding_ivf_lloyd_topk(spark, sf_dir):
+    from chapterhouseqe_spark.operators.similarity import ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb,
+        F.col("vec_id") < 8,
+        k=3,
+        n_centroids=8,
+        nprobe=2,
+        centroid_method="lloyd",
+    )

@@ -418,3 +418,49 @@ def test_segment_dedup_packing_bounds_enforced(spark):
     bad = spark.createDataFrame([(-1, "p1\n\np2")], "doc_id long, text string")
     with _pytest.raises(Exception, match="packing bounds"):
         segment_dedup(bad, "text", "doc_id").collect()
+
+
+def test_kmeans_lloyd_properties(spark, sf_dir):
+    """Lloyd invariants: total assignment, determinism, SSE descent."""
+    from pyspark.sql import functions as F
+
+    from chapterhouseqe_spark.operators.similarity import kmeans_lloyd
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+
+    def sse(n_iter):
+        cent, assign = kmeans_lloyd(emb, n_centroids=8, n_iter=n_iter)
+        joined = (
+            assign.join(
+                emb.select(F.col("vec_id").alias("id"), "embedding"), "id"
+            )
+            .join(F.broadcast(cent), ["m", "cid"])
+            .select(
+                F.aggregate(
+                    F.zip_with(
+                        F.transform(
+                            "embedding",
+                            lambda x: F.floor(x.cast("double") * F.lit(1e6)),
+                        ),
+                        "cvec",
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d")
+            )
+        )
+        return joined.agg(F.sum("d")).collect()[0][0], assign
+
+    s0, a0 = sse(0)
+    s2, a2 = sse(2)
+    # every vector assigned to exactly one cluster, both runs
+    assert a0.count() == n and a2.count() == n
+    assert a2.select("id").distinct().count() == n
+    # Lloyd never increases the objective
+    assert s2 <= s0
+    # per-subspace PQ mode: 4 subspaces x every vector
+    _, pq_assign = kmeans_lloyd(emb, n_centroids=8, n_iter=1, m_sub=4)
+    assert pq_assign.count() == 4 * n
+    assert pq_assign.groupBy("m").count().count() == 4
