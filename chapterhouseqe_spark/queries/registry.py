@@ -120,84 +120,71 @@ def _ensure_registered() -> None:
 
 # Grading priority. The driver's correctness gate grades a 50-entry
 # prefix of the registry, so dict order decides which queries get
-# driver-oracle evidence. Round-5 rotation: after r2 graded the core-SQL
-# prefix and r3/r4 graded the curated never-graded set, exactly 32
-# registered queries still had zero green driver rows (see COVERAGE.md
-# evidence union). This window spends its first 33 slots on those 32
-# plus the new streaming-source query, then fills the remaining 17 with
-# rotating canaries — one previously-green representative per operator
-# family, so every family keeps fresh cross-round evidence. Everything
-# NOT listed follows in registration order; all of it is still
-# oracle-checked locally by tests/test_queries_oracle.py every pytest
-# run.
+# driver-oracle evidence. Round-6 rotation: after r5 the evidence union
+# covered 136/138 registered queries; this window spends (a) 5 slots on
+# the queries with ZERO driver evidence (the 2 added at the end of
+# round 5 plus the 3 new round-6 k-means-training queries), (b) 3 slots
+# regrading queries whose implementation changed this round (ADVICE
+# fixes: stream polling, snapshot versioning, segment-dedup guard), and
+# (c) the remaining 42 slots on exactly the 42 queries whose only green
+# evidence is round 2 — the stalest cohort — so after r6 every
+# registered query has evidence from r4 or later. Everything NOT listed
+# follows in registration order; all of it is still oracle-checked
+# locally by tests/test_queries_oracle.py every pytest run.
 GRADE_ORDER: tuple[str, ...] = (
-    # (a) the 2 rows that were `no_oracle` in r4 — now with real
-    # DuckDB oracles (seeded hyperplanes as literals / replayed
-    # first-N IVF pipeline)
-    "embedding_ann_lsh",
-    "embedding_ivf_topk_approx",
-    # (b) never driver-green: round-4 maintenance + corpus-prep families
-    "merge_upsert_orders",
-    "scd2_user_event_history",
-    "partition_pruned_scan",
-    "orc_scan",
-    "pipeline_pii_redact",
-    "pipeline_doc_chunks",
-    "pipeline_pack_sequences",
-    "pipeline_sample_per_key",
-    # (b) never driver-green: remaining TPC-H shapes
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_nation_year_profit",
-    "tpch_q11_important_stock",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_count",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q20_excess_supplier",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_global_sales_opportunity",
-    # (b) never driver-green: complex-type + scale-utility queries
-    "map_ops",
-    "struct_ops",
-    "array_higher_order",
-    "heavy_hitters_freq",
-    "salted_skew_join",
-    "bucketed_colocated_join",
-    # (b) never driver-green: text + pipeline stragglers
-    "text_fingerprint",
-    "text_repetition_score",
-    "pipeline_hash_split",
-    "pipeline_stratified_sample",
-    # (c) new this round: streaming Python Data Source driven through
-    # real micro-batches (§2.10's streaming half gets a driver row),
-    # and corpus-wide segment-level dedup (C4-style paragraph dedup)
+    # (a) zero driver evidence yet
+    "embedding_ann_rerank",
+    "events_cohort_retention",
+    "kmeans_train_assign",
+    "pq_train_codebooks",
+    "embedding_ivf_lloyd_topk",
+    # (b) changed this round (round-5 ADVICE fixes) — regrade
     "stream_source_replay_agg",
-    "pipeline_segment_dedup",
-    "embedding_pq_topk",
-    "embedding_ivfpq_topk",
-    "ivm_incremental_rollup",
-    "window_rank_family",
-    "zorder_layout_scan",
-    "udaf_grouped_median",
-    "data_quality_report",
     "snapshot_time_travel",
-    # (d) rotating canaries — previously-green, one per family, so each
-    # family's evidence stays fresh across rounds: scan/pushdown,
-    # joins, agg, multi-dim agg, windows, subqueries, UDF,
-    # streaming-shaped, temporal, dedup, similarity, text, multimodal,
-    # custom batch source. (csv/set-op/scalar-fn canaries rotated out
-    # in favor of the three new round-5 queries — those families keep
-    # r2 evidence and orc_scan covers sources in-window.)
-    "ref_scan_filter_project",
-    "join_full_outer",
-    "tpch_q1_pricing_summary",
-    "correlated_agg_subquery",
-    "events_sessionization",
-    "asof_join_clicks",
-    "multimodal_frame_sample",
-    "custom_datasource_scan",
+    "pipeline_segment_dedup",
+    # (c) the full r2-stale cohort (42): core SQL surface
+    "ref_projection_unnamed",
+    "ref_int_division",
+    "ref_coercion_mixed",
+    "ref_comparison_ops",
+    "ref_string_filter",
+    "ref_order_by_limit",
+    "csv_scan",
+    "json_scan",
+    "named_table_scan",
+    "join_inner_agg",
+    "join_left_with_zeros",
+    "join_right",
+    "join_semi",
+    "join_anti",
+    "join_multiway_star",
+    "group_having",
+    "order_by_limit_topk",
+    "distinct_values",
+    "set_union_all",
+    "set_intersect",
+    "set_except",
+    "rollup_agg",
+    "cube_agg",
+    "count_distinct",
+    "window_rank_topn",
+    "window_lag_running",
+    "cte_segment_totals",
+    "in_subquery",
+    "scalar_subquery",
+    "exists_subquery",
+    "string_functions",
+    "like_patterns",
+    "regexp_ops",
+    "math_functions",
+    "date_functions",
+    "case_when_buckets",
+    "null_handling",
+    "percentile_stats",
+    "variance_exact",
+    "udf_pandas_charge",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
 )
 
 
