@@ -24,13 +24,21 @@ Public surface:
 from chapterhouseqe_spark.client import QueryClient, QueryHandle
 from chapterhouseqe_spark.connections import ConnectionRegistry
 from chapterhouseqe_spark.engine import QueryEngine, QueryStatus
+from chapterhouseqe_spark.service import (
+    QueryDataIterator,
+    QueryService,
+    QueryServiceClient,
+)
 from chapterhouseqe_spark.session import get_spark
 
 __all__ = [
     "ConnectionRegistry",
     "QueryClient",
+    "QueryDataIterator",
     "QueryEngine",
     "QueryHandle",
+    "QueryService",
+    "QueryServiceClient",
     "QueryStatus",
     "get_spark",
 ]
