@@ -90,6 +90,18 @@ EXTENDED_QUERIES = [
     "ivm_incremental_rollup",
     "window_rank_family",
     "zorder_layout_scan",
+    # round-6 additions: the round-5 registry tail (so regression
+    # detection covers everything registered) + the new k-means
+    # training path and query-service-era queries
+    "snapshot_time_travel",
+    "data_quality_report",
+    "udaf_grouped_median",
+    "stream_source_replay_agg",
+    "embedding_ann_rerank",
+    "events_cohort_retention",
+    "kmeans_train_assign",
+    "pq_train_codebooks",
+    "embedding_ivf_lloyd_topk",
 ]
 
 
