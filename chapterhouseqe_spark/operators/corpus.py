@@ -102,10 +102,23 @@ def pack_sequences(
         ),
     )
     totals = ranged.groupBy("__pid").agg(F.sum("__tok").alias("__ptot"))
-    off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.withColumn(
-        "__offset", F.coalesce(F.sum("__ptot").over(off_w), F.lit(0))
-    ).select("__pid", "__offset")
+    # exclusive prefix sum over the partition-count-sized totals frame
+    # via triangular join instead of a partitionless window — totals is
+    # tiny (one row per shuffle partition), but keeping WindowExec's
+    # "no partition defined" warning out of the plan means any such
+    # warning in bench logs is a REAL full-data window regression.
+    offsets = (
+        totals.alias("a")
+        .join(
+            totals.select(
+                F.col("__pid").alias("__opid"), F.col("__ptot").alias("__optot")
+            ).alias("b"),
+            F.col("__opid") < F.col("a.__pid"),
+            "left",
+        )
+        .groupBy(F.col("a.__pid").alias("__pid"))
+        .agg(F.coalesce(F.sum("__optot"), F.lit(0)).alias("__offset"))
+    )
     return (
         local.join(F.broadcast(offsets), "__pid")
         .withColumn("tokens_before", F.col("__local_before") + F.col("__offset"))

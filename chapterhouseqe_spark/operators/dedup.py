@@ -175,12 +175,21 @@ def minhash_signatures(
 
 
 def _jaccard_on_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
-    """Exact Jaccard for candidate (id_a, id_b) pairs via shingle arrays."""
+    """Exact Jaccard for candidate (id_a, id_b) pairs via shingle arrays.
+
+    The shingle frame is CORPUS-sized (one array per document), so both
+    verify joins carry an explicit shuffle-hash hint: Catalyst's size
+    estimate for a cached/derived array column can come in under the
+    broadcast threshold and auto-broadcast the whole corpus's shingles
+    — which is exactly the driver-OOM the sf1 scale probe hit
+    (PLANS.md). A shuffle on the id keys is the posture that survives
+    any corpus size; AQE still picks the partition count.
+    """
     sa = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(sa.hint("shuffle_hash"), "id_a")
+        .join(sb.hint("shuffle_hash"), "id_b")
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",

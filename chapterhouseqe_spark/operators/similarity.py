@@ -332,13 +332,25 @@ def pq_codebooks(
     if dim % m_sub:
         raise ValueError("dim must divide evenly into m_sub subspaces")
     d = dim // m_sub
-    w = Window.orderBy(id_col)
-    seeds = (
-        ensure_parallelism(emb)
-        .orderBy(id_col)
-        .limit(k_codes)
-        .withColumn("k", F.row_number().over(w) - 1)
+    # rank-by-id via triangular join instead of a partitionless window:
+    # the frame is only k_codes rows, but keeping WindowExec's "no
+    # partition defined" warning out of the plan means any such warning
+    # in bench logs is a REAL full-data window regression signal.
+    base = ensure_parallelism(emb).orderBy(id_col).limit(k_codes)
+    ids = base.select(F.col(id_col).alias("__sid"))
+    ranks = (
+        ids.alias("a")
+        .join(
+            ids.select(F.col("__sid").alias("__oid")).alias("b"),
+            F.col("__oid") < F.col("__sid"),
+            "left",
+        )
+        .groupBy("__sid")
+        .agg(F.count("__oid").alias("k"))
     )
+    seeds = base.join(
+        ranks, base[id_col] == ranks["__sid"]
+    ).select(base["*"], "k")
     return seeds.select(
         F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1))).alias("m"),
         F.col("k"),

@@ -60,10 +60,22 @@ def get_spark(
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     builder = SparkSession.builder.appName(app_name)
+    local_mode = False
     if master is not None:
         builder = builder.master(master)
+        local_mode = master.startswith("local")
     elif "SPARK_MASTER" not in os.environ:
         builder = builder.master(f"local[{cpus}]")
+        local_mode = True
+    if local_mode:
+        # In local mode the driver JVM IS every executor; Spark's 1g
+        # default heap starves 32 task threads and fails broadcast
+        # builds long before the machine is actually out of memory
+        # (surfaced by the sf1 scale probe, PLANS.md). On a cluster the
+        # launcher sizes driver/executor memory and this is skipped.
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
     builder = builder.config(
         "spark.sql.shuffle.partitions", str(shuffle_partitions or cpus)
     )

@@ -1,0 +1,88 @@
+"""Executed-plan-shape asserts for the round-5/6 pipeline operators.
+
+Companion to tests/test_plan_decorrelation.py: each test pins the
+load-bearing physical property that makes the operator viable at 100 TB
+— what must be broadcast, what must NOT be a cartesian/all-pairs join,
+and where a shuffle is (or isn't) allowed. Captured from the EXECUTED
+plan (post-AQE) at fixture scale so a regression fails in pytest, not
+in a cluster.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from chapterhouseqe_spark.queries.registry import get_queries
+
+
+def _executed_plan(df) -> str:
+    df.collect()  # materialize so AQE finalizes the plan
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return get_queries()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "pipeline_segment_dedup",
+        "embedding_ivfpq_topk",
+        "snapshot_time_travel",
+        "embedding_ann_rerank",
+        "kmeans_train_assign",
+        "embedding_ivf_lloyd_topk",
+        "pq_train_codebooks",
+    ],
+)
+def test_no_cartesian_anywhere(queries, spark, sf_dir, name):
+    # none of these operators is allowed to degrade into an unbounded
+    # cartesian — the ANN/dedup families are bucketed BY DESIGN
+    plan = _executed_plan(queries[name](spark, sf_dir))
+    assert "CartesianProduct" not in plan, name
+
+
+def test_segment_dedup_is_pure_groupby(queries, spark, sf_dir):
+    # keep-first must be the map-side-combinable min-groupBy, never a
+    # corpus-wide window (single-partition sort at scale)
+    plan = _executed_plan(queries["pipeline_segment_dedup"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "Exchange hashpartitioning" in plan  # the one keep-first shuffle
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_snapshot_time_travel_is_scan_union(queries, spark, sf_dir):
+    # two pinned-version reads + union: NO exchange of any kind — time
+    # travel must cost exactly the scans, or the snapshot layout is wrong
+    plan = _executed_plan(queries["snapshot_time_travel"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_ann_rerank_joins_are_broadcast_bucketed(queries, spark, sf_dir):
+    # two-stage retrieval: LSH bucket join for candidates, broadcast
+    # probe-side rerank — an all-pairs fallback would appear as a
+    # nested-loop join over the corpus
+    plan = _executed_plan(queries["embedding_ann_rerank"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_kmeans_training_shuffle_shape(queries, spark, sf_dir):
+    # Lloyd iterations: centroids must BROADCAST to the corpus (they
+    # are k*m rows), and the update must be a hash shuffle with
+    # map-side partial sums — the same exchange shape as MLlib's fit
+    plan = _executed_plan(queries["kmeans_train_assign"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "Exchange hashpartitioning" in plan
+    assert "partial_sum" in plan  # map-side combine before the exchange
+
+
+def test_ivfpq_codebooks_broadcast(queries, spark, sf_dir):
+    # PQ/IVF search: codebooks and probe set are KB-sized and must be
+    # on the build side of broadcast joins; the only shuffled join
+    # allowed is the candidate join keyed on bucket/cid
+    plan = _executed_plan(queries["embedding_ivfpq_topk"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
