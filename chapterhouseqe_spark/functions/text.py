@@ -230,3 +230,51 @@ def pii_count(text: Column, kind: str) -> Column:
     """Occurrences of one PII pattern (long, oracle: len(regexp_extract_all))."""
     pattern, _ = PII_PATTERNS[kind]
     return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0))).cast("long")
+
+
+# ------------------------------------------------------------------ BPE
+
+
+def bpe_pair_counts(docs, text_col: str = "text", k: int = 20):
+    """One BPE training iteration: the global adjacent-symbol-pair
+    counts whose argmax is the next merge (Sennrich et al. 2016 —
+    public algorithm; symbols are characters plus a terminal ``</w>``
+    marker on each word).
+
+    Returns the top-``k`` (pair, cnt) rows, cnt weighted by word
+    frequency, ties broken on the pair string.
+
+    100 TB shape — the classic BPE trick is visible in the plan: the
+    corpus collapses to its WORD-FREQUENCY table first (one map-side-
+    combining shuffle keyed on the word), so pair generation runs over
+    |vocab| rows, not |corpus tokens|; a second combinable shuffle sums
+    pair counts, and the top-k is a TakeOrderedAndProject. Every merge
+    iteration after the first would rerun only the (tiny) vocab→pair
+    stage, never the corpus scan.
+    """
+    w = F.col("w")
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w")
+        )
+        .filter(F.length(w) > 0)
+    )
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    n = F.length(w)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    inner = F.transform(
+        idx,
+        lambda i: F.concat(w.substr(i, F.lit(1)), F.lit(" "), w.substr(i + 1, F.lit(1))),
+    )
+    pairs = F.concat(
+        inner, F.array(F.concat(w.substr(n, F.lit(1)), F.lit(" </w>")))
+    )
+    return (
+        wf.select("freq", F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair"))
+        .limit(k)
+    )

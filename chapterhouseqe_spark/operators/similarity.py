@@ -744,3 +744,129 @@ def kmeans_lloyd(
     for _ in range(n_iter):
         cent = _update(_assign(cent))
     return cent, _assign(cent).select("id", "m", "cid")
+
+
+# ------------------------------------------------- scalar quantization
+# (SQ, int8-style)
+
+
+def sq_bounds(
+    emb: DataFrame, dim: int = 64, vec_col: str = "embedding"
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (min, max) over the corpus, as two ``dim``-length
+    Python lists of exact doubles.
+
+    One posexplode + groupBy(dim) pass — map-side combinable, ``dim``
+    groups total, so the exchange carries at most
+    ``partitions × dim`` rows regardless of corpus size; the collect is
+    bounded at ``dim`` rows by construction (same driver-side pattern as
+    operators/layout.py bounds agg). min/max of floats cast to double is
+    exact (no accumulation), so both engines see identical bounds.
+    """
+    stats = (
+        ensure_parallelism(emb)
+        .select(F.posexplode(F.col(vec_col)).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            F.min(F.col("v").cast("double")).alias("lo"),
+            F.max(F.col("v").cast("double")).alias("hi"),
+        )
+    )
+    rows = {int(r["pos"]): (r["lo"], r["hi"]) for r in stats.collect()}
+    if len(rows) != dim:
+        raise ValueError(f"sq_bounds: expected {dim} dims, saw {len(rows)}")
+    lo = [rows[i][0] for i in range(dim)]
+    hi = [rows[i][1] for i in range(dim)]
+    return lo, hi
+
+
+def sq_quantize(vec: Column, lo: list[float], hi: list[float]) -> Column:
+    """Quantize a float vector to uint8 codes (array<int> in [0, 255]).
+
+    ``q[i] = clamp(floor((v[i] - lo[i]) / ((hi[i] - lo[i]) / 255)), 0,
+    255)``; a constant dimension (hi == lo) maps to 0. All arithmetic is
+    double-precision IEEE with a fixed op order, so any engine
+    evaluating the same formula (the DuckDB oracle does) produces the
+    same integer codes — the float→int boundary is where cross-engine
+    drift would bite, and floor() of bit-identical doubles removes it.
+
+    100 TB: SQ shrinks a float32 corpus 4× and turns ranking into
+    integer dot products; bounds are a broadcastable 2×dim literal —
+    this is the cheapest ANN compression tier (below PQ's 16-32×).
+    """
+    lo_a = F.array(*[F.lit(float(x)) for x in lo])
+    hi_a = F.array(*[F.lit(float(x)) for x in hi])
+    return F.transform(
+        vec,
+        lambda v, i: F.when(
+            F.element_at(hi_a, i + 1) == F.element_at(lo_a, i + 1), F.lit(0)
+        ).otherwise(
+            F.least(
+                F.lit(255),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (v.cast("double") - F.element_at(lo_a, i + 1))
+                        / (
+                            (
+                                F.element_at(hi_a, i + 1)
+                                - F.element_at(lo_a, i + 1)
+                            )
+                            / F.lit(255.0)
+                        )
+                    ).cast("int"),
+                ),
+            )
+        ),
+    )
+
+
+def sq_topk(
+    emb: DataFrame,
+    probe_filter: Column,
+    k: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k neighbors by quantized integer dot product.
+
+    Corpus and probes are quantized with the same per-dimension bounds;
+    similarity is the BIGINT dot product of the code arrays (exact
+    integer arithmetic — order-insensitive, no float ranking ties).
+    Returns (probe_id, id_b, score_q, rnk), rnk ≤ k, ties to smaller
+    id_b.
+
+    100 TB shape: bounds are one bounded-output pass; the scan streams
+    the corpus ONCE past the broadcast probes (same shape as
+    cosine_topk) but on 4×-smaller data with integer ALU ops; the only
+    shuffle carries candidate rows into the per-probe top-k window.
+    """
+    lo, hi = sq_bounds(emb, dim=dim, vec_col=vec_col)
+    probes = emb.filter(probe_filter).select(
+        F.col(id_col).alias("probe_id"),
+        sq_quantize(F.col(vec_col), lo, hi).alias("qa"),
+    )
+    corpus = ensure_parallelism(emb).select(
+        F.col(id_col).alias("id_b"),
+        sq_quantize(F.col(vec_col), lo, hi).alias("qb"),
+    )
+    score = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: (x * y).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        F.broadcast(probes)
+        .crossJoin(corpus)
+        .filter(F.col("probe_id") != F.col("id_b"))
+        .select("probe_id", "id_b", score.alias("score_q"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("score_q").desc(), F.col("id_b")
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("probe_id", "id_b", "score_q", "rnk")
+    )

@@ -1,0 +1,102 @@
+"""Deterministic Bloom-filter sketches for join pruning.
+
+Spark's own runtime bloom filters (``spark.sql.optimizer.
+runtimeFilter.bloomFilter.enabled``) inject exactly this shape into
+shuffle joins automatically; this module makes the pattern an explicit,
+cross-engine-replayable operator so (a) the pruning statistics are a
+queryable result, and (b) a DuckDB oracle can replay membership
+bit-for-bit — the hash family is md5-based (public, standardized)
+rather than the JVM's xxhash64, trading a little speed for exact
+replayability (same convention as registry.md5_int).
+
+100 TB shape: the filter side collapses to ≤ ``n_hashes × |keys|``
+distinct bit positions — a KB-sized frame that BROADCASTS — so the big
+probe side is pruned map-side before any shuffle toward the exact
+join. This is the classic semi-join reduction: ship bits, not keys.
+False positives only ever ADD candidate rows; the exact join after the
+filter removes them, so results are identical with pruning on or off.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def bloom_positions(key: Column, n_hashes: int, m_bits: int) -> Column:
+    """Array of ``n_hashes`` bit positions for a key.
+
+    position_j = md5("<j>:<key>")[:15 hex] as int % m_bits — each hash
+    j gets an independent stream by prefixing the index. The 60-bit
+    md5 prefix is uniform and positive, so ``%`` is bias-free at any
+    practical m_bits and identical in DuckDB
+    (``('0x' || substr(md5(...), 1, 15))::BIGINT % m``).
+    """
+    return F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{j}:"), key.cast("string"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+            for j in range(n_hashes)
+        ]
+    )
+
+
+def bloom_bits(
+    keys: DataFrame, key_col: str, m_bits: int = 4096, n_hashes: int = 3
+) -> DataFrame:
+    """The filter: distinct set bit positions for a key set.
+
+    One column ``bit`` with ≤ min(m_bits, n_hashes × |keys|) rows —
+    broadcastable by construction regardless of the probe side's size.
+    """
+    return (
+        keys.select(
+            F.explode(
+                bloom_positions(F.col(key_col), n_hashes, m_bits)
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_filter_keys(
+    cand: DataFrame,
+    key_col: str,
+    bits: DataFrame,
+    m_bits: int = 4096,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Distinct candidate keys that MIGHT be in the filter's key set.
+
+    A key passes iff every one of its positions is set: explode the
+    positions, inner-join the broadcast bit set, and keep keys whose
+    match count equals ``n_hashes`` (duplicate positions within one
+    key either all match or all miss, so the count test is exact).
+    Returns one column named ``key_col``. No driver-side state — the
+    membership test is a broadcast join, so it scales with the probe
+    side's partitioning.
+    """
+    pos = (
+        cand.select(F.col(key_col).alias("__k"))
+        .distinct()
+        .select(
+            "__k",
+            F.explode(
+                bloom_positions(F.col("__k"), n_hashes, m_bits)
+            ).alias("bit"),
+        )
+    )
+    hits = (
+        pos.join(F.broadcast(bits), "bit")
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("__nh"))
+    )
+    return hits.filter(F.col("__nh") == n_hashes).select(
+        F.col("__k").alias(key_col)
+    )

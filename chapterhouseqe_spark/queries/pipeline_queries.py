@@ -1825,3 +1825,179 @@ def embedding_ivf_lloyd_topk(spark, sf_dir):
         nprobe=2,
         centroid_method="lloyd",
     )
+
+
+@query(
+    "embedding_sq_topk",
+    oracle="""
+    WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+    stats AS (
+      SELECT d.i,
+             MIN(CAST(e.embedding[d.i] AS DOUBLE)) AS lo,
+             MAX(CAST(e.embedding[d.i] AS DOUBLE)) AS hi
+      FROM embeddings e CROSS JOIN dims d
+      GROUP BY d.i
+    ),
+    q AS (
+      SELECT e.vec_id, s.i,
+             CASE WHEN s.hi = s.lo THEN 0
+                  ELSE LEAST(255, GREATEST(0,
+                    CAST(floor((CAST(e.embedding[s.i] AS DOUBLE) - s.lo)
+                               / ((s.hi - s.lo) / 255.0)) AS INTEGER)))
+             END AS qv
+      FROM embeddings e CROSS JOIN stats s
+    ),
+    scores AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS id_b,
+             CAST(SUM(CAST(p.qv AS BIGINT) * CAST(c.qv AS BIGINT))
+                  AS BIGINT) AS score_q
+      FROM q p JOIN q c ON p.i = c.i
+      WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT probe_id, id_b, score_q, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT probe_id, id_b, score_q,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY score_q DESC, id_b) AS rnk
+      FROM scores) x
+    WHERE rnk <= 5
+    """,
+    tags=("pipeline", "similarity"),
+    doc="int8-style scalar quantization ANN (the cheapest compression "
+    "tier below PQ): per-dimension min/max bounds -> uint8 codes -> "
+    "BIGINT dot-product top-5 for probes vec_id<5. The float->int "
+    "quantization boundary is deterministic (floor of bit-identical "
+    "IEEE doubles), so the oracle replays codes exactly and the "
+    "ranking is pure integer arithmetic with no float ties "
+    "(operators/similarity.py:sq_bounds/sq_quantize/sq_topk)",
+)
+def embedding_sq_topk(spark, sf_dir):
+    from chapterhouseqe_spark.operators.similarity import sq_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return sq_topk(emb, F.col("vec_id") < 5, k=5, dim=64)
+
+
+@query(
+    "bpe_pair_counts",
+    oracle=r"""
+    WITH words AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      FROM documents
+    ),
+    wf AS (
+      SELECT w, COUNT(*) AS freq FROM words WHERE len(w) > 0 GROUP BY w
+    ),
+    prs AS (
+      SELECT freq,
+             unnest(list_append(
+               list_transform(generate_series(1, len(w) - 1),
+                              i -> substr(w, i, 1) || ' ' || substr(w, i + 1, 1)),
+               substr(w, len(w), 1) || ' </w>')) AS pair
+      FROM wf
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+    FROM prs GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20
+    """,
+    tags=("pipeline", "text", "training"),
+    doc="one distributed BPE training iteration over the corpus: "
+    "char+'</w>' symbol pairs weighted by word frequency, global "
+    "top-20 merge candidates. The plan shows the classic BPE "
+    "optimization — the corpus collapses to its word-frequency table "
+    "before any pair is generated, so pair counting is O(|vocab|) "
+    "(functions/text.py:bpe_pair_counts)",
+)
+def bpe_pair_counts_q(spark, sf_dir):
+    from chapterhouseqe_spark.functions.text import bpe_pair_counts
+
+    return bpe_pair_counts(t(spark, sf_dir, "documents"), "text", k=20)
+
+
+@query(
+    "bloom_prefilter_join",
+    oracle="""
+    WITH keys AS (
+      SELECT p_partkey AS k FROM part WHERE p_size <= 5
+    ),
+    bits AS (
+      SELECT DISTINCT unnest([
+        ('0x' || substr(md5('0:' || CAST(k AS VARCHAR)), 1, 15))::BIGINT % 4096,
+        ('0x' || substr(md5('1:' || CAST(k AS VARCHAR)), 1, 15))::BIGINT % 4096,
+        ('0x' || substr(md5('2:' || CAST(k AS VARCHAR)), 1, 15))::BIGINT % 4096
+      ]) AS bit FROM keys
+    ),
+    cand AS (SELECT DISTINCT l_partkey AS k FROM lineitem),
+    cpos AS (
+      SELECT k, unnest([
+        ('0x' || substr(md5('0:' || CAST(k AS VARCHAR)), 1, 15))::BIGINT % 4096,
+        ('0x' || substr(md5('1:' || CAST(k AS VARCHAR)), 1, 15))::BIGINT % 4096,
+        ('0x' || substr(md5('2:' || CAST(k AS VARCHAR)), 1, 15))::BIGINT % 4096
+      ]) AS bit FROM cand
+    ),
+    pass AS (
+      SELECT c.k FROM cpos c JOIN bits b USING (bit)
+      GROUP BY c.k HAVING COUNT(*) = 3
+    ),
+    truem AS (SELECT c.k FROM cand c JOIN keys USING (k)),
+    rev AS (
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE)
+               AS matched_revenue
+      FROM lineitem l JOIN keys ON l.l_partkey = keys.k
+    )
+    SELECT (SELECT COUNT(*) FROM keys) AS n_keys,
+           (SELECT COUNT(*) FROM cand) AS n_candidates,
+           (SELECT COUNT(*) FROM pass) AS n_bloom_pass,
+           (SELECT COUNT(*) FROM truem) AS n_true_match,
+           (SELECT COUNT(*) FROM pass) - (SELECT COUNT(*) FROM truem)
+             AS n_false_positives,
+           (SELECT matched_revenue FROM rev) AS matched_revenue
+    """,
+    tags=("pipeline", "join", "sketch"),
+    doc="explicit bloom-filter semi-join reduction (the operator "
+    "Spark's runtime bloom filters inject implicitly): a 4096-bit "
+    "3-hash filter built from the small key side broadcasts and "
+    "prunes the big side's distinct keys before the exact join; the "
+    "result exposes the pruning census (candidates/pass/true/false-"
+    "positives) plus the exact matched revenue, proving no true match "
+    "was dropped (operators/sketches.py)",
+)
+def bloom_prefilter_join(spark, sf_dir):
+    from chapterhouseqe_spark.operators.sketches import (
+        bloom_bits,
+        bloom_filter_keys,
+    )
+    from chapterhouseqe_spark.queries.registry import dsum
+
+    part = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem")
+    keys = part.filter(F.col("p_size") <= 5).select(
+        F.col("p_partkey").alias("k")
+    )
+    bits = bloom_bits(keys, "k", m_bits=4096, n_hashes=3)
+    cand = li.select(F.col("l_partkey").alias("k")).distinct()
+    passed = bloom_filter_keys(cand, "k", bits, m_bits=4096, n_hashes=3)
+    true_m = cand.join(F.broadcast(keys), "k", "semi")
+    rev = li.join(F.broadcast(keys), li["l_partkey"] == keys["k"]).agg(
+        dsum(F.col("l_extendedprice")).alias("matched_revenue")
+    )
+
+    def one(df, name):
+        return df.agg(F.count(F.lit(1)).alias(name))
+
+    return (
+        one(keys, "n_keys")
+        .crossJoin(one(cand, "n_candidates"))
+        .crossJoin(one(passed, "n_bloom_pass"))
+        .crossJoin(one(true_m, "n_true_match"))
+        .crossJoin(rev)
+        .select(
+            "n_keys",
+            "n_candidates",
+            "n_bloom_pass",
+            "n_true_match",
+            (F.col("n_bloom_pass") - F.col("n_true_match")).alias(
+                "n_false_positives"
+            ),
+            "matched_revenue",
+        )
+    )
