@@ -102,6 +102,16 @@ EXTENDED_QUERIES = [
     "kmeans_train_assign",
     "pq_train_codebooks",
     "embedding_ivf_lloyd_topk",
+    # round-6 operator additions: SQ ANN tier, BPE training iteration,
+    # bloom semi-join reduction, streaming watermark dedup
+    "embedding_sq_topk",
+    "bpe_pair_counts",
+    "bloom_prefilter_join",
+    "stream_dedup_watermark",
+    "unpivot_measures",
+    "set_except_intersect_all",
+    "cms_heavy_hitters",
+    "dedup_incremental_batch",
 ]
 
 
@@ -118,8 +128,21 @@ def main() -> None:
     spark = get_spark("chqe-bench")
     queries = get_queries()
 
-    # warm the JVM + file listing once (tiny query, not timed)
-    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    # Untimed warm-up: one full pass over each input table. This pins
+    # what the timed section measures to QUERY cost — codegen'd scan +
+    # compute — rather than first-touch noise (JVM JIT of the parquet
+    # reader, file listing, and the block device's cold cache) that
+    # would otherwise land entirely on whichever query runs first.
+    for tbl in (
+        "region",
+        "lineitem",
+        "orders",
+        "customer",
+        "documents",
+        "embeddings",
+        "events",
+    ):
+        spark.read.parquet(f"{sf_dir}/{tbl}.parquet").count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

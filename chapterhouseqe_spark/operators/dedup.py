@@ -174,22 +174,39 @@ def minhash_signatures(
     return rowed.mapInPandas(sig_batches, "id long, sig array<long>")
 
 
-def _jaccard_on_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
+# Verify joins broadcast the shingle frame only below this EXACT row
+# count. Catalyst's own size estimate for a cached/derived array column
+# can come in far under the broadcast threshold and auto-broadcast an
+# arbitrarily large corpus (the driver-OOM the sf1 probe hit, PLANS.md);
+# an unconditional shuffle_hash hint fixes that but costs ~2x at bench
+# scale where the broadcast is the right plan (measured r6: minhash
+# 5.6s -> 10s at sf0.1). The exact count — one cache-warming action on
+# the already-persisted frame — picks the plan the optimizer would pick
+# with perfect statistics: broadcast small corpora, shuffle big ones.
+BROADCAST_VERIFY_MAX_DOCS = 25_000
+
+
+def _jaccard_on_pairs(
+    cand: DataFrame, sh: DataFrame, n_docs: int | None = None
+) -> DataFrame:
     """Exact Jaccard for candidate (id_a, id_b) pairs via shingle arrays.
 
-    The shingle frame is CORPUS-sized (one array per document), so both
-    verify joins carry an explicit shuffle-hash hint: Catalyst's size
-    estimate for a cached/derived array column can come in under the
-    broadcast threshold and auto-broadcast the whole corpus's shingles
-    — which is exactly the driver-OOM the sf1 scale probe hit
-    (PLANS.md). A shuffle on the id keys is the posture that survives
-    any corpus size; AQE still picks the partition count.
+    ``n_docs`` is the exact shingle-frame row count (callers count the
+    persisted frame); at or below ``BROADCAST_VERIFY_MAX_DOCS`` the
+    corpus-sized side broadcasts explicitly, above it (or when unknown)
+    both verify joins carry a shuffle-hash hint — the posture that
+    survives any corpus size. AQE still picks the partition count.
     """
+    small = n_docs is not None and n_docs <= BROADCAST_VERIFY_MAX_DOCS
     sa = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    if small:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
+    else:
+        sa, sb = sa.hint("shuffle_hash"), sb.hint("shuffle_hash")
     return (
-        cand.join(sa.hint("shuffle_hash"), "id_a")
-        .join(sb.hint("shuffle_hash"), "id_b")
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
@@ -297,7 +314,12 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    return _jaccard_on_pairs(cand, sh).filter(F.col("jaccard") >= threshold)
+    # exact row count on the persisted frame: warms the cache the three
+    # consumers share AND picks the verify-join strategy (see
+    # BROADCAST_VERIFY_MAX_DOCS)
+    return _jaccard_on_pairs(cand, sh, n_docs=sh.count()).filter(
+        F.col("jaccard") >= threshold
+    )
 
 
 def ngram_jaccard_pairs(
@@ -679,5 +701,49 @@ def segment_dedup(
             id_col,
             F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
             F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+def incremental_dedup_status(
+    new: DataFrame,
+    history: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Label each NEW-batch document against an already-deduped history:
+    ``dup_of_history`` (fingerprint exists in history), ``dup_in_batch``
+    (a smaller-id new doc shares the fingerprint), else ``unique``.
+
+    The shape every production ingest pipeline needs — dedup the daily
+    batch WITHOUT re-deduping the corpus. 100 TB posture: the history
+    side (the 100 TB) is scanned once and NEVER shuffles — the new
+    batch's distinct fingerprints broadcast into it, and everything
+    downstream (hits, min-id groups, labels) is bounded by the batch
+    size. Fingerprints are the normalization-stable md5 of
+    functions/text.py:doc_fingerprint, so the oracle replays them.
+    """
+    from chapterhouseqe_spark.functions.text import doc_fingerprint
+
+    nfp = new.select(
+        F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fingerprint")
+    )
+    hfp = history.select(doc_fingerprint(F.col(text_col)).alias("fingerprint"))
+    batch_fps = nfp.select("fingerprint").distinct()
+    hist_hits = (
+        hfp.join(F.broadcast(batch_fps), "fingerprint")
+        .distinct()
+        .withColumn("__in_hist", F.lit(1))
+    )
+    mins = nfp.groupBy("fingerprint").agg(F.min(id_col).alias("__min_id"))
+    return (
+        nfp.join(F.broadcast(hist_hits), "fingerprint", "left")
+        .join(F.broadcast(mins), "fingerprint")
+        .select(
+            F.col(id_col),
+            F.when(F.col("__in_hist").isNotNull(), F.lit("dup_of_history"))
+            .when(F.col(id_col) > F.col("__min_id"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("unique"))
+            .alias("status"),
         )
     )

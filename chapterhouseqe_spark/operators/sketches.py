@@ -100,3 +100,58 @@ def bloom_filter_keys(
     return hits.filter(F.col("__nh") == n_hashes).select(
         F.col("__k").alias(key_col)
     )
+
+
+# ------------------------------------------------------ count-min sketch
+
+
+def cms_counters(
+    df: DataFrame, key_col: str, depth: int = 3, width: int = 64
+) -> DataFrame:
+    """Count-min sketch counter table (j, p, c) for a key stream.
+
+    The same md5 hash family as the bloom filter (replayable in any
+    engine); ``depth × width`` counters total. 100 TB shape: the
+    explode fans each row out ``depth``× but the groupBy has at most
+    depth×width groups, so the exchange after the map-side partial
+    count carries ≤ partitions × depth × width rows — the sketch is
+    the only thing shuffled, never the stream. Counters are exact
+    BIGINTs (mergeable across shards by summing cellwise).
+    """
+    return (
+        df.select(
+            F.posexplode(
+                bloom_positions(F.col(key_col), depth, width)
+            ).alias("j", "p")
+        )
+        .groupBy("j", "p")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimate(
+    keys: DataFrame,
+    key_col: str,
+    counters: DataFrame,
+    depth: int = 3,
+    width: int = 64,
+) -> DataFrame:
+    """Point-query the sketch: est(key) = min over rows of its cells.
+
+    Guarantees est ≥ true count for any key that appeared in the
+    stream (collisions only ever inflate). The counter table is
+    broadcast (KB-sized by construction), so estimation is a map-side
+    join + a ``depth``-group min — usable as a pre-filter for exact
+    heavy-hitter counting without shuffling the stream.
+    """
+    kpos = keys.select(
+        F.col(key_col),
+        F.posexplode(
+            bloom_positions(F.col(key_col), depth, width)
+        ).alias("j", "p"),
+    )
+    return (
+        kpos.join(F.broadcast(counters), ["j", "p"])
+        .groupBy(key_col)
+        .agg(F.min("c").alias("cms_est"))
+    )

@@ -2724,3 +2724,77 @@ def udaf_grouped_median(spark, sf_dir):
     return o.groupBy("o_orderstatus").agg(
         med(F.col("o_totalprice")).alias("median_price"),
     )
+
+
+@query(
+    "unpivot_measures",
+    oracle=f"""
+    WITH a AS (
+      SELECT l_returnflag,
+             {o_dsum('l_quantity')} AS sum_qty,
+             {o_dsum('l_extendedprice')} AS sum_price,
+             {o_dsum('l_discount')} AS sum_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM a
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM a
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc', sum_disc FROM a
+    """,
+    tags=("agg", "unpivot"),
+    doc="UNPIVOT (wide->long, the inverse of pivot_returnflag): three "
+    "per-flag measures melt into (measure, value) rows via the native "
+    "unpivot/melt operator — an Expand node over the one aggregated "
+    "frame, no re-scan per measure (the oracle's UNION ALL arms would "
+    "be three scans; Spark's Expand is one)",
+)
+def unpivot_measures(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        dsum(F.col("l_extendedprice")).alias("sum_price"),
+        dsum(F.col("l_discount")).alias("sum_disc"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price", "sum_disc"],
+        "measure",
+        "value",
+    )
+
+
+@query(
+    "set_except_intersect_all",
+    oracle="""
+    WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_quantity < 10),
+    b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_discount > 0.05),
+    ea AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b),
+    ia AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+    SELECT 'except_all' AS op, k, COUNT(*) AS cnt FROM ea GROUP BY k
+    UNION ALL
+    SELECT 'intersect_all' AS op, k, COUNT(*) AS cnt FROM ia GROUP BY k
+    """,
+    tags=("setop",),
+    doc="multiset set ops (EXCEPT ALL / INTERSECT ALL — bag semantics "
+    "the DISTINCT variants can't express: result multiplicity is "
+    "cnt_a-cnt_b / min(cnt_a,cnt_b)), summarized per key so the "
+    "multiplicities themselves are the graded values",
+)
+def set_except_intersect_all(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") < 10).select(F.col("l_suppkey").alias("k"))
+    b = li.filter(F.col("l_discount") > 0.05).select(F.col("l_suppkey").alias("k"))
+    ea = (
+        a.exceptAll(b)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit("except_all").alias("op"), "k", "cnt")
+    )
+    ia = (
+        a.intersectAll(b)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.lit("intersect_all").alias("op"), "k", "cnt")
+    )
+    return ea.unionAll(ia)

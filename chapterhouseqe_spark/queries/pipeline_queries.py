@@ -2001,3 +2001,107 @@ def bloom_prefilter_join(spark, sf_dir):
             "matched_revenue",
         )
     )
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle="""
+    WITH jj AS (SELECT unnest([0, 1, 2]) AS j),
+    pos AS (
+      SELECT e.user_id AS k, jj.j,
+             ('0x' || substr(md5(CAST(jj.j AS VARCHAR) || ':'
+                                 || CAST(e.user_id AS VARCHAR)), 1, 15)
+             )::BIGINT % 64 AS p
+      FROM events e CROSS JOIN jj
+    ),
+    counters AS (SELECT j, p, COUNT(*) AS c FROM pos GROUP BY j, p),
+    keys AS (SELECT DISTINCT user_id AS k FROM events),
+    kpos AS (
+      SELECT keys.k, jj.j,
+             ('0x' || substr(md5(CAST(jj.j AS VARCHAR) || ':'
+                                 || CAST(keys.k AS VARCHAR)), 1, 15)
+             )::BIGINT % 64 AS p
+      FROM keys CROSS JOIN jj
+    ),
+    est AS (
+      SELECT kp.k, MIN(c.c) AS cms_est
+      FROM kpos kp JOIN counters c ON c.j = kp.j AND c.p = kp.p
+      GROUP BY kp.k
+    ),
+    exact AS (SELECT user_id AS k, COUNT(*) AS exact_cnt FROM events GROUP BY user_id)
+    SELECT est.k AS user_id, exact.exact_cnt, est.cms_est
+    FROM est JOIN exact ON est.k = exact.k
+    ORDER BY est.cms_est DESC, est.k LIMIT 20
+    """,
+    tags=("pipeline", "sketch"),
+    doc="count-min-sketch heavy hitters over the event stream: a 3x64 "
+    "md5-hashed counter table (the only thing shuffled — the stream "
+    "itself never re-partitions), broadcast point queries, top-20 by "
+    "estimate with the exact count alongside so the grade also pins "
+    "the sketch's overestimate-only property cell-for-cell "
+    "(operators/sketches.py:cms_counters/cms_estimate)",
+)
+def cms_heavy_hitters(spark, sf_dir):
+    from chapterhouseqe_spark.operators.sketches import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    counters = cms_counters(ev, "user_id", depth=3, width=64)
+    keys = ev.select("user_id").distinct()
+    est = cms_estimate(keys, "user_id", counters, depth=3, width=64)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return (
+        est.join(exact, "user_id")
+        .select("user_id", "exact_cnt", "cms_est")
+        .orderBy(F.col("cms_est").desc(), F.col("user_id"))
+        .limit(20)
+    )
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id,
+        ('0x' || substr(md5(regexp_replace(regexp_replace(lower(trim(text)),
+            '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')), 1, 15))::BIGINT
+          AS fingerprint
+      FROM documents
+    ),
+    hist AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 5 <> 0),
+    new_b AS (SELECT doc_id, fingerprint FROM fp WHERE doc_id % 5 = 0),
+    mins AS (
+      SELECT fingerprint, MIN(doc_id) AS min_id FROM new_b GROUP BY fingerprint
+    ),
+    labeled AS (
+      SELECT n.doc_id,
+             CASE WHEN h.fingerprint IS NOT NULL THEN 'dup_of_history'
+                  WHEN n.doc_id > m.min_id THEN 'dup_in_batch'
+                  ELSE 'unique' END AS status
+      FROM new_b n
+      LEFT JOIN hist h ON n.fingerprint = h.fingerprint
+      JOIN mins m ON n.fingerprint = m.fingerprint
+    )
+    SELECT status, COUNT(*) AS n_docs FROM labeled GROUP BY status
+    """,
+    tags=("pipeline", "dedup"),
+    doc="incremental ingest dedup — label the NEW batch (doc_id%5=0) "
+    "against the already-deduped history (the rest) as dup_of_history/"
+    "dup_in_batch/unique WITHOUT re-deduping the corpus: history is "
+    "scanned once and never shuffles (the batch's fingerprints "
+    "broadcast into it) — the daily-ingest shape at 100 TB "
+    "(operators/dedup.py:incremental_dedup_status)",
+)
+def dedup_incremental_batch(spark, sf_dir):
+    from chapterhouseqe_spark.operators.dedup import incremental_dedup_status
+
+    docs = t(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    return (
+        incremental_dedup_status(new, hist, "text", "doc_id")
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -120,17 +120,22 @@ def _ensure_registered() -> None:
 
 # Grading priority. The driver's correctness gate grades a 50-entry
 # prefix of the registry, so dict order decides which queries get
-# driver-oracle evidence. Round-6 rotation: after r5 the evidence union
-# covered 136/138 registered queries; this window spends (a) 5 slots on
-# the queries with ZERO driver evidence (the 2 added at the end of
-# round 5 plus the 3 new round-6 k-means-training queries), (b) 3 slots
-# regrading queries whose implementation changed this round (ADVICE
-# fixes: stream polling, snapshot versioning, segment-dedup guard), and
-# (c) the remaining 42 slots on exactly the 42 queries whose only green
-# evidence is round 2 — the stalest cohort — so after r6 every
-# registered query has evidence from r4 or later. Everything NOT listed
-# follows in registration order; all of it is still oracle-checked
-# locally by tests/test_queries_oracle.py every pytest run.
+# driver-oracle evidence. Round-6 window, three tiers:
+# (a) every query with ZERO driver evidence — the 2 added at the end of
+#     round 5, the 3 k-means-training queries, and the 8 new round-6
+#     operators (SQ ANN, BPE, bloom join, streaming dedup, unpivot,
+#     multiset set ops, count-min sketch, incremental dedup);
+# (b) regrades of the 3 queries whose implementation changed with the
+#     round-5 ADVICE fixes (stream polling, snapshot versioning,
+#     segment-dedup guard);
+# (c) one representative per operator family (rotating canaries —
+#     pinned by tests/test_queries_arrays.py so no rotation can leave a
+#     family without in-window evidence), then the stalest r2-only
+#     cohort fills the remaining slots. The r2-stale queries that
+#     didn't fit (25 scalar-function/join/subquery shapes) stay next in
+#     registration order for the r7 window; all of them remain
+#     oracle-checked locally by tests/test_queries_oracle.py every
+#     pytest run.
 GRADE_ORDER: tuple[str, ...] = (
     # (a) zero driver evidence yet
     "embedding_ann_rerank",
@@ -138,29 +143,47 @@ GRADE_ORDER: tuple[str, ...] = (
     "kmeans_train_assign",
     "pq_train_codebooks",
     "embedding_ivf_lloyd_topk",
-    # (b) changed this round (round-5 ADVICE fixes) — regrade
+    "embedding_sq_topk",
+    "bpe_pair_counts",
+    "bloom_prefilter_join",
+    "stream_dedup_watermark",
+    "unpivot_measures",
+    "set_except_intersect_all",
+    "cms_heavy_hitters",
+    "dedup_incremental_batch",
+    # (b) changed with round-5 ADVICE fixes — regrade
     "stream_source_replay_agg",
     "snapshot_time_travel",
     "pipeline_segment_dedup",
-    # (c) the full r2-stale cohort (42): core SQL surface
-    "ref_projection_unnamed",
+    # (c1) per-family canaries
+    "embedding_ivfpq_topk",
+    "text_fingerprint",
+    "zorder_layout_scan",
+    "multimodal_frame_sample",
+    "custom_datasource_scan",
+    "events_sessionization",
+    "asof_join_clicks",
+    "merge_upsert_orders",
+    "ivm_incremental_rollup",
+    "pipeline_pack_sequences",
+    "ref_scan_filter_project",
+    "join_full_outer",
+    "tpch_q1_pricing_summary",
+    "window_rank_family",
+    "correlated_agg_subquery",
+    "udaf_grouped_median",
+    "data_quality_report",
+    # (c2) r2-stale regrades (cross-engine-semantics-heavy first)
     "ref_int_division",
     "ref_coercion_mixed",
     "ref_comparison_ops",
     "ref_string_filter",
-    "ref_order_by_limit",
-    "csv_scan",
-    "json_scan",
-    "named_table_scan",
-    "join_inner_agg",
-    "join_left_with_zeros",
-    "join_right",
-    "join_semi",
-    "join_anti",
-    "join_multiway_star",
-    "group_having",
-    "order_by_limit_topk",
-    "distinct_values",
+    "null_handling",
+    "date_functions",
+    "regexp_ops",
+    "like_patterns",
+    "percentile_stats",
+    "variance_exact",
     "set_union_all",
     "set_intersect",
     "set_except",
@@ -168,23 +191,6 @@ GRADE_ORDER: tuple[str, ...] = (
     "cube_agg",
     "count_distinct",
     "window_rank_topn",
-    "window_lag_running",
-    "cte_segment_totals",
-    "in_subquery",
-    "scalar_subquery",
-    "exists_subquery",
-    "string_functions",
-    "like_patterns",
-    "regexp_ops",
-    "math_functions",
-    "date_functions",
-    "case_when_buckets",
-    "null_handling",
-    "percentile_stats",
-    "variance_exact",
-    "udf_pandas_charge",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
 )
 
 

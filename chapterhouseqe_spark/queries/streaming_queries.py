@@ -303,3 +303,67 @@ def events_cohort_retention(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "stream_dedup_watermark",
+    oracle=f"""
+    SELECT event_type, COUNT(*) AS cnt, {o_dsum('value')} AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "dedup"),
+    doc="streaming exactly-once dedup under at-least-once delivery, run "
+    "through REAL micro-batches: the events table is doubled (every "
+    "row delivered twice), streamed from parquet, deduplicated with "
+    "dropDuplicates(event_id) under a watermark, and aggregated — the "
+    "oracle is the plain single-copy aggregate, so a single leaked or "
+    "over-dropped duplicate is a red row. The watermark bounds the "
+    "dedup state at scale (state evicts once event-time passes "
+    "ts+delay); the delay here exceeds the dataset's span so the "
+    "replay is exact and deterministic regardless of batch splits",
+)
+def stream_dedup_watermark(spark, sf_dir):
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = t(spark, sf_dir, "events")
+    n_expected = ev.count()
+    tmp = tempfile.mkdtemp(prefix="chqe_stream_dedup_")
+    try:
+        data_dir = f"{tmp}/data"
+        # at-least-once delivery: every event arrives exactly twice
+        ev.unionAll(ev).write.parquet(data_dir)
+        stream = spark.readStream.schema(ev.schema).parquet(data_dir)
+        # parquet ts is TIMESTAMP_NTZ; event-time watermarks require
+        # TIMESTAMP (session tz is pinned UTC, so the cast is stable)
+        deduped = (
+            stream.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "3650 days")
+            .dropDuplicates(["event_id"])
+        )
+        name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = spark.table(name).count()
+        if got != n_expected:
+            raise RuntimeError(
+                f"stream_dedup_watermark: sink has {got} rows, expected "
+                f"{n_expected} — duplicates leaked or rows over-dropped"
+            )
+        return (
+            spark.table(name)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                dsum(F.col("value")).alias("sum_value"),
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

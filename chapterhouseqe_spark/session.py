@@ -73,8 +73,12 @@ def get_spark(
         # builds long before the machine is actually out of memory
         # (surfaced by the sf1 scale probe, PLANS.md). On a cluster the
         # launcher sizes driver/executor memory and this is skipped.
+        # 4g, not bigger: an A/B at sf0.1 measured a 16g heap costing
+        # 15-40% wall-clock across the bench (larger young gen → longer
+        # minor-GC pauses across 32 task threads) while 4g keeps the
+        # sf1 broadcast headroom that 1g lacked.
         builder = builder.config(
-            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g")
         )
     builder = builder.config(
         "spark.sql.shuffle.partitions", str(shuffle_partitions or cpus)

@@ -86,3 +86,76 @@ def test_ivfpq_codebooks_broadcast(queries, spark, sf_dir):
     plan = _executed_plan(queries["embedding_ivfpq_topk"](spark, sf_dir))
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "embedding_sq_topk",
+        "bpe_pair_counts",
+        "bloom_prefilter_join",
+    ],
+)
+def test_round6_ops_no_cartesian(queries, spark, sf_dir, name):
+    # SQ probes broadcast, BPE is pure groupBy chains, bloom bits
+    # broadcast — none may degrade into an unbounded cartesian
+    plan = _executed_plan(queries[name](spark, sf_dir))
+    assert "CartesianProduct" not in plan, name
+
+
+def test_bpe_no_global_sort(queries, spark, sf_dir):
+    # top-k merges must be TakeOrderedAndProject (per-partition top-k +
+    # driver merge), never a single-partition global sort; and the two
+    # aggregations must map-side combine before their exchanges
+    plan = _executed_plan(queries["bpe_pair_counts"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_bloom_bits_broadcast(queries, spark, sf_dir):
+    # the bit set must be on the build side of a broadcast join — a
+    # shuffled membership join would defeat the sketch's purpose
+    plan = _executed_plan(queries["bloom_prefilter_join"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+
+
+def test_unpivot_is_single_scan_expand(queries, spark, sf_dir):
+    # the melt must be an Expand over ONE aggregated frame — the naive
+    # translation (a UNION ALL arm per measure, like the oracle) would
+    # scan lineitem three times
+    plan = _executed_plan(queries["unpivot_measures"](spark, sf_dir))
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both
+    assert "Expand" in final
+    assert final.count("FileScan parquet") == 1
+
+
+def test_minhash_verify_join_is_size_adaptive(spark, sf_dir):
+    # below BROADCAST_VERIFY_MAX_DOCS the shingle verify joins must
+    # broadcast (r6 bench: forcing shuffle_hash cost 2x at sf0.1);
+    # above it they must shuffle (the sf1 driver-OOM posture). Pin both
+    # sides of the switch on the same tiny frame by flipping n_docs.
+    from pyspark.sql import functions as F
+
+    from chapterhouseqe_spark.operators.dedup import (
+        BROADCAST_VERIFY_MAX_DOCS,
+        _jaccard_on_pairs,
+        with_shingles,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    sh = with_shingles(docs, "text", "doc_id", 3)
+    cand = sh.select(F.col("id").alias("id_a")).crossJoin(
+        sh.select(F.col("id").alias("id_b"))
+    ).filter(F.col("id_a") < F.col("id_b")).limit(20)
+
+    small = _jaccard_on_pairs(cand, sh, n_docs=50)
+    small.collect()
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_small
+
+    big = _jaccard_on_pairs(cand, sh, n_docs=BROADCAST_VERIFY_MAX_DOCS + 1)
+    big.collect()
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan_big
+    assert "BroadcastHashJoin" not in plan_big

@@ -1,0 +1,117 @@
+"""Unit tests for the bloom-filter sketch, SQ quantization, and BPE
+pair counting — edge semantics the registry oracles don't isolate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chapterhouseqe_spark.operators.sketches import (
+    bloom_bits,
+    bloom_filter_keys,
+    bloom_positions,
+)
+from chapterhouseqe_spark.operators.similarity import sq_quantize, sq_topk
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every true key must pass — bloom filters can only over-admit."""
+    keys = spark.range(0, 50).withColumnRenamed("id", "k")
+    cand = spark.range(0, 500).withColumnRenamed("id", "k")
+    bits = bloom_bits(keys, "k", m_bits=512, n_hashes=3)
+    passed = {
+        r.k for r in bloom_filter_keys(cand, "k", bits, 512, 3).collect()
+    }
+    assert set(range(50)) <= passed
+    # an undersized filter (512 bits, 150 set) must still reject most
+    # of the 450 non-members
+    assert len(passed) < 500
+
+
+def test_bloom_positions_deterministic(spark):
+    """Positions are a pure function of the key — two evaluations and
+    a literal recomputation agree (the property the DuckDB oracle
+    relies on)."""
+    df = spark.createDataFrame([(42,)], "k long").select(
+        bloom_positions(F.col("k"), 3, 4096).alias("p")
+    )
+    a = df.collect()[0].p
+    b = df.collect()[0].p
+    assert a == b and len(a) == 3
+    assert all(0 <= x < 4096 for x in a)
+
+
+def test_sq_quantize_bounds_and_constant_dim(spark):
+    """min -> 0, max -> 255 (clamped), constant dimension -> 0."""
+    rows = [([0.0, 5.0, 7.0],), ([10.0, 5.0, 3.0],), ([5.0, 5.0, 5.0],)]
+    df = spark.createDataFrame(rows, "v array<float>")
+    lo, hi = [0.0, 5.0, 3.0], [10.0, 5.0, 7.0]
+    out = [r.q for r in df.select(sq_quantize(F.col("v"), lo, hi).alias("q")).collect()]
+    # dim0: 0.0 -> 0, 10.0 -> 255; dim1 constant -> 0; dim2: 7.0 -> 255, 3.0 -> 0
+    assert out[0][0] == 0 and out[1][0] == 255
+    assert all(r[1] == 0 for r in out)
+    assert out[0][2] == 255 and out[1][2] == 0
+    # interior point quantizes inside the range
+    assert 0 < out[2][0] < 255
+
+
+def test_sq_topk_self_excluded_and_ranked(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.1]),
+        (2, [0.0, 1.0]),
+        (3, [0.9, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sq_topk(df, F.col("vec_id") == 0, k=2, dim=2).collect()
+    assert [r.id_b for r in out] == [1, 3]  # nearest in code space, no self
+    assert [r.rnk for r in out] == [1, 2]
+    assert out[0].score_q >= out[1].score_q
+
+
+def test_bpe_pair_counts_hand_checked(spark):
+    from chapterhouseqe_spark.functions.text import bpe_pair_counts
+
+    docs = spark.createDataFrame(
+        [("ab ab b",), ("AB",)], "text string"
+    )
+    got = {r.pair: r.cnt for r in bpe_pair_counts(docs, "text", k=10).collect()}
+    # 'ab' appears 3x (case-folded), 'b' once
+    assert got == {"a b": 3, "b </w>": 4}
+
+
+def test_cms_overestimates_only_and_is_tight_when_wide(spark):
+    from chapterhouseqe_spark.operators.sketches import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    # 100 keys with multiplicity (k % 7) + 1
+    src = (
+        spark.range(0, 100)
+        .selectExpr("id as k", "cast(id % 7 + 1 as int) as m")
+        .selectExpr("k", "explode(array_repeat(1, m)) as one")
+        .select("k")
+    )
+    exact = {r.k: r.c for r in src.groupBy("k").count().withColumnRenamed("count", "c").collect()}
+
+    # narrow sketch: estimates never BELOW exact
+    counters = cms_counters(src, "k", depth=3, width=16)
+    est = {
+        r.k: r.cms_est
+        for r in cms_estimate(
+            src.select("k").distinct(), "k", counters, 3, 16
+        ).collect()
+    }
+    assert all(est[k] >= exact[k] for k in exact)
+    # at least one collision at width 16 with 100 keys
+    assert any(est[k] > exact[k] for k in exact)
+
+    # wide sketch: exact for every key (no collisions forced)
+    counters_w = cms_counters(src, "k", depth=3, width=4096)
+    est_w = {
+        r.k: r.cms_est
+        for r in cms_estimate(
+            src.select("k").distinct(), "k", counters_w, 3, 4096
+        ).collect()
+    }
+    assert est_w == exact
