@@ -112,6 +112,8 @@ EXTENDED_QUERIES = [
     "set_except_intersect_all",
     "cms_heavy_hitters",
     "dedup_incremental_batch",
+    "cardinality_sketch",
+    "pipeline_weighted_sample",
 ]
 
 

@@ -151,3 +151,41 @@ def sample_per_key(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def weighted_priority_sample(
+    df, weight_col: str, id_col: str, k: int = 50
+):
+    """Deterministic weighted sample of ``k`` rows, selection odds
+    increasing with ``weight_col`` — the data-mixing primitive (sample
+    a corpus proportionally to per-document importance) with md5-seeded
+    priorities instead of an RNG so any engine replays the exact
+    sample.
+
+    priority = u48 / weight, where u48 is the first 48 bits of
+    md5("w:" + id) — 48 so the integer is EXACT in a double, making the
+    single IEEE division the only float op (bit-identical everywhere).
+    Smallest k priorities win: doubling a row's weight halves its
+    priority, so expected selection odds scale with weight (the
+    priority-sampling shape of Efraimidis-Spirakis, with the uniform
+    kept linear rather than exponentiated for cross-engine exactness).
+
+    100 TB shape: priorities are a narrow projection; the top-k is
+    TakeOrderedAndProject (per-partition heads + driver merge of k),
+    never a global sort.
+    """
+    from pyspark.sql import functions as F
+
+    u48 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("w:"), F.col(id_col).cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    pri = u48.cast("double") / F.col(weight_col).cast("double")
+    return (
+        df.select(F.col(id_col), F.col(weight_col), pri.alias("priority"))
+        .orderBy("priority", id_col)
+        .limit(k)
+    )

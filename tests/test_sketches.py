@@ -115,3 +115,35 @@ def test_cms_overestimates_only_and_is_tight_when_wide(spark):
         ).collect()
     }
     assert est_w == exact
+
+
+def test_linear_counting_bits_bounded_and_exact_when_sparse(spark):
+    from chapterhouseqe_spark.operators.sketches import linear_counting
+
+    src = spark.range(0, 300).withColumnRenamed("id", "k")
+    r = linear_counting(src, "k", m_bits=4096).collect()[0]
+    assert r.n_exact == 300
+    # bits_set <= n_exact always; at 300 keys / 4096 bits nearly no
+    # collisions, so the bitmap population sits close to the truth
+    assert 280 <= r.bits_set <= 300
+    # tiny bitmap: population capped by m
+    r2 = linear_counting(src, "k", m_bits=64).collect()[0]
+    assert r2.bits_set <= 64
+
+
+def test_weighted_priority_sample_favors_heavy_and_is_deterministic(spark):
+    from chapterhouseqe_spark.operators.corpus import weighted_priority_sample
+
+    from pyspark.sql import functions as F
+
+    # ids 0..199 light (w=1), 200..219 heavy (w=1000)
+    df = spark.range(0, 220).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") >= 200, F.lit(1000)).otherwise(F.lit(1)).alias("w"),
+    )
+    s1 = [r.doc_id for r in weighted_priority_sample(df, "w", "doc_id", k=20).collect()]
+    s2 = [r.doc_id for r in weighted_priority_sample(df, "w", "doc_id", k=20).collect()]
+    assert s1 == s2  # exact replay
+    heavy = sum(1 for i in s1 if i >= 200)
+    # 20 heavy docs at 1000x weight should dominate a k=20 sample
+    assert heavy >= 15
