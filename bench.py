@@ -135,6 +135,9 @@ def main() -> None:
     # compute — rather than first-touch noise (JVM JIT of the parquet
     # reader, file listing, and the block device's cold cache) that
     # would otherwise land entirely on whichever query runs first.
+    # A noop WRITE, not count(): count() answers from row-group
+    # metadata without touching a single data page, so it warms
+    # nothing past the footer.
     for tbl in (
         "region",
         "lineitem",
@@ -144,7 +147,9 @@ def main() -> None:
         "embeddings",
         "events",
     ):
-        spark.read.parquet(f"{sf_dir}/{tbl}.parquet").count()
+        spark.read.parquet(f"{sf_dir}/{tbl}.parquet").write.format(
+            "noop"
+        ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

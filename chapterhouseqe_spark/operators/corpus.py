@@ -185,7 +185,12 @@ def weighted_priority_sample(
     ).cast("long")
     pri = u48.cast("double") / F.col(weight_col).cast("double")
     return (
-        df.select(F.col(id_col), F.col(weight_col), pri.alias("priority"))
+        # weight <= 0 / NULL rows are excluded OUTRIGHT: u48/0 is NULL
+        # and engines disagree on NULL sort placement (Spark NULLS
+        # FIRST vs DuckDB ROW_NUMBER NULLS LAST), and a zero-weight row
+        # has no meaningful selection odds anyway.
+        df.filter(F.col(weight_col) > 0)
+        .select(F.col(id_col), F.col(weight_col), pri.alias("priority"))
         .orderBy("priority", id_col)
         .limit(k)
     )

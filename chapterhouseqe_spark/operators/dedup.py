@@ -653,14 +653,19 @@ def segment_dedup(
     """
     import re as _re
 
+    # NULL doc_id must trip the guard too: every comparison below is
+    # NULL for it, which would fall through to a NULL okey and a
+    # silently-dropped document on reassembly — the exact corruption
+    # this guard exists to make loud.
     okey_guarded = F.when(
-        (F.col("pos") >= 1_000_000)
+        F.col(id_col).isNull()
+        | (F.col("pos") >= 1_000_000)
         | (F.col(id_col) < 0)
         | (F.col(id_col) > 9_200_000_000_000),
         F.raise_error(
             F.concat(
                 F.lit("segment_dedup: (doc_id, pos)=("),
-                F.col(id_col).cast("string"),
+                F.coalesce(F.col(id_col).cast("string"), F.lit("NULL")),
                 F.lit(", "),
                 F.col("pos").cast("string"),
                 F.lit(

@@ -237,18 +237,32 @@ def write_snapshot(df: DataFrame, table_path: str) -> int:
     rewrites.
     """
     import os
-    import shutil
+    import uuid
 
     # Allocate from the committed pointer, never the directory listing:
     # a crashed prior writer leaves an orphan v=<n> dir with no pointer
     # move, and counting it would both skip a version number and let a
-    # pinned read serve never-committed data. The orphan dir (if any)
-    # is removed and its version number reused.
+    # pinned read serve never-committed data. Write into a PRIVATE
+    # staging dir, then rename into the version slot. A pre-existing
+    # slot (crashed writer's orphan, a concurrent writer's in-flight
+    # output, or committed data stranded by a lost pointer) is MOVED
+    # ASIDE to the never-read _orphan namespace — never deleted — so
+    # reclaim keeps working, no data is ever destroyed, and a racing
+    # writer fails loudly on its vanished output directory instead of
+    # two jobs interleaving files in one committed dir.
     version = _committed_latest(table_path) + 1
     target = f"{table_path}/v={version}"
-    if os.path.isdir(target):  # orphan from a crashed writer — reclaim
-        shutil.rmtree(target)
-    df.write.mode("errorifexists").parquet(target)
+    staging = f"{table_path}/_staging-{uuid.uuid4().hex}"
+    df.write.mode("errorifexists").parquet(staging)
+    if os.path.isdir(target):
+        os.rename(target, f"{table_path}/_orphan-{uuid.uuid4().hex}")
+    try:
+        os.rename(staging, target)
+    except OSError as e:
+        raise RuntimeError(
+            f"snapshot slot {target} reappeared during commit — "
+            "concurrent writer race; refusing to overwrite"
+        ) from e
     tmp = os.path.join(table_path, "_LATEST.tmp")
     with open(tmp, "w") as fh:
         fh.write(str(version))
@@ -288,15 +302,3 @@ def _committed_latest(table_path: str) -> int:
             return int(fh.read().strip())
     except FileNotFoundError:
         return 0
-
-
-def _snapshot_versions(table_path: str) -> list[int]:
-    import glob as _glob
-    import re as _re
-
-    out = []
-    for d in _glob.glob(f"{table_path}/v=*"):
-        m = _re.search(r"v=(\d+)$", d)
-        if m:
-            out.append(int(m.group(1)))
-    return sorted(out)

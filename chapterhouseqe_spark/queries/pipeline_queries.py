@@ -2166,6 +2166,7 @@ def cardinality_sketch(spark, sf_dir):
                CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS DOUBLE)
                / CAST(n_chars AS DOUBLE), doc_id) AS BIGINT) AS rnk
     FROM documents
+    WHERE n_chars > 0
     QUALIFY rnk <= 50
     """,
     tags=("pipeline", "sampling"),

@@ -350,7 +350,16 @@ def stream_dedup_watermark(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        finished = q.awaitTermination(300)
+        if not finished:
+            # stop BEFORE the finally block deletes the source/checkpoint
+            # out from under a live query (which would spew background
+            # failures into the shared session)
+            q.stop()
+            raise RuntimeError(
+                "stream_dedup_watermark: availableNow run did not finish "
+                "within 300s — infra stall, not a query bug"
+            )
         got = spark.table(name).count()
         if got != n_expected:
             raise RuntimeError(

@@ -88,6 +88,11 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self) -> None:
         parsed = urllib.parse.urlparse(self.path)
         q = {k: v[0] for k, v in urllib.parse.parse_qs(parsed.query).items()}
+        if parsed.path in ("/status", "/data") and "query_id" not in q:
+            # a malformed request is a 400, not QueryNotFound — the
+            # engine's unknown-id KeyError (404 below) must stay
+            # distinguishable so client retry loops don't spin on it
+            return self._reply(400, {"error": "missing query_id parameter"})
         try:
             if parsed.path == "/status":
                 st = self.engine.status(q["query_id"])
@@ -190,6 +195,11 @@ class QueryServiceClient:
             if exc.code == 404:
                 raise QueryNotFound(body.get("error", str(exc))) from None
             raise QueryServiceError(body.get("error", str(exc))) from None
+        except (urllib.error.URLError, TimeoutError, ConnectionError) as exc:
+            # transport failures (refused connection, DNS, timeout) must
+            # surface through the module's own hierarchy — callers catch
+            # QueryServiceError, mirroring AsyncQueryClientError
+            raise QueryServiceError(f"transport error: {exc}") from None
 
     def run_query(self, sql: str, mode: str = "reference") -> str:
         return self._call("/run_query", {"sql": sql, "mode": mode})["query_id"]

@@ -138,3 +138,29 @@ def test_segment_dedup_within_doc_repeats(spark):
     # repeated words inside ONE doc also collapse to first occurrence
     assert out["text_dedup"] == "a b c"
     assert out["n_kept"] == 3
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from pyspark.sql import functions as F
+
+    from chapterhouseqe_spark.operators.corpus import weighted_priority_sample
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 0), (3, None), (4, 5)], "doc_id long, w int"
+    )
+    got = {r.doc_id for r in weighted_priority_sample(df, "w", "doc_id", k=10).collect()}
+    # zero/NULL weight rows are excluded outright (their priority is
+    # NULL and engines disagree on NULL ordering)
+    assert got == {1, 4}
+
+
+def test_segment_dedup_null_doc_id_raises(spark):
+    import pytest as _pytest
+
+    from chapterhouseqe_spark.operators.dedup import segment_dedup
+
+    df = spark.createDataFrame(
+        [(None, "a\nb"), (1, "c\nd")], "doc_id long, text string"
+    )
+    with _pytest.raises(Exception, match="packing bounds"):
+        segment_dedup(df, "text", "doc_id").collect()

@@ -266,3 +266,29 @@ def test_zorder_write_all_null_column_raises(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="entirely NULL"):
         zorder_write(df, str(tmp_path / "z"), ["a", "b"], num_files=1)
+
+
+def test_snapshot_stale_slot_moved_aside_not_deleted(spark, tmp_path):
+    """A pre-existing version slot is preserved under _orphan-*, never
+    rmtree'd — reclaim works AND no data is ever destroyed."""
+    import glob
+    import os
+
+    from chapterhouseqe_spark.operators.maintenance import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "aside")
+    os.makedirs(path)
+    spark.createDataFrame([(99, "stale")], "id long, val string").write.parquet(
+        f"{path}/v=1"
+    )
+    good = spark.createDataFrame([(1, "a")], "id long, val string")
+    assert write_snapshot(good, path) == 1
+    assert [r["val"] for r in read_snapshot(spark, path, version=1).collect()] == ["a"]
+    orphans = glob.glob(f"{path}/_orphan-*")
+    assert len(orphans) == 1  # the stale dir moved aside, intact
+    assert [
+        r["val"] for r in spark.read.parquet(orphans[0]).collect()
+    ] == ["stale"]

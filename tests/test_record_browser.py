@@ -84,3 +84,32 @@ def test_error_surface_not_crash(engine):
     assert br.rows == []
     assert br.errors and "no-such-query" in br.errors[0]
     assert "(empty result)" in br.render()
+
+
+def test_failed_forward_load_reports_false(engine, qid):
+    """page_forward must not report success when the fetch failed —
+    'while br.page_forward()' loops have to terminate."""
+    br = RecordBrowser(engine, qid, page_size=10)
+
+    class _Broken:
+        def fetch(self, *a, **k):
+            raise RuntimeError("result files gone")
+
+        def num_rows(self, qid):
+            return 25
+
+    br.engine = _Broken()
+    assert br.page_forward() is False
+    assert any("result files gone" in e for e in br.errors)
+
+
+def test_browser_over_http_client(spark, sf_dir, engine, qid):
+    """The HTTP QueryServiceClient is adapted automatically."""
+    from chapterhouseqe_spark import QueryService, QueryServiceClient
+
+    with QueryService(engine) as svc:
+        client = QueryServiceClient(svc.address)
+        br = RecordBrowser(client, qid, page_size=10)
+        assert len(br.rows) == 10
+        assert "rows 0-9 of 25" in br.render()
+        assert br.page_forward() and br.top_offset == 10

@@ -81,3 +81,19 @@ def test_second_client_sees_same_queries(service, client):
     assert other.get_query_status(qid)["status"] == "complete"
     rows, _ = other.get_query_data(qid, limit=100)
     assert len(rows) == 5
+
+
+def test_missing_query_id_is_not_query_not_found(client):
+    """A malformed request (no query_id) must be QueryServiceError, not
+    QueryNotFound — retry loops keyed on QueryNotFound must not spin."""
+    with pytest.raises(QueryServiceError) as ei:
+        client._call("/status")
+    assert not isinstance(ei.value, QueryNotFound)
+    assert "missing query_id" in str(ei.value)
+
+
+def test_transport_failure_is_service_error():
+    """Connection-refused surfaces through the module's own hierarchy."""
+    dead = QueryServiceClient("http://127.0.0.1:1", timeout=0.5)
+    with pytest.raises(QueryServiceError, match="transport error"):
+        dead.get_query_status("whatever")

@@ -9,10 +9,12 @@ paging walks offsets forward/backward with the reverse page re-anchored
 so the screen stays full at the result's edges
 (record_table.rs:147-163 min/max visible offsets). The reference
 renders through ratatui; here the grid renders to a plain string (no
-TTY dependency — drive it from tests or pipe it), and the data source
-is anything with the QueryEngine paging surface (``fetch(query_id,
-offset, limit, forward, allow_overflow)`` + ``num_rows``) — the
-in-process engine or the HTTP client facade both qualify.
+TTY dependency — drive it from tests or pipe it). The data source is
+anything with the QueryEngine paging surface (``fetch(query_id,
+offset, limit, forward)`` + ``num_rows``); an HTTP
+``QueryServiceClient`` (whose verbs are ``get_query_data`` /
+``get_query_status``) is adapted automatically via
+:class:`_ClientSource`.
 
 Usage (interactive):
     PYTHONPATH=/root/repo python tools/record_browser.py "<sql>" \
@@ -29,6 +31,21 @@ def _cell_str(v) -> str:
     if v is None:
         return "NULL"
     return str(v)
+
+
+class _ClientSource:
+    """Adapt a QueryServiceClient (four-verb HTTP client) to the
+    engine paging surface the browser consumes."""
+
+    def __init__(self, client):
+        self.client = client
+
+    def fetch(self, query_id, offset, limit, forward=True):
+        rows, _ = self.client.get_query_data(query_id, offset, limit, forward)
+        return rows
+
+    def num_rows(self, query_id):
+        return self.client.get_query_status(query_id).get("num_rows", 0)
 
 
 @dataclass
@@ -51,39 +68,50 @@ class RecordBrowser:
     errors: list[str] = field(default_factory=list)
 
     def __post_init__(self):
+        if not hasattr(self.engine, "fetch") and hasattr(
+            self.engine, "get_query_data"
+        ):
+            self.engine = _ClientSource(self.engine)
         self._load(0)
 
     # ------------------------------------------------------------ paging
 
-    def _load(self, offset: int) -> None:
+    def _load(self, offset: int) -> bool:
+        """Fetch one page; returns True only if the view actually moved
+        (a failed or empty fetch leaves the current page in place, so
+        `while br.page_forward()` loops terminate)."""
         try:
             page = self.engine.fetch(
                 self.query_id, offset, self.page_size, forward=True
             )
         except Exception as e:  # surface, don't crash the browser loop
             self.errors.append(str(e))
-            return
+            return False
         if page or offset == 0:
             self.rows = page
             self.top_offset = offset
             self.selected = 0 if page else None
+            return bool(page) or offset == 0
+        return False
 
     def page_forward(self) -> bool:
         """Advance one page; keeps the last full page at the end
         (reference: get_max_visible_offset gates the down-scroll)."""
-        nxt = self.top_offset + len(self.rows)
-        if nxt >= self._num_rows():
+        if not self.rows:
             return False
-        self._load(nxt)
-        return True
+        nxt = self.top_offset + len(self.rows)
+        total = self._num_rows_or_none()
+        if total is not None and nxt >= total:
+            return False
+        # no known total: attempt the load — an empty page stops here
+        return self._load(nxt)
 
     def page_backward(self) -> bool:
         """Back one page; clamps at row 0 so the first page never
         renders short (the reverse-paging allow_overflow semantics)."""
         if self.top_offset == 0:
             return False
-        self._load(max(0, self.top_offset - self.page_size))
-        return True
+        return self._load(max(0, self.top_offset - self.page_size))
 
     def goto(self, offset: int) -> None:
         self._load(max(0, min(offset, max(0, self._num_rows() - 1))))
@@ -94,11 +122,21 @@ class RecordBrowser:
             return
         self.selected = idx
 
-    def _num_rows(self) -> int:
+    def _num_rows_or_none(self) -> int | None:
         n = getattr(self.engine, "num_rows", None)
         if callable(n):
-            return n(self.query_id)
-        return self.top_offset + len(self.rows) + self.page_size
+            try:
+                return n(self.query_id)
+            except Exception as e:
+                self.errors.append(str(e))
+        return None
+
+    def _num_rows(self) -> int:
+        # for display: fall back to the current extent — never a
+        # fabricated total (forward paging uses _num_rows_or_none and
+        # the empty-page stop instead)
+        total = self._num_rows_or_none()
+        return total if total is not None else self.top_offset + len(self.rows)
 
     # --------------------------------------------------------- rendering
 
