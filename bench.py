@@ -114,6 +114,8 @@ EXTENDED_QUERIES = [
     "dedup_incremental_batch",
     "cardinality_sketch",
     "pipeline_weighted_sample",
+    "lateral_topn_per_key",
+    "events_resample_gapfill",
 ]
 
 

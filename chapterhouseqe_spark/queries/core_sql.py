@@ -2798,3 +2798,39 @@ def set_except_intersect_all(spark, sf_dir):
         .select(F.lit("intersect_all").alias("op"), "k", "cnt")
     )
     return ea.unionAll(ia)
+
+
+@query(
+    "lateral_topn_per_key",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) o
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+    tags=("join", "lateral"),
+    doc="LATERAL correlated subquery (per-customer top-2 orders by "
+    "price) — the SQL-standard surface for per-row derived tables; "
+    "Catalyst decorrelates it into a ranked window over one join, so "
+    "the executed plan matches the window formulation instead of a "
+    "per-row re-execution",
+)
+def lateral_topn_per_key(spark, sf_dir):
+    t(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey,
+               CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+        FROM lat_customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM lat_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) o
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )

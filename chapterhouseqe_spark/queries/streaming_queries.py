@@ -376,3 +376,60 @@ def stream_dedup_watermark(spark, sf_dir):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "events_resample_gapfill",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT event_type,
+             date_trunc('hour', MIN(ts)) AS lo,
+             date_trunc('hour', MAX(ts)) AS hi
+      FROM events GROUP BY event_type
+    ),
+    slots AS (
+      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ),
+    counts AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             COUNT(*) AS c, {o_dsum('value')} AS sv
+      FROM events GROUP BY 1, 2
+    )
+    SELECT s.event_type, {o_ts_str('s.h')} AS hour_s,
+           COALESCE(c.c, 0) AS cnt,
+           COALESCE(c.sv, 0.0) AS sum_value
+    FROM slots s LEFT JOIN counts c
+      ON c.event_type = s.event_type AND c.h = s.h
+    """,
+    tags=("streaming", "timeseries"),
+    doc="time-series resampling with gap filling: per event type, a "
+    "dense hourly grid spans min..max event time (sequence + explode — "
+    "the grid is generated, never scanned) and left-joins the hourly "
+    "rollup so silent hours appear as explicit zeros — what downstream "
+    "anomaly/trend consumers need instead of missing rows",
+)
+def events_resample_gapfill(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    slots = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    counts = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("c"),
+        dsum(F.col("value")).alias("sv"),
+    )
+    return slots.join(counts, ["event_type", "h"], "left").select(
+        "event_type",
+        ts_str(F.col("h")).alias("hour_s"),
+        F.coalesce(F.col("c"), F.lit(0)).alias("cnt"),
+        F.coalesce(F.col("sv"), F.lit(0.0)).alias("sum_value"),
+    )

@@ -159,3 +159,21 @@ def test_minhash_verify_join_is_size_adaptive(spark, sf_dir):
     plan_big = big._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in plan_big
     assert "BroadcastHashJoin" not in plan_big
+
+
+def test_lateral_topn_decorrelates_to_window(queries, spark, sf_dir):
+    # Catalyst must rewrite the LATERAL per-row subquery into one join
+    # + ranked window — a per-row re-execution of the inner query would
+    # show up as a nested-loop over orders
+    plan = _executed_plan(queries["lateral_topn_per_key"](spark, sf_dir))
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_resample_gapfill_generates_grid(queries, spark, sf_dir):
+    # the dense hour grid is GENERATED (sequence+explode from the
+    # bounds agg), never scanned — plan has exactly the events scans
+    # and no cartesian against a calendar table
+    plan = _executed_plan(queries["events_resample_gapfill"](spark, sf_dir))
+    assert "Generate explode" in plan
+    assert "CartesianProduct" not in plan
