@@ -14,6 +14,7 @@ from chapterhouseqe_spark.operators.bucketing import (
 from chapterhouseqe_spark.operators.dedup import (
     contamination_overlap,
     exact_dedup,
+    incremental_dedup_status,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_fingerprints,
@@ -26,6 +27,14 @@ from chapterhouseqe_spark.operators.similarity import (
     cosine_pairs,
     cosine_topk,
     lsh_bucket_candidates,
+    sq_topk,
+)
+from chapterhouseqe_spark.operators.sketches import (
+    bloom_bits,
+    bloom_filter_keys,
+    cms_counters,
+    cms_estimate,
+    linear_counting,
 )
 from chapterhouseqe_spark.operators.util import (
     salted_join,
@@ -33,19 +42,26 @@ from chapterhouseqe_spark.operators.util import (
 )
 
 __all__ = [
+    "bloom_bits",
+    "bloom_filter_keys",
     "bucketed_tables",
     "cluster_write",
+    "cms_counters",
+    "cms_estimate",
     "colocated_join",
     "contamination_overlap",
-    "file_key_ranges",
     "cosine_pairs",
     "cosine_topk",
     "exact_dedup",
+    "file_key_ranges",
+    "incremental_dedup_status",
+    "linear_counting",
     "lsh_bucket_candidates",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "salted_join",
     "simhash_fingerprints",
+    "sq_topk",
     "targeted_salted_join",
     "write_bucketed",
 ]
