@@ -116,6 +116,7 @@ EXTENDED_QUERIES = [
     "pipeline_weighted_sample",
     "lateral_topn_per_key",
     "events_resample_gapfill",
+    "pipeline_length_buckets",
 ]
 
 

@@ -2202,3 +2202,68 @@ def pipeline_weighted_sample(spark, sf_dir):
         .groupBy("doc_id", "n_chars")
         .agg((F.count("__oid") + 1).cast("bigint").alias("rnk"))
     )
+
+
+@query(
+    "pipeline_length_buckets",
+    oracle=r"""
+    WITH tc AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tok
+      FROM documents
+    ),
+    q AS (
+      SELECT quantile_cont(CAST(n_tok AS DOUBLE), 0.25) AS q1,
+             quantile_cont(CAST(n_tok AS DOUBLE), 0.50) AS q2,
+             quantile_cont(CAST(n_tok AS DOUBLE), 0.75) AS q3
+      FROM tc
+    )
+    SELECT CASE WHEN n_tok <= q1 THEN 0
+                WHEN n_tok <= q2 THEN 1
+                WHEN n_tok <= q3 THEN 2
+                ELSE 3 END AS bucket,
+           COUNT(*) AS n_docs,
+           MIN(n_tok) AS min_tok,
+           MAX(n_tok) AS max_tok,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tok
+    FROM tc CROSS JOIN q
+    GROUP BY 1
+    """,
+    tags=("pipeline", "batching"),
+    doc="length-quantile batch bucketing (curriculum / padding-"
+    "efficiency primitive): exact interpolated quartile boundaries of "
+    "the token count (Spark percentile = DuckDB quantile_cont, the "
+    "convention percentile_stats pinned) split the corpus into four "
+    "buckets; batching within a bucket bounds padding waste. The "
+    "boundary frame is ONE row broadcast past the corpus — two scans, "
+    "no corpus shuffle beyond the final 4-group agg",
+)
+def pipeline_length_buckets(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tc = d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+    )
+    q = tc.agg(
+        F.percentile(F.col("n_tok").cast("double"), 0.25).alias("q1"),
+        F.percentile(F.col("n_tok").cast("double"), 0.50).alias("q2"),
+        F.percentile(F.col("n_tok").cast("double"), 0.75).alias("q3"),
+    )
+    bucket = (
+        F.when(F.col("n_tok") <= F.col("q1"), F.lit(0))
+        .when(F.col("n_tok") <= F.col("q2"), F.lit(1))
+        .when(F.col("n_tok") <= F.col("q3"), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    return (
+        tc.crossJoin(F.broadcast(q))
+        .select(bucket.alias("bucket"), "n_tok")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tok").alias("min_tok"),
+            F.max("n_tok").alias("max_tok"),
+            F.sum("n_tok").alias("sum_tok"),
+        )
+    )
