@@ -62,6 +62,12 @@ def cosine_topk(
 
     Returns (probe_id, id_b, sim). Probes are the rows matching
     ``probe_filter``; neighbors exclude the probe itself.
+
+    EXACT BASELINE — one full corpus scan PER PLAN regardless of probe
+    count; right for reranking small candidate sets and audits. For
+    many probes or production serving use the ANN tiers
+    (``ivf_topk``/``pq_topk``/``ivfpq_topk``/``sq_topk``) — linear
+    scans per probe do not survive a 100× corpus.
     """
     probes = emb.filter(probe_filter).select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("ea")
@@ -87,7 +93,13 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold — exact quadratic baseline."""
+    """All pairs with cosine ≥ threshold — exact quadratic baseline.
+
+    VERIFICATION BASELINE ONLY — O(n²) crossJoin; do not point at a
+    corpus beyond ~10⁵ vectors. The scale paths are the graded ANN
+    family (``lsh_bucket_candidates``/``ivf_topk``/``pq_topk``/
+    ``sq_topk``) and LSH+connected-components dedup.
+    """
     a = ensure_parallelism(emb).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("ea"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("eb"))
     return (
