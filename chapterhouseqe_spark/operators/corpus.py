@@ -174,7 +174,6 @@ def weighted_priority_sample(
     TakeOrderedAndProject (per-partition heads + driver merge of k),
     never a global sort.
     """
-    from pyspark.sql import functions as F
 
     u48 = F.conv(
         F.substring(

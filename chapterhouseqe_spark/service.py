@@ -29,6 +29,7 @@ Design notes:
 
 from __future__ import annotations
 
+import http.client
 import json
 import threading
 import time
@@ -200,6 +201,11 @@ class QueryServiceClient:
             # surface through the module's own hierarchy — callers catch
             # QueryServiceError, mirroring AsyncQueryClientError
             raise QueryServiceError(f"transport error: {exc}") from None
+        except (ValueError, http.client.HTTPException) as exc:
+            # truncated/garbage response body (JSONDecodeError is a
+            # ValueError; IncompleteRead is an HTTPException) — same
+            # contract: never leak raw parse errors to callers
+            raise QueryServiceError(f"malformed response: {exc}") from None
 
     def run_query(self, sql: str, mode: str = "reference") -> str:
         return self._call("/run_query", {"sql": sql, "mode": mode})["query_id"]

@@ -47,7 +47,14 @@ def audit(plan: str) -> dict:
         "single_partition_exchanges": len(
             re.findall(r"Exchange SinglePartition", final)
         ),
-        "broadcasts": len(re.findall(r"BroadcastExchange", final)),
+        # count JOIN nodes, not exchange nodes: Spark truncates long
+        # plan strings (SparkStringUtils), which silently drops
+        # Broadcast{Exchange,QueryStage} subtrees — the join operator
+        # line always survives and names its strategy
+        "broadcast_joins": len(re.findall(r"BroadcastHashJoin", final))
+        + len(re.findall(r"BroadcastNestedLoopJoin", final)),
+        "shuffle_joins": len(re.findall(r"ShuffledHashJoin", final))
+        + len(re.findall(r"SortMergeJoin", final)),
         "cartesian": len(re.findall(r"CartesianProduct", final)),
         "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", final))),
         "windows": len(re.findall(r"\bWindow\b", final)),
@@ -72,7 +79,11 @@ def main() -> int:
             print(f"?? {name}: not registered")
             continue
         df = queries[name](spark, args.sf)
-        df.write.format("noop").mode("overwrite").save()
+        # collect() (not a noop write) so THIS DataFrame's own
+        # QueryExecution runs and AQE finalizes — a write executes a
+        # separate QueryExecution and leaves this plan isFinalPlan=false
+        # (same pattern as tests/test_plan_pipeline.py::_executed_plan)
+        df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         props = audit(plan)
         flags = []
@@ -83,7 +94,9 @@ def main() -> int:
         flag_s = f"  << {' '.join(flags)}" if flags else ""
         print(
             f"{name}: scans={props['scans']} exchanges={props['exchanges']} "
-            f"broadcasts={props['broadcasts']} codegen={props['codegen_spans']} "
+            f"bcast_joins={props['broadcast_joins']} "
+            f"shuffle_joins={props['shuffle_joins']} "
+            f"codegen={props['codegen_spans']} "
             f"windows={props['windows']}{flag_s}"
         )
         for pf in props["pushed_filters"]:
