@@ -50,8 +50,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent ANSI SQL per query (omitted for probabilistic
-    ops like hyperplane LSH, which get rows-only checks)."""
+    """DuckDB-equivalent ANSI SQL per query — ALL registered queries
+    carry one (even the seeded ANN tiers, whose fixed seeds make them
+    pure functions the oracle replays end-to-end)."""
     from chapterhouseqe_spark.queries.registry import get_oracles
 
     return get_oracles()
