@@ -155,3 +155,76 @@ def test_segment_dedup_matches_keep_first_model(spark, docs):
                 seen.add(w)
                 kept.append(w)
         assert got[i] == (" ".join(kept), len(kept))
+
+
+@given(
+    keys=st.lists(st.integers(0, 200), min_size=1, max_size=30, unique=True),
+    cands=st.lists(st.integers(0, 400), min_size=1, max_size=40, unique=True),
+)
+@settings(**SMALL)
+def test_bloom_never_false_negative_model(spark, keys, cands):
+    """For ANY key/candidate sets: every candidate that IS a key passes
+    the filter (bloom's one-sided guarantee), and membership matches a
+    pure-Python replay of the md5 bit arithmetic exactly."""
+    from chapterhouseqe_spark.operators.sketches import (
+        bloom_bits,
+        bloom_filter_keys,
+    )
+
+    m, nh = 256, 3
+
+    def positions(k):
+        return {
+            int(hashlib.md5(f"{j}:{k}".encode()).hexdigest()[:15], 16) % m
+            for j in range(nh)
+        }
+
+    bits_model = set().union(*(positions(k) for k in keys))
+    expect = {c for c in cands if positions(c) <= bits_model}
+
+    kdf = spark.createDataFrame([(k,) for k in keys], "k long")
+    cdf = spark.createDataFrame([(c,) for c in cands], "k long")
+    got = {
+        r.k
+        for r in bloom_filter_keys(
+            cdf, "k", bloom_bits(kdf, "k", m, nh), m, nh
+        ).collect()
+    }
+    assert got == expect
+    assert set(keys) & set(cands) <= got  # no false negatives, ever
+
+
+@given(
+    stream=st.lists(st.integers(0, 20), min_size=1, max_size=60),
+)
+@settings(**SMALL)
+def test_cms_matches_model_and_overestimates(spark, stream):
+    """CMS estimates equal the pure-Python min-over-rows replay and
+    never under-count any key in the stream."""
+    from collections import Counter
+
+    from chapterhouseqe_spark.operators.sketches import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    d, w = 3, 16
+
+    def pos(k, j):
+        return int(hashlib.md5(f"{j}:{k}".encode()).hexdigest()[:15], 16) % w
+
+    counters = Counter((j, pos(k, j)) for k in stream for j in range(d))
+    exact = Counter(stream)
+    model = {
+        k: min(counters[(j, pos(k, j))] for j in range(d)) for k in exact
+    }
+
+    df = spark.createDataFrame([(k,) for k in stream], "k long")
+    got = {
+        r.k: r.cms_est
+        for r in cms_estimate(
+            df.select("k").distinct(), "k", cms_counters(df, "k", d, w), d, w
+        ).collect()
+    }
+    assert got == model
+    assert all(got[k] >= exact[k] for k in exact)
