@@ -117,6 +117,7 @@ EXTENDED_QUERIES = [
     "lateral_topn_per_key",
     "events_resample_gapfill",
     "pipeline_length_buckets",
+    "manifest_pruned_scan",
 ]
 
 

@@ -166,3 +166,110 @@ def zorder_write(
         else tagged.repartitionByRange("__z")
     )
     out.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)
+
+
+# ------------------------------------------------------------- manifest
+# (file-level skipping index, the Iceberg/Delta manifest core)
+
+
+def _enc_stat(v):
+    # JSON-portable, order-preserving encodings: numbers stay numeric;
+    # datetimes/dates become ISO strings (lexicographic == chronologic);
+    # everything else stringifies. Decoded comparisons use the same
+    # domain, so pruning decisions are exact.
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return str(v)
+
+
+def write_manifest(path: str, columns: list[str]) -> int:
+    """Build ``<path>/_MANIFEST.json`` from parquet footers: per file,
+    per column (min, max) plus row count. Metadata-only (no data IO).
+
+    This is the Iceberg/Delta manifest idea reduced to its skipping
+    core: a query planner consults ONE small JSON instead of listing
+    and footer-reading N files — at 100 TB the listing itself is the
+    bottleneck a manifest removes (object stores bill and throttle
+    LIST). Returns the number of files indexed. Rewrite after every
+    data write (the writers here are whole-directory overwrites, so
+    the manifest is never stale mid-directory).
+    """
+    import glob as _glob
+    import json as _json
+    import os
+
+    import pyarrow.parquet as pq
+
+    entries = []
+    for f in sorted(_glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        names = md.schema.to_arrow_schema().names
+        stats: dict = {"file": os.path.basename(f), "rows": md.num_rows}
+        for col in columns:
+            ci = names.index(col)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mins.append(st.min)
+                maxs.append(st.max)
+            if mins:
+                stats[col] = [_enc_stat(min(mins)), _enc_stat(max(maxs))]
+        entries.append(stats)
+    with open(os.path.join(path, "_MANIFEST.json"), "w") as fh:
+        _json.dump({"columns": columns, "files": entries}, fh)
+    return len(entries)
+
+
+def manifest_pruned_files(
+    path: str, column: str, lo, hi
+) -> tuple[list[str], int]:
+    """Files whose [min, max] for ``column`` intersects [lo, hi],
+    per the manifest — (kept file paths, total file count).
+
+    A file with no stats for the column is conservatively kept (false
+    keeps only cost IO; false skips would lose rows). Range endpoints
+    go through the same encoding as the stored stats, so comparisons
+    stay within one ordered domain.
+    """
+    import json as _json
+    import os
+
+    with open(os.path.join(path, "_MANIFEST.json")) as fh:
+        man = _json.load(fh)
+    lo_e, hi_e = _enc_stat(lo), _enc_stat(hi)
+    kept = []
+    for entry in man["files"]:
+        rng = entry.get(column)
+        if rng is None or (rng[0] <= hi_e and rng[1] >= lo_e):
+            kept.append(os.path.join(path, entry["file"]))
+    return kept, len(man["files"])
+
+
+def manifest_scan(spark, path: str, column: str, lo, hi):
+    """Range scan that reads ONLY manifest-selected files.
+
+    Returns (DataFrame, n_files_read, n_files_total). The residual
+    filter still applies (the manifest prunes at file grain; row-group
+    and row grain remain the reader's job), so results are exactly
+    those of a full scan + filter — pruning can only skip files that
+    provably hold no matching rows.
+    """
+    kept, total = manifest_pruned_files(path, column, lo, hi)
+    if not kept:
+        df = (
+            spark.read.parquet(path)
+            .filter(F.lit(False))
+        )
+        return df, 0, total
+    df = spark.read.parquet(*kept).filter(
+        (F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi))
+    )
+    return df, len(kept), total

@@ -384,3 +384,66 @@ def _snapshot_nation_dir(spark, sf_dir) -> str:
         )
         write_snapshot(v2, out)
     return out
+
+
+@query(
+    "manifest_pruned_scan",
+    oracle=f"""
+    SELECT COUNT(*) AS cnt,
+           {o_dsum('l_extendedprice')} AS total_price,
+           {o_dsum('l_quantity')} AS total_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l_shipdate <= TIMESTAMP '1997-03-31 23:59:59'
+    """,
+    tags=("maintenance", "layout", "pruning", "manifest"),
+    doc="manifest-based file skipping (the Iceberg/Delta manifest core "
+    "from vanilla parquet): lineitem is cluster-written on l_shipdate "
+    "into 8 disjoint-range files, a footer-derived _MANIFEST.json "
+    "indexes per-file min/max, and a one-month range query reads ONLY "
+    "the intersecting files — the planner consults one small JSON "
+    "instead of LISTing the table (the operation object stores "
+    "throttle at 100 TB). Residual filter keeps results exact; "
+    "pruning effectiveness pinned in tests/test_layout.py "
+    "(operators/layout.py:write_manifest/manifest_scan)",
+)
+def manifest_pruned_scan(spark, sf_dir):
+    from datetime import datetime
+
+    from chapterhouseqe_spark.operators.layout import manifest_scan
+
+    path = _manifest_lineitem_dir(spark, sf_dir)
+    df, _n_read, _n_total = manifest_scan(
+        spark,
+        path,
+        "l_shipdate",
+        datetime(1997, 3, 1),
+        datetime(1997, 3, 31, 23, 59, 59),
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum(F.col("l_extendedprice")).alias("total_price"),
+        dsum(F.col("l_quantity")).alias("total_qty"),
+    )
+
+
+def _manifest_lineitem_dir(spark, sf_dir) -> str:
+    """One-time shipdate-clustered lineitem copy + manifest, cached by
+    the source's content fingerprint (same idempotency convention as
+    _partitioned_orders_dir)."""
+    import os
+
+    from chapterhouseqe_spark.operators.layout import (
+        cluster_write,
+        write_manifest,
+    )
+    from chapterhouseqe_spark.queries.core_sql import _source_fingerprint
+
+    key = _source_fingerprint(sf_dir, "lineitem")
+    out = f"/tmp/chqe_manifest/{key}/lineitem_by_shipdate"
+    if not os.path.exists(os.path.join(out, "_MANIFEST.json")):
+        cluster_write(
+            t(spark, sf_dir, "lineitem"), out, ["l_shipdate"], num_files=8
+        )
+        write_manifest(out, ["l_shipdate"])
+    return out

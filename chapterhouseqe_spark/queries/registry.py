@@ -122,11 +122,11 @@ def _ensure_registered() -> None:
 # prefix of the registry, so dict order decides which queries get
 # driver-oracle evidence. Round-6 window, three tiers:
 # (a) every query with ZERO driver evidence — the 2 added at the end of
-#     round 5, the 3 k-means-training queries, and the 13 new round-6
+#     round 5, the 3 k-means-training queries, and the 14 new round-6
 #     operators (SQ ANN, BPE, bloom join, streaming dedup, unpivot,
 #     multiset set ops, count-min sketch, incremental dedup, linear
 #     counting, weighted sampling, LATERAL top-n, gap-fill resample,
-#     length-quantile bucketing);
+#     length-quantile bucketing, manifest file skipping);
 # (b) regrades of the 3 queries whose implementation changed with the
 #     round-5 ADVICE fixes (stream polling, snapshot versioning,
 #     segment-dedup guard);
@@ -134,7 +134,7 @@ def _ensure_registered() -> None:
 #     pinned by tests/test_queries_arrays.py so no rotation can leave a
 #     family without in-window evidence), then the stalest r2-only
 #     cohort fills the remaining slots. The r2-stale queries that
-#     didn't fit (30 scalar-function/join/set/subquery shapes) stay
+#     didn't fit (31 scalar-function/join/set/subquery shapes) stay
 #     next in
 #     registration order for the r7 window; all of them remain
 #     oracle-checked locally by tests/test_queries_oracle.py every
@@ -159,6 +159,7 @@ GRADE_ORDER: tuple[str, ...] = (
     "lateral_topn_per_key",
     "events_resample_gapfill",
     "pipeline_length_buckets",
+    "manifest_pruned_scan",
     # (b) changed with round-5 ADVICE fixes — regrade
     "stream_source_replay_agg",
     "snapshot_time_travel",
@@ -190,7 +191,6 @@ GRADE_ORDER: tuple[str, ...] = (
     "regexp_ops",
     "percentile_stats",
     "variance_exact",
-    "set_union_all",
     "rollup_agg",
     "count_distinct",
     "window_rank_topn",

@@ -76,3 +76,38 @@ def test_zorder_write_skippable_on_both_dims(spark, tmp_path):
     assert mean_width(zpath, "y") < 0.6
     # and the data itself round-trips
     assert spark.read.parquet(zpath).count() == 4096
+
+
+def test_manifest_prunes_files_and_stays_exact(spark, sf_dir, tmp_path):
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from chapterhouseqe_spark.operators.layout import (
+        cluster_write,
+        manifest_scan,
+        write_manifest,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    path = str(tmp_path / "li_by_shipdate")
+    cluster_write(li, path, ["l_shipdate"], num_files=8)
+    assert write_manifest(path, ["l_shipdate"]) == 8
+
+    lo, hi = datetime(1997, 3, 1), datetime(1997, 3, 31, 23, 59, 59)
+    df, n_read, n_total = manifest_scan(spark, path, "l_shipdate", lo, hi)
+    assert n_total == 8
+    # ~1 month of a ~7-year span clustered into 8 range-disjoint files
+    # must hit at most 2 files (the window can straddle one boundary)
+    assert 1 <= n_read <= 2
+
+    full = li.filter(
+        (F.col("l_shipdate") >= F.lit(lo)) & (F.col("l_shipdate") <= F.lit(hi))
+    )
+    assert df.count() == full.count() > 0  # pruning lost nothing
+
+    # a window outside the data range keeps zero files, empty result
+    df0, n0, _ = manifest_scan(
+        spark, path, "l_shipdate", datetime(2050, 1, 1), datetime(2050, 2, 1)
+    )
+    assert n0 == 0 and df0.count() == 0
