@@ -118,6 +118,12 @@ EXTENDED_QUERIES = [
     "events_resample_gapfill",
     "pipeline_length_buckets",
     "manifest_pruned_scan",
+    # late-round-6 additions: HLL cardinality, unigram-LM quality,
+    # ANN recall audit, SemDeDup semantic dedup
+    "hll_cardinality",
+    "text_unigram_quality",
+    "ann_recall_eval",
+    "dedup_semantic_semdedup",
 ]
 
 

@@ -235,6 +235,56 @@ def pii_count(text: Column, kind: str) -> Column:
 # ------------------------------------------------------------------ BPE
 
 
+def unigram_prob_scores(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Corpus-trained unigram-LM quality score per document — the
+    CCNet / Wikipedia-LM filtering signal (Wenzek et al. 2020), in an
+    integer-exact formulation.
+
+    Trains the LM on the corpus itself (token w → count(w)), then
+    scores each document by its MEAN TOKEN PROBABILITY::
+
+        mean_prob(doc) = (Σ_tokens count(w)) / (n_tokens · total)
+
+    Documents full of rare/garbled tokens score low; natural prose
+    scores high — rank by ``mean_prob`` and cut the tail, exactly like
+    perplexity filtering but with every aggregate an exact BIGINT and
+    ONE final double division (log-perplexity would sum per-token
+    libm logs, whose order and last-ulp behavior are not portable
+    across engines; the monotone mean-probability variant is).
+
+    Returns (id_col, n_tokens, cnt_sum, mean_prob).
+
+    100 TB shape: three combinable keyed shuffles — vocab groupBy(w),
+    token⋈vocab on w (AQE broadcasts the vocab when it fits, else a
+    plain hash join; the heavy-tail vocab of a web corpus may not),
+    and the per-doc groupBy. The corpus is never collected; ``total``
+    is a 1-row broadcast.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"),
+    ).filter(F.length("w") > 0)
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    per_doc = (
+        toks.join(vocab, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("cnt").alias("cnt_sum"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("cnt_sum"),
+        (
+            F.col("cnt_sum").cast("double")
+            / (F.col("n_tokens") * F.col("total")).cast("double")
+        ).alias("mean_prob"),
+    )
+
+
 def bpe_pair_counts(docs, text_col: str = "text", k: int = 20):
     """One BPE training iteration: the global adjacent-symbol-pair
     counts whose argmax is the next merge (Sennrich et al. 2016 —

@@ -17,6 +17,7 @@ from chapterhouseqe_spark.operators.dedup import (
     incremental_dedup_status,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    semantic_dedup_keep,
     simhash_fingerprints,
 )
 from chapterhouseqe_spark.operators.layout import (
@@ -24,6 +25,7 @@ from chapterhouseqe_spark.operators.layout import (
     file_key_ranges,
 )
 from chapterhouseqe_spark.operators.similarity import (
+    ann_recall,
     cosine_pairs,
     cosine_topk,
     lsh_bucket_candidates,
@@ -34,6 +36,8 @@ from chapterhouseqe_spark.operators.sketches import (
     bloom_filter_keys,
     cms_counters,
     cms_estimate,
+    hll_estimate,
+    hll_registers,
     linear_counting,
 )
 from chapterhouseqe_spark.operators.util import (
@@ -42,6 +46,7 @@ from chapterhouseqe_spark.operators.util import (
 )
 
 __all__ = [
+    "ann_recall",
     "bloom_bits",
     "bloom_filter_keys",
     "bucketed_tables",
@@ -54,12 +59,15 @@ __all__ = [
     "cosine_topk",
     "exact_dedup",
     "file_key_ranges",
+    "hll_estimate",
+    "hll_registers",
     "incremental_dedup_status",
     "linear_counting",
     "lsh_bucket_candidates",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "salted_join",
+    "semantic_dedup_keep",
     "simhash_fingerprints",
     "sq_topk",
     "targeted_salted_join",

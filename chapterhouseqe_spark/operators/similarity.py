@@ -758,6 +758,69 @@ def kmeans_lloyd(
     return cent, _assign(cent).select("id", "m", "cid")
 
 
+# --------------------------------------------------- ANN quality audit
+
+
+def ann_recall(
+    emb: DataFrame,
+    probe_filter: Column,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the IVF ANN tier against exact brute-force top-k —
+    the measurement loop every production ANN deployment runs before
+    trusting an index ("measure, don't guess" applied to the index's
+    own quality knobs: n_centroids, nprobe).
+
+    Returns one row per probe: (probe_id, n_exact, n_approx,
+    n_overlap, recall_at_k). All counts are exact integers; recall is
+    the single division n_overlap / k.
+
+    100 TB shape: the exact side is the deliberate audit cost — run it
+    on a SAMPLED probe set (hundreds of probes), never the corpus; the
+    approx side is the cheap nprobe-bucketed search being audited.
+    Both sides shuffle only (probe_id, id_b) candidate rows into the
+    count joins.
+    """
+    exact = cosine_topk(emb, probe_filter, k, id_col, vec_col).select(
+        "probe_id", "id_b"
+    )
+    approx = ivf_topk(
+        emb,
+        probe_filter,
+        k=k,
+        n_centroids=n_centroids,
+        nprobe=nprobe,
+        centroid_method="first",
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select("probe_id", "id_b")
+    base = exact.groupBy("probe_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    ap = approx.groupBy("probe_id").agg(F.count(F.lit(1)).alias("n_approx"))
+    hits = (
+        exact.join(approx, ["probe_id", "id_b"])
+        .groupBy("probe_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        base.join(ap, "probe_id", "left")
+        .join(hits, "probe_id", "left")
+        .select(
+            "probe_id",
+            "n_exact",
+            F.coalesce(F.col("n_approx"), F.lit(0).cast("long")).alias("n_approx"),
+            F.coalesce(F.col("n_overlap"), F.lit(0).cast("long")).alias("n_overlap"),
+            (
+                F.coalesce(F.col("n_overlap"), F.lit(0).cast("long")).cast("double")
+                / F.lit(float(k))
+            ).alias("recall_at_k"),
+        )
+    )
+
+
 # ------------------------------------------------- scalar quantization
 # (SQ, int8-style)
 

@@ -157,6 +157,127 @@ def cms_estimate(
     )
 
 
+# ---------------------------------------------------------- hyperloglog
+
+
+# Standard HLL bias constant for m=64 registers (Flajolet et al. 2007).
+_HLL_ALPHA_64 = 0.709
+
+
+def hll_registers(df: DataFrame, key_col: str, m: int = 64) -> DataFrame:
+    """HyperLogLog register table (bucket, M) for a key column.
+
+    The md5-60-bit hash (same family as the rest of this module) is
+    split into a bucket index (``h % m``) and a 54-bit window
+    (``h // m`` — exact integer division; a double divide would round
+    above 2^53). ``M`` = max over the bucket's keys of the position of
+    the leftmost 1-bit in the window, computed via the BINARY-STRING
+    length (``55 - length(bin(rem))``) rather than log2 — string ops
+    are bit-portable across engines, libm is not. ``m`` must stay a
+    power of two so ``%``/``//`` are bit slices.
+
+    100 TB shape: the groupBy has at most ``m`` groups, map-side
+    combinable, so the exchange carries ≤ partitions × m rows no
+    matter the stream size; shard register tables merge by cellwise
+    MAX — the textbook mergeable-sketch contract.
+    """
+    w_plus_1 = 60 - m.bit_length() + 2  # 55 for m=64
+    h = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+    )
+    rem = F.call_function("div", h, F.lit(m))
+    rho = F.when(rem == 0, F.lit(w_plus_1)).otherwise(
+        F.lit(w_plus_1) - F.length(F.bin(rem))
+    )
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select((h % m).alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("M"))
+    )
+
+
+def hll_estimate(
+    df: DataFrame, key_col: str, m: int = 64, exact: bool = True
+) -> DataFrame:
+    """One-row HLL cardinality estimate with integer-exact sketch state.
+
+    The harmonic-mean denominator Σ 2^-Mj is kept EXACT by scaling to
+    integers: each term is ``1 << (56 - M)`` (a BIGINT; Mj ≤ 55 and
+    m ≤ 64 keep the sum under 2^63), empty registers contribute
+    ``1 << 56`` each. The only float op is the single final division
+    ``alpha·m²·2^56 / S`` — deterministic in any IEEE-754 engine, so
+    the estimate itself is gradeable, unlike a sum-of-2^-x in doubles
+    (adding 2^0 to 2^-60 already needs a 61-bit mantissa).
+
+    With ``exact=True`` the true distinct count is graded alongside —
+    that column shuffles every distinct key and exists only because
+    the point of the graded query is sketch-vs-truth (same caveat as
+    :func:`linear_counting`).
+    """
+    regs = hll_registers(df, key_col, m)
+    numerator = _HLL_ALPHA_64 * m * m * float(1 << 56)
+    filled = regs.agg(
+        F.count(F.lit(1)).alias("n_filled"),
+        F.sum(F.expr("CAST(1 AS BIGINT) << (56 - M)")).alias("s_filled"),
+    )
+    s_total = (
+        F.col("s_filled")
+        + (F.lit(m).cast("long") - F.col("n_filled")) * F.lit(1 << 56).cast("long")
+    )
+    out = filled.select(
+        F.lit(m).alias("m"),
+        F.col("n_filled").cast("long").alias("n_filled"),
+        s_total.alias("s_scaled"),
+        (F.lit(numerator) / s_total.cast("double")).alias("hll_est"),
+    )
+    if exact:
+        ex = df.filter(F.col(key_col).isNotNull()).agg(
+            F.countDistinct(F.col(key_col)).alias("n_exact")
+        )
+        out = out.crossJoin(F.broadcast(ex))
+    return out
+
+
+def hll_oracle_sql(
+    table: str, key_expr: str, m: int = 64, exact: bool = True
+) -> str:
+    """DuckDB replay of :func:`hll_estimate` (same md5/bit arithmetic)."""
+    w_plus_1 = 60 - m.bit_length() + 2
+    numerator = repr(_HLL_ALPHA_64 * m * m * float(1 << 56))
+    exact_cte = (
+        f", ex AS (SELECT COUNT(DISTINCT {key_expr}) AS n_exact "
+        f"FROM {table} WHERE {key_expr} IS NOT NULL)"
+        if exact
+        else ""
+    )
+    exact_col = ", ex.n_exact AS n_exact" if exact else ""
+    exact_from = ", ex" if exact else ""
+    return f"""
+    WITH h AS (
+      SELECT ('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM {table} WHERE {key_expr} IS NOT NULL
+    ),
+    regs AS (
+      SELECT h % {m} AS bucket,
+             MAX(CASE WHEN h // {m} = 0 THEN {w_plus_1}
+                      ELSE {w_plus_1} - length(bin(h // {m})) END) AS M
+      FROM h GROUP BY h % {m}
+    ),
+    s AS (
+      SELECT COUNT(*) AS n_filled,
+             SUM((CAST(1 AS BIGINT) << (56 - M))) AS s_filled
+      FROM regs
+    ){exact_cte}
+    SELECT {m} AS m,
+           CAST(s.n_filled AS BIGINT) AS n_filled,
+           CAST(s.s_filled + ({m} - s.n_filled) * (CAST(1 AS BIGINT) << 56) AS BIGINT) AS s_scaled,
+           {numerator} / CAST(s.s_filled + ({m} - s.n_filled) * (CAST(1 AS BIGINT) << 56) AS DOUBLE) AS hll_est{exact_col}
+    FROM s{exact_from}
+    """
+
+
 # ------------------------------------------------------- linear counting
 
 

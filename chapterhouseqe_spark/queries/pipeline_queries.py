@@ -35,6 +35,7 @@ from chapterhouseqe_spark.operators.similarity import (
     cosine_topk,
     lsh_bucket_candidates,
 )
+from chapterhouseqe_spark.operators.sketches import hll_oracle_sql
 from chapterhouseqe_spark.queries.core_sql import t
 from chapterhouseqe_spark.queries.registry import query
 from chapterhouseqe_spark.sources.multimodal import (
@@ -2266,4 +2267,236 @@ def pipeline_length_buckets(spark, sf_dir):
             F.max("n_tok").alias("max_tok"),
             F.sum("n_tok").alias("sum_tok"),
         )
+    )
+
+@query(
+    "hll_cardinality",
+    oracle=(
+        "WITH one AS ("
+        + hll_oracle_sql("lineitem", "l_partkey")
+        + "), two AS ("
+        + hll_oracle_sql("events", "user_id")
+        + """)
+    SELECT 'l_partkey' AS key_col, m, n_filled, s_scaled, hll_est, n_exact FROM one
+    UNION ALL
+    SELECT 'user_id', m, n_filled, s_scaled, hll_est, n_exact FROM two
+    """
+    ),
+    tags=("pipeline", "sketch"),
+    doc="HyperLogLog cardinality over two key streams, estimate "
+    "INCLUDED in the graded columns: the harmonic-mean denominator is "
+    "kept as an exact integer (terms 1<<(56-M), Mj<=55, m=64 keeps "
+    "the sum under 2^63) so the only float op is the final "
+    "alpha*m^2*2^56/S division — unlike linear counting's ln(), fully "
+    "bit-portable. Registers come from the shared md5 hash family; "
+    "leading-zero rank is computed via bin()-string length in both "
+    "engines (operators/sketches.py:hll_estimate)",
+)
+def hll_cardinality(spark, sf_dir):
+    from chapterhouseqe_spark.operators.sketches import hll_estimate
+
+    frames = []
+    for tbl, col in (("lineitem", "l_partkey"), ("events", "user_id")):
+        frames.append(
+            hll_estimate(t(spark, sf_dir, tbl), col, m=64).select(
+                F.lit(col).alias("key_col"),
+                "m",
+                "n_filled",
+                "s_scaled",
+                "hll_est",
+                "n_exact",
+            )
+        )
+    return frames[0].unionAll(frames[1])
+
+
+@query(
+    "text_unigram_quality",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      FROM documents
+    ),
+    tk AS (SELECT doc_id, w FROM toks WHERE length(w) > 0),
+    vocab AS (SELECT w, COUNT(*) AS cnt FROM tk GROUP BY w),
+    tot AS (SELECT COUNT(*) AS total FROM tk),
+    per_doc AS (
+      SELECT t.doc_id, COUNT(*) AS n_tokens, SUM(v.cnt) AS cnt_sum
+      FROM tk t JOIN vocab v USING (w) GROUP BY t.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cnt_sum AS BIGINT) AS cnt_sum,
+           CAST(cnt_sum AS DOUBLE) / CAST(n_tokens * tot.total AS DOUBLE)
+             AS mean_prob
+    FROM per_doc, tot
+    """,
+    tags=("pipeline", "text"),
+    doc="corpus-trained unigram-LM quality score (the CCNet/Wikipedia-"
+    "LM perplexity-filtering signal): mean token probability "
+    "cnt_sum/(n_tokens*total) with every aggregate an exact BIGINT and "
+    "ONE final double division — monotone in the quality ranking like "
+    "log-perplexity but bit-portable across engines "
+    "(functions/text.py:unigram_prob_scores)",
+)
+def text_unigram_quality(spark, sf_dir):
+    from chapterhouseqe_spark.functions.text import unigram_prob_scores
+
+    return unigram_prob_scores(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "ann_recall_eval",
+    oracle=f"""
+    WITH {_COSINE_NORMS_CTE.strip()},
+    epairs AS (
+      SELECT a.vec_id AS probe_id, b.vec_id AS id_b,
+             a.embedding AS ea, b.embedding AS eb
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < 8 AND b.vec_id != a.vec_id
+    ),
+    edots AS (
+      SELECT probe_id, id_b,
+             list_reduce(
+               list_transform(generate_series(1, len(ea)),
+                              i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)),
+               (acc, x) -> acc + x) AS dot
+      FROM epairs
+    ),
+    exact AS (
+      SELECT probe_id, id_b FROM (
+        SELECT d.probe_id, d.id_b,
+               ROW_NUMBER() OVER (PARTITION BY d.probe_id
+                 ORDER BY d.dot / (na.nrm * nb.nrm) DESC, d.id_b) AS rn
+        FROM edots d
+        JOIN norms na ON na.vec_id = d.probe_id
+        JOIN norms nb ON nb.vec_id = d.id_b
+      ) x WHERE rn <= 10
+    ),
+    cent AS (
+      SELECT vec_id AS cid, embedding AS cvec
+      FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    csims AS (
+      SELECT e.vec_id AS id, c.cid,
+             list_reduce(
+               list_transform(generate_series(1, len(e.embedding)),
+                              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)),
+               (acc, x) -> acc + x) / (ne.nrm * nc.nrm) AS csim
+      FROM embeddings e
+      CROSS JOIN cent c
+      JOIN norms ne ON ne.vec_id = e.vec_id
+      JOIN norms nc ON nc.vec_id = c.cid
+    ),
+    assign AS (
+      SELECT id, cid FROM (
+        SELECT id, cid,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS rn
+        FROM csims
+      ) x WHERE rn = 1
+    ),
+    probe_buckets AS (
+      SELECT id AS probe_id, cid FROM (
+        SELECT id, cid,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS rn
+        FROM csims WHERE id < 8
+      ) x WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT pb.probe_id, a.id AS id_b
+      FROM probe_buckets pb JOIN assign a USING (cid)
+      WHERE a.id <> pb.probe_id
+    ),
+    ascored AS (
+      SELECT c.probe_id, c.id_b,
+             list_reduce(
+               list_transform(generate_series(1, len(pa.embedding)),
+                              i -> CAST(pa.embedding[i] AS DOUBLE) * CAST(pb2.embedding[i] AS DOUBLE)),
+               (acc, x) -> acc + x) / (na.nrm * nb.nrm) AS sim
+      FROM cand c
+      JOIN embeddings pa ON pa.vec_id = c.probe_id
+      JOIN embeddings pb2 ON pb2.vec_id = c.id_b
+      JOIN norms na ON na.vec_id = c.probe_id
+      JOIN norms nb ON nb.vec_id = c.id_b
+    ),
+    approx AS (
+      SELECT probe_id, id_b FROM (
+        SELECT probe_id, id_b,
+               ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY sim DESC, id_b) AS rn
+        FROM ascored
+      ) x WHERE rn <= 10
+    ),
+    base AS (SELECT probe_id, COUNT(*) AS n_exact FROM exact GROUP BY probe_id),
+    ap AS (SELECT probe_id, COUNT(*) AS n_approx FROM approx GROUP BY probe_id),
+    hits AS (
+      SELECT e.probe_id, COUNT(*) AS n_overlap
+      FROM exact e JOIN approx a ON a.probe_id = e.probe_id AND a.id_b = e.id_b
+      GROUP BY e.probe_id
+    )
+    SELECT b.probe_id,
+           CAST(b.n_exact AS BIGINT) AS n_exact,
+           CAST(COALESCE(ap.n_approx, 0) AS BIGINT) AS n_approx,
+           CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(COALESCE(h.n_overlap, 0) AS DOUBLE) / 10.0 AS recall_at_k
+    FROM base b
+    LEFT JOIN ap ON ap.probe_id = b.probe_id
+    LEFT JOIN hits h ON h.probe_id = b.probe_id
+    """,
+    tags=("pipeline", "similarity"),
+    doc="recall@10 audit of the IVF ANN tier (nprobe=4/16) against "
+    "exact brute-force top-10 per probe — the measurement loop that "
+    "justifies trusting an ANN index's knobs; both sides and the "
+    "per-probe overlap counts replay exactly in SQL "
+    "(operators/similarity.py:ann_recall)",
+)
+def ann_recall_eval(spark, sf_dir):
+    from chapterhouseqe_spark.operators.similarity import ann_recall
+
+    emb = t(spark, sf_dir, "embeddings")
+    return ann_recall(emb, F.col("vec_id") < 8, k=10, n_centroids=16, nprobe=4)
+
+
+@query(
+    "dedup_semantic_semdedup",
+    oracle=_kmeans_lloyd_oracle(
+        n_centroids=8,
+        n_iter=2,
+        m_sub=1,
+        dim=64,
+        final_select=f""", {_COSINE_NORMS_CTE.strip()},
+    cpairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM {{final}} a JOIN {{final}} b
+        ON a.m = b.m AND a.cid = b.cid AND a.id < b.id
+    ),
+    dropped AS (
+      SELECT DISTINCT p.id_b
+      FROM cpairs p
+      JOIN embeddings ea ON ea.vec_id = p.id_a
+      JOIN embeddings eb ON eb.vec_id = p.id_b
+      JOIN norms na ON na.vec_id = p.id_a
+      JOIN norms nb ON nb.vec_id = p.id_b
+      WHERE list_reduce(
+              list_transform(generate_series(1, len(ea.embedding)),
+                i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)),
+              (acc, x) -> acc + x) / (na.nrm * nb.nrm) >= 0.4
+    )
+    SELECT e.vec_id FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT id_b FROM dropped)""",
+    ),
+    tags=("pipeline", "dedup", "similarity", "training"),
+    doc="SemDeDup (Abbas et al. 2023): k-means-cluster the embedding "
+    "space (replayable fixed-point Lloyd, k=8, 2 iters), then drop "
+    "any vector with a smaller-id same-CLUSTER neighbor at cosine >= "
+    "0.4 — turns the O(n^2) comparison into per-cluster blocks; the "
+    "oracle replays training AND the within-cluster pair sweep "
+    "(operators/dedup.py:semantic_dedup_keep)",
+)
+def dedup_semantic_semdedup(spark, sf_dir):
+    from chapterhouseqe_spark.operators.dedup import semantic_dedup_keep
+
+    emb = t(spark, sf_dir, "embeddings")
+    return semantic_dedup_keep(emb, threshold=0.4, n_centroids=8, n_iter=2).select(
+        "vec_id"
     )

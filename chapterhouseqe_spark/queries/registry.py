@@ -122,11 +122,13 @@ def _ensure_registered() -> None:
 # prefix of the registry, so dict order decides which queries get
 # driver-oracle evidence. Round-6 window, three tiers:
 # (a) every query with ZERO driver evidence — the 2 added at the end of
-#     round 5, the 3 k-means-training queries, and the 14 new round-6
+#     round 5, the 3 k-means-training queries, the 14 new round-6
 #     operators (SQ ANN, BPE, bloom join, streaming dedup, unpivot,
 #     multiset set ops, count-min sketch, incremental dedup, linear
 #     counting, weighted sampling, LATERAL top-n, gap-fill resample,
-#     length-quantile bucketing, manifest file skipping);
+#     length-quantile bucketing, manifest file skipping), and the 4
+#     late-round-6 additions (HyperLogLog, unigram-LM quality,
+#     ANN recall audit, SemDeDup);
 # (b) regrades of the 3 queries whose implementation changed with the
 #     round-5 ADVICE fixes (stream polling, snapshot versioning,
 #     segment-dedup guard);
@@ -134,9 +136,10 @@ def _ensure_registered() -> None:
 #     pinned by tests/test_queries_arrays.py so no rotation can leave a
 #     family without in-window evidence), then the stalest r2-only
 #     cohort fills the remaining slots. The r2-stale queries that
-#     didn't fit (31 scalar-function/join/set/subquery shapes) stay
-#     next in
-#     registration order for the r7 window; all of them remain
+#     didn't fit (35 scalar-function/agg/join/set/subquery shapes —
+#     variance_exact, rollup_agg, count_distinct, and window_rank_topn
+#     rotated back out to make room for the 4 late additions) stay
+#     next in registration order for the r7 window; all of them remain
 #     oracle-checked locally by tests/test_queries_oracle.py every
 #     pytest run.
 GRADE_ORDER: tuple[str, ...] = (
@@ -160,6 +163,10 @@ GRADE_ORDER: tuple[str, ...] = (
     "events_resample_gapfill",
     "pipeline_length_buckets",
     "manifest_pruned_scan",
+    "hll_cardinality",
+    "text_unigram_quality",
+    "ann_recall_eval",
+    "dedup_semantic_semdedup",
     # (b) changed with round-5 ADVICE fixes — regrade
     "stream_source_replay_agg",
     "snapshot_time_travel",
@@ -190,10 +197,6 @@ GRADE_ORDER: tuple[str, ...] = (
     "date_functions",
     "regexp_ops",
     "percentile_stats",
-    "variance_exact",
-    "rollup_agg",
-    "count_distinct",
-    "window_rank_topn",
 )
 
 

@@ -464,3 +464,79 @@ def test_kmeans_lloyd_properties(spark, sf_dir):
     _, pq_assign = kmeans_lloyd(emb, n_centroids=8, n_iter=1, m_sub=4)
     assert pq_assign.count() == 4 * n
     assert pq_assign.groupBy("m").count().count() == 4
+
+
+def test_ann_recall_full_probe_is_perfect(spark, sf_dir):
+    """nprobe == n_centroids makes IVF exact, so recall@k must be 1.0
+    for every probe; counts are full on both sides."""
+    from chapterhouseqe_spark.operators.similarity import ann_recall
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = ann_recall(
+        emb, F.col("vec_id") < 4, k=5, n_centroids=8, nprobe=8
+    ).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r.n_exact == 5 and r.n_approx == 5 and r.n_overlap == 5
+        assert r.recall_at_k == 1.0
+
+
+def test_ann_recall_partial_probe_bounded(spark, sf_dir):
+    """With nprobe < n_centroids recall stays in [0, 1] and overlap
+    never exceeds either side."""
+    from chapterhouseqe_spark.operators.similarity import ann_recall
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = ann_recall(
+        emb, F.col("vec_id") < 4, k=5, n_centroids=8, nprobe=2
+    ).collect()
+    for r in rows:
+        assert 0.0 <= r.recall_at_k <= 1.0
+        assert r.n_overlap <= min(r.n_exact, r.n_approx)
+
+
+def test_semantic_dedup_drops_subset_of_exact(spark, sf_dir):
+    """Clustering only REMOVES candidate pairs, so SemDeDup survivors
+    are a superset of the exact all-pairs keep-first survivors, and
+    exact duplicates (distance 0 → same cluster always) still die."""
+    from chapterhouseqe_spark.operators.dedup import (
+        embedding_dedup_keep_first,
+        semantic_dedup_keep,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    sem = {
+        r.vec_id
+        for r in semantic_dedup_keep(emb, 0.4, n_centroids=4).collect()
+    }
+    exact = {
+        r.vec_id for r in embedding_dedup_keep_first(emb, 0.4).collect()
+    }
+    assert exact <= sem
+    # plant an exact duplicate of vec 0 with a larger id: must be dropped
+    dup = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    planted = emb.unionByName(dup)
+    sem2 = {
+        r.vec_id
+        for r in semantic_dedup_keep(planted, 0.4, n_centroids=4).collect()
+    }
+    assert 100000 not in sem2
+
+
+def test_unigram_prob_scores_hand_checked(spark):
+    """3-doc corpus: 'a a b' / 'a c' / 'd'. total=6, counts a=3,b=1,
+    c=1,d=1. Doc1 cnt_sum=3+3+1=7, n=3 → 7/18; doc2 (3+1)/12; doc3 1/6."""
+    from chapterhouseqe_spark.functions.text import unigram_prob_scores
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "d")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.cnt_sum, r.mean_prob)
+        for r in unigram_prob_scores(df).collect()
+    }
+    assert got[1] == (3, 7, 7 / 18)
+    assert got[2] == (2, 4, 4 / 12)
+    assert got[3] == (1, 1, 1 / 6)

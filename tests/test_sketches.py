@@ -147,3 +147,37 @@ def test_weighted_priority_sample_favors_heavy_and_is_deterministic(spark):
     heavy = sum(1 for i in s1 if i >= 200)
     # 20 heavy docs at 1000x weight should dominate a k=20 sample
     assert heavy >= 15
+
+
+def test_hll_registers_match_python_model(spark):
+    """Spark HLL registers equal a pure-Python md5 bit-arithmetic model
+    (the same independence the DuckDB oracle replay relies on)."""
+    import hashlib
+
+    from chapterhouseqe_spark.operators.sketches import hll_registers
+
+    m = 64
+    keys = [str(i * 7) for i in range(200)]
+    model: dict[int, int] = {}
+    for k in keys:
+        h = int(hashlib.md5(k.encode()).hexdigest()[:15], 16)
+        bucket, rem = h % m, h // m
+        rho = 55 if rem == 0 else 55 - rem.bit_length()
+        model[bucket] = max(model.get(bucket, 0), rho)
+
+    df = spark.createDataFrame([(int(k),) for k in keys], "k long")
+    got = {r.bucket: r.M for r in hll_registers(df, "k", m=m).collect()}
+    assert got == model
+
+
+def test_hll_estimate_within_bound(spark):
+    """m=64 gives ~13% standard error; require the estimate inside 3σ
+    for a 2000-key stream, and the integer sketch state consistent."""
+    from chapterhouseqe_spark.operators.sketches import hll_estimate
+
+    df = spark.range(0, 6000).select((F.col("id") % 2000).alias("k"))
+    row = hll_estimate(df, "k", m=64).collect()[0]
+    assert row.n_exact == 2000
+    assert abs(row.hll_est - 2000) / 2000 < 3 * 1.04 / (64**0.5)
+    # s_scaled consistency: all 64 registers accounted for
+    assert row.n_filled <= 64 and row.s_scaled > 0
