@@ -124,6 +124,9 @@ EXTENDED_QUERIES = [
     "text_unigram_quality",
     "ann_recall_eval",
     "dedup_semantic_semdedup",
+    "recursive_cte_hierarchy",
+    "bpe_apply_merge",
+    "pipeline_mixing_weights",
 ]
 
 

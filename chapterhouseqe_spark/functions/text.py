@@ -328,3 +328,69 @@ def bpe_pair_counts(docs, text_col: str = "text", k: int = 20):
         .orderBy(F.col("cnt").desc(), F.col("pair"))
         .limit(k)
     )
+
+
+def bpe_apply_top_merge(docs, text_col: str = "text", k: int = 20):
+    """BPE training iteration TWO: apply the current top-1 merge to the
+    symbol table, then recount adjacent pairs — the loop body that,
+    iterated, yields the full merge list (Sennrich et al. 2016).
+
+    Symbol strings use a DOUBLED-space delimiter (``'  a  b  </w>  '``)
+    so one literal ``replace`` implements the leftmost-first,
+    non-overlapping merge semantics exactly: the pattern
+    ``' a  b '`` consumes one delimiter space on each side, leaving
+    the neighbours' delimiters intact, so adjacent merge sites
+    ("x y x y") both collapse in a single forward scan — the same
+    result a per-word symbol loop would produce, but as one string op
+    per VOCAB row (never per corpus token) in any engine.
+
+    Returns the top-``k`` (pair, cnt) AFTER the merge — iteration 2's
+    merge candidates. 100 TB shape: identical to
+    :func:`bpe_pair_counts` (corpus → word-freq collapse first); the
+    applied merge is a 1-row broadcast.
+    """
+    w = F.col("w")
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w")
+        )
+        .filter(F.length(w) > 0)
+    )
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    sym = F.concat(
+        F.lit("  "),
+        F.array_join(
+            F.transform(F.sequence(F.lit(1), F.length(w)), lambda i: w.substr(i, F.lit(1))),
+            "  ",
+        ),
+        F.lit("  </w>  "),
+    )
+    top1 = bpe_pair_counts(docs, text_col, k=1).select(F.col("pair").alias("p"))
+    pattern = F.concat(
+        F.lit(" "), F.replace(F.col("p"), F.lit(" "), F.lit("  ")), F.lit(" ")
+    )
+    replacement = F.concat(
+        F.lit(" "), F.replace(F.col("p"), F.lit(" "), F.lit("")), F.lit(" ")
+    )
+    merged = (
+        wf.select("freq", sym.alias("s"))
+        .crossJoin(F.broadcast(top1))
+        .select("freq", F.replace(F.col("s"), pattern, replacement).alias("s"))
+    )
+    tk = F.col("tk")
+    n2 = F.size(tk) - 1
+    idx = F.when(n2 >= 1, F.sequence(F.lit(1), n2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.element_at(tk, i), F.element_at(tk, i + 1)),
+    )
+    return (
+        merged.select("freq", F.split(F.trim(F.col("s")), r"\s+").alias("tk"))
+        .select("freq", F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair"))
+        .limit(k)
+    )

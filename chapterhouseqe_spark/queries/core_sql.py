@@ -2834,3 +2834,51 @@ def lateral_topn_per_key(spark, sf_dir):
         WHERE c.c_mktsegment = 'BUILDING'
         """
     )
+
+
+@query(
+    "recursive_cte_hierarchy",
+    oracle="""
+    WITH RECURSIVE walk AS (
+      SELECT c_custkey, c_custkey AS cur, 0 AS depth FROM customer
+      UNION ALL
+      SELECT c_custkey, cur // 10 AS cur, depth + 1 AS depth
+      FROM walk WHERE cur >= 10
+    )
+    SELECT CAST(depth AS BIGINT) AS depth,
+           COUNT(*) AS n_keys,
+           CAST(SUM(cur) AS BIGINT) AS root_sum,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_key
+    FROM walk WHERE cur < 10
+    GROUP BY depth
+    """,
+    tags=("sql", "recursive"),
+    doc="WITH RECURSIVE hierarchy walk (new SQL surface in Spark 4.x; "
+    "the reference's sqlparser dialect has no recursion at all): each "
+    "customer key walks parent = key DIV 10 until the single-digit "
+    "root — a bounded parent-pointer traversal, the org-chart/BOM "
+    "query shape. Iterations are UnionLoop steps over a frame that "
+    "shrinks each round (only cur >= 10 rows recurse); depth is "
+    "log10-bounded, so the loop terminates in ~|digits| rounds "
+    "regardless of table size. Exact integer aggregates per depth",
+)
+def recursive_cte_hierarchy(spark, sf_dir):
+    t(spark, sf_dir, "customer").createOrReplaceTempView("rec_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk AS (
+          SELECT c_custkey, c_custkey AS cur, 0 AS depth FROM rec_customer
+          UNION ALL
+          SELECT c_custkey, cur DIV 10 AS cur, depth + 1 AS depth
+          FROM walk WHERE cur >= 10
+        )
+        SELECT CAST(depth AS BIGINT) AS depth,
+               COUNT(*) AS n_keys,
+               CAST(SUM(cur) AS BIGINT) AS root_sum,
+               CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+               CAST(MAX(c_custkey) AS BIGINT) AS max_key
+        FROM walk WHERE cur < 10
+        GROUP BY depth
+        """
+    )

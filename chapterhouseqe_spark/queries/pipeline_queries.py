@@ -2500,3 +2500,126 @@ def dedup_semantic_semdedup(spark, sf_dir):
     return semantic_dedup_keep(emb, threshold=0.4, n_centroids=8, n_iter=2).select(
         "vec_id"
     )
+
+
+@query(
+    "bpe_apply_merge",
+    oracle=r"""
+    WITH words AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      FROM documents
+    ),
+    wf AS (
+      SELECT w, COUNT(*) AS freq FROM words WHERE len(w) > 0 GROUP BY w
+    ),
+    prs AS (
+      SELECT freq,
+             unnest(list_append(
+               list_transform(generate_series(1, len(w) - 1),
+                              i -> substr(w, i, 1) || ' ' || substr(w, i + 1, 1)),
+               substr(w, len(w), 1) || ' </w>')) AS pair
+      FROM wf
+    ),
+    top1 AS (
+      SELECT pair FROM (
+        SELECT pair, SUM(freq) AS cnt FROM prs GROUP BY pair
+        ORDER BY cnt DESC, pair LIMIT 1
+      )
+    ),
+    syms AS (
+      SELECT freq,
+             '  ' || array_to_string(
+               list_transform(generate_series(1, len(w)), i -> substr(w, i, 1)),
+               '  ') || '  </w>  ' AS s
+      FROM wf
+    ),
+    merged AS (
+      SELECT freq,
+             replace(s,
+                     ' ' || replace(t.pair, ' ', '  ') || ' ',
+                     ' ' || replace(t.pair, ' ', '') || ' ') AS s
+      FROM syms CROSS JOIN top1 t
+    ),
+    toks AS (
+      SELECT freq, string_split_regex(trim(s), '\s+') AS tk FROM merged
+    ),
+    pairs2 AS (
+      SELECT freq,
+             unnest(list_transform(generate_series(1, len(tk) - 1),
+                                   i -> tk[i] || ' ' || tk[i + 1])) AS pair
+      FROM toks WHERE len(tk) >= 2
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+    FROM pairs2 GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20
+    """,
+    tags=("pipeline", "text", "training"),
+    doc="BPE training iteration TWO: apply the iteration-1 top merge "
+    "to the symbol table (doubled-space delimiters make one literal "
+    "replace() per vocab row implement leftmost-first non-overlapping "
+    "merge semantics exactly — adjacent merge sites both collapse), "
+    "then recount pairs for the next merge choice. Demonstrates the "
+    "full BPE loop body runs over the |vocab|-row frame, never the "
+    "corpus (functions/text.py:bpe_apply_top_merge)",
+)
+def bpe_apply_merge(spark, sf_dir):
+    from chapterhouseqe_spark.functions.text import bpe_apply_top_merge
+
+    return bpe_apply_top_merge(t(spark, sf_dir, "documents"), "text", k=20)
+
+
+_MIX_TARGETS = (("en", 0.4), ("zh", 0.15), ("es", 0.15), ("de", 0.15), ("fr", 0.15))
+
+
+@query(
+    "pipeline_mixing_weights",
+    oracle=f"""
+    WITH targets(lang, target_share) AS (
+      VALUES {", ".join(f"('{lang}', {share})" for lang, share in _MIX_TARGETS)}
+    ),
+    actual AS (
+      SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT COUNT(*) AS total FROM documents)
+    SELECT a.lang,
+           CAST(a.n_docs AS BIGINT) AS n_docs,
+           CAST(a.n_docs AS DOUBLE) / CAST(tot.total AS DOUBLE) AS actual_share,
+           CAST(t.target_share AS DOUBLE) AS target_share,
+           CAST(t.target_share AS DOUBLE) * CAST(tot.total AS DOUBLE)
+             / CAST(a.n_docs AS DOUBLE) AS sample_weight
+    FROM actual a JOIN targets t USING (lang) CROSS JOIN tot
+    """,
+    tags=("pipeline", "mixing"),
+    doc="training-mixture reweighting (the DoReMi/Pile-style domain "
+    "mixing primitive): per-language sample_weight = target_share * "
+    "total / actual_count — documents sampled with this weight yield "
+    "the declared language mixture. Counts are exact BIGINTs; each "
+    "float column is one literal-times-integer multiply + one "
+    "division, identical in both engines. The weight table is "
+    "|domains| rows — broadcast back onto the corpus for the actual "
+    "weighted draw (pipeline_weighted_sample is the graded draw "
+    "operator)",
+)
+def pipeline_mixing_weights(spark, sf_dir):
+    targets = F.create_map(
+        *[x for lang, share in _MIX_TARGETS for x in (F.lit(lang), F.lit(share))]
+    )
+    d = t(spark, sf_dir, "documents")
+    actual = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = d.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        actual.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.col("total").cast("double")).alias(
+                "actual_share"
+            ),
+            F.element_at(targets, F.col("lang")).alias("target_share"),
+            (
+                F.element_at(targets, F.col("lang"))
+                * F.col("total").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("sample_weight"),
+        )
+        .filter(F.col("target_share").isNotNull())
+    )

@@ -126,9 +126,10 @@ def _ensure_registered() -> None:
 #     operators (SQ ANN, BPE, bloom join, streaming dedup, unpivot,
 #     multiset set ops, count-min sketch, incremental dedup, linear
 #     counting, weighted sampling, LATERAL top-n, gap-fill resample,
-#     length-quantile bucketing, manifest file skipping), and the 4
+#     length-quantile bucketing, manifest file skipping), and the 7
 #     late-round-6 additions (HyperLogLog, unigram-LM quality,
-#     ANN recall audit, SemDeDup);
+#     ANN recall audit, SemDeDup, recursive CTE, BPE merge-apply,
+#     domain mixing weights);
 # (b) regrades of the 3 queries whose implementation changed with the
 #     round-5 ADVICE fixes (stream polling, snapshot versioning,
 #     segment-dedup guard);
@@ -136,10 +137,11 @@ def _ensure_registered() -> None:
 #     pinned by tests/test_queries_arrays.py so no rotation can leave a
 #     family without in-window evidence), then the stalest r2-only
 #     cohort fills the remaining slots. The r2-stale queries that
-#     didn't fit (35 scalar-function/agg/join/set/subquery shapes —
-#     variance_exact, rollup_agg, count_distinct, and window_rank_topn
-#     rotated back out to make room for the 4 late additions) stay
-#     next in registration order for the r7 window; all of them remain
+#     didn't fit (38 scalar-function/agg/join/set/subquery shapes —
+#     variance_exact, rollup_agg, count_distinct, window_rank_topn,
+#     date_functions, regexp_ops, and percentile_stats rotated back
+#     out to make room for the 7 late additions) stay next in
+#     registration order for the r7 window; all of them remain
 #     oracle-checked locally by tests/test_queries_oracle.py every
 #     pytest run.
 GRADE_ORDER: tuple[str, ...] = (
@@ -167,6 +169,9 @@ GRADE_ORDER: tuple[str, ...] = (
     "text_unigram_quality",
     "ann_recall_eval",
     "dedup_semantic_semdedup",
+    "recursive_cte_hierarchy",
+    "bpe_apply_merge",
+    "pipeline_mixing_weights",
     # (b) changed with round-5 ADVICE fixes — regrade
     "stream_source_replay_agg",
     "snapshot_time_travel",
@@ -194,9 +199,6 @@ GRADE_ORDER: tuple[str, ...] = (
     "ref_coercion_mixed",
     "ref_comparison_ops",
     "null_handling",
-    "date_functions",
-    "regexp_ops",
-    "percentile_stats",
 )
 
 

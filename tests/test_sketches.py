@@ -181,3 +181,40 @@ def test_hll_estimate_within_bound(spark):
     assert abs(row.hll_est - 2000) / 2000 < 3 * 1.04 / (64**0.5)
     # s_scaled consistency: all 64 registers accounted for
     assert row.n_filled <= 64 and row.s_scaled > 0
+
+
+def test_bpe_apply_merge_adjacent_sites_both_collapse(spark):
+    """'x y x y' has two adjacent merge sites sharing a delimiter; the
+    doubled-space encoding must collapse BOTH in one replace pass
+    (single-space encoding would miss the second)."""
+    from chapterhouseqe_spark.functions.text import bpe_apply_top_merge
+
+    # corpus chosen so the top-1 merge is 'x y' (freq 8 > any other)
+    df = spark.createDataFrame(
+        [(1, "xyxy xyxy xyxy xyxy")], "doc_id long, text string"
+    )
+    got = {r.pair: r.cnt for r in bpe_apply_top_merge(df, "text", k=50).collect()}
+    # after merging 'x y' everywhere: symbols per word = [xy, xy, </w>]
+    assert got == {"xy xy": 4, "xy </w>": 4}
+
+
+def test_bpe_apply_merge_leftmost_first(spark):
+    """'y y y' merges leftmost-first: one 'yy' + a bare 'y' survive."""
+    from chapterhouseqe_spark.functions.text import bpe_apply_top_merge
+
+    df = spark.createDataFrame([(1, "yyy yyy")], "doc_id long, text string")
+    got = {r.pair: r.cnt for r in bpe_apply_top_merge(df, "text", k=50).collect()}
+    assert got == {"yy y": 2, "y </w>": 2}
+
+
+def test_mixing_weights_recover_target_shares(spark):
+    """sample_weight * n_docs / total must equal the target share."""
+    from chapterhouseqe_spark.queries.registry import get_queries
+
+    df_build = get_queries()["pipeline_mixing_weights"]
+    rows = df_build(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 5
+    total = sum(r.n_docs for r in rows)
+    for r in rows:
+        assert abs(r.sample_weight * r.n_docs / total - r.target_share) < 1e-12
+        assert abs(r.actual_share - r.n_docs / total) < 1e-15
