@@ -127,6 +127,9 @@ EXTENDED_QUERIES = [
     "recursive_cte_hierarchy",
     "bpe_apply_merge",
     "pipeline_mixing_weights",
+    "quantile_sketch_hist",
+    "pagerank_supplier_graph",
+    "events_funnel_stages",
 ]
 
 

@@ -20,6 +20,9 @@ from chapterhouseqe_spark.operators.dedup import (
     semantic_dedup_keep,
     simhash_fingerprints,
 )
+from chapterhouseqe_spark.operators.graph import (
+    pagerank_fixed_point,
+)
 from chapterhouseqe_spark.operators.layout import (
     cluster_write,
     file_key_ranges,
@@ -36,6 +39,7 @@ from chapterhouseqe_spark.operators.sketches import (
     bloom_filter_keys,
     cms_counters,
     cms_estimate,
+    histogram_quantiles,
     hll_estimate,
     hll_registers,
     linear_counting,
@@ -59,6 +63,7 @@ __all__ = [
     "cosine_topk",
     "exact_dedup",
     "file_key_ranges",
+    "histogram_quantiles",
     "hll_estimate",
     "hll_registers",
     "incremental_dedup_status",
@@ -66,6 +71,7 @@ __all__ = [
     "lsh_bucket_candidates",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
+    "pagerank_fixed_point",
     "salted_join",
     "semantic_dedup_keep",
     "simhash_fingerprints",

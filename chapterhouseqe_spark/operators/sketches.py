@@ -278,6 +278,100 @@ def hll_oracle_sql(
     """
 
 
+# -------------------------------------------------- histogram quantiles
+
+
+def histogram_counts(
+    df: DataFrame, value_col: str, lo: float, width: float, nbins: int
+) -> DataFrame:
+    """Fixed-grid histogram (bin, c) for a numeric column.
+
+    bin = clamp(floor((x - lo) / width), 0, nbins-1): one subtraction
+    + one division + floor, the identical IEEE sequence in any engine.
+    The groupBy has at most ``nbins`` groups (map-side combined), so
+    the exchange is bounded by partitions × nbins regardless of table
+    size, and shard histograms MERGE BY CELLWISE SUM — the mergeable-
+    sketch contract that lets quantile estimation run as a tree
+    aggregation over a 100 TB column.
+    """
+    b = F.least(
+        F.greatest(
+            F.floor(
+                (F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width)
+            ).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(nbins - 1),
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    width: float,
+    nbins: int,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Quantile estimates from the mergeable fixed-grid histogram —
+    the equi-width analog of a t-digest/KLL sketch with every count an
+    exact BIGINT, so the whole estimate replays in SQL.
+
+    Per q: target_rank = max(1, floor(q·total)) (one IEEE multiply +
+    trunc), the answer bin is the first whose cumulative count reaches
+    the rank, and est = lo + (bin + 0.5)·width (bin midpoint — the
+    sketch's resolution is ``width`` by construction).
+
+    The cumulative is a triangular self-join over the ≤``nbins``-row
+    histogram rather than a partitionless window: nbins² rows at most,
+    fully parallel, and keeps WindowExec warnings meaningful in bench
+    logs. Returns (q, target_rank, bin, bin_count, cum, est).
+    """
+    hist = histogram_counts(df, value_col, lo, width, nbins)
+    h2 = hist.select(F.col("bin").alias("b2"), F.col("c").alias("c2"))
+    cum = (
+        hist.join(F.broadcast(h2), F.col("b2") <= F.col("bin"))
+        .groupBy("bin", "c")
+        .agg(F.sum("c2").alias("cum"))
+    )
+    tot = hist.agg(F.sum("c").alias("total"))
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    targets = qdf.crossJoin(F.broadcast(tot)).select(
+        "q",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(F.col("q") * F.col("total")).cast("long"),
+        ).alias("target_rank"),
+    )
+    joined = targets.join(
+        F.broadcast(cum), F.col("cum") >= F.col("target_rank")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q").orderBy("bin")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "q",
+            "target_rank",
+            "bin",
+            F.col("c").alias("bin_count"),
+            "cum",
+            (
+                F.lit(float(lo))
+                + (F.col("bin").cast("double") + F.lit(0.5)) * F.lit(float(width))
+            ).alias("est"),
+        )
+    )
+
+
 # ------------------------------------------------------- linear counting
 
 

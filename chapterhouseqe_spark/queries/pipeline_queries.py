@@ -2623,3 +2623,113 @@ def pipeline_mixing_weights(spark, sf_dir):
         )
         .filter(F.col("target_share").isNotNull())
     )
+
+
+@query(
+    "quantile_sketch_hist",
+    oracle="""
+    WITH hist AS (
+      SELECT LEAST(GREATEST(CAST(floor((CAST(l_extendedprice AS DOUBLE) - 0.0)
+                                        / 1000.0) AS INTEGER), 0), 127) AS bin,
+             COUNT(*) AS c
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT h.bin, h.c, SUM(h2.c) AS cum
+      FROM hist h JOIN hist h2 ON h2.bin <= h.bin
+      GROUP BY h.bin, h.c
+    ),
+    tot AS (SELECT SUM(c) AS total FROM hist),
+    targets AS (
+      SELECT q, GREATEST(CAST(1 AS BIGINT),
+                         CAST(floor(q * total) AS BIGINT)) AS target_rank
+      FROM (SELECT CAST(unnest([0.25, 0.5, 0.9, 0.99]) AS DOUBLE) AS q), tot
+    )
+    SELECT t.q, t.target_rank, x.bin,
+           CAST(x.c AS BIGINT) AS bin_count,
+           CAST(x.cum AS BIGINT) AS cum,
+           0.0 + (CAST(x.bin AS DOUBLE) + 0.5) * 1000.0 AS est
+    FROM targets t,
+         LATERAL (SELECT bin, c, cum FROM cum
+                  WHERE cum >= t.target_rank ORDER BY bin LIMIT 1) x
+    """,
+    tags=("pipeline", "sketch"),
+    doc="mergeable fixed-grid histogram quantile sketch over "
+    "l_extendedprice (128 x 1000-wide bins): bin counts are exact "
+    "BIGINTs that merge cellwise across shards (the t-digest/KLL "
+    "role with replayable state); per-q the target rank is one IEEE "
+    "multiply+trunc and the estimate one multiply+add off the first "
+    "bin reaching the rank. Completes the sketch family with "
+    "quantiles: bloom=membership, CMS=frequency, LC/HLL=cardinality "
+    "(operators/sketches.py:histogram_quantiles)",
+)
+def quantile_sketch_hist(spark, sf_dir):
+    from chapterhouseqe_spark.operators.sketches import histogram_quantiles
+
+    return histogram_quantiles(
+        t(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        lo=0.0,
+        width=1000.0,
+        nbins=128,
+        qs=(0.25, 0.5, 0.9, 0.99),
+    )
+
+
+_PAGERANK_EDGES_SQL = """
+  SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND b.l_linenumber = a.l_linenumber + 1
+  WHERE a.l_suppkey != b.l_suppkey
+"""
+
+
+@query(
+    "pagerank_supplier_graph",
+    oracle=None,  # placeholder; replaced below after import
+    tags=("pipeline", "graph", "iterative"),
+    doc="integer fixed-point PageRank (3 iterations, d=0.85, ranks "
+    "scaled 1e6) over the supplier co-occurrence digraph (edge = "
+    "consecutive line items of one order, distinct src!=dst): every "
+    "iteration is exact BIGINT arithmetic (integer division for "
+    "shares and damping), so the oracle replays all 3 iterations as "
+    "unrolled CTEs — the kmeans_lloyd technique applied to an "
+    "iterative graph algorithm (operators/graph.py:"
+    "pagerank_fixed_point)",
+)
+def pagerank_supplier_graph(spark, sf_dir):
+    from chapterhouseqe_spark.operators.graph import pagerank_fixed_point
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey"
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_suppkey").alias("src"),
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"),
+        (F.col("l_linenumber") - 1).alias("ln"),
+        F.col("l_suppkey").alias("dst"),
+    )
+    edges = (
+        a.join(b, ["ok", "ln"])
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+    return pagerank_fixed_point(edges, n_iter=3)
+
+
+# build the replayed-iterations oracle once the module's import graph
+# is settled (avoids a circular import at decoration time)
+from chapterhouseqe_spark.operators.graph import pagerank_oracle_sql as _pr_oracle
+from chapterhouseqe_spark.queries.registry import QUERIES as _QUERIES
+import dataclasses as _dc
+
+_QUERIES["pagerank_supplier_graph"] = _dc.replace(
+    _QUERIES["pagerank_supplier_graph"],
+    oracle=_pr_oracle(_PAGERANK_EDGES_SQL, n_iter=3),
+)

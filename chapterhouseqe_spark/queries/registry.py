@@ -126,10 +126,11 @@ def _ensure_registered() -> None:
 #     operators (SQ ANN, BPE, bloom join, streaming dedup, unpivot,
 #     multiset set ops, count-min sketch, incremental dedup, linear
 #     counting, weighted sampling, LATERAL top-n, gap-fill resample,
-#     length-quantile bucketing, manifest file skipping), and the 7
+#     length-quantile bucketing, manifest file skipping), and the 10
 #     late-round-6 additions (HyperLogLog, unigram-LM quality,
 #     ANN recall audit, SemDeDup, recursive CTE, BPE merge-apply,
-#     domain mixing weights);
+#     domain mixing weights, histogram quantile sketch, fixed-point
+#     PageRank, funnel stages);
 # (b) regrades of the 3 queries whose implementation changed with the
 #     round-5 ADVICE fixes (stream polling, snapshot versioning,
 #     segment-dedup guard);
@@ -137,13 +138,12 @@ def _ensure_registered() -> None:
 #     pinned by tests/test_queries_arrays.py so no rotation can leave a
 #     family without in-window evidence), then the stalest r2-only
 #     cohort fills the remaining slots. The r2-stale queries that
-#     didn't fit (38 scalar-function/agg/join/set/subquery shapes —
-#     variance_exact, rollup_agg, count_distinct, window_rank_topn,
-#     date_functions, regexp_ops, and percentile_stats rotated back
-#     out to make room for the 7 late additions) stay next in
-#     registration order for the r7 window; all of them remain
-#     oracle-checked locally by tests/test_queries_oracle.py every
-#     pytest run.
+#     didn't fit (41 scalar-function/agg/join/set/subquery shapes —
+#     the c2 regrade tier shrank to ref_int_division alone to make
+#     room for the 10 late additions; zero-evidence queries always
+#     outrank regrades) stay next in registration order for the r7
+#     window; all of them remain oracle-checked locally by
+#     tests/test_queries_oracle.py every pytest run.
 GRADE_ORDER: tuple[str, ...] = (
     # (a) zero driver evidence yet
     "embedding_ann_rerank",
@@ -172,6 +172,9 @@ GRADE_ORDER: tuple[str, ...] = (
     "recursive_cte_hierarchy",
     "bpe_apply_merge",
     "pipeline_mixing_weights",
+    "quantile_sketch_hist",
+    "pagerank_supplier_graph",
+    "events_funnel_stages",
     # (b) changed with round-5 ADVICE fixes — regrade
     "stream_source_replay_agg",
     "snapshot_time_travel",
@@ -194,11 +197,8 @@ GRADE_ORDER: tuple[str, ...] = (
     "correlated_agg_subquery",
     "udaf_grouped_median",
     "data_quality_report",
-    # (c2) r2-stale regrades (cross-engine-semantics-heavy first)
+    # (c2) r2-stale regrade (the single most cross-engine-sensitive)
     "ref_int_division",
-    "ref_coercion_mixed",
-    "ref_comparison_ops",
-    "null_handling",
 )
 
 

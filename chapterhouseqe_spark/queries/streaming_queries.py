@@ -433,3 +433,89 @@ def events_resample_gapfill(spark, sf_dir):
         F.coalesce(F.col("c"), F.lit(0)).alias("cnt"),
         F.coalesce(F.col("sv"), F.lit(0.0)).alias("sum_value"),
     )
+
+
+@query(
+    "events_funnel_stages",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, COUNT(*) AS n_users,
+           CAST(0 AS BIGINT) AS sum_lag_us FROM v
+    UNION ALL
+    SELECT 'view>click', COUNT(*),
+           CAST(SUM(epoch_us(c.t2) - epoch_us(v.t1)) AS BIGINT)
+    FROM c JOIN v ON v.user_id = c.user_id
+    UNION ALL
+    SELECT 'view>click>purchase', COUNT(*),
+           CAST(SUM(epoch_us(p.t3) - epoch_us(c.t2)) AS BIGINT)
+    FROM p JOIN c ON c.user_id = p.user_id
+    """,
+    tags=("streaming", "funnel"),
+    doc="ordered-funnel analysis (view THEN click THEN purchase, "
+    "strictly increasing timestamps): each stage is min-ts-after-"
+    "previous-stage, the classic product-analytics sequence-match; "
+    "stage populations and conversion-lag sums are exact BIGINT "
+    "microseconds (epoch differences cancel any tz interpretation). 100 TB shape: "
+    "three user-keyed aggregations reusing ONE partitioning, each "
+    "stage frame smaller than the last",
+)
+def events_funnel_stages(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    # ts is TIMESTAMP_NTZ; the cast to TIMESTAMP applies the session tz
+    # (pinned UTC in session.py) and the difference cancels it anyway
+    lag_cp = F.unix_micros(F.col("t2").cast("timestamp")) - F.unix_micros(
+        F.col("t1").cast("timestamp")
+    )
+    lag_pp = F.unix_micros(F.col("t3").cast("timestamp")) - F.unix_micros(
+        F.col("t2").cast("timestamp")
+    )
+    s1 = v.agg(
+        F.lit("view").alias("stage"),
+        F.count(F.lit(1)).alias("n_users"),
+        F.lit(0).cast("long").alias("sum_lag_us"),
+    )
+    s2 = (
+        c.join(v, "user_id")
+        .agg(F.count(F.lit(1)).alias("n_users"), F.sum(lag_cp).alias("sum_lag_us"))
+        .select(F.lit("view>click").alias("stage"), "n_users", "sum_lag_us")
+    )
+    s3 = (
+        p.join(c, "user_id")
+        .agg(F.count(F.lit(1)).alias("n_users"), F.sum(lag_pp).alias("sum_lag_us"))
+        .select(F.lit("view>click>purchase").alias("stage"), "n_users", "sum_lag_us")
+    )
+    return s1.unionAll(s2).unionAll(s3)

@@ -218,3 +218,56 @@ def test_mixing_weights_recover_target_shares(spark):
     for r in rows:
         assert abs(r.sample_weight * r.n_docs / total - r.target_share) < 1e-12
         assert abs(r.actual_share - r.n_docs / total) < 1e-15
+
+
+def test_histogram_quantiles_match_python_model(spark):
+    """Bin counts, cumulative ranks, and estimates equal a pure-Python
+    model of the same fixed-grid arithmetic."""
+    import math
+
+    from chapterhouseqe_spark.operators.sketches import histogram_quantiles
+
+    vals = [float(v) for v in (1, 5, 5, 7, 12, 23, 23, 23, 40, 99)]
+    lo, width, nbins = 0.0, 10.0, 8
+    qs = (0.5, 0.9)
+    hist: dict[int, int] = {}
+    for x in vals:
+        b = min(max(int(math.floor((x - lo) / width)), 0), nbins - 1)
+        hist[b] = hist.get(b, 0) + 1
+    total = len(vals)
+    expect = {}
+    for q in qs:
+        target = max(1, int(math.floor(q * total)))
+        cum = 0
+        for b in sorted(hist):
+            cum += hist[b]
+            if cum >= target:
+                expect[q] = (target, b, hist[b], cum, lo + (b + 0.5) * width)
+                break
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {
+        r.q: (r.target_rank, r.bin, r.bin_count, r.cum, r.est)
+        for r in histogram_quantiles(df, "x", lo, width, nbins, qs).collect()
+    }
+    assert got == expect
+
+
+def test_pagerank_matches_python_model(spark):
+    """3 fixed-point iterations on a small cyclic digraph equal a pure-
+    Python integer replay; total rank is conserved on a graph with no
+    dangling nodes."""
+    from chapterhouseqe_spark.operators.graph import pagerank_fixed_point
+
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3)]
+    nodes = {1, 2, 3}
+    deg = {1: 2, 2: 1, 3: 1}
+    ranks = {n: 1_000_000 for n in nodes}
+    for _ in range(3):
+        contrib = {n: 0 for n in nodes}
+        for s, d in edges:
+            contrib[d] += ranks[s] // deg[s]
+        ranks = {n: 150_000 + (85 * contrib[n]) // 100 for n in nodes}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.rank for r in pagerank_fixed_point(df, n_iter=3).collect()}
+    assert got == ranks
