@@ -130,6 +130,8 @@ EXTENDED_QUERIES = [
     "quantile_sketch_hist",
     "pagerank_supplier_graph",
     "events_funnel_stages",
+    "snapshot_cdc_diff",
+    "manifest_bloom_scan",
 ]
 
 

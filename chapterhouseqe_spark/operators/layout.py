@@ -273,3 +273,96 @@ def manifest_scan(spark, path: str, column: str, lo, hi):
         (F.col(column) >= F.lit(lo)) & (F.col(column) <= F.lit(hi))
     )
     return df, len(kept), total
+
+
+# ----------------------------------------------- manifest bloom skipping
+# (point-lookup file pruning on non-sort columns — the Delta bloom-
+# filter-index / Iceberg bloom idea on the same _MANIFEST.json)
+
+
+def _bloom_positions_py(value, n_hashes: int, m_bits: int) -> list[int]:
+    """Pure-Python twin of operators.sketches.bloom_positions — the
+    SAME md5("<j>:<key>") family, so Spark-side membership tests and
+    manifest-build-time bloom construction agree bit-for-bit."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{j}:{value}".encode()).hexdigest()[:15], 16) % m_bits
+        for j in range(n_hashes)
+    ]
+
+
+def write_manifest_blooms(
+    path: str, columns: list[str], m_bits: int = 2048, n_hashes: int = 3
+) -> int:
+    """Augment ``_MANIFEST.json`` with a per-file bloom filter over
+    each column's DISTINCT values — point-lookup skipping for columns
+    the file layout is NOT sorted by (min/max ranges are useless for a
+    high-cardinality column scattered across every file; a bloom is
+    exactly what Delta's bloom index adds on top of zone maps).
+
+    Unlike the min/max pass this reads each file's indexed columns
+    once (bloom construction is inherently a data pass — done at write
+    time in production). Bits are stored as a hex string; membership
+    uses the shared replayable md5 family. Returns files indexed.
+    """
+    import json as _json
+    import os
+
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(path, "_MANIFEST.json")) as fh:
+        man = _json.load(fh)
+    for entry in man["files"]:
+        f = os.path.join(path, entry["file"])
+        tbl = pq.read_table(f, columns=columns)
+        blooms = {}
+        for col in columns:
+            bits = 0
+            for v in set(tbl.column(col).to_pylist()):
+                if v is None:
+                    continue
+                for p in _bloom_positions_py(v, n_hashes, m_bits):
+                    bits |= 1 << p
+            blooms[col] = format(bits, "x")
+        entry["bloom"] = blooms
+    man["bloom_params"] = {"m_bits": m_bits, "n_hashes": n_hashes}
+    with open(os.path.join(path, "_MANIFEST.json"), "w") as fh:
+        _json.dump(man, fh)
+    return len(man["files"])
+
+
+def manifest_bloom_files(path: str, column: str, value) -> tuple[list[str], int]:
+    """Files that MIGHT contain ``value`` per their manifest blooms —
+    (kept paths, total files). A file without a bloom for the column
+    is conservatively kept; false positives only cost IO, never rows."""
+    import json as _json
+    import os
+
+    with open(os.path.join(path, "_MANIFEST.json")) as fh:
+        man = _json.load(fh)
+    params = man.get("bloom_params", {})
+    m_bits = params.get("m_bits", 2048)
+    n_hashes = params.get("n_hashes", 3)
+    pos = _bloom_positions_py(value, n_hashes, m_bits)
+    kept = []
+    for entry in man["files"]:
+        hexbits = entry.get("bloom", {}).get(column)
+        if hexbits is None:
+            kept.append(os.path.join(path, entry["file"]))
+            continue
+        bits = int(hexbits, 16)
+        if all((bits >> p) & 1 for p in pos):
+            kept.append(os.path.join(path, entry["file"]))
+    return kept, len(man["files"])
+
+
+def manifest_point_scan(spark, path: str, column: str, value):
+    """Equality scan reading ONLY bloom-selected files; the residual
+    filter makes results identical to a full scan (bloom can only
+    over-admit). Returns (DataFrame, n_files_read, n_files_total)."""
+    kept, total = manifest_bloom_files(path, column, value)
+    if not kept:
+        return spark.read.parquet(path).filter(F.lit(False)), 0, total
+    df = spark.read.parquet(*kept).filter(F.col(column) == F.lit(value))
+    return df, len(kept), total

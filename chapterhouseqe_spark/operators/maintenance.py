@@ -302,3 +302,101 @@ def _committed_latest(table_path: str) -> int:
             return int(fh.read().strip())
     except FileNotFoundError:
         return 0
+
+
+def snapshot_diff(
+    spark,
+    table_path: str,
+    v_from: int,
+    v_to: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Change-data feed between two committed snapshot versions — the
+    Delta CDF / Iceberg changelog idea recovered from plain versioned
+    parquet: diff = one full-outer join of the two versions on the key.
+
+    Returns key columns + ``change_type`` ('insert' | 'delete' |
+    'update') + ``old_<c>`` / ``new_<c>`` for every non-key column.
+    Unchanged rows are dropped; 'update' means any non-key column
+    differs under null-safe comparison.
+
+    100 TB shape: ONE hash-partitioned full-outer join on the key (both
+    sides co-partition), then a row-local comparison — no window, no
+    driver state. For a table with a sort/bucket layout the join
+    inherits it and the exchange disappears.
+    """
+    from functools import reduce
+
+    a = read_snapshot(spark, table_path, v_from)
+    b = read_snapshot(spark, table_path, v_to)
+    value_cols = [c for c in a.columns if c not in key_cols]
+    al = a.select(
+        *key_cols,
+        F.lit(1).alias("__a"),
+        *[F.col(c).alias(f"old_{c}") for c in value_cols],
+    )
+    bl = b.select(
+        *key_cols,
+        F.lit(1).alias("__b"),
+        *[F.col(c).alias(f"new_{c}") for c in value_cols],
+    )
+    j = al.join(bl, key_cols, "full_outer")
+    differs = reduce(
+        lambda x, y: x | y,
+        [
+            ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+            for c in value_cols
+        ],
+        F.lit(False),
+    )
+    change = (
+        F.when(F.col("__a").isNull(), F.lit("insert"))
+        .when(F.col("__b").isNull(), F.lit("delete"))
+        .when(differs, F.lit("update"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *key_cols,
+            "change_type",
+            *[x for c in value_cols for x in (f"old_{c}", f"new_{c}")],
+        )
+    )
+
+
+def vacuum_snapshots(
+    table_path: str, keep_latest: int = 1
+) -> tuple[list[int], int]:
+    """Reclaim storage: delete committed versions older than the
+    ``keep_latest`` horizon plus all ``_orphan-*`` / ``_staging-*``
+    leftovers from crashed writers. Never touches the ``_LATEST``
+    pointer or any kept version, so concurrent readers of kept
+    versions are unaffected; pinned reads of vacuumed versions fail
+    with a missing path (the same contract as Delta VACUUM — time
+    travel has a retention horizon).
+
+    Returns (removed version numbers, removed orphan-dir count).
+    """
+    import os
+    import re
+    import shutil
+
+    latest = _committed_latest(table_path)
+    cutoff = latest - keep_latest + 1
+    removed_versions: list[int] = []
+    removed_orphans = 0
+    for name in sorted(os.listdir(table_path)):
+        full = os.path.join(table_path, name)
+        if not os.path.isdir(full):
+            continue
+        m = re.fullmatch(r"v=(\d+)", name)
+        if m:
+            v = int(m.group(1))
+            if v < cutoff and v <= latest:
+                shutil.rmtree(full)
+                removed_versions.append(v)
+        elif name.startswith(("_orphan-", "_staging-")):
+            shutil.rmtree(full)
+            removed_orphans += 1
+    return removed_versions, removed_orphans

@@ -447,3 +447,137 @@ def _manifest_lineitem_dir(spark, sf_dir) -> str:
         )
         write_manifest(out, ["l_shipdate"])
     return out
+
+
+@query(
+    "snapshot_cdc_diff",
+    oracle="""
+    WITH v1 AS (SELECT n_nationkey, n_name FROM nation),
+    v2 AS (
+      SELECT n_nationkey,
+             CASE WHEN n_nationkey % 4 = 0 THEN n_name || '_U'
+                  ELSE n_name END AS n_name
+      FROM nation WHERE n_nationkey <> 3
+      UNION ALL
+      SELECT n_nationkey + 100, 'NEW_' || CAST(n_nationkey AS VARCHAR)
+      FROM nation WHERE n_nationkey < 3
+    ),
+    j AS (
+      SELECT COALESCE(v1.n_nationkey, v2.n_nationkey) AS n_nationkey,
+             v1.n_name AS old_n_name, v2.n_name AS new_n_name,
+             v1.n_nationkey IS NULL AS ins, v2.n_nationkey IS NULL AS del
+      FROM v1 FULL OUTER JOIN v2 ON v1.n_nationkey = v2.n_nationkey
+    )
+    SELECT n_nationkey,
+           CASE WHEN ins THEN 'insert'
+                WHEN del THEN 'delete'
+                ELSE 'update' END AS change_type,
+           old_n_name, new_n_name
+    FROM j
+    WHERE ins OR del OR old_n_name IS DISTINCT FROM new_n_name
+    """,
+    tags=("maintenance", "snapshot", "cdc"),
+    doc="change-data feed between two committed snapshot versions "
+    "(Delta CDF analog from plain versioned parquet): v2 deletes key "
+    "3, updates every %4==0 name, inserts keys 100-102; the diff is "
+    "ONE key-partitioned full-outer join emitting insert/delete/"
+    "update rows with old/new values — no log replay, no window "
+    "(operators/maintenance.py:snapshot_diff)",
+)
+def snapshot_cdc_diff(spark, sf_dir):
+    from chapterhouseqe_spark.operators.maintenance import snapshot_diff
+
+    path = _snapshot_cdc_dir(spark, sf_dir)
+    return snapshot_diff(spark, path, 1, 2, ["n_nationkey"])
+
+
+def _snapshot_cdc_dir(spark, sf_dir) -> str:
+    """Deterministic two-version nation table with inserts, updates,
+    AND deletes (richer than _snapshot_nation_dir, whose v2 only
+    updates — kept separate so snapshot_time_travel's oracle stays
+    stable)."""
+    import os
+
+    from chapterhouseqe_spark.operators.maintenance import (
+        _committed_latest,
+        write_snapshot,
+    )
+    from chapterhouseqe_spark.queries.core_sql import _source_fingerprint
+
+    key = _source_fingerprint(sf_dir, "nation")
+    out = f"/tmp/chqe_snapshots/{key}/nation_cdc_versions"
+    committed = _committed_latest(out) if os.path.isdir(out) else 0
+    if committed < 2:
+        os.makedirs(out, exist_ok=True)
+        base = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+        if committed < 1:
+            write_snapshot(base, out)
+        updated = base.filter(F.col("n_nationkey") != 3).select(
+            "n_nationkey",
+            F.when(
+                F.col("n_nationkey") % 4 == 0, F.concat(F.col("n_name"), F.lit("_U"))
+            )
+            .otherwise(F.col("n_name"))
+            .alias("n_name"),
+        )
+        inserts = base.filter(F.col("n_nationkey") < 3).select(
+            (F.col("n_nationkey") + 100).alias("n_nationkey"),
+            F.concat(F.lit("NEW_"), F.col("n_nationkey").cast("string")).alias(
+                "n_name"
+            ),
+        )
+        write_snapshot(updated.unionByName(inserts), out)
+    return out
+
+
+@query(
+    "manifest_bloom_scan",
+    oracle=f"""
+    SELECT l_orderkey, COUNT(*) AS cnt,
+           {o_dsum('l_extendedprice')} AS total_price
+    FROM lineitem
+    WHERE l_orderkey IN (1, 1000, 5999)
+    GROUP BY l_orderkey
+    """,
+    tags=("maintenance", "layout", "pruning", "manifest"),
+    doc="bloom-index file skipping for POINT lookups on a column the "
+    "layout is NOT sorted by (the Delta bloom-filter-index idea on "
+    "the same _MANIFEST.json): per-file blooms over l_orderkey's "
+    "distinct values (shared replayable md5 family) admit only files "
+    "that might contain the key; min/max zone maps are useless here "
+    "because orderkeys scatter across every shipdate-clustered file. "
+    "Residual equality filter keeps results exact — blooms only "
+    "over-admit (operators/layout.py:write_manifest_blooms/"
+    "manifest_point_scan)",
+)
+def manifest_bloom_scan(spark, sf_dir):
+    from chapterhouseqe_spark.operators.layout import manifest_point_scan
+
+    path = _manifest_bloom_dir(spark, sf_dir)
+    parts = []
+    for key in (1, 1000, 5999):
+        df, _r, _t = manifest_point_scan(spark, path, "l_orderkey", key)
+        parts.append(df.select("l_orderkey", "l_extendedprice"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum(F.col("l_extendedprice")).alias("total_price"),
+    )
+
+
+def _manifest_bloom_dir(spark, sf_dir) -> str:
+    """The shipdate-clustered lineitem dir with l_orderkey blooms added
+    to its manifest (idempotent: keyed on bloom_params presence)."""
+    import json
+    import os
+
+    from chapterhouseqe_spark.operators.layout import write_manifest_blooms
+
+    out = _manifest_lineitem_dir(spark, sf_dir)
+    with open(os.path.join(out, "_MANIFEST.json")) as fh:
+        man = json.load(fh)
+    if "bloom_params" not in man:
+        write_manifest_blooms(out, ["l_orderkey"], m_bits=1 << 18, n_hashes=3)
+    return out

@@ -175,12 +175,14 @@ GRADE_ORDER: tuple[str, ...] = (
     "quantile_sketch_hist",
     "pagerank_supplier_graph",
     "events_funnel_stages",
+    "snapshot_cdc_diff",
+    "manifest_bloom_scan",
     # (b) changed with round-5 ADVICE fixes — regrade
     "stream_source_replay_agg",
     "snapshot_time_travel",
     "pipeline_segment_dedup",
-    # (c1) per-family canaries
-    "embedding_ivfpq_topk",
+    # (c1) per-family canaries (similarity's canary is ann_recall_eval
+    # in tier (a) this round — the window is exactly full)
     "text_fingerprint",
     "zorder_layout_scan",
     "multimodal_frame_sample",
@@ -197,8 +199,6 @@ GRADE_ORDER: tuple[str, ...] = (
     "correlated_agg_subquery",
     "udaf_grouped_median",
     "data_quality_report",
-    # (c2) r2-stale regrade (the single most cross-engine-sensitive)
-    "ref_int_division",
 )
 
 

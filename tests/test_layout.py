@@ -111,3 +111,36 @@ def test_manifest_prunes_files_and_stays_exact(spark, sf_dir, tmp_path):
         spark, path, "l_shipdate", datetime(2050, 1, 1), datetime(2050, 2, 1)
     )
     assert n0 == 0 and df0.count() == 0
+
+
+def test_manifest_bloom_prunes_and_preserves_results(spark, tmp_path):
+    """Per-file blooms admit the file holding the key (no false
+    skips — results equal a full scan) and reject most others when
+    keys are disjoint across files."""
+    import os
+
+    from chapterhouseqe_spark.operators.layout import (
+        manifest_bloom_files,
+        manifest_point_scan,
+        write_manifest,
+        write_manifest_blooms,
+    )
+
+    path = str(tmp_path / "tbl")
+    # 4 files with disjoint key ranges, written one file at a time
+    for i in range(4):
+        df = spark.createDataFrame(
+            [(i * 100 + j, f"v{i}") for j in range(100)], "k long, v string"
+        )
+        df.coalesce(1).write.mode("append").parquet(path)
+    write_manifest(path, ["k"])
+    write_manifest_blooms(path, ["k"], m_bits=1 << 14, n_hashes=3)
+    kept, total = manifest_bloom_files(path, "k", 250)
+    assert total == 4
+    assert len(kept) < 4  # pruned at least one file
+    df, n_read, n_total = manifest_point_scan(spark, path, "k", 250)
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0].v == "v2"
+    # absent key: may keep files (false positives) but returns nothing
+    df2, _, _ = manifest_point_scan(spark, path, "k", 99999)
+    assert df2.count() == 0

@@ -292,3 +292,64 @@ def test_snapshot_stale_slot_moved_aside_not_deleted(spark, tmp_path):
     assert [
         r["val"] for r in spark.read.parquet(orphans[0]).collect()
     ] == ["stale"]
+
+
+def test_snapshot_diff_insert_update_delete(spark, tmp_path):
+    """Diff of two hand-built versions labels every change kind and
+    drops unchanged rows."""
+    from chapterhouseqe_spark.operators.maintenance import (
+        snapshot_diff,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "tbl")
+    import os
+
+    os.makedirs(path)
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    v2 = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "k long, v string"
+    )
+    write_snapshot(v1, path)
+    write_snapshot(v2, path)
+    got = {
+        r.k: (r.change_type, r.old_v, r.new_v)
+        for r in snapshot_diff(spark, path, 1, 2, ["k"]).collect()
+    }
+    assert got == {
+        2: ("update", "b", "B"),
+        3: ("delete", "c", None),
+        4: ("insert", None, "d"),
+    }
+
+
+def test_vacuum_snapshots_keeps_horizon_and_reclaims_orphans(spark, tmp_path):
+    """Vacuum removes pre-horizon versions and crash leftovers, keeps
+    the horizon readable, and read_snapshot still refuses uncommitted
+    versions afterwards."""
+    import os
+
+    import pytest
+
+    from chapterhouseqe_spark.operators.maintenance import (
+        read_snapshot,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "tbl")
+    os.makedirs(path)
+    for i in range(3):
+        write_snapshot(
+            spark.createDataFrame([(i,)], "x long"), path
+        )
+    os.makedirs(os.path.join(path, "_orphan-deadbeef"))
+    os.makedirs(os.path.join(path, "_staging-cafe"))
+    removed, orphans = vacuum_snapshots(path, keep_latest=2)
+    assert removed == [1] and orphans == 2
+    assert read_snapshot(spark, path, 2).collect()[0].x == 1
+    assert read_snapshot(spark, path).collect()[0].x == 2
+    with pytest.raises(Exception):
+        read_snapshot(spark, path, 1).collect()

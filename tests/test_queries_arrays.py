@@ -95,7 +95,7 @@ def test_graded_prefix_invariants():
     families = {
         "dedup": "pipeline_segment_dedup",
         "snapshot": "snapshot_time_travel",
-        "similarity": "embedding_ivfpq_topk",
+        "similarity": "ann_recall_eval",
         "text": "text_fingerprint",
         "layout": "zorder_layout_scan",
         "multimodal": "multimodal_frame_sample",
