@@ -52,20 +52,24 @@ def pagerank_fixed_point(
     iterations to bound lineage (n_iter ≤ 5 here, so plan depth is
     fine without it).
     """
+    from pyspark import StorageLevel
+
+    # the distinct edge frame feeds degree, the per-iteration join, AND
+    # the node census — persist it once or the (possibly expensive)
+    # edge derivation replays for every consumer in every iteration
     e = (
         ensure_parallelism(edges)
         .select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    e_deg = e.join(deg, "src")
-    from pyspark import StorageLevel
-
-    e_deg = e_deg.persist(StorageLevel.MEMORY_AND_DISK)
+    e_deg = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     base = (100 - damping_pct) * scale // 100
     ranks = nodes.select("id", F.lit(scale).cast("long").alias("rank"))

@@ -382,6 +382,11 @@ def vacuum_snapshots(
     import re
     import shutil
 
+    if keep_latest < 1:
+        raise ValueError(
+            "keep_latest must be >= 1 — vacuuming every committed version "
+            "would leave _LATEST pointing at nothing"
+        )
     latest = _committed_latest(table_path)
     cutoff = latest - keep_latest + 1
     removed_versions: list[int] = []

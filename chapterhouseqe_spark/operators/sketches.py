@@ -220,7 +220,12 @@ def hll_estimate(
     numerator = _HLL_ALPHA_64 * m * m * float(1 << 56)
     filled = regs.agg(
         F.count(F.lit(1)).alias("n_filled"),
-        F.sum(F.expr("CAST(1 AS BIGINT) << (56 - M)")).alias("s_filled"),
+        # empty stream → SUM is NULL; coalesce so the all-empty sketch
+        # degrades to S = m·2^56 (estimate ≈ alpha·m ≈ 45, not NULL)
+        F.coalesce(
+            F.sum(F.expr("CAST(1 AS BIGINT) << (56 - M)")),
+            F.lit(0).cast("long"),
+        ).alias("s_filled"),
     )
     s_total = (
         F.col("s_filled")
