@@ -285,6 +285,22 @@ def unigram_prob_scores(docs, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def word_freqs(docs, text_col: str = "text"):
+    """The corpus collapsed to its word-frequency table — the shared
+    first stage of every BPE step (one map-side-combining shuffle
+    keyed on the word). Persist the result when several BPE stages
+    consume it so the corpus scan runs once."""
+    w = F.col("w")
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w")
+        )
+        .filter(F.length(w) > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
 def bpe_pair_counts(docs, text_col: str = "text", k: int = 20):
     """One BPE training iteration: the global adjacent-symbol-pair
     counts whose argmax is the next merge (Sennrich et al. 2016 —
@@ -299,17 +315,16 @@ def bpe_pair_counts(docs, text_col: str = "text", k: int = 20):
     combining shuffle keyed on the word), so pair generation runs over
     |vocab| rows, not |corpus tokens|; a second combinable shuffle sums
     pair counts, and the top-k is a TakeOrderedAndProject. Every merge
-    iteration after the first would rerun only the (tiny) vocab→pair
-    stage, never the corpus scan.
+    iteration after the first reruns only the (tiny) vocab→pair
+    stage, never the corpus scan (see :func:`bpe_apply_top_merge`).
     """
+    return pair_counts_from_word_freqs(word_freqs(docs, text_col), k)
+
+
+def pair_counts_from_word_freqs(wf, k: int = 20):
+    """Adjacent-pair counts over an existing (w, freq) frame — the
+    vocab-sized second stage of :func:`bpe_pair_counts`."""
     w = F.col("w")
-    words = (
-        docs.select(
-            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w")
-        )
-        .filter(F.length(w) > 0)
-    )
-    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
     n = F.length(w)
     idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
         F.array().cast("array<int>")
@@ -349,14 +364,12 @@ def bpe_apply_top_merge(docs, text_col: str = "text", k: int = 20):
     :func:`bpe_pair_counts` (corpus → word-freq collapse first); the
     applied merge is a 1-row broadcast.
     """
+    from pyspark import StorageLevel
+
     w = F.col("w")
-    words = (
-        docs.select(
-            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w")
-        )
-        .filter(F.length(w) > 0)
-    )
-    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    # ONE corpus scan: the word-frequency frame feeds both the top-1
+    # pair choice and the symbol-table rewrite (persist, vocab-sized)
+    wf = word_freqs(docs, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     sym = F.concat(
         F.lit("  "),
         F.array_join(
@@ -365,7 +378,7 @@ def bpe_apply_top_merge(docs, text_col: str = "text", k: int = 20):
         ),
         F.lit("  </w>  "),
     )
-    top1 = bpe_pair_counts(docs, text_col, k=1).select(F.col("pair").alias("p"))
+    top1 = pair_counts_from_word_freqs(wf, k=1).select(F.col("pair").alias("p"))
     pattern = F.concat(
         F.lit(" "), F.replace(F.col("p"), F.lit(" "), F.lit("  ")), F.lit(" ")
     )

@@ -280,14 +280,30 @@ def manifest_scan(spark, path: str, column: str, lo, hi):
 # filter-index / Iceberg bloom idea on the same _MANIFEST.json)
 
 
+def _bloom_key_str(value) -> str:
+    """Canonical string rendering hashed at BOTH bloom build and probe
+    time. Restricted to int/str on purpose: floats, Decimals, and
+    datetimes render differently between pyarrow's to_pylist() and a
+    caller's literal (1.5 vs Decimal('1.50')), and a rendering mismatch
+    would FALSE-SKIP a file — silently losing rows, the one failure a
+    bloom must never have. Widen only with a type-normalization rule
+    proven identical on both paths."""
+    if isinstance(value, bool) or not isinstance(value, (int, str)):
+        raise TypeError(
+            f"bloom manifest keys must be int or str, got {type(value).__name__}"
+        )
+    return str(value)
+
+
 def _bloom_positions_py(value, n_hashes: int, m_bits: int) -> list[int]:
     """Pure-Python twin of operators.sketches.bloom_positions — the
     SAME md5("<j>:<key>") family, so Spark-side membership tests and
     manifest-build-time bloom construction agree bit-for-bit."""
     import hashlib
 
+    v = _bloom_key_str(value)
     return [
-        int(hashlib.md5(f"{j}:{value}".encode()).hexdigest()[:15], 16) % m_bits
+        int(hashlib.md5(f"{j}:{v}".encode()).hexdigest()[:15], 16) % m_bits
         for j in range(n_hashes)
     ]
 

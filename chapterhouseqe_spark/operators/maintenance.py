@@ -366,21 +366,31 @@ def snapshot_diff(
 
 
 def vacuum_snapshots(
-    table_path: str, keep_latest: int = 1
+    table_path: str,
+    keep_latest: int = 1,
+    leftover_min_age_s: float = 86_400.0,
 ) -> tuple[list[int], int]:
     """Reclaim storage: delete committed versions older than the
-    ``keep_latest`` horizon plus all ``_orphan-*`` / ``_staging-*``
+    ``keep_latest`` horizon plus ``_orphan-*`` / ``_staging-*``
     leftovers from crashed writers. Never touches the ``_LATEST``
     pointer or any kept version, so concurrent readers of kept
     versions are unaffected; pinned reads of vacuumed versions fail
     with a missing path (the same contract as Delta VACUUM — time
     travel has a retention horizon).
 
-    Returns (removed version numbers, removed orphan-dir count).
+    A ``_staging-*`` dir might belong to a writer that is STILL
+    RUNNING (write_snapshot stages before its rename), so leftovers
+    are only reclaimed once their mtime is older than
+    ``leftover_min_age_s`` (default 24 h — the retention-guard idea
+    from Delta VACUUM). Committed version dirs need no age guard: the
+    pointer protocol makes them immutable once committed.
+
+    Returns (removed version numbers, removed leftover-dir count).
     """
     import os
     import re
     import shutil
+    import time
 
     if keep_latest < 1:
         raise ValueError(
@@ -389,6 +399,7 @@ def vacuum_snapshots(
         )
     latest = _committed_latest(table_path)
     cutoff = latest - keep_latest + 1
+    now = time.time()
     removed_versions: list[int] = []
     removed_orphans = 0
     for name in sorted(os.listdir(table_path)):
@@ -402,6 +413,7 @@ def vacuum_snapshots(
                 shutil.rmtree(full)
                 removed_versions.append(v)
         elif name.startswith(("_orphan-", "_staging-")):
-            shutil.rmtree(full)
-            removed_orphans += 1
+            if now - os.path.getmtime(full) >= leftover_min_age_s:
+                shutil.rmtree(full)
+                removed_orphans += 1
     return removed_versions, removed_orphans

@@ -181,6 +181,8 @@ def hll_registers(df: DataFrame, key_col: str, m: int = 64) -> DataFrame:
     matter the stream size; shard register tables merge by cellwise
     MAX — the textbook mergeable-sketch contract.
     """
+    if m & (m - 1) or not 2 <= m <= 4096:
+        raise ValueError(f"m must be a power of two in [2, 4096], got {m}")
     w_plus_1 = 60 - m.bit_length() + 2  # 55 for m=64
     h = (
         F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
@@ -216,6 +218,11 @@ def hll_estimate(
     the point of the graded query is sketch-vs-truth (same caveat as
     :func:`linear_counting`).
     """
+    if m != 64:
+        # alpha is the m=64 bias constant and the 1<<(56-M) scaling
+        # needs M <= 55 (i.e. m >= 64); generalizing means an alpha
+        # table plus a wider scale — reject rather than mis-estimate
+        raise ValueError("hll_estimate currently supports m=64 only")
     regs = hll_registers(df, key_col, m)
     numerator = _HLL_ALPHA_64 * m * m * float(1 << 56)
     filled = regs.agg(
@@ -249,8 +256,11 @@ def hll_oracle_sql(
     table: str, key_expr: str, m: int = 64, exact: bool = True
 ) -> str:
     """DuckDB replay of :func:`hll_estimate` (same md5/bit arithmetic)."""
+    from chapterhouseqe_spark.queries.registry import o_md5_int
+
     w_plus_1 = 60 - m.bit_length() + 2
     numerator = repr(_HLL_ALPHA_64 * m * m * float(1 << 56))
+    h_expr = o_md5_int(f"CAST({key_expr} AS VARCHAR)")
     exact_cte = (
         f", ex AS (SELECT COUNT(DISTINCT {key_expr}) AS n_exact "
         f"FROM {table} WHERE {key_expr} IS NOT NULL)"
@@ -261,7 +271,7 @@ def hll_oracle_sql(
     exact_from = ", ex" if exact else ""
     return f"""
     WITH h AS (
-      SELECT ('0x' || substr(md5(CAST({key_expr} AS VARCHAR)), 1, 15))::BIGINT AS h
+      SELECT {h_expr} AS h
       FROM {table} WHERE {key_expr} IS NOT NULL
     ),
     regs AS (
@@ -272,7 +282,8 @@ def hll_oracle_sql(
     ),
     s AS (
       SELECT COUNT(*) AS n_filled,
-             SUM((CAST(1 AS BIGINT) << (56 - M))) AS s_filled
+             COALESCE(SUM((CAST(1 AS BIGINT) << (56 - M))),
+                      CAST(0 AS BIGINT)) AS s_filled
       FROM regs
     ){exact_cte}
     SELECT {m} AS m,

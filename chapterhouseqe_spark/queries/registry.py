@@ -126,24 +126,25 @@ def _ensure_registered() -> None:
 #     operators (SQ ANN, BPE, bloom join, streaming dedup, unpivot,
 #     multiset set ops, count-min sketch, incremental dedup, linear
 #     counting, weighted sampling, LATERAL top-n, gap-fill resample,
-#     length-quantile bucketing, manifest file skipping), and the 10
+#     length-quantile bucketing, manifest file skipping), and the 12
 #     late-round-6 additions (HyperLogLog, unigram-LM quality,
 #     ANN recall audit, SemDeDup, recursive CTE, BPE merge-apply,
 #     domain mixing weights, histogram quantile sketch, fixed-point
-#     PageRank, funnel stages);
+#     PageRank, funnel stages, snapshot CDC diff, bloom file
+#     skipping);
 # (b) regrades of the 3 queries whose implementation changed with the
 #     round-5 ADVICE fixes (stream polling, snapshot versioning,
 #     segment-dedup guard);
 # (c) one representative per operator family (rotating canaries —
 #     pinned by tests/test_queries_arrays.py so no rotation can leave a
 #     family without in-window evidence), then the stalest r2-only
-#     cohort fills the remaining slots. The r2-stale queries that
-#     didn't fit (41 scalar-function/agg/join/set/subquery shapes —
-#     the c2 regrade tier shrank to ref_int_division alone to make
-#     room for the 10 late additions; zero-evidence queries always
-#     outrank regrades) stay next in registration order for the r7
-#     window; all of them remain oracle-checked locally by
-#     tests/test_queries_oracle.py every pytest run.
+#     cohort fills the remaining slots. The c2 regrade tier is EMPTY
+#     this round: all 42 r2-only queries (including ref_int_division,
+#     whose driver evidence stays r2) rotated out to fit the 12 late
+#     additions — zero-evidence queries always outrank regrades. They
+#     stay next in registration order for the r7 window; all of them
+#     remain oracle-checked locally by tests/test_queries_oracle.py
+#     every pytest run.
 GRADE_ORDER: tuple[str, ...] = (
     # (a) zero driver evidence yet
     "embedding_ann_rerank",

@@ -347,8 +347,14 @@ def test_vacuum_snapshots_keeps_horizon_and_reclaims_orphans(spark, tmp_path):
         )
     os.makedirs(os.path.join(path, "_orphan-deadbeef"))
     os.makedirs(os.path.join(path, "_staging-cafe"))
+    # default 24h age guard protects a possibly-live staging dir
     removed, orphans = vacuum_snapshots(path, keep_latest=2)
-    assert removed == [1] and orphans == 2
+    assert removed == [1] and orphans == 0
+    assert os.path.isdir(os.path.join(path, "_staging-cafe"))
+    removed2, orphans2 = vacuum_snapshots(
+        path, keep_latest=2, leftover_min_age_s=0.0
+    )
+    assert removed2 == [] and orphans2 == 2
     assert read_snapshot(spark, path, 2).collect()[0].x == 1
     assert read_snapshot(spark, path).collect()[0].x == 2
     with pytest.raises(Exception):
