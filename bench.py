@@ -132,6 +132,7 @@ EXTENDED_QUERIES = [
     "events_funnel_stages",
     "snapshot_cdc_diff",
     "manifest_bloom_scan",
+    "hll_grouped_cardinality",
 ]
 
 

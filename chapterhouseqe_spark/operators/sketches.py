@@ -252,6 +252,105 @@ def hll_estimate(
     return out
 
 
+def hll_grouped_estimate(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    m: int = 64,
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group HLL — distinct keys per segment in one pass, the
+    production shape ("unique users per country per day"): the sketch
+    state is ``|groups| × m`` register rows, so a billion-row stream
+    aggregates map-side to a bounded frame keyed by (group, bucket)
+    and per-group sketches still merge cellwise-MAX across shards.
+    Same integer-exact estimate arithmetic as :func:`hll_estimate`.
+    """
+    if m != 64:
+        raise ValueError("hll_grouped_estimate currently supports m=64 only")
+    w_plus_1 = 60 - m.bit_length() + 2
+    h = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+    )
+    rem = F.call_function("div", h, F.lit(m))
+    rho = F.when(rem == 0, F.lit(w_plus_1)).otherwise(
+        F.lit(w_plus_1) - F.length(F.bin(rem))
+    )
+    regs = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(F.col(group_col), (h % m).alias("bucket"), rho.alias("rho"))
+        .groupBy(group_col, "bucket")
+        .agg(F.max("rho").alias("M"))
+    )
+    numerator = _HLL_ALPHA_64 * m * m * float(1 << 56)
+    filled = regs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_filled"),
+        F.coalesce(
+            F.sum(F.expr("CAST(1 AS BIGINT) << (56 - M)")),
+            F.lit(0).cast("long"),
+        ).alias("s_filled"),
+    )
+    s_total = (
+        F.col("s_filled")
+        + (F.lit(m).cast("long") - F.col("n_filled")) * F.lit(1 << 56).cast("long")
+    )
+    out = filled.select(
+        F.col(group_col),
+        F.lit(m).alias("m"),
+        F.col("n_filled").cast("long").alias("n_filled"),
+        s_total.alias("s_scaled"),
+        (F.lit(numerator) / s_total.cast("double")).alias("hll_est"),
+    )
+    if exact:
+        ex = (
+            df.filter(F.col(key_col).isNotNull())
+            .groupBy(group_col)
+            .agg(F.countDistinct(F.col(key_col)).alias("n_exact"))
+        )
+        out = out.join(ex, group_col)
+    return out
+
+
+def hll_grouped_oracle_sql(
+    table: str, key_expr: str, group_expr: str, m: int = 64
+) -> str:
+    """DuckDB replay of :func:`hll_grouped_estimate` (exact included)."""
+    from chapterhouseqe_spark.queries.registry import o_md5_int
+
+    w_plus_1 = 60 - m.bit_length() + 2
+    numerator = repr(_HLL_ALPHA_64 * m * m * float(1 << 56))
+    h_expr = o_md5_int(f"CAST({key_expr} AS VARCHAR)")
+    return f"""
+    WITH h AS (
+      SELECT {group_expr} AS g, {h_expr} AS h
+      FROM {table} WHERE {key_expr} IS NOT NULL
+    ),
+    regs AS (
+      SELECT g, h % {m} AS bucket,
+             MAX(CASE WHEN h // {m} = 0 THEN {w_plus_1}
+                      ELSE {w_plus_1} - length(bin(h // {m})) END) AS M
+      FROM h GROUP BY g, h % {m}
+    ),
+    s AS (
+      SELECT g, COUNT(*) AS n_filled,
+             COALESCE(SUM((CAST(1 AS BIGINT) << (56 - M))),
+                      CAST(0 AS BIGINT)) AS s_filled
+      FROM regs GROUP BY g
+    ),
+    ex AS (
+      SELECT {group_expr} AS g, COUNT(DISTINCT {key_expr}) AS n_exact
+      FROM {table} WHERE {key_expr} IS NOT NULL GROUP BY {group_expr}
+    )
+    SELECT s.g AS {group_expr}, {m} AS m,
+           CAST(s.n_filled AS BIGINT) AS n_filled,
+           CAST(s.s_filled + ({m} - s.n_filled) * (CAST(1 AS BIGINT) << 56) AS BIGINT) AS s_scaled,
+           {numerator} / CAST(s.s_filled + ({m} - s.n_filled) * (CAST(1 AS BIGINT) << 56) AS DOUBLE) AS hll_est,
+           ex.n_exact AS n_exact
+    FROM s JOIN ex ON ex.g = s.g
+    """
+
+
 def hll_oracle_sql(
     table: str, key_expr: str, m: int = 64, exact: bool = True
 ) -> str:

@@ -35,7 +35,10 @@ from chapterhouseqe_spark.operators.similarity import (
     cosine_topk,
     lsh_bucket_candidates,
 )
-from chapterhouseqe_spark.operators.sketches import hll_oracle_sql
+from chapterhouseqe_spark.operators.sketches import (
+    hll_grouped_oracle_sql,
+    hll_oracle_sql,
+)
 from chapterhouseqe_spark.queries.core_sql import t
 from chapterhouseqe_spark.queries.registry import query
 from chapterhouseqe_spark.sources.multimodal import (
@@ -2733,3 +2736,22 @@ _QUERIES["pagerank_supplier_graph"] = _dc.replace(
     _QUERIES["pagerank_supplier_graph"],
     oracle=_pr_oracle(_PAGERANK_EDGES_SQL, n_iter=3),
 )
+
+
+@query(
+    "hll_grouped_cardinality",
+    oracle=hll_grouped_oracle_sql("events", "user_id", "event_type"),
+    tags=("pipeline", "sketch"),
+    doc="per-group HyperLogLog — distinct users per event_type in ONE "
+    "pass, the production 'uniques per segment' shape: register state "
+    "is |groups| x 64 rows keyed by (group, bucket), map-side "
+    "combined, merging cellwise-MAX across shards; the integer-exact "
+    "estimate grades next to the true per-group distinct count "
+    "(operators/sketches.py:hll_grouped_estimate)",
+)
+def hll_grouped_cardinality(spark, sf_dir):
+    from chapterhouseqe_spark.operators.sketches import hll_grouped_estimate
+
+    return hll_grouped_estimate(
+        t(spark, sf_dir, "events"), "user_id", "event_type", m=64
+    )

@@ -107,7 +107,7 @@ def test_graded_prefix_invariants():
         "ivm": "ivm_incremental_rollup",
         "corpus-prep": "pipeline_pack_sequences",
         "scan": "ref_scan_filter_project",
-        "join": "join_full_outer",
+        "join": "bloom_prefilter_join",
         "agg": "tpch_q1_pricing_summary",
         "window": "window_rank_family",
         "subquery": "correlated_agg_subquery",
