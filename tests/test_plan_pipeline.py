@@ -177,3 +177,73 @@ def test_resample_gapfill_generates_grid(queries, spark, sf_dir):
     plan = _executed_plan(queries["events_resample_gapfill"](spark, sf_dir))
     assert "Generate explode" in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "hll_cardinality",
+        "hll_grouped_cardinality",
+        "quantile_sketch_hist",
+        "events_funnel_stages",
+        "snapshot_cdc_diff",
+        "pagerank_supplier_graph",
+        "dedup_semantic_semdedup",
+        "manifest_bloom_scan",
+    ],
+)
+def test_late_round6_ops_no_cartesian(queries, spark, sf_dir, name):
+    plan = _executed_plan(queries[name](spark, sf_dir))
+    assert "CartesianProduct" not in plan, name
+
+
+def test_funnel_pushes_stage_filters_into_scans(queries, spark, sf_dir):
+    # each funnel stage must reach its parquet scan as an equality
+    # pushdown — a post-scan filter re-reads the whole events table
+    # once per stage at 100 TB
+    plan = _executed_plan(queries["events_funnel_stages"](spark, sf_dir))
+    for stage in ("view", "click", "purchase"):
+        assert f"EqualTo(event_type,{stage})" in plan, stage
+
+
+def test_snapshot_cdc_diff_is_one_join_no_window(queries, spark, sf_dir):
+    # the CDC contract: ONE full-outer key join, nothing else — no
+    # window, no second join pass. AdaptiveSparkPlan.toString appends
+    # the pre-AQE "Initial Plan" — count joins in the FINAL plan only.
+    plan = _executed_plan(queries["snapshot_cdc_diff"](spark, sf_dir))
+    final = plan.split("== Initial Plan ==")[0]
+    assert (
+        final.count("SortMergeJoin")
+        + final.count("ShuffledHashJoin")
+        + final.count("BroadcastHashJoin")
+        == 1
+    )
+    assert "FullOuter" in final
+    assert "Window" not in final
+
+
+def test_hll_register_exchange_is_bounded(spark, sf_dir):
+    # the SKETCH path (no exact-verification column) must partial-
+    # aggregate the stream to <= m register rows BEFORE any exchange —
+    # the raw key column never appears in an exchange's partitioning.
+    # (The graded query ALSO emits countDistinct truth, which
+    # legitimately shuffles keys; that column is the audit baseline,
+    # not the sketch — so pin the sketch-only plan.)
+    from chapterhouseqe_spark.operators.sketches import hll_estimate
+
+    df = hll_estimate(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        "l_partkey",
+        m=64,
+        exact=False,
+    )
+    plan = _executed_plan(df)
+    assert "partial_max" in plan or "partial" in plan.lower()
+    assert "hashpartitioning(l_partkey" not in plan
+    assert "hashpartitioning(bucket" in plan  # the bounded register shuffle
+
+
+def test_bloom_scan_pushes_point_equality(queries, spark, sf_dir):
+    # the residual equality must reach each bloom-selected file's scan
+    plan = _executed_plan(queries["manifest_bloom_scan"](spark, sf_dir))
+    assert "EqualTo(l_orderkey," in plan
