@@ -133,6 +133,7 @@ EXTENDED_QUERIES = [
     "snapshot_cdc_diff",
     "manifest_bloom_scan",
     "hll_grouped_cardinality",
+    "kmeans_sampled_train_assign",
 ]
 
 

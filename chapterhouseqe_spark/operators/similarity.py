@@ -652,6 +652,7 @@ def kmeans_lloyd(
     m_sub: int = 1,
     dim: int = 64,
     quant: float = 1e6,
+    train_max_id: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Cross-engine-replayable Lloyd's k-means over (sub)vectors — the
     production ANN training step (IVF coarse quantizer when
@@ -703,9 +704,19 @@ def kmeans_lloyd(
         ).alias("m", "qv"),
     )
 
+    # Production path: train the quantizer on a deterministic id-prefix
+    # SAMPLE (k-means needs ~1M vectors, not the corpus), then assign
+    # everything — the final _assign below always runs over the FULL
+    # frame. train_max_id keeps the sample a pure function of the
+    # input so the oracle replays it with one WHERE clause.
+    subs_train = (
+        subs.filter(F.col("id") < train_max_id)
+        if train_max_id is not None
+        else subs
+    )
     w_init = Window.partitionBy("m").orderBy("id")
     cent = (
-        subs.withColumn("rn", F.row_number().over(w_init))
+        subs_train.withColumn("rn", F.row_number().over(w_init))
         .filter(F.col("rn") <= n_centroids)
         .select(
             "m",
@@ -714,8 +725,8 @@ def kmeans_lloyd(
         )
     )
 
-    def _assign(cent: DataFrame) -> DataFrame:
-        scored = subs.join(F.broadcast(cent), "m").select(
+    def _assign(cent: DataFrame, frame: DataFrame = subs) -> DataFrame:
+        scored = frame.join(F.broadcast(cent), "m").select(
             "id",
             "m",
             "qv",
@@ -754,7 +765,7 @@ def kmeans_lloyd(
         )
 
     for _ in range(n_iter):
-        cent = _update(_assign(cent))
+        cent = _update(_assign(cent, subs_train))
     return cent, _assign(cent).select("id", "m", "cid")
 
 

@@ -1622,6 +1622,7 @@ def _kmeans_lloyd_oracle(
     dim: int,
     final_select: str,
     quant: str = "1000000.0",
+    train_max_id: int | None = None,
 ) -> str:
     """Unrolled-CTE DuckDB replay of operators/similarity.py:kmeans_lloyd.
 
@@ -1635,6 +1636,9 @@ def _kmeans_lloyd_oracle(
     non-negative addends).
     """
     d = dim // m_sub
+    train_where = (
+        f" WHERE id < {train_max_id}" if train_max_id is not None else ""
+    )
     dist = (
         "list_reduce(list_transform(generate_series(1, {d}), "
         "i -> (CAST(s.qv[i] AS DOUBLE) - c.cvec[i]) "
@@ -1655,17 +1659,24 @@ def _kmeans_lloyd_oracle(
              list_transform(qv, x -> CAST(x AS DOUBLE)) AS cvec
       FROM (SELECT m, qv,
                    row_number() OVER (PARTITION BY m ORDER BY id) AS rn
-            FROM src)
+            FROM src{train_where})
       WHERE rn <= {n_centroids}
     )""",
     ]
     for it in range(1, n_iter + 2):
+        # training assignments (it <= n_iter) see only the sample; the
+        # final assignment (it == n_iter + 1) always covers the corpus
+        a_where = (
+            f" WHERE s.id < {train_max_id}"
+            if (train_max_id is not None and it <= n_iter)
+            else ""
+        )
         parts.append(f"""a{it} AS (
       SELECT id, m, qv, cid FROM (
         SELECT s.id, s.m, s.qv, c.cid,
                row_number() OVER (PARTITION BY s.id, s.m
                  ORDER BY {dist} ASC, c.cid ASC) AS rn
-        FROM src s JOIN c{it - 1} c ON s.m = c.m)
+        FROM src s JOIN c{it - 1} c ON s.m = c.m{a_where})
       WHERE rn = 1
     )""")
         if it <= n_iter:
@@ -2754,4 +2765,42 @@ def hll_grouped_cardinality(spark, sf_dir):
 
     return hll_grouped_estimate(
         t(spark, sf_dir, "events"), "user_id", "event_type", m=64
+    )
+
+
+@query(
+    "kmeans_sampled_train_assign",
+    oracle=_kmeans_lloyd_oracle(
+        n_centroids=8,
+        n_iter=2,
+        m_sub=1,
+        dim=64,
+        train_max_id=100,
+        final_select=(
+            "SELECT cid, COUNT(*) AS n_members, "
+            "CAST(SUM(id) AS BIGINT) AS id_sum "
+            "FROM {final} GROUP BY cid"
+        ),
+    ),
+    tags=("pipeline", "similarity", "training"),
+    doc="the PRODUCTION quantizer-training recipe graded end-to-end: "
+    "Lloyd's k-means trained on a deterministic 20% id-prefix SAMPLE "
+    "(vec_id < 100), then the FULL corpus assigned once — k-means "
+    "needs ~1M vectors, not the corpus, so at 100 TB the training "
+    "frame is a sample and only the single assignment pass touches "
+    "everything (the cost split the 10x probe measured). The oracle "
+    "replays sampled training + full assignment via one WHERE clause "
+    "on the unrolled Lloyd CTEs (operators/similarity.py:kmeans_lloyd "
+    "train_max_id)",
+)
+def kmeans_sampled_train_assign(spark, sf_dir):
+    from chapterhouseqe_spark.operators.similarity import kmeans_lloyd
+
+    emb = t(spark, sf_dir, "embeddings")
+    _, assign = kmeans_lloyd(
+        emb, n_centroids=8, n_iter=2, m_sub=1, dim=64, train_max_id=100
+    )
+    return assign.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("id").alias("id_sum"),
     )

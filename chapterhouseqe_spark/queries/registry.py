@@ -126,12 +126,12 @@ def _ensure_registered() -> None:
 #     operators (SQ ANN, BPE, bloom join, streaming dedup, unpivot,
 #     multiset set ops, count-min sketch, incremental dedup, linear
 #     counting, weighted sampling, LATERAL top-n, gap-fill resample,
-#     length-quantile bucketing, manifest file skipping), and the 13
+#     length-quantile bucketing, manifest file skipping), and the 14
 #     late-round-6 additions (HyperLogLog, unigram-LM quality,
 #     ANN recall audit, SemDeDup, recursive CTE, BPE merge-apply,
 #     domain mixing weights, histogram quantile sketch, fixed-point
 #     PageRank, funnel stages, snapshot CDC diff, bloom file
-#     skipping, grouped HLL);
+#     skipping, grouped HLL, sampled-training k-means);
 # (b) regrades of the 3 queries whose implementation changed with the
 #     round-5 ADVICE fixes (stream polling, snapshot versioning,
 #     segment-dedup guard);
@@ -140,7 +140,7 @@ def _ensure_registered() -> None:
 #     family without in-window evidence), then the stalest r2-only
 #     cohort fills the remaining slots. The c2 regrade tier is EMPTY
 #     this round: all 42 r2-only queries (including ref_int_division,
-#     whose driver evidence stays r2) rotated out to fit the 13 late
+#     whose driver evidence stays r2) rotated out to fit the 14 late
 #     additions — zero-evidence queries always outrank regrades. They
 #     stay next in registration order for the r7 window; all of them
 #     remain oracle-checked locally by tests/test_queries_oracle.py
@@ -179,14 +179,15 @@ GRADE_ORDER: tuple[str, ...] = (
     "snapshot_cdc_diff",
     "manifest_bloom_scan",
     "hll_grouped_cardinality",
+    "kmeans_sampled_train_assign",
     # (b) changed with round-5 ADVICE fixes — regrade
     "stream_source_replay_agg",
     "snapshot_time_travel",
     "pipeline_segment_dedup",
-    # (c1) per-family canaries (similarity's canary is ann_recall_eval
-    # and join's is bloom_prefilter_join, both in tier (a) this round —
-    # the window is exactly full)
-    "text_fingerprint",
+    # (c1) per-family canaries (similarity's canary is ann_recall_eval,
+    # join's is bloom_prefilter_join, and text's is
+    # text_unigram_quality, all in tier (a) this round — the window is
+    # exactly full)
     "zorder_layout_scan",
     "multimodal_frame_sample",
     "custom_datasource_scan",

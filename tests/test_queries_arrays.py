@@ -96,7 +96,7 @@ def test_graded_prefix_invariants():
         "dedup": "pipeline_segment_dedup",
         "snapshot": "snapshot_time_travel",
         "similarity": "ann_recall_eval",
-        "text": "text_fingerprint",
+        "text": "text_unigram_quality",
         "layout": "zorder_layout_scan",
         "multimodal": "multimodal_frame_sample",
         "custom-source": "custom_datasource_scan",
