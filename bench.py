@@ -137,6 +137,18 @@ EXTENDED_QUERIES = [
 ]
 
 
+def core_tier(all_names: list[str]) -> list[str]:
+    """Third tier: every registered query not already in the headline or
+    extended lists, in registry order. Computed (not hand-listed) so a
+    newly registered query can never silently escape timing — the r6
+    verdict found 84 queries with zero bench history, which made a
+    regression there invisible. Reported under ``"core"`` so the
+    headline/extended series stay comparable across rounds.
+    """
+    timed = set(BENCH_QUERIES) | set(EXTENDED_QUERIES)
+    return [n for n in all_names if n not in timed]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -187,20 +199,39 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         extended[name] = round(time.time() - t0, 3)
 
+    core: dict[str, float] = {}
+    for name in core_tier(list(queries)):
+        build = queries[name]
+        t0 = time.time()
+        df = build(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        core[name] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "extended": extended,
-                "extended_total": round(sum(extended.values()), 3),
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "extended": extended,
+            "extended_total": round(sum(extended.values()), 3),
+            "core": core,
+            "core_total": round(sum(core.values()), 3),
+            "sf": sf,
+        }
     )
+    # The JSON line is the entire point of the run; emit it on BOTH
+    # stdout and stderr (harnesses capture a bounded tail of merged
+    # output — BENCH_r06.json lost its headline block to console-noise
+    # crowding) and keep a file copy for local diffing.
+    print(line, flush=True)
+    print(line, file=sys.stderr, flush=True)
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_last.json"),
+        "w",
+    ) as f:
+        f.write(line + "\n")
 
 
 if __name__ == "__main__":

@@ -128,9 +128,25 @@ def range_join(
     hashes to exactly one bucket, so every (point, interval) match
     surfaces exactly once — no distinct needed. Timestamp columns are
     compared on their epoch-seconds value.
+
+    ``how`` supports ``inner`` (bucket equi-join + containment
+    post-filter — the pure-shuffle plan) and ``left`` (all points
+    preserved; the containment predicate moves INTO the join condition
+    so unmatched points null-extend instead of being dropped by a
+    post-filter). ``right``/``full`` are rejected: the interval side is
+    exploded to one row per overlapped bucket, so outer-preserving it
+    would emit one null-extended row per bucket, not per interval —
+    swap the sides and use ``left`` to preserve intervals.
     """
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "range_join supports how='inner' or 'left'; to preserve the "
+            "interval side, swap sides (intervals as points driver) or "
+            "aggregate matches instead — the bucket-exploded right side "
+            "makes right/full outer emit per-bucket null rows"
+        )
 
     def _num(df: DataFrame, col_name: str) -> Column:
         # epoch-seconds double for any timestamp flavor (TIMESTAMP_NTZ
@@ -157,5 +173,14 @@ def range_join(
             )
         ),
     )
-    joined = p.join(i, "__b", how).filter((p_num >= s_num) & (p_num < e_num))
+    contains = (p_num >= s_num) & (p_num < e_num)
+    if how == "inner":
+        # equi-join on the bucket key, containment as a cheap
+        # post-filter — keeps the join itself a pure hash/sort-merge
+        # equi-join.
+        joined = p.join(i, "__b", "inner").filter(contains)
+    else:  # left — predicate must live in the join condition: a
+        # null-extended row fails any post-filter and would silently
+        # turn left into inner (round-6 verdict finding).
+        joined = p.join(i, (p["__b"] == i["__b"]) & contains, "left")
     return joined.drop("__b")

@@ -445,7 +445,7 @@ def _manifest_lineitem_dir(spark, sf_dir) -> str:
         cluster_write(
             t(spark, sf_dir, "lineitem"), out, ["l_shipdate"], num_files=8
         )
-        write_manifest(out, ["l_shipdate"])
+        write_manifest(out, ["l_shipdate"], spark=spark)
     return out
 
 
@@ -579,5 +579,7 @@ def _manifest_bloom_dir(spark, sf_dir) -> str:
     with open(os.path.join(out, "_MANIFEST.json")) as fh:
         man = json.load(fh)
     if "bloom_params" not in man:
-        write_manifest_blooms(out, ["l_orderkey"], m_bits=1 << 18, n_hashes=3)
+        write_manifest_blooms(
+            out, ["l_orderkey"], m_bits=1 << 18, n_hashes=3, spark=spark
+        )
     return out

@@ -120,88 +120,85 @@ def _ensure_registered() -> None:
 
 # Grading priority. The driver's correctness gate grades a 50-entry
 # prefix of the registry, so dict order decides which queries get
-# driver-oracle evidence. Round-6 window, three tiers:
-# (a) every query with ZERO driver evidence — the 2 added at the end of
-#     round 5, the 3 k-means-training queries, the 14 new round-6
-#     operators (SQ ANN, BPE, bloom join, streaming dedup, unpivot,
-#     multiset set ops, count-min sketch, incremental dedup, linear
-#     counting, weighted sampling, LATERAL top-n, gap-fill resample,
-#     length-quantile bucketing, manifest file skipping), and the 14
-#     late-round-6 additions (HyperLogLog, unigram-LM quality,
-#     ANN recall audit, SemDeDup, recursive CTE, BPE merge-apply,
-#     domain mixing weights, histogram quantile sketch, fixed-point
-#     PageRank, funnel stages, snapshot CDC diff, bloom file
-#     skipping, grouped HLL, sampled-training k-means);
-# (b) regrades of the 3 queries whose implementation changed with the
-#     round-5 ADVICE fixes (stream polling, snapshot versioning,
-#     segment-dedup guard);
-# (c) one representative per operator family (rotating canaries —
-#     pinned by tests/test_queries_arrays.py so no rotation can leave a
-#     family without in-window evidence), then the stalest r2-only
-#     cohort fills the remaining slots. The c2 regrade tier is EMPTY
-#     this round: all 42 r2-only queries (including ref_int_division,
-#     whose driver evidence stays r2) rotated out to fit the 14 late
-#     additions — zero-evidence queries always outrank regrades. They
-#     stay next in registration order for the r7 window; all of them
-#     remain oracle-checked locally by tests/test_queries_oracle.py
-#     every pytest run.
+# driver-oracle evidence. Round-7 window (executes round-6 verdict item
+# 1 — the evidence-freshness rotation):
+# (a) the full 42-query r2-stale cohort, in registration order: every
+#     query whose only driver evidence was r1/r2 (ref_int_division,
+#     ref_coercion_mixed and the rest of the reference-semantics core,
+#     the join/agg/window/subquery/set/scalar-function basics, csv/json
+#     scan, TPC-H q3/q5, the pandas-UDF query). Four rounds of engine
+#     drift separated these from their last driver check; this window
+#     retires that gap in one pass.
+# (b) 8 rotating canaries so every operator family keeps in-window
+#     evidence (pinned by tests/test_queries_arrays.py). The family map
+#     is consolidated for r7: temporal/as-of folds into "join",
+#     snapshot/IVM/quality into "maintenance", the batch Python
+#     DataSource + multimodal binary sources into "sources", and the
+#     custom replayable streaming source rides "streaming" via
+#     stream_source_replay_agg — every finer-grained r6 representative
+#     (asof_join_clicks, snapshot_time_travel, ivm_incremental_rollup,
+#     data_quality_report, custom_datasource_scan, events_sessionization,
+#     ann_recall_eval) carries green r6 driver evidence already.
+#     dedup's canary is dedup_minhash_lsh, the stalest non-r2 query
+#     (last graded r4).
+# New round-7 queries (e.g. embedding_ivf_sq_topk) intentionally sit
+# AFTER the window: zero-evidence normally outranks regrades, but the
+# r6 verdict explicitly prioritized the stale cohort; new queries get
+# local oracle evidence (tests/test_queries_oracle.py) this round and
+# driver evidence in r8.
 GRADE_ORDER: tuple[str, ...] = (
-    # (a) zero driver evidence yet
+    # (a) the r2-stale cohort, registration order
+    "ref_projection_unnamed",
+    "ref_int_division",
+    "ref_coercion_mixed",
+    "ref_comparison_ops",
+    "ref_string_filter",
+    "csv_scan",
+    "json_scan",
+    "named_table_scan",
+    "join_inner_agg",
+    "join_left_with_zeros",
+    "join_right",
+    "join_semi",
+    "join_anti",
+    "join_multiway_star",
+    "group_having",
+    "order_by_limit_topk",
+    "distinct_values",
+    "set_union_all",
+    "set_intersect",
+    "set_except",
+    "rollup_agg",
+    "window_rank_topn",
+    "window_lag_running",
+    "cte_segment_totals",
+    "in_subquery",
+    "scalar_subquery",
+    "string_functions",
+    "like_patterns",
+    "math_functions",
+    "date_functions",
+    "case_when_buckets",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "null_handling",
+    "regexp_ops",
+    "cube_agg",
+    "count_distinct",
+    "udf_pandas_charge",
+    "percentile_stats",
+    "variance_exact",
+    "ref_order_by_limit",
+    "exists_subquery",
+    # (b) per-family canaries
+    "dedup_minhash_lsh",
     "embedding_ann_rerank",
-    "events_cohort_retention",
-    "kmeans_train_assign",
-    "pq_train_codebooks",
-    "embedding_ivf_lloyd_topk",
-    "embedding_sq_topk",
-    "bpe_pair_counts",
-    "bloom_prefilter_join",
-    "stream_dedup_watermark",
-    "unpivot_measures",
-    "set_except_intersect_all",
-    "cms_heavy_hitters",
-    "dedup_incremental_batch",
-    "cardinality_sketch",
-    "pipeline_weighted_sample",
-    "lateral_topn_per_key",
-    "events_resample_gapfill",
-    "pipeline_length_buckets",
-    "manifest_pruned_scan",
-    "hll_cardinality",
     "text_unigram_quality",
-    "ann_recall_eval",
-    "dedup_semantic_semdedup",
-    "recursive_cte_hierarchy",
-    "bpe_apply_merge",
-    "pipeline_mixing_weights",
-    "quantile_sketch_hist",
-    "pagerank_supplier_graph",
-    "events_funnel_stages",
-    "snapshot_cdc_diff",
-    "manifest_bloom_scan",
-    "hll_grouped_cardinality",
-    "kmeans_sampled_train_assign",
-    # (b) changed with round-5 ADVICE fixes — regrade
     "stream_source_replay_agg",
-    "snapshot_time_travel",
-    "pipeline_segment_dedup",
-    # (c1) per-family canaries (similarity's canary is ann_recall_eval,
-    # join's is bloom_prefilter_join, and text's is
-    # text_unigram_quality, all in tier (a) this round — the window is
-    # exactly full)
+    "merge_upsert_orders",
     "zorder_layout_scan",
     "multimodal_frame_sample",
-    "custom_datasource_scan",
-    "events_sessionization",
-    "asof_join_clicks",
-    "merge_upsert_orders",
-    "ivm_incremental_rollup",
     "pipeline_pack_sequences",
-    "ref_scan_filter_project",
-    "tpch_q1_pricing_summary",
-    "window_rank_family",
-    "correlated_agg_subquery",
-    "udaf_grouped_median",
-    "data_quality_report",
 )
 
 

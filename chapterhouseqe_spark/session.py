@@ -39,6 +39,11 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": "128m",
     # local mode niceties; harmless on a cluster
     "spark.ui.enabled": "false",
+    # Console progress bars write to the driver's stderr mid-query; in
+    # harness runs that capture a bounded output tail they can crowd
+    # out the one JSON result line (BENCH_r06.json lost its headline
+    # block exactly this way). Progress rendering is cosmetic — off.
+    "spark.ui.showConsoleProgress": "false",
     "spark.sql.warehouse.dir": os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/chqe_warehouse"),
 }
 

@@ -92,7 +92,7 @@ def test_manifest_prunes_files_and_stays_exact(spark, sf_dir, tmp_path):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     path = str(tmp_path / "li_by_shipdate")
     cluster_write(li, path, ["l_shipdate"], num_files=8)
-    assert write_manifest(path, ["l_shipdate"]) == 8
+    assert write_manifest(path, ["l_shipdate"], spark=spark) == 8
 
     lo, hi = datetime(1997, 3, 1), datetime(1997, 3, 31, 23, 59, 59)
     df, n_read, n_total = manifest_scan(spark, path, "l_shipdate", lo, hi)
@@ -133,8 +133,8 @@ def test_manifest_bloom_prunes_and_preserves_results(spark, tmp_path):
             [(i * 100 + j, f"v{i}") for j in range(100)], "k long, v string"
         )
         df.coalesce(1).write.mode("append").parquet(path)
-    write_manifest(path, ["k"])
-    write_manifest_blooms(path, ["k"], m_bits=1 << 14, n_hashes=3)
+    write_manifest(path, ["k"], spark=spark)
+    write_manifest_blooms(path, ["k"], m_bits=1 << 14, n_hashes=3, spark=spark)
     kept, total = manifest_bloom_files(path, "k", 250)
     assert total == 4
     assert len(kept) < 4  # pruned at least one file
@@ -144,3 +144,41 @@ def test_manifest_bloom_prunes_and_preserves_results(spark, tmp_path):
     # absent key: may keep files (false positives) but returns nothing
     df2, _, _ = manifest_point_scan(spark, path, "k", 99999)
     assert df2.count() == 0
+
+
+def test_manifest_build_is_distributed_and_matches_serial(
+    spark, sf_dir, tmp_path
+):
+    """The manifest build must run as a Spark job (round-6 verdict:
+    the serial driver footer loop contradicted the 100 TB posture) and
+    produce byte-identical JSON to the serial fallback."""
+    import json
+    import os
+
+    from chapterhouseqe_spark.operators.layout import (
+        MANIFEST_JOB_GROUP,
+        cluster_write,
+        write_manifest,
+        write_manifest_blooms,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    path = str(tmp_path / "li")
+    cluster_write(li, path, ["l_shipdate"], num_files=4)
+
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(MANIFEST_JOB_GROUP))
+    write_manifest(path, ["l_shipdate", "l_orderkey"], spark=spark)
+    write_manifest_blooms(path, ["l_orderkey"], m_bits=1 << 14, spark=spark)
+    after = set(tracker.getJobIdsForGroup(MANIFEST_JOB_GROUP))
+    assert len(after - before) >= 2, "build did not run as Spark jobs"
+
+    with open(os.path.join(path, "_MANIFEST.json")) as fh:
+        distributed = fh.read()
+    # serial fallback produces the identical artifact
+    write_manifest(path, ["l_shipdate", "l_orderkey"])
+    write_manifest_blooms(path, ["l_orderkey"], m_bits=1 << 14)
+    with open(os.path.join(path, "_MANIFEST.json")) as fh:
+        serial = fh.read()
+    assert distributed == serial
+    assert json.loads(distributed)["bloom_params"]["m_bits"] == 1 << 14

@@ -91,28 +91,29 @@ def test_graded_prefix_invariants():
     no_oracle = [n for n in first50 if qs[n].oracle is None]
     assert not no_oracle, f"graded without oracle: {no_oracle}"
 
-    # one representative per family stays in-window across rotations
+    # One representative per family stays in-window across rotations.
+    # r7 consolidation (the window is dedicated to the 42-query
+    # r2-stale cohort per the r6 verdict): temporal/as-of joins fold
+    # into "join", snapshot/IVM/quality into "maintenance", the batch
+    # Python DataSource + multimodal binary into "sources", and the
+    # custom replayable streaming source into "streaming" — each
+    # folded-away representative carries green r6 driver evidence.
     families = {
-        "dedup": "pipeline_segment_dedup",
-        "snapshot": "snapshot_time_travel",
-        "similarity": "ann_recall_eval",
+        "scan": "csv_scan",
+        "join": "join_multiway_star",
+        "agg": "rollup_agg",
+        "window": "window_rank_topn",
+        "sets": "set_union_all",
+        "subquery": "exists_subquery",
+        "udf": "udf_pandas_charge",
+        "dedup": "dedup_minhash_lsh",
+        "similarity": "embedding_ann_rerank",
         "text": "text_unigram_quality",
-        "layout": "zorder_layout_scan",
-        "multimodal": "multimodal_frame_sample",
-        "custom-source": "custom_datasource_scan",
-        "streaming": "events_sessionization",
-        "streaming-source": "stream_source_replay_agg",
-        "temporal": "asof_join_clicks",
+        "streaming": "stream_source_replay_agg",
         "maintenance": "merge_upsert_orders",
-        "ivm": "ivm_incremental_rollup",
+        "layout": "zorder_layout_scan",
+        "sources": "multimodal_frame_sample",
         "corpus-prep": "pipeline_pack_sequences",
-        "scan": "ref_scan_filter_project",
-        "join": "bloom_prefilter_join",
-        "agg": "tpch_q1_pricing_summary",
-        "window": "window_rank_family",
-        "subquery": "correlated_agg_subquery",
-        "udf": "udaf_grouped_median",
-        "quality": "data_quality_report",
     }
     out = [f"{fam}:{n}" for fam, n in families.items() if n not in first50]
     assert not out, f"families without an in-window representative: {out}"
