@@ -134,6 +134,8 @@ EXTENDED_QUERIES = [
     "manifest_bloom_scan",
     "hll_grouped_cardinality",
     "kmeans_sampled_train_assign",
+    # round-7 additions
+    "embedding_ivf_sq_topk",
 ]
 
 

@@ -235,6 +235,13 @@ def write_snapshot(df: DataFrame, table_path: str) -> int:
     rollup states of :func:`rollup_state`, model metadata, eval sets);
     fact-scale history belongs to partitioned appends + CDC, not full
     rewrites.
+
+    COMMIT SEMANTICS ARE LOCAL-FS: the pointer swap relies on POSIX
+    atomic rename (``os.rename``/``os.replace``), which object stores
+    do not provide — on S3 the pointer needs a CAS primitive
+    (DynamoDB/conditional-PUT, what Delta's S3 LogStore adds). The
+    staging/orphan/age-guard protocol carries over unchanged; only the
+    final pointer commit needs the store-specific CAS.
     """
     import os
     import uuid
@@ -386,6 +393,10 @@ def vacuum_snapshots(
     pointer protocol makes them immutable once committed.
 
     Returns (removed version numbers, removed leftover-dir count).
+
+    Like :func:`write_snapshot`, correctness of the delete-vs-commit
+    ordering assumes local-FS rename atomicity; on an object store the
+    pointer read must go through the same CAS layer the writer uses.
     """
     import os
     import re

@@ -927,6 +927,9 @@ def sq_topk(
     the corpus ONCE past the broadcast probes (same shape as
     cosine_topk) but on 4×-smaller data with integer ALU ops; the only
     shuffle carries candidate rows into the per-probe top-k window.
+    SQ compresses but does not BOUND the scan — for a 100× corpus
+    compose with IVF bucketing instead (:func:`ivf_sq_topk`, the FAISS
+    ``IVFx,SQ8`` tier), which ranks only nprobe buckets per probe.
     """
     lo, hi = sq_bounds(emb, dim=dim, vec_col=vec_col)
     probes = emb.filter(probe_filter).select(
@@ -953,6 +956,87 @@ def sq_topk(
     )
     return (
         pairs.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("probe_id", "id_b", "score_q", "rnk")
+    )
+
+
+def ivf_sq_topk(
+    emb: DataFrame,
+    probe_filter: Column,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_method: str = "kmeans",
+) -> DataFrame:
+    """IVF bucket restriction + scalar-quantized integer ranking — the
+    FAISS ``IVFx,SQ8`` tier. Closes the gap the r6 verdict flagged on
+    :func:`sq_topk`: SQ alone compresses the scan 4x but still touches
+    every corpus vector per probe; composed with IVF, each probe ranks
+    only its ``nprobe`` buckets (~nprobe/n_centroids of the corpus) AND
+    does so on uint8 codes with BIGINT dot products.
+
+    Plan shape: bounds (one bounded posexplode pass) -> coarse assign
+    (broadcast centroids, one corpus pass) -> probe-bucket choice
+    (broadcast x broadcast) -> candidate equi-join ON cid with the
+    tiny (|probes| x nprobe) bucket frame BROADCAST, so the corpus
+    never shuffles for candidate selection -> per-probe top-k window,
+    the only exchange, carrying candidate rows only. No cartesian
+    against the corpus anywhere.
+
+    Determinism: same replayable contracts as the parents — cosine
+    coarse assignment uses the sequential-fold double convention, SQ
+    codes are floor() of bit-identical doubles, ranking is pure integer
+    with ties to smaller ``id_b``. Returns (probe_id, id_b, score_q,
+    rnk), rnk <= k.
+    """
+    lo, hi = sq_bounds(emb, dim=dim, vec_col=vec_col)
+    centroids, assignments = ivf_assign(
+        emb, n_centroids, id_col, vec_col, centroid_method
+    )
+    corpus = assignments.select(
+        "cid",
+        F.col("id").alias("id_b"),
+        sq_quantize(F.col("vec"), lo, hi).alias("qb"),
+    )
+    probes = emb.filter(probe_filter).select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("pvec"),
+        sq_quantize(F.col(vec_col), lo, hi).alias("qa"),
+    )
+    pscored = F.broadcast(probes).crossJoin(F.broadcast(centroids)).select(
+        "probe_id",
+        "qa",
+        "cid",
+        cosine(F.col("pvec"), F.col("cvec")).alias("csim"),
+    )
+    wp = Window.partitionBy("probe_id").orderBy(
+        F.col("csim").desc(), F.col("cid")
+    )
+    probe_buckets = (
+        pscored.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= nprobe)
+        .select("probe_id", "qa", "cid")
+    )
+    score = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: (x * y).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    cand = (
+        F.broadcast(probe_buckets)
+        .join(corpus, "cid")
+        .filter(F.col("probe_id") != F.col("id_b"))
+        .select("probe_id", "id_b", score.alias("score_q"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("score_q").desc(), F.col("id_b")
+    )
+    return (
+        cand.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= k)
         .select("probe_id", "id_b", "score_q", "rnk")
     )

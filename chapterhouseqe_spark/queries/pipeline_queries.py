@@ -2804,3 +2804,102 @@ def kmeans_sampled_train_assign(spark, sf_dir):
         F.count(F.lit(1)).alias("n_members"),
         F.sum("id").alias("id_sum"),
     )
+
+
+@query(
+    "embedding_ivf_sq_topk",
+    # IVF bucket replay (centroid_method='first', exactly as
+    # embedding_ivf_topk_approx) composed with the SQ code replay
+    # (exactly as embedding_sq_topk): probes rank ONLY their nprobe=4
+    # buckets, scoring on uint8 codes with BIGINT dot products.
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec
+      FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    {_COSINE_NORMS_CTE},
+    csims AS (
+      SELECT e.vec_id AS id, c.cid,
+             list_reduce(
+               list_transform(generate_series(1, len(e.embedding)),
+                              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE)),
+               (acc, x) -> acc + x) / (ne.nrm * nc.nrm) AS csim
+      FROM embeddings e
+      CROSS JOIN cent c
+      JOIN norms ne ON ne.vec_id = e.vec_id
+      JOIN norms nc ON nc.vec_id = c.cid
+    ),
+    assign AS (
+      SELECT id, cid FROM (
+        SELECT id, cid,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS rn
+        FROM csims
+      ) x WHERE rn = 1
+    ),
+    probe_buckets AS (
+      SELECT id AS probe_id, cid FROM (
+        SELECT id, cid,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY csim DESC, cid) AS rn
+        FROM csims WHERE id < 5
+      ) x WHERE rn <= 4
+    ),
+    dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+    stats AS (
+      SELECT d.i,
+             MIN(CAST(e.embedding[d.i] AS DOUBLE)) AS lo,
+             MAX(CAST(e.embedding[d.i] AS DOUBLE)) AS hi
+      FROM embeddings e CROSS JOIN dims d
+      GROUP BY d.i
+    ),
+    q AS (
+      SELECT e.vec_id, s.i,
+             CASE WHEN s.hi = s.lo THEN 0
+                  ELSE LEAST(255, GREATEST(0,
+                    CAST(floor((CAST(e.embedding[s.i] AS DOUBLE) - s.lo)
+                               / ((s.hi - s.lo) / 255.0)) AS INTEGER)))
+             END AS qv
+      FROM embeddings e CROSS JOIN stats s
+    ),
+    cand AS (
+      SELECT pb.probe_id, a.id AS id_b
+      FROM probe_buckets pb JOIN assign a USING (cid)
+      WHERE a.id <> pb.probe_id
+    ),
+    scores AS (
+      SELECT cd.probe_id, cd.id_b,
+             CAST(SUM(CAST(p.qv AS BIGINT) * CAST(c.qv AS BIGINT))
+                  AS BIGINT) AS score_q
+      FROM cand cd
+      JOIN q p ON p.vec_id = cd.probe_id
+      JOIN q c ON c.vec_id = cd.id_b AND c.i = p.i
+      GROUP BY 1, 2
+    )
+    SELECT probe_id, id_b, score_q, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT probe_id, id_b, score_q,
+             ROW_NUMBER() OVER (PARTITION BY probe_id
+                                ORDER BY score_q DESC, id_b) AS rnk
+      FROM scores) x
+    WHERE rnk <= 5
+    """,
+    tags=("pipeline", "similarity"),
+    doc="IVF + scalar quantization composed (the FAISS IVFx,SQ8 tier, "
+    "r6 verdict item 6): nprobe=4/16 bucket restriction BOUNDS the "
+    "scan, uint8 codes + BIGINT dot products make ranking integer-"
+    "exact. Deterministic end-to-end ('first' centroids, floor-of-"
+    "identical-doubles codes), so the oracle replays bucket choice "
+    "and quantization step for step "
+    "(operators/similarity.py:ivf_sq_topk)",
+)
+def embedding_ivf_sq_topk(spark, sf_dir):
+    from chapterhouseqe_spark.operators.similarity import ivf_sq_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return ivf_sq_topk(
+        emb,
+        F.col("vec_id") < 5,
+        k=5,
+        n_centroids=16,
+        nprobe=4,
+        dim=64,
+        centroid_method="first",
+    )

@@ -315,12 +315,14 @@ def events_cohort_retention(spark, sf_dir):
     doc="streaming exactly-once dedup under at-least-once delivery, run "
     "through REAL micro-batches: the events table is doubled (every "
     "row delivered twice), streamed from parquet, deduplicated with "
-    "dropDuplicates(event_id) under a watermark, and aggregated — the "
+    "dropDuplicatesWithinWatermark(event_id), and aggregated — the "
     "oracle is the plain single-copy aggregate, so a single leaked or "
-    "over-dropped duplicate is a red row. The watermark bounds the "
-    "dedup state at scale (state evicts once event-time passes "
-    "ts+delay); the delay here exceeds the dataset's span so the "
-    "replay is exact and deterministic regardless of batch splits",
+    "over-dropped duplicate is a red row. WithinWatermark is the "
+    "variant whose state actually EVICTS at the watermark horizon "
+    "(plain dropDuplicates without the event-time column in its keys "
+    "never evicts — measured at 1M rows in the r7 probe, PLANS.md); "
+    "the delay here exceeds the dataset's span so the replay is exact "
+    "and deterministic regardless of batch splits",
 )
 def stream_dedup_watermark(spark, sf_dir):
     import shutil
@@ -340,7 +342,15 @@ def stream_dedup_watermark(spark, sf_dir):
         deduped = (
             stream.withColumn("ts", F.col("ts").cast("timestamp"))
             .withWatermark("ts", "3650 days")
-            .dropDuplicates(["event_id"])
+            # WithinWatermark, not plain dropDuplicates: without the
+            # event-time column in the key set, plain dropDuplicates
+            # NEVER evicts its state (the r7 1M-row probe measured it
+            # pinning one state row per distinct key forever, 266 MB
+            # and corpus-proportional; the WithinWatermark variant
+            # evicted to the watermark horizon — PLANS.md). Semantics
+            # here are identical: the delay exceeds the data span, so
+            # every duplicate is within the window and nothing is late.
+            .dropDuplicatesWithinWatermark(["event_id"])
         )
         name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
         q = (

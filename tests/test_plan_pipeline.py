@@ -247,3 +247,16 @@ def test_bloom_scan_pushes_point_equality(queries, spark, sf_dir):
     # the residual equality must reach each bloom-selected file's scan
     plan = _executed_plan(queries["manifest_bloom_scan"](spark, sf_dir))
     assert "EqualTo(l_orderkey," in plan
+
+
+def test_ivf_sq_topk_bounded_and_broadcast(queries, spark, sf_dir):
+    """IVFx,SQ8 composition (r7): no cartesian against the corpus, and
+    the candidate selection must be a BROADCAST equi-join on cid — the
+    corpus never shuffles to find its probes (the whole point of
+    composing IVF with SQ instead of SQ's full scan)."""
+    plan = _executed_plan(queries["embedding_ivf_sq_topk"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # bucket-frame broadcast
+    # the corpus-side candidate join must not sort-merge (that would be
+    # a full corpus shuffle keyed on cid)
+    assert "SortMergeJoin" not in plan
