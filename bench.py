@@ -136,6 +136,8 @@ EXTENDED_QUERIES = [
     "kmeans_sampled_train_assign",
     # round-7 additions
     "embedding_ivf_sq_topk",
+    "bpe_train_loop",
+    "dedup_substring_passages",
 ]
 
 

@@ -407,3 +407,90 @@ def bpe_apply_top_merge(docs, text_col: str = "text", k: int = 20):
         .orderBy(F.col("cnt").desc(), F.col("pair"))
         .limit(k)
     )
+
+
+def pair_counts_from_symbols(symframe, k: int = 20):
+    """Adjacent-pair counts over a (freq, s) symbol frame — the
+    generic recount stage the BPE loop body iterates (``s`` uses the
+    doubled-space delimiter convention of :func:`bpe_apply_top_merge`).
+    """
+    tk = F.col("tk")
+    n2 = F.size(tk) - 1
+    idx = F.when(n2 >= 1, F.sequence(F.lit(1), n2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.element_at(tk, i), F.element_at(tk, i + 1)),
+    )
+    return (
+        symframe.select("freq", F.split(F.trim(F.col("s")), r"\s+").alias("tk"))
+        .select("freq", F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair"))
+        .limit(k)
+    )
+
+
+def bpe_train_merges(docs, text_col: str = "text", n_merges: int = 3):
+    """The FULL BPE training loop (Sennrich et al. 2016): ``n_merges``
+    iterations of count-pairs -> argmax -> apply-merge, returning the
+    ordered merge table ``(step, pair, cnt)`` — the artifact a
+    tokenizer trainer actually produces (merges.txt).
+
+    Composes :func:`word_freqs` (the ONE corpus scan) with the
+    doubled-space merge-apply of :func:`bpe_apply_top_merge`, iterated:
+    every iteration's frames are |vocab|-sized, each intermediate
+    symbol state is persisted so step i's argmax never recomputes
+    steps 1..i-1, and each chosen merge enters the next rewrite as a
+    1-row broadcast. Deterministic end-to-end (ties on the pair
+    string), so the whole loop replays in SQL as unrolled CTEs — the
+    same evidence technique as the Lloyd k-means trainer.
+
+    100 TB: the corpus scan happens ONCE (word_freqs); all ``n``
+    iterations run over the word-frequency table (|vocab| rows, MBs
+    even for web-scale corpora). Real trainers run thousands of
+    merges; the loop body cost is what matters, and it is
+    corpus-independent after the first collapse.
+    """
+    from functools import reduce
+
+    from pyspark import StorageLevel
+
+    w = F.col("w")
+    wf = word_freqs(docs, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sym = F.concat(
+        F.lit("  "),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.length(w)), lambda i: w.substr(i, F.lit(1))
+            ),
+            "  ",
+        ),
+        F.lit("  </w>  "),
+    )
+    state = wf.select("freq", sym.alias("s")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    steps = []
+    for step in range(1, n_merges + 1):
+        top1 = pair_counts_from_symbols(state, k=1)
+        steps.append(
+            top1.select(
+                F.lit(step).cast("int").alias("step"), "pair", "cnt"
+            )
+        )
+        p = top1.select(F.col("pair").alias("p"))
+        pattern = F.concat(
+            F.lit(" "), F.replace(F.col("p"), F.lit(" "), F.lit("  ")), F.lit(" ")
+        )
+        replacement = F.concat(
+            F.lit(" "), F.replace(F.col("p"), F.lit(" "), F.lit("")), F.lit(" ")
+        )
+        state = (
+            state.crossJoin(F.broadcast(p))
+            .select("freq", F.replace(F.col("s"), pattern, replacement).alias("s"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    return reduce(lambda a, b: a.unionAll(b), steps)

@@ -829,3 +829,76 @@ def incremental_dedup_status(
             .alias("status"),
         )
     )
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 8,
+) -> DataFrame:
+    """Passage-level duplicate detection — the sliding-window
+    approximation of ExactSubstr dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): a length-``window``
+    token n-gram occurring more than once ANYWHERE in the corpus
+    (across documents or repeated within one) marks a duplicated
+    passage. Finer than document/segment dedup — catches boilerplate
+    sentences and quoted passages inside otherwise-unique documents,
+    the contamination ExactSubstr's suffix array targets, without the
+    suffix array's global-sort build.
+
+    Returns one row per document with >= ``window`` tokens:
+    ``(id_col, n_grams, n_dup_grams, dup_frac)`` — the fraction of the
+    document's passages that also occur elsewhere (the removal/score
+    signal; shorter documents have no length-``window`` passage and
+    are out of scope by construction).
+
+    Scale shape (100 TB): tokenize once inside the scan stage; grams
+    stay an ARRAY per doc until one explode; the occurrence count is a
+    map-side-combinable groupBy on an 8-byte md5-derived gram key (not
+    the ~50-byte gram string — the count shuffle and the count⇄gram
+    join both carry the compact key); the join back is the one
+    unavoidable corpus-sized shuffle, AQE-managed and skew-safe
+    (a viral passage concentrates its COUNT row, not its gram rows).
+    """
+    from chapterhouseqe_spark.queries.registry import md5_int
+
+    tk = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    n = F.size(F.col("tk"))
+    grams = (
+        df.select(F.col(id_col), tk.alias("tk"))
+        .filter(n >= window)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n - (window - 1)),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("tk"), i, window)
+                    ),
+                )
+            ).alias("gram"),
+        )
+        .select(id_col, md5_int(F.col("gram")).alias("g"))
+    )
+    counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("g_cnt"))
+    return (
+        grams.join(counts, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("g_cnt") > 1).cast("bigint")).alias("n_dup_grams"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_dup_grams",
+            (
+                F.col("n_dup_grams").cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("dup_frac"),
+        )
+    )

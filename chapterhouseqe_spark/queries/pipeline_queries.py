@@ -2903,3 +2903,125 @@ def embedding_ivf_sq_topk(spark, sf_dir):
         dim=64,
         centroid_method="first",
     )
+
+
+@query(
+    "bpe_train_loop",
+    # the 3-iteration training loop unrolled: pN = argmax pair over
+    # state N-1, sN = state N-1 with pN merged (doubled-space replace,
+    # identical semantics to the Spark side's single literal replace)
+    oracle=r"""
+    WITH words AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      FROM documents
+    ),
+    wf AS (
+      SELECT w, COUNT(*) AS freq FROM words WHERE len(w) > 0 GROUP BY w
+    ),
+    s0 AS (
+      SELECT freq,
+             '  ' || array_to_string(
+               list_transform(generate_series(1, len(w)), i -> substr(w, i, 1)),
+               '  ') || '  </w>  ' AS s
+      FROM wf
+    ),
+    t0 AS (SELECT freq, string_split_regex(trim(s), '\s+') AS tk FROM s0),
+    c0 AS (
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+        SELECT freq,
+               unnest(list_transform(generate_series(1, len(tk) - 1),
+                                     i -> tk[i] || ' ' || tk[i + 1])) AS pair
+        FROM t0 WHERE len(tk) >= 2) GROUP BY pair
+    ),
+    p1 AS (SELECT pair, cnt FROM c0 ORDER BY cnt DESC, pair LIMIT 1),
+    s1 AS (
+      SELECT freq,
+             replace(s, ' ' || replace(p.pair, ' ', '  ') || ' ',
+                        ' ' || replace(p.pair, ' ', '') || ' ') AS s
+      FROM s0 CROSS JOIN p1 p
+    ),
+    t1 AS (SELECT freq, string_split_regex(trim(s), '\s+') AS tk FROM s1),
+    c1 AS (
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+        SELECT freq,
+               unnest(list_transform(generate_series(1, len(tk) - 1),
+                                     i -> tk[i] || ' ' || tk[i + 1])) AS pair
+        FROM t1 WHERE len(tk) >= 2) GROUP BY pair
+    ),
+    p2 AS (SELECT pair, cnt FROM c1 ORDER BY cnt DESC, pair LIMIT 1),
+    s2 AS (
+      SELECT freq,
+             replace(s, ' ' || replace(p.pair, ' ', '  ') || ' ',
+                        ' ' || replace(p.pair, ' ', '') || ' ') AS s
+      FROM s1 CROSS JOIN p2 p
+    ),
+    t2 AS (SELECT freq, string_split_regex(trim(s), '\s+') AS tk FROM s2),
+    c2 AS (
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+        SELECT freq,
+               unnest(list_transform(generate_series(1, len(tk) - 1),
+                                     i -> tk[i] || ' ' || tk[i + 1])) AS pair
+        FROM t2 WHERE len(tk) >= 2) GROUP BY pair
+    ),
+    p3 AS (SELECT pair, cnt FROM c2 ORDER BY cnt DESC, pair LIMIT 1)
+    SELECT CAST(1 AS INTEGER) AS step, pair, cnt FROM p1
+    UNION ALL SELECT 2, pair, cnt FROM p2
+    UNION ALL SELECT 3, pair, cnt FROM p3
+    """,
+    tags=("pipeline", "text", "training"),
+    doc="the FULL BPE training loop graded end-to-end (r7): 3 "
+    "iterations of count->argmax->merge producing the ordered merge "
+    "table (what a tokenizer trainer ships as merges.txt). One corpus "
+    "scan total — every iteration runs on the persisted |vocab|-row "
+    "word-frequency collapse with the chosen merge as a 1-row "
+    "broadcast; the oracle unrolls all three iterations as CTEs, the "
+    "same replay technique as the Lloyd k-means trainer "
+    "(functions/text.py:bpe_train_merges)",
+)
+def bpe_train_loop(spark, sf_dir):
+    from chapterhouseqe_spark.functions.text import bpe_train_merges
+
+    return bpe_train_merges(t(spark, sf_dir, "documents"), "text", n_merges=3)
+
+
+@query(
+    "dedup_substring_passages",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         t -> len(t) > 0) AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 15))::BIGINT AS g
+      FROM toks, unnest(generate_series(1, len(tk) - 7)) AS u(i)
+      WHERE len(tk) >= 8
+    ),
+    counts AS (SELECT g, COUNT(*) AS g_cnt FROM grams GROUP BY g)
+    SELECT gr.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN c.g_cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_grams,
+           CAST(SUM(CASE WHEN c.g_cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+    FROM grams gr JOIN counts c USING (g)
+    GROUP BY gr.doc_id
+    """,
+    tags=("pipeline", "dedup"),
+    doc="passage-level duplicate stats (sliding 8-token n-grams, the "
+    "distributed stand-in for ExactSubstr suffix-array dedup, Lee et "
+    "al. 2021): per document, the fraction of its passages occurring "
+    "more than once corpus-wide — catches boilerplate/quotes inside "
+    "otherwise-unique documents. Counting and the join-back run on "
+    "8-byte md5-derived gram keys (replayed bit-for-bit by the "
+    "oracle), never the gram strings "
+    "(operators/dedup.py:substring_dup_stats)",
+)
+def dedup_substring_passages(spark, sf_dir):
+    from chapterhouseqe_spark.operators.dedup import substring_dup_stats
+
+    return substring_dup_stats(
+        t(spark, sf_dir, "documents"), "text", "doc_id", window=8
+    )

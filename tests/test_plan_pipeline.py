@@ -260,3 +260,28 @@ def test_ivf_sq_topk_bounded_and_broadcast(queries, spark, sf_dir):
     # the corpus-side candidate join must not sort-merge (that would be
     # a full corpus shuffle keyed on cid)
     assert "SortMergeJoin" not in plan
+
+
+def test_bpe_train_loop_reads_iterations_from_cache(queries, spark, sf_dir):
+    """The whole BPE scaling argument: 3 training iterations over the
+    PERSISTED word-frequency collapse — every union branch must read
+    InMemoryTableScan, so the corpus parquet materializes once (on
+    first cache fill) and never again. (FileScan occurrences in the
+    plan STRING can't be counted here: each InMemoryTableScan prints
+    its cached lineage, so the scan text repeats without re-reading.)
+    """
+    plan = _executed_plan(queries["bpe_train_loop"](spark, sf_dir))
+    assert plan.count("InMemoryTableScan") >= 3
+    assert "CartesianProduct" not in plan
+    # the merge enters each rewrite as a broadcast, never a shuffle join
+    assert "SortMergeJoin" not in plan
+
+
+def test_substring_dedup_single_gram_shuffle(queries, spark, sf_dir):
+    """Passage dedup: the gram-count join must be keyed on the compact
+    md5 key (one corpus-sized hash shuffle pair), no cartesian, no
+    corpus-wide window."""
+    plan = _executed_plan(queries["dedup_substring_passages"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "Exchange hashpartitioning(g#" in plan
