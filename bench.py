@@ -138,6 +138,7 @@ EXTENDED_QUERIES = [
     "embedding_ivf_sq_topk",
     "bpe_train_loop",
     "dedup_substring_passages",
+    "pipeline_temperature_weights",
 ]
 
 

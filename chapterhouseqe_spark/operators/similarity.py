@@ -971,6 +971,7 @@ def ivf_sq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_method: str = "kmeans",
+    prebuilt: tuple | None = None,
 ) -> DataFrame:
     """IVF bucket restriction + scalar-quantized integer ranking — the
     FAISS ``IVFx,SQ8`` tier. Closes the gap the r6 verdict flagged on
@@ -994,9 +995,18 @@ def ivf_sq_topk(
     rnk), rnk <= k.
     """
     lo, hi = sq_bounds(emb, dim=dim, vec_col=vec_col)
-    centroids, assignments = ivf_assign(
-        emb, n_centroids, id_col, vec_col, centroid_method
-    )
+    if prebuilt is not None:
+        # Index build (coarse assignment = one corpus x n_centroids
+        # pass) amortizes across queries in production — the r7 20k
+        # probe measured the INLINE build dominating search 7:1, so a
+        # query path that rebuilds per call would throw the IVF win
+        # away. Pass (centroids, assignments) from ivf_assign, built
+        # once and persisted.
+        centroids, assignments = prebuilt
+    else:
+        centroids, assignments = ivf_assign(
+            emb, n_centroids, id_col, vec_col, centroid_method
+        )
     corpus = assignments.select(
         "cid",
         F.col("id").alias("id_b"),

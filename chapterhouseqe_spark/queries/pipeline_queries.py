@@ -3025,3 +3025,42 @@ def dedup_substring_passages(spark, sf_dir):
     return substring_dup_stats(
         t(spark, sf_dir, "documents"), "text", "doc_id", window=8
     )
+
+
+@query(
+    "pipeline_temperature_weights",
+    oracle="""
+    WITH actual AS (
+      SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    mx AS (SELECT MAX(n_docs) AS n_max FROM actual)
+    SELECT a.lang,
+           CAST(a.n_docs AS BIGINT) AS n_docs,
+           sqrt(CAST(mx.n_max AS DOUBLE) / CAST(a.n_docs AS DOUBLE))
+             AS rel_weight
+    FROM actual a CROSS JOIN mx
+    """,
+    tags=("pipeline", "mixing"),
+    doc="temperature-based domain resampling at alpha=0.5 (the "
+    "multilingual-LM mixing rule of Conneau & Lample 2019 / mT5: "
+    "q_i proportional to p_i^alpha): each language's relative "
+    "upsampling factor vs the largest domain, sqrt(n_max/n_i) — the "
+    "head domain keeps weight 1, tails upsample by the sqrt ratio. "
+    "alpha=0.5 keeps the arithmetic engine-exact (IEEE sqrt of one "
+    "exact-BIGINT division is correctly rounded; a general pow() is "
+    "not bit-portable, and a normalized share would need an "
+    "order-sensitive float sum across groups — both avoided by "
+    "design). Weight table is |domains| rows; "
+    "pipeline_weighted_sample is the graded draw that consumes it",
+)
+def pipeline_temperature_weights(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    actual = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    mx = actual.agg(F.max("n_docs").alias("n_max"))
+    return actual.crossJoin(F.broadcast(mx)).select(
+        "lang",
+        "n_docs",
+        F.sqrt(
+            F.col("n_max").cast("double") / F.col("n_docs").cast("double")
+        ).alias("rel_weight"),
+    )

@@ -540,3 +540,28 @@ def test_unigram_prob_scores_hand_checked(spark):
     assert got[1] == (3, 7, 7 / 18)
     assert got[2] == (2, 4, 4 / 12)
     assert got[3] == (1, 1, 1 / 6)
+
+
+def test_ivf_sq_prebuilt_matches_inline(spark, sf_dir):
+    """The prebuilt-index search path returns exactly the inline
+    build's results (same centroids/assignments -> same candidates ->
+    same integer ranking)."""
+    from pyspark.sql import functions as F
+
+    from chapterhouseqe_spark.operators.similarity import (
+        ivf_assign,
+        ivf_sq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    inline = ivf_sq_topk(
+        emb, F.col("vec_id") < 4, k=3, n_centroids=8, nprobe=2,
+        centroid_method="first",
+    )
+    idx = ivf_assign(emb, 8, "vec_id", "embedding", "first")
+    pre = ivf_sq_topk(
+        emb, F.col("vec_id") < 4, k=3, n_centroids=8, nprobe=2,
+        prebuilt=idx,
+    )
+    assert sorted(map(tuple, inline.collect()), key=lambda t: (t[0], t[3])) == \
+        sorted(map(tuple, pre.collect()), key=lambda t: (t[0], t[3]))

@@ -228,3 +228,104 @@ def test_cms_matches_model_and_overestimates(spark, stream):
     }
     assert got == model
     assert all(got[k] >= exact[k] for k in exact)
+
+
+def _bpe_reference(words: dict, n_merges: int):
+    """Independent pure-Python Sennrich BPE trainer (NOT the SQL
+    unroll the oracle uses): per-word symbol tuples, dict-based pair
+    counting, leftmost-first non-overlapping merge. Ties break on the
+    lexicographically smallest pair — the engine's convention."""
+    vocab = {tuple(w) + ("</w>",): f for w, f in words.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict = {}
+        for sym, f in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        pair = min(counts, key=lambda p: (-counts[p], f"{p[0]} {p[1]}"))
+        merges.append((f"{pair[0]} {pair[1]}", counts[pair]))
+        new_vocab = {}
+        for sym, f in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == pair:
+                    out.append(sym[i] + sym[i + 1])
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=6),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(1, 4),
+)
+@settings(**SMALL)
+def test_bpe_train_merges_matches_reference(spark, word_lists, n_merges):
+    """bpe_train_merges (doubled-space replace over the word-frequency
+    table) against an independent per-word symbol-loop trainer —
+    different algorithmic realization, same merge sequence required."""
+    from chapterhouseqe_spark.functions.text import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(word_lists))], "doc_id long, text string"
+    )
+    words: dict = {}
+    for w in word_lists:
+        words[w] = words.get(w, 0) + 1
+    expected = _bpe_reference(words, n_merges)
+    got = [
+        (r.pair, r.cnt)
+        for r in bpe_train_merges(docs, "text", n_merges=n_merges)
+        .orderBy("step")
+        .collect()
+    ]
+    assert got == expected
+
+
+def test_substring_dup_stats_matches_bruteforce(spark):
+    """substring_dup_stats vs a brute-force Python n-gram counter on a
+    corpus with a shared boilerplate passage, a self-repeating doc, and
+    a short out-of-scope doc."""
+    from chapterhouseqe_spark.operators.dedup import substring_dup_stats
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog today ok"),
+        (1, "intro text the quick brown fox jumps over the lazy dog"),
+        (2, "a b c d a b c d a b c d"),  # self-repetition counts
+        (3, "too short to have a gram"),  # 6 tokens < window=8 -> absent
+    ]
+    w = 8
+    grams: dict = {}
+    per_doc: dict = {}
+    for did, txt in docs:
+        tk = txt.split()
+        if len(tk) < w:
+            continue
+        gs = [" ".join(tk[i : i + w]) for i in range(len(tk) - w + 1)]
+        per_doc[did] = gs
+        for g in gs:
+            grams[g] = grams.get(g, 0) + 1
+    expected = {
+        did: (
+            len(gs),
+            sum(1 for g in gs if grams[g] > 1),
+        )
+        for did, gs in per_doc.items()
+    }
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = substring_dup_stats(df, "text", "doc_id", window=w).collect()
+    got = {r.doc_id: (r.n_grams, r.n_dup_grams) for r in rows}
+    assert got == expected
+    assert 3 not in got  # short doc has no length-8 passage
+    for r in rows:
+        assert abs(r.dup_frac - r.n_dup_grams / r.n_grams) < 1e-12
