@@ -139,6 +139,7 @@ EXTENDED_QUERIES = [
     "bpe_train_loop",
     "dedup_substring_passages",
     "pipeline_temperature_weights",
+    "pipeline_epoch_shuffle",
 ]
 
 

@@ -193,3 +193,42 @@ def weighted_priority_sample(
         .orderBy("priority", id_col)
         .limit(k)
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    epoch: int,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Reproducible training-order shuffle: assign every document a
+    (shard, position) for the given epoch, purely from
+    ``md5(epoch:id)`` — the deterministic global shuffle a training
+    run needs so that run N and its restart read byte-identical batch
+    order, and different epochs decorrelate (a fresh permutation per
+    epoch without materializing one).
+
+    Returns ``(id_col, shard, pos)``; ``shard`` in [0, n_shards),
+    ``pos`` the 1-based rank within the shard by the same hash (ties
+    impossible: the hash input embeds the unique id).
+
+    100 TB: ONE hash shuffle keyed on shard + a per-shard sort —
+    choose ``n_shards`` so a shard (corpus/n_shards rows) fits an
+    executor's sort buffer; the writer then emits one ordered file
+    set per shard and a loader streams shards in index order. No
+    global sort, no singleton window.
+    """
+    from chapterhouseqe_spark.queries.registry import md5_int
+
+    key = md5_int(
+        F.concat(
+            F.lit(str(int(epoch))), F.lit(":"), F.col(id_col).cast("string")
+        )
+    )
+    w = Window.partitionBy("shard").orderBy("okey")
+    return (
+        df.select(F.col(id_col), key.alias("okey"))
+        .withColumn("shard", F.pmod(F.col("okey"), F.lit(n_shards)).cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select(id_col, "shard", "pos")
+    )

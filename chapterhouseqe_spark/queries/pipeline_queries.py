@@ -40,7 +40,7 @@ from chapterhouseqe_spark.operators.sketches import (
     hll_oracle_sql,
 )
 from chapterhouseqe_spark.queries.core_sql import t
-from chapterhouseqe_spark.queries.registry import query
+from chapterhouseqe_spark.queries.registry import o_md5_int, query
 from chapterhouseqe_spark.sources.multimodal import (
     attach_binary_payload,
     decode_features,
@@ -3064,3 +3064,35 @@ def pipeline_temperature_weights(spark, sf_dir):
             F.col("n_max").cast("double") / F.col("n_docs").cast("double")
         ).alias("rel_weight"),
     )
+
+
+@query(
+    "pipeline_epoch_shuffle",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             {o_md5_int("'1:' || CAST(doc_id AS VARCHAR)")} AS okey
+      FROM documents
+    ),
+    sharded AS (
+      SELECT doc_id, okey,
+             CAST(okey % 16 AS INTEGER) AS shard
+      FROM keyed
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY okey)
+                AS BIGINT) AS pos
+    FROM sharded
+    """,
+    tags=("pipeline", "corpus"),
+    doc="reproducible training-order shuffle (epoch 1, 16 shards): "
+    "every document gets a deterministic (shard, position) from "
+    "md5(epoch:id) — restartable byte-identical batch order, a fresh "
+    "permutation per epoch, no materialized permutation table. One "
+    "hash shuffle keyed on shard + per-shard sort; no global sort "
+    "(operators/corpus.py:epoch_shuffle)",
+)
+def pipeline_epoch_shuffle(spark, sf_dir):
+    from chapterhouseqe_spark.operators.corpus import epoch_shuffle
+
+    return epoch_shuffle(t(spark, sf_dir, "documents"), "doc_id", epoch=1, n_shards=16)

@@ -164,3 +164,24 @@ def test_segment_dedup_null_doc_id_raises(spark):
     )
     with _pytest.raises(Exception, match="packing bounds"):
         segment_dedup(df, "text", "doc_id").collect()
+
+
+def test_epoch_shuffle_reproducible_and_decorrelated(spark, sf_dir):
+    """Same epoch twice -> byte-identical (shard, pos); different
+    epochs -> a different permutation; every doc appears exactly once
+    with contiguous 1..n positions per shard."""
+    from chapterhouseqe_spark.operators.corpus import epoch_shuffle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a1 = {r.doc_id: (r.shard, r.pos) for r in epoch_shuffle(docs, "doc_id", 1, 8).collect()}
+    a2 = {r.doc_id: (r.shard, r.pos) for r in epoch_shuffle(docs, "doc_id", 1, 8).collect()}
+    b = {r.doc_id: (r.shard, r.pos) for r in epoch_shuffle(docs, "doc_id", 2, 8).collect()}
+    assert a1 == a2  # restart-identical
+    assert a1 != b  # epochs decorrelate
+    assert len(a1) == docs.count()  # every doc exactly once
+    # per-shard positions are contiguous 1..n
+    by_shard: dict = {}
+    for shard, pos in a1.values():
+        by_shard.setdefault(shard, []).append(pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
