@@ -140,6 +140,7 @@ EXTENDED_QUERIES = [
     "dedup_substring_passages",
     "pipeline_temperature_weights",
     "pipeline_epoch_shuffle",
+    "bpe_encode_corpus_stats",
 ]
 
 

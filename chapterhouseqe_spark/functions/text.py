@@ -494,3 +494,64 @@ def bpe_train_merges(docs, text_col: str = "text", n_merges: int = 3):
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
     return reduce(lambda a, b: a.unionAll(b), steps)
+
+
+def bpe_encode_stats(docs, text_col: str = "text", n_merges: int = 3):
+    """Encode the corpus under the first ``n_merges`` trained BPE
+    merges and report the compression bookkeeping a tokenizer-training
+    run watches: ONE row ``(n_words, vocab_size, total_tokens,
+    total_chars)`` — token count falls as merges apply; the
+    tokens-per-word and chars-per-token ratios derive from exact
+    BIGINTs driver-side (or in SQL) with no float accumulation.
+
+    Runs the same persisted-vocab training loop as
+    :func:`bpe_train_merges` (one corpus scan), then aggregates the
+    final symbol state weighted by word frequency: ``total_tokens =
+    sum(freq * |symbols(word)|)``. The corpus is never re-touched for
+    encoding — a word's token count under a merge list depends only on
+    the word, which is the entire reason production BPE encoders
+    memoize per word.
+    """
+    from pyspark import StorageLevel
+
+    w = F.col("w")
+    wf = word_freqs(docs, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    sym = F.concat(
+        F.lit("  "),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.length(w)), lambda i: w.substr(i, F.lit(1))
+            ),
+            "  ",
+        ),
+        F.lit("  </w>  "),
+    )
+    state = wf.select(
+        "freq", F.length(w).alias("n_chars"), sym.alias("s")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    for _ in range(n_merges):
+        top1 = pair_counts_from_symbols(state, k=1).select(
+            F.col("pair").alias("p")
+        )
+        pattern = F.concat(
+            F.lit(" "), F.replace(F.col("p"), F.lit(" "), F.lit("  ")), F.lit(" ")
+        )
+        replacement = F.concat(
+            F.lit(" "), F.replace(F.col("p"), F.lit(" "), F.lit("")), F.lit(" ")
+        )
+        state = (
+            state.crossJoin(F.broadcast(top1))
+            .select(
+                "freq",
+                "n_chars",
+                F.replace(F.col("s"), pattern, replacement).alias("s"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+    n_tok = F.size(F.split(F.trim(F.col("s")), r"\s+"))
+    return state.agg(
+        F.sum("freq").alias("n_words"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum(F.col("freq") * n_tok.cast("bigint")).alias("total_tokens"),
+        F.sum(F.col("freq") * F.col("n_chars")).alias("total_chars"),
+    )

@@ -3096,3 +3096,89 @@ def pipeline_epoch_shuffle(spark, sf_dir):
     from chapterhouseqe_spark.operators.corpus import epoch_shuffle
 
     return epoch_shuffle(t(spark, sf_dir, "documents"), "doc_id", epoch=1, n_shards=16)
+
+
+@query(
+    "bpe_encode_corpus_stats",
+    # same unrolled 3-merge CTE chain as bpe_train_loop, finished with
+    # the frequency-weighted token/char aggregate over the final state
+    oracle=r"""
+    WITH words AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      FROM documents
+    ),
+    wf AS (
+      SELECT w, COUNT(*) AS freq FROM words WHERE len(w) > 0 GROUP BY w
+    ),
+    s0 AS (
+      SELECT freq, len(w) AS n_chars,
+             '  ' || array_to_string(
+               list_transform(generate_series(1, len(w)), i -> substr(w, i, 1)),
+               '  ') || '  </w>  ' AS s
+      FROM wf
+    ),
+    t0 AS (SELECT freq, string_split_regex(trim(s), '\s+') AS tk FROM s0),
+    c0 AS (
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+        SELECT freq,
+               unnest(list_transform(generate_series(1, len(tk) - 1),
+                                     i -> tk[i] || ' ' || tk[i + 1])) AS pair
+        FROM t0 WHERE len(tk) >= 2) GROUP BY pair
+    ),
+    p1 AS (SELECT pair FROM c0 ORDER BY cnt DESC, pair LIMIT 1),
+    s1 AS (
+      SELECT freq, n_chars,
+             replace(s, ' ' || replace(p.pair, ' ', '  ') || ' ',
+                        ' ' || replace(p.pair, ' ', '') || ' ') AS s
+      FROM s0 CROSS JOIN p1 p
+    ),
+    t1 AS (SELECT freq, string_split_regex(trim(s), '\s+') AS tk FROM s1),
+    c1 AS (
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+        SELECT freq,
+               unnest(list_transform(generate_series(1, len(tk) - 1),
+                                     i -> tk[i] || ' ' || tk[i + 1])) AS pair
+        FROM t1 WHERE len(tk) >= 2) GROUP BY pair
+    ),
+    p2 AS (SELECT pair FROM c1 ORDER BY cnt DESC, pair LIMIT 1),
+    s2 AS (
+      SELECT freq, n_chars,
+             replace(s, ' ' || replace(p.pair, ' ', '  ') || ' ',
+                        ' ' || replace(p.pair, ' ', '') || ' ') AS s
+      FROM s1 CROSS JOIN p2 p
+    ),
+    t2 AS (SELECT freq, string_split_regex(trim(s), '\s+') AS tk FROM s2),
+    c2 AS (
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+        SELECT freq,
+               unnest(list_transform(generate_series(1, len(tk) - 1),
+                                     i -> tk[i] || ' ' || tk[i + 1])) AS pair
+        FROM t2 WHERE len(tk) >= 2) GROUP BY pair
+    ),
+    p3 AS (SELECT pair FROM c2 ORDER BY cnt DESC, pair LIMIT 1),
+    s3 AS (
+      SELECT freq, n_chars,
+             replace(s, ' ' || replace(p.pair, ' ', '  ') || ' ',
+                        ' ' || replace(p.pair, ' ', '') || ' ') AS s
+      FROM s2 CROSS JOIN p3 p
+    )
+    SELECT CAST(SUM(freq) AS BIGINT) AS n_words,
+           COUNT(*) AS vocab_size,
+           CAST(SUM(freq * len(string_split_regex(trim(s), '\s+'))) AS BIGINT)
+             AS total_tokens,
+           CAST(SUM(freq * n_chars) AS BIGINT) AS total_chars
+    FROM s3
+    """,
+    tags=("pipeline", "text", "training"),
+    doc="corpus encoding under the trained 3-merge BPE list (the "
+    "train->encode completion of the BPE story): one row of exact "
+    "BIGINT compression bookkeeping — total tokens falls as merges "
+    "apply; encoding never re-touches the corpus because a word's "
+    "token count depends only on the word (the memoization every "
+    "production BPE encoder exploits) "
+    "(functions/text.py:bpe_encode_stats)",
+)
+def bpe_encode_corpus_stats(spark, sf_dir):
+    from chapterhouseqe_spark.functions.text import bpe_encode_stats
+
+    return bpe_encode_stats(t(spark, sf_dir, "documents"), "text", n_merges=3)

@@ -117,3 +117,28 @@ def test_graded_prefix_invariants():
     }
     out = [f"{fam}:{n}" for fam, n in families.items() if n not in first50]
     assert not out, f"families without an in-window representative: {out}"
+
+
+def test_bench_tiers_cover_registry_exactly_once():
+    """Every registered query is timed in exactly one bench tier —
+    the r6 verdict found 84 queries invisible to regression detection;
+    the computed core tier closes that permanently."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "bench.py"),
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    from chapterhouseqe_spark.queries.registry import get_queries
+
+    names = list(get_queries())
+    tiers = (
+        list(bench.BENCH_QUERIES)
+        + list(bench.EXTENDED_QUERIES)
+        + bench.core_tier(names)
+    )
+    assert sorted(tiers) == sorted(names)
+    assert len(set(bench.BENCH_QUERIES) & set(bench.EXTENDED_QUERIES)) == 0

@@ -271,3 +271,33 @@ def test_pagerank_matches_python_model(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r.id: r.rank for r in pagerank_fixed_point(df, n_iter=3).collect()}
     assert got == ranks
+
+
+def test_bpe_encode_stats_merge_monotonicity(spark):
+    """Encoding invariants: at 0 merges every token is a char or </w>
+    (total_tokens = total_chars + n_words); each merge never increases
+    the token count; words/chars are merge-invariant."""
+    from chapterhouseqe_spark.functions.text import bpe_encode_stats
+
+    df = spark.createDataFrame(
+        [(0, "aa ab aa ab aa"), (1, "ab aa ba ba")],
+        "doc_id long, text string",
+    )
+    rows = {
+        n: bpe_encode_stats(df, "text", n_merges=n).collect()[0]
+        for n in (0, 1, 2)
+    }
+    r0 = rows[0]
+    assert r0.total_tokens == r0.total_chars + r0.n_words
+    for a, b in ((0, 1), (1, 2)):
+        assert rows[a].n_words == rows[b].n_words
+        assert rows[a].total_chars == rows[b].total_chars
+        assert rows[b].total_tokens <= rows[a].total_tokens
+    # each merge saves exactly the merged pair's weighted count:
+    # corpus is aa x4, ab x3, ba x2 -> t0 = 9 words x 3 symbols = 27;
+    # merge1 = 'a </w>' (count 6) -> 21; merge2 = 'a a</w>' (4) -> 17
+    assert (r0.total_tokens, rows[1].total_tokens, rows[2].total_tokens) == (
+        27,
+        21,
+        17,
+    )
