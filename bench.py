@@ -141,6 +141,7 @@ EXTENDED_QUERIES = [
     "pipeline_temperature_weights",
     "pipeline_epoch_shuffle",
     "bpe_encode_corpus_stats",
+    "text_bigram_quality",
 ]
 
 

@@ -555,3 +555,84 @@ def bpe_encode_stats(docs, text_col: str = "text", n_merges: int = 3):
         F.sum(F.col("freq") * n_tok.cast("bigint")).alias("total_tokens"),
         F.sum(F.col("freq") * F.col("n_chars")).alias("total_chars"),
     )
+
+
+def bigram_prob_scores(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Corpus-trained BIGRAM-LM quality score per document — the
+    next-order upgrade of :func:`unigram_prob_scores` (CCNet's KenLM
+    filter is a 5-gram LM; a bigram captures the word-order signal a
+    unigram cannot: shuffled or boilerplate-spliced text has common
+    WORDS but rare TRANSITIONS).
+
+    Score is the micro-averaged conditional bigram probability::
+
+        score(doc) = (Σ_doc-bigrams cnt(w1 w2)) / (Σ_doc-bigrams cnt(w1))
+
+    — a ratio of two exact BIGINT sums with ONE final double division,
+    the same portability discipline as the unigram variant (per-bigram
+    division then averaging would sum engine-rounded doubles;
+    log-probabilities would sum libm logs — neither replays exactly).
+    cnt(w1) is the count of w1 AS A BIGRAM PREFIX (i.e. followed by
+    anything), so the per-bigram ratio cnt(w1 w2)/cnt(w1) is a true
+    conditional probability and the micro-average is its
+    occurrence-weighted mean.
+
+    Returns (id_col, n_bigrams, joint_sum, prefix_sum, bigram_score)
+    for documents with >= 2 tokens.
+
+    100 TB shape: tokenize once; bigrams form inside the scan stage
+    (slide over the token array, no self-join); two combinable keyed
+    shuffles build the bigram and prefix tables; the score join is
+    keyed on the md5 bigram key (compact, skew on viral bigrams
+    concentrates count ROWS not corpus rows); one per-doc groupBy.
+    """
+    from chapterhouseqe_spark.queries.registry import md5_int
+
+    tk = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    n = F.size(F.col("tk"))
+    bigrams = (
+        docs.select(F.col(id_col), tk.alias("tk"))
+        .filter(n >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.struct(
+                        F.concat_ws(
+                            " ",
+                            F.element_at(F.col("tk"), i),
+                            F.element_at(F.col("tk"), i + 1),
+                        ).alias("bg"),
+                        F.element_at(F.col("tk"), i).alias("w1"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        .select(id_col, md5_int(F.col("p.bg")).alias("g"), md5_int(F.col("p.w1")).alias("g1"))
+    )
+    joint = bigrams.groupBy("g").agg(F.count(F.lit(1)).alias("cnt_bg"))
+    prefix = bigrams.groupBy("g1").agg(F.count(F.lit(1)).alias("cnt_w1"))
+    return (
+        bigrams.join(joint, "g")
+        .join(prefix, "g1")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("cnt_bg").alias("joint_sum"),
+            F.sum("cnt_w1").alias("prefix_sum"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "joint_sum",
+            "prefix_sum",
+            (
+                F.col("joint_sum").cast("double")
+                / F.col("prefix_sum").cast("double")
+            ).alias("bigram_score"),
+        )
+    )

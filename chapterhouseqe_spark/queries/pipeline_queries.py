@@ -3182,3 +3182,44 @@ def bpe_encode_corpus_stats(spark, sf_dir):
     from chapterhouseqe_spark.functions.text import bpe_encode_stats
 
     return bpe_encode_stats(t(spark, sf_dir, "documents"), "text", n_merges=3)
+
+
+@query(
+    "text_bigram_quality",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> len(t) > 0) AS tk
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT doc_id,
+             {o_md5_int("tk[i] || ' ' || tk[i+1]")} AS g,
+             {o_md5_int("tk[i]")} AS g1
+      FROM toks, unnest(generate_series(1, len(tk) - 1)) AS u(i)
+      WHERE len(tk) >= 2
+    ),
+    joint AS (SELECT g, COUNT(*) AS cnt_bg FROM bigrams GROUP BY g),
+    prefix AS (SELECT g1, COUNT(*) AS cnt_w1 FROM bigrams GROUP BY g1)
+    SELECT b.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(j.cnt_bg) AS BIGINT) AS joint_sum,
+           CAST(SUM(p.cnt_w1) AS BIGINT) AS prefix_sum,
+           CAST(SUM(j.cnt_bg) AS DOUBLE) / CAST(SUM(p.cnt_w1) AS DOUBLE)
+             AS bigram_score
+    FROM bigrams b JOIN joint j USING (g) JOIN prefix p USING (g1)
+    GROUP BY b.doc_id
+    """,
+    tags=("pipeline", "text"),
+    doc="corpus-trained bigram-LM quality score (the word-ORDER "
+    "signal unigram filtering can't see; CCNet's KenLM idea at "
+    "order 2): per doc, the micro-averaged conditional bigram "
+    "probability — a ratio of two exact BIGINT sums with one final "
+    "division, so it replays exactly where log-perplexity would not "
+    "(functions/text.py:bigram_prob_scores)",
+)
+def text_bigram_quality(spark, sf_dir):
+    from chapterhouseqe_spark.functions.text import bigram_prob_scores
+
+    return bigram_prob_scores(t(spark, sf_dir, "documents"), "text", "doc_id")

@@ -301,3 +301,22 @@ def test_bpe_encode_stats_merge_monotonicity(spark):
         21,
         17,
     )
+
+
+def test_bigram_prob_scores_hand_checked(spark):
+    """Tiny corpus with hand-computed joint/prefix sums: doc0 'a b a b'
+    (bigrams ab,ba,ab), doc1 'a b c' (ab,bc). Corpus joint counts
+    ab=3, ba=1, bc=1; prefix counts a=3, b=2."""
+    from chapterhouseqe_spark.functions.text import bigram_prob_scores
+
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c"), (2, "solo")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.joint_sum, r.prefix_sum, r.bigram_score)
+        for r in bigram_prob_scores(df, "text", "doc_id").collect()
+    }
+    assert got[0] == (3, 3 + 1 + 3, 3 + 2 + 3, 7 / 8)
+    assert got[1] == (2, 3 + 1, 3 + 2, 4 / 5)
+    assert 2 not in got  # single-token doc has no bigram

@@ -35,6 +35,11 @@ DEFAULT_SET = [
     "bpe_pair_counts",
     "unpivot_measures",
     "pipeline_pack_sequences",
+    # round-7 additions
+    "embedding_ivf_sq_topk",
+    "bpe_train_loop",
+    "dedup_substring_passages",
+    "pipeline_epoch_shuffle",
 ]
 
 
