@@ -142,6 +142,7 @@ EXTENDED_QUERIES = [
     "pipeline_epoch_shuffle",
     "bpe_encode_corpus_stats",
     "text_bigram_quality",
+    "pipeline_quality_lang_filter",
 ]
 
 

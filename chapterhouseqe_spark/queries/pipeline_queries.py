@@ -3223,3 +3223,68 @@ def text_bigram_quality(spark, sf_dir):
     from chapterhouseqe_spark.functions.text import bigram_prob_scores
 
     return bigram_prob_scores(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "pipeline_quality_lang_filter",
+    oracle=r"""
+    WITH m AS (
+      SELECT doc_id, lang,
+        CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+        CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n_toks,
+        CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+        CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+             x -> x IN ('the','a','of','and','is'))) AS DOUBLE) AS stop_hits
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang,
+        (CASE WHEN n_chars >= 100 AND n_chars <= 10000 THEN 1.0
+              WHEN n_chars >= 20 THEN 0.5 ELSE 0.0 END) * 0.4
+        + (CASE WHEN n_chars > 0 THEN alpha / n_chars ELSE 0.0 END) * 0.3
+        + (CASE WHEN (CASE WHEN n_toks > 0 THEN stop_hits / n_toks ELSE 0.0 END) >= 0.05
+                THEN 1.0
+                WHEN (CASE WHEN n_toks > 0 THEN stop_hits / n_toks ELSE 0.0 END) > 0
+                THEN 0.5 ELSE 0.0 END) * 0.3 AS quality
+      FROM m
+    ),
+    th AS (
+      SELECT lang, quantile_cont(quality, 0.25) AS p25
+      FROM scored GROUP BY lang
+    )
+    SELECT s.lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN s.quality >= t.p25 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           MAX(t.p25) AS p25
+    FROM scored s JOIN th t USING (lang)
+    GROUP BY s.lang
+    """,
+    tags=("pipeline", "text"),
+    doc="per-language quality-quantile filtering (keep each language's "
+    "top 75%): an absolute quality cutoff biases against low-resource "
+    "languages whose score distribution sits lower — the per-language "
+    "quantile threshold is the standard fix. Thresholds are a "
+    "|langs|-row broadcast (Spark percentile = DuckDB quantile_cont, "
+    "the portability already proven by percentile_stats); the "
+    "boundary compare reuses bit-identical quality doubles "
+    "(functions/text.py:quality_score)",
+)
+def pipeline_quality_lang_filter(spark, sf_dir):
+    from chapterhouseqe_spark.functions.text import quality_score
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", quality_score(F.col("text")).alias("quality")
+    )
+    th = d.groupBy("lang").agg(F.percentile("quality", 0.25).alias("p25"))
+    return (
+        d.join(F.broadcast(th), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("quality") >= F.col("p25")).cast("bigint")).alias(
+                "n_kept"
+            ),
+            F.max("p25").alias("p25"),
+        )
+    )
