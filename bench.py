@@ -143,6 +143,7 @@ EXTENDED_QUERIES = [
     "bpe_encode_corpus_stats",
     "text_bigram_quality",
     "pipeline_quality_lang_filter",
+    "text_gopher_rules",
 ]
 
 

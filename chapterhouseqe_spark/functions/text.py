@@ -636,3 +636,93 @@ def bigram_prob_scores(docs, text_col: str = "text", id_col: str = "doc_id"):
             ).alias("bigram_score"),
         )
     )
+
+
+def gopher_quality_rules(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """The Gopher rule-based quality battery (Rae et al. 2021, App. A)
+    computed per document in ONE narrow pass — no shuffle at all until
+    the caller aggregates: every metric is an expression over the
+    tokenized text, so the whole battery runs inside the scan stage.
+
+    Returns per document: ``n_words``, ``mean_word_len`` (chars/word),
+    ``symbol_word_ratio`` (# and ellipsis occurrences per word),
+    ``alpha_word_frac`` (words containing at least one letter),
+    ``dup_line_frac`` (repeated lines among newline-split lines), and
+    ``passes`` — the conjunction of the paper's bounds (50 <= words <=
+    100k, 3 <= mean len <= 10, symbol ratio < 0.1, alpha frac > 0.8,
+    dup-line frac < 0.3).
+
+    Every ratio is ONE division of exact integer counts (the same
+    portability rule as the unigram/bigram scorers); the rule
+    thresholds compare those bit-identical doubles, so pass/fail
+    replays exactly cross-engine.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    lines = F.filter(
+        F.split(F.col(text_col), r"\n"),
+        lambda x: F.length(F.trim(x)) > 0,
+    )
+    n_words = F.size(F.col("tk")).cast("bigint")
+    word_chars = F.aggregate(
+        F.transform(F.col("tk"), lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda a, v: a + v,
+    )
+    n_sym = (
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"#|\.\.\."), F.lit(0)))
+    ).cast("bigint")
+    n_alpha_words = F.size(
+        F.filter(F.col("tk"), lambda t: t.rlike("[A-Za-z]"))
+    ).cast("bigint")
+    n_lines = F.size(F.col("ln")).cast("bigint")
+    n_distinct_lines = F.size(F.array_distinct(F.col("ln"))).cast("bigint")
+
+    base = docs.select(
+        F.col(id_col), toks.alias("tk"), lines.alias("ln"), n_sym.alias("n_sym")
+    ).select(
+        id_col,
+        n_words.alias("n_words"),
+        word_chars.alias("word_chars"),
+        "n_sym",
+        n_alpha_words.alias("n_alpha_words"),
+        n_lines.alias("n_lines"),
+        n_distinct_lines.alias("n_distinct_lines"),
+    )
+    mean_word_len = F.when(
+        F.col("n_words") > 0,
+        F.col("word_chars").cast("double") / F.col("n_words").cast("double"),
+    ).otherwise(F.lit(0.0))
+    symbol_ratio = F.when(
+        F.col("n_words") > 0,
+        F.col("n_sym").cast("double") / F.col("n_words").cast("double"),
+    ).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        F.col("n_words") > 0,
+        F.col("n_alpha_words").cast("double") / F.col("n_words").cast("double"),
+    ).otherwise(F.lit(0.0))
+    dup_line_frac = F.when(
+        F.col("n_lines") > 0,
+        (F.col("n_lines") - F.col("n_distinct_lines")).cast("double")
+        / F.col("n_lines").cast("double"),
+    ).otherwise(F.lit(0.0))
+    out = base.select(
+        id_col,
+        "n_words",
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        dup_line_frac.alias("dup_line_frac"),
+    )
+    passes = (
+        (F.col("n_words") >= 50)
+        & (F.col("n_words") <= 100_000)
+        & (F.col("mean_word_len") >= 3.0)
+        & (F.col("mean_word_len") <= 10.0)
+        & (F.col("symbol_word_ratio") < 0.1)
+        & (F.col("alpha_word_frac") > 0.8)
+        & (F.col("dup_line_frac") < 0.3)
+    )
+    return out.withColumn("passes", passes)

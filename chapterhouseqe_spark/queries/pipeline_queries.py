@@ -3288,3 +3288,68 @@ def pipeline_quality_lang_filter(spark, sf_dir):
             F.max("p25").alias("p25"),
         )
     )
+
+
+@query(
+    "text_gopher_rules",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         t -> len(t) > 0) AS tk,
+             list_filter(string_split(text, chr(10)),
+                         l -> len(trim(l)) > 0) AS ln,
+             len(regexp_extract_all(text, '#|\.\.\.')) AS n_sym
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(tk) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(tk, t -> len(t))) AS BIGINT)
+               AS word_chars,
+             CAST(n_sym AS BIGINT) AS n_sym,
+             CAST(len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]')))
+                  AS BIGINT) AS n_alpha_words,
+             CAST(len(ln) AS BIGINT) AS n_lines,
+             CAST(len(list_distinct(ln)) AS BIGINT) AS n_distinct_lines
+      FROM base
+    ),
+    r AS (
+      SELECT doc_id, n_words,
+        CASE WHEN n_words > 0
+             THEN CAST(word_chars AS DOUBLE) / CAST(n_words AS DOUBLE)
+             ELSE 0.0 END AS mean_word_len,
+        CASE WHEN n_words > 0
+             THEN CAST(n_sym AS DOUBLE) / CAST(n_words AS DOUBLE)
+             ELSE 0.0 END AS symbol_word_ratio,
+        CASE WHEN n_words > 0
+             THEN CAST(n_alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE)
+             ELSE 0.0 END AS alpha_word_frac,
+        CASE WHEN n_lines > 0
+             THEN CAST(n_lines - n_distinct_lines AS DOUBLE)
+                  / CAST(n_lines AS DOUBLE)
+             ELSE 0.0 END AS dup_line_frac
+      FROM m
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+           alpha_word_frac, dup_line_frac,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_word_ratio < 0.1
+            AND alpha_word_frac > 0.8
+            AND dup_line_frac < 0.3) AS passes
+    FROM r
+    """,
+    tags=("pipeline", "text"),
+    doc="the Gopher rule-based quality battery (Rae et al. 2021 App. "
+    "A: word-count band, mean word length, symbol ratio, alphabetic-"
+    "word fraction, duplicate-line fraction) per document in ONE "
+    "narrow pass — every metric is an expression inside the scan "
+    "stage, zero shuffles; each ratio is one division of exact "
+    "integer counts so pass/fail replays bit-exactly "
+    "(functions/text.py:gopher_quality_rules)",
+)
+def text_gopher_rules(spark, sf_dir):
+    from chapterhouseqe_spark.functions.text import gopher_quality_rules
+
+    return gopher_quality_rules(t(spark, sf_dir, "documents"), "text", "doc_id")

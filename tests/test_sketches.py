@@ -320,3 +320,26 @@ def test_bigram_prob_scores_hand_checked(spark):
     assert got[0] == (3, 3 + 1 + 3, 3 + 2 + 3, 7 / 8)
     assert got[1] == (2, 3 + 1, 3 + 2, 4 / 5)
     assert 2 not in got  # single-token doc has no bigram
+
+
+def test_gopher_rules_hand_checked(spark):
+    """Synthetic docs hitting each rule: a passing doc, a
+    symbol-heavy doc, a numeric doc (low alpha fraction), and a
+    duplicate-line doc."""
+    from chapterhouseqe_spark.functions.text import gopher_quality_rules
+
+    good = " ".join(["word"] * 60)
+    symbols = " ".join(["word"] * 60) + " " + " ".join(["#"] * 10)
+    numeric = " ".join(["123"] * 60)
+    dup_lines = "\n".join(["same line of text"] * 8 + ["unique tail here"])
+    df = spark.createDataFrame(
+        [(0, good), (1, symbols), (2, numeric), (3, dup_lines)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in gopher_quality_rules(df, "text", "doc_id").collect()}
+    assert got[0].passes
+    assert got[0].n_words == 60 and got[0].mean_word_len == 4.0
+    assert not got[1].passes and got[1].symbol_word_ratio >= 0.1
+    assert not got[2].passes and got[2].alpha_word_frac == 0.0
+    # 9 lines, 2 distinct -> dup frac 7/9 > 0.3
+    assert not got[3].passes and abs(got[3].dup_line_frac - 7 / 9) < 1e-12
