@@ -144,6 +144,7 @@ EXTENDED_QUERIES = [
     "text_bigram_quality",
     "pipeline_quality_lang_filter",
     "text_gopher_rules",
+    "events_windowed_topk",
 ]
 
 

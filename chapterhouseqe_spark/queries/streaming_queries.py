@@ -529,3 +529,43 @@ def events_funnel_stages(spark, sf_dir):
         .select(F.lit("view>click>purchase").alias("stage"), "n_users", "sum_lag_us")
     )
     return s1.unionAll(s2).unionAll(s3)
+
+
+@query(
+    "events_windowed_topk",
+    oracle=f"""
+    SELECT window_start, event_type, cnt, rnk FROM (
+      SELECT {o_ts_str("date_trunc('hour', ts)")} AS window_start,
+             event_type, COUNT(*) AS cnt,
+             ROW_NUMBER() OVER (
+               PARTITION BY date_trunc('hour', ts)
+               ORDER BY COUNT(*) DESC, event_type) AS rnk
+      FROM events GROUP BY date_trunc('hour', ts), event_type
+    ) x WHERE rnk <= 3
+    """,
+    tags=("streaming", "window"),
+    doc="windowed top-k (trending items per hour): tumbling-window "
+    "counts then a rank window PARTITIONED BY the time window — the "
+    "per-window top-3 event types, ties to the smaller name. The rank "
+    "input is already collapsed to |windows|x|types| rows by the "
+    "map-side-combinable count, so the window sort is tiny regardless "
+    "of event volume — the standard trending-topics shape",
+)
+def events_windowed_topk(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("w").orderBy(F.col("cnt").desc(), "event_type")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            ts_str(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "cnt",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
