@@ -145,6 +145,7 @@ EXTENDED_QUERIES = [
     "pipeline_quality_lang_filter",
     "text_gopher_rules",
     "events_windowed_topk",
+    "multimodal_audio_chunks",
 ]
 
 
@@ -219,7 +220,7 @@ def main() -> None:
         core[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    line = json.dumps(
+    full = json.dumps(
         {
             "metric": "headline_total_runtime",
             "value": total,
@@ -232,17 +233,35 @@ def main() -> None:
             "sf": sf,
         }
     )
-    # The JSON line is the entire point of the run; emit it on BOTH
-    # stdout and stderr (harnesses capture a bounded tail of merged
-    # output — BENCH_r06.json lost its headline block to console-noise
-    # crowding) and keep a file copy for local diffing.
-    print(line, flush=True)
-    print(line, file=sys.stderr, flush=True)
+    # Harness runs capture only a bounded TAIL of output (BENCH_r06's
+    # recorded tail was 2000 chars — the full per-query JSON is several
+    # KB, so the headline block was cut off mid-line no matter how
+    # quiet the console). Emit the full detail FIRST (and to a file),
+    # then end with a COMPACT spec-shaped line — metric/value/unit/
+    # headline queries/tier totals, ~1 KB — so the LAST line always
+    # fits inside any reasonable tail capture and parses as JSON.
+    print(full, flush=True)
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_last.json"),
         "w",
     ) as f:
-        f.write(line + "\n")
+        f.write(full + "\n")
+    compact = json.dumps(
+        {
+            "metric": "headline_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "extended_total": round(sum(extended.values()), 3),
+            "core_total": round(sum(core.values()), 3),
+            "n_extended": len(extended),
+            "n_core": len(core),
+            "detail": "bench_last.json",
+            "sf": sf,
+        }
+    )
+    print(compact, flush=True)
+    print(compact, file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":

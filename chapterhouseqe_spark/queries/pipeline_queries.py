@@ -3353,3 +3353,47 @@ def text_gopher_rules(spark, sf_dir):
     from chapterhouseqe_spark.functions.text import gopher_quality_rules
 
     return gopher_quality_rules(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "multimodal_audio_chunks",
+    # payload is utf-8 of ASCII-only text in this dataset (verified:
+    # octet_length(encode(text)) == length(text) at every sf), so the
+    # oracle's VARCHAR substring slices the same bytes Spark's binary
+    # substring does and sha256 agrees byte-for-byte.
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n
+      FROM documents WHERE octet_length(encode(text)) > 0
+    ),
+    idx AS (
+      SELECT doc_id, text, n,
+             unnest(generate_series(0, CAST(ceil(n / 64.0) AS INTEGER) - 1))
+               AS chunk_idx
+      FROM sized
+    )
+    SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           CAST(chunk_idx * 64 AS BIGINT) AS byte_off,
+           CAST(least(64, n - chunk_idx * 64) AS BIGINT) AS chunk_len,
+           sha256(substring(text, chunk_idx * 64 + 1, 64)) AS chunk_sha
+    FROM idx
+    """,
+    tags=("pipeline", "multimodal"),
+    doc="fixed-size audio chunk segmentation (PCM framing before "
+    "feature extraction; chunk count VARIES with payload length, "
+    "unlike fixed-N frame sampling): one row per (doc, chunk) with "
+    "offset/length and the chunk sha256 as the deterministic decoded-"
+    "feature stand-in. Segmentation is PURE JVM — explode + binary "
+    "substring inside the scan stage, zero Python; only a real codec "
+    "decode would cross the Arrow boundary, and it would receive "
+    "pre-cut, relationally-pruned chunks "
+    "(sources/multimodal.py:chunk_audio)",
+)
+def multimodal_audio_chunks(spark, sf_dir):
+    from chapterhouseqe_spark.sources.multimodal import (
+        attach_binary_payload,
+        chunk_audio,
+    )
+
+    mm = attach_binary_payload(t(spark, sf_dir, "documents"))
+    return chunk_audio(mm, chunk_bytes=64)

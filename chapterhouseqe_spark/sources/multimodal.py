@@ -144,3 +144,45 @@ def sample_frames(
             )
 
     return multimodal.mapInPandas(batches, schema=_FRAME_SCHEMA)
+
+
+def chunk_audio(
+    multimodal: DataFrame,
+    chunk_bytes: int = 64,
+) -> DataFrame:
+    """Fixed-duration audio chunk segmentation (stubbed codec, real
+    plumbing): split each binary payload into ``chunk_bytes``-sized
+    chunks — the PCM framing step before feature extraction (for real
+    audio, ``chunk_bytes = sample_rate × bytes_per_sample × seconds``;
+    the payload here is utf-8 text standing in for PCM, same as the
+    other multimodal stubs).
+
+    Unlike :func:`sample_frames` (fixed N frames per doc) the chunk
+    count VARIES with payload length — the shape audio actually has.
+    Emits one row per (doc, chunk): index, byte offset, chunk length,
+    and the chunk's sha256 (the deterministic stand-in for a decoded
+    feature; both engines hash identical bytes).
+
+    Scale note: segmentation is PURE JVM — explode over an integer
+    sequence plus binary substring/sha2, entirely inside the scan
+    stage with zero Python. Only the actual DECODE (absent codecs)
+    would need the Arrow/`mapInPandas` boundary; cutting chunks never
+    does, so the expensive Python stage receives pre-cut chunks and
+    the relational engine prunes/filters before any decode runs.
+    """
+    n = F.length(F.col("payload"))
+    n_chunks = F.ceil(n.cast("double") / F.lit(float(chunk_bytes))).cast("int")
+    idx = F.explode(F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))))
+    off = F.col("chunk_idx").cast("bigint") * F.lit(chunk_bytes)
+    chunk = F.substring(F.col("payload"), (off + 1).cast("int"), chunk_bytes)
+    return (
+        multimodal.filter(n > 0)
+        .select(F.col("doc_id"), F.col("payload"), idx.alias("chunk_idx"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            off.alias("byte_off"),
+            F.length(chunk).cast("bigint").alias("chunk_len"),
+            F.sha2(chunk, 256).alias("chunk_sha"),
+        )
+    )
