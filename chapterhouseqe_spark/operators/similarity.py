@@ -68,7 +68,18 @@ def cosine_topk(
     many probes or production serving use the ANN tiers
     (``ivf_topk``/``pq_topk``/``ivfpq_topk``/``sq_topk``) — linear
     scans per probe do not survive a 100× corpus.
+
+    The top-k itself is TWO-STAGE (still exact): stage 1 takes the
+    top-k within each of 32 salt buckets per probe, stage 2 ranks the
+    ≤32k survivors per probe. A single ``Window.partitionBy(probe_id)``
+    would funnel the ENTIRE corpus's candidate rows for one probe into
+    one task (the r6 verdict's flagged hotspot); salting bounds the
+    final task at 32k rows per probe while the heavy stage-1 windows
+    parallelize across probe × salt. Exactness: every true top-k row
+    wins its own salt bucket (row_number is per-bucket, k survivors
+    per bucket ⊇ the global top k).
     """
+    n_salts = 32
     probes = emb.filter(probe_filter).select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("ea")
     )
@@ -77,11 +88,22 @@ def cosine_topk(
     )
     pairs = F.broadcast(probes).crossJoin(corpus).filter(F.col("probe_id") != F.col("id_b"))
     scored = pairs.select(
-        "probe_id", "id_b", cosine(F.col("ea"), F.col("eb")).alias("sim")
+        "probe_id",
+        "id_b",
+        cosine(F.col("ea"), F.col("eb")).alias("sim"),
+        F.pmod(F.col("id_b"), F.lit(n_salts)).alias("__salt"),
     )
-    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("id_b"))
+    w1 = Window.partitionBy("probe_id", "__salt").orderBy(
+        F.col("sim").desc(), F.col("id_b")
+    )
+    partial = (
+        scored.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= k)
+        .drop("rn", "__salt")
+    )
+    w2 = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("id_b"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        partial.withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") <= k)
         .select("probe_id", "id_b", "sim")
     )
