@@ -971,13 +971,28 @@ def sq_topk(
         F.broadcast(probes)
         .crossJoin(corpus)
         .filter(F.col("probe_id") != F.col("id_b"))
-        .select("probe_id", "id_b", score.alias("score_q"))
+        .select(
+            "probe_id",
+            "id_b",
+            score.alias("score_q"),
+            F.pmod(F.col("id_b"), F.lit(32)).alias("__salt"),
+        )
+    )
+    # two-stage exact top-k (same salting as cosine_topk): per-probe
+    # rank over the full corpus would funnel into one task
+    w1 = Window.partitionBy("probe_id", "__salt").orderBy(
+        F.col("score_q").desc(), F.col("id_b")
+    )
+    partial = (
+        pairs.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= k)
+        .drop("rn", "__salt")
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("score_q").desc(), F.col("id_b")
     )
     return (
-        pairs.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        partial.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= k)
         .select("probe_id", "id_b", "score_q", "rnk")
     )
