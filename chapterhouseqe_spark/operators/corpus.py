@@ -232,3 +232,34 @@ def epoch_shuffle(
         .withColumn("pos", F.row_number().over(w).cast("bigint"))
         .select(id_col, "shard", "pos")
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    epoch: int,
+    n_shards: int = 64,
+) -> int:
+    """Materialize :func:`epoch_shuffle`'s order as an actual training
+    artifact: one parquet directory partitioned by ``shard=<i>``, rows
+    within each shard written in position order — a loader streams
+    ``shard=0..n-1`` in file order and reads the exact permutation
+    `epoch_shuffle` assigned, restartably.
+
+    Plan: join the (shard, pos) assignment back to the payload on
+    ``id_col`` (one keyed shuffle), `repartition(n_shards, shard)` so
+    each shard is one task's output file set, and
+    ``sortWithinPartitions(pos)`` for the in-file order — no global
+    sort. Returns ``n_shards``.
+    """
+    order = epoch_shuffle(df, id_col, epoch, n_shards)
+    (
+        df.join(order, id_col)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return n_shards
