@@ -161,3 +161,35 @@ def test_python_udtf_lateral(spark):
         (1, "b c", 1),
         (2, "x y", 0),
     ]
+
+
+def test_file_sink_two_phase_commit(spark, tmp_path):
+    """chqe_filesink: committed output = exactly the input rows, the
+    manifest counts match, and no staging files survive a successful
+    commit."""
+    import json
+    import os
+
+    from chapterhouseqe_spark.sources.filesink import register_file_sink
+
+    register_file_sink(spark)
+    path = str(tmp_path / "sink")
+    df = spark.range(0, 1000).selectExpr(
+        "id", "cast(id * 2 as double) as v", "concat('r', id % 7) as tag"
+    ).repartition(4)
+    df.write.format("chqe_filesink").mode("append").save(path)
+
+    with open(os.path.join(path, "_SINK_MANIFEST.json")) as fh:
+        man = json.load(fh)
+    assert man["rows"] == 1000
+    assert len(man["files"]) == 4
+    assert not [f for f in os.listdir(path) if f.startswith("_staging-")]
+
+    rows = []
+    for entry in man["files"]:
+        with open(os.path.join(path, entry["file"])) as fh:
+            lines = [json.loads(l) for l in fh]
+        assert len(lines) == entry["rows"]
+        rows.extend(lines)
+    assert sorted(r["id"] for r in rows) == list(range(1000))
+    assert all(r["v"] == r["id"] * 2.0 for r in rows)
