@@ -285,3 +285,32 @@ def test_substring_dedup_single_gram_shuffle(queries, spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert "Exchange hashpartitioning(g#" in plan
+
+
+def test_gopher_and_audio_chunks_are_narrow(queries, spark, sf_dir):
+    """Both run entirely inside the scan stage: ZERO exchanges — any
+    shuffle appearing here means the narrow-pass promise broke."""
+    for name in ("text_gopher_rules", "multimodal_audio_chunks"):
+        plan = _executed_plan(queries[name](spark, sf_dir))
+        assert "Exchange" not in plan, name
+
+
+def test_quality_lang_filter_broadcasts_thresholds(queries, spark, sf_dir):
+    """The per-language p25 table must come back as a broadcast, never
+    a corpus-sized shuffle join."""
+    plan = _executed_plan(queries["pipeline_quality_lang_filter"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_windowed_topk_ranks_collapsed_input(queries, spark, sf_dir):
+    """The rank window's input is the pre-collapsed window-by-type
+    count table (map-side combinable aggregate BEFORE the window) —
+    never raw events."""
+    plan = _executed_plan(queries["events_windowed_topk"](spark, sf_dir))
+    assert "Window" in plan and "HashAggregate" in plan
+    # partial aggregation must appear below the window: the plan string
+    # lists Window above the final aggregate pair
+    assert plan.index("Window") < plan.index("HashAggregate")
+    assert "Exchange SinglePartition" not in plan
