@@ -225,7 +225,10 @@ def epoch_shuffle(
             F.lit(str(int(epoch))), F.lit(":"), F.col(id_col).cast("string")
         )
     )
-    w = Window.partitionBy("shard").orderBy("okey")
+    # id tie-breaker: the 60-bit key space birthday-collides around
+    # 1e9 ids (≈0.4 expected collisions at 1B docs) — without it a
+    # collision would make the within-shard order nondeterministic.
+    w = Window.partitionBy("shard").orderBy("okey", id_col)
     return (
         df.select(F.col(id_col), key.alias("okey"))
         .withColumn("shard", F.pmod(F.col("okey"), F.lit(n_shards)).cast("int"))

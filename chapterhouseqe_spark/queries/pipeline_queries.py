@@ -3080,7 +3080,7 @@ def pipeline_temperature_weights(spark, sf_dir):
       FROM keyed
     )
     SELECT doc_id, shard,
-           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY okey)
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY okey, doc_id)
                 AS BIGINT) AS pos
     FROM sharded
     """,
