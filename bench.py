@@ -3,11 +3,18 @@
 Runs the engine's headline workload — reference-parity scan/filter (the
 reference's own huge_simple benchmark shape), TPC-H-shaped join/agg
 queries, window functions, and the pipeline operators (dedup,
-similarity, text) — on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
-line::
+similarity, text) — on ``local[$SPARK_GRAFT_CPUS]``, then EVERY other
+registered query (extended + computed core tier, so no query escapes
+regression timing). Output: the full per-query JSON line first (also
+saved to ``bench_last.json``), then a compact ~1 KB final line::
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": 0.1}
+     "queries": {headline name: sec, ...}, "extended_total": ...,
+     "core_total": ..., "sf": 0.1}
+
+The compact line ends the output because recorded artifacts capture a
+bounded output TAIL — the full per-query dict outgrew the round-6
+capture and truncated mid-line.
 
 Each query is fully materialized via a count/collect-free foreach-noop
 (``df.write.format("noop")``) so the measured time is scan+compute, not
