@@ -171,8 +171,24 @@ class QueryEngine:
         )
         return self.spark.sql(rewritten)
 
-    def _load_source(self, source) -> DataFrame:
+    def _load_source(self, source, where=None) -> DataFrame:
         if isinstance(source, ReadFilesSource):
+            # manifest-based file skipping (sql/manifest_prune.py): a
+            # _MANIFEST.json beside the data lets numeric WHERE bounds
+            # prune files at PLAN time — the scan never lists a skipped
+            # file. Results are identical either way (the WHERE still
+            # runs; pruning only removes provably-empty files).
+            resolved = self.registry.get(source.connection).resolve(
+                source.path_glob
+            )
+            if where is not None:
+                from chapterhouseqe_spark.sql.manifest_prune import (
+                    pruned_file_list,
+                )
+
+                kept = pruned_file_list(resolved, where)
+                if kept is not None:
+                    return self.spark.read.parquet(*kept)
             return load_glob(
                 self.spark,
                 source.path_glob,
@@ -191,7 +207,7 @@ class QueryEngine:
         raise ValueError(f"unknown source {source!r}")  # pragma: no cover
 
     def _build_reference(self, stmt: SelectStatement) -> DataFrame:
-        df = self._load_source(stmt.source)
+        df = self._load_source(stmt.source, where=stmt.where)
         for extra in stmt.more_sources:
             # multiple FROM relations all feed the same downstream stage
             # in the reference — a bag union of their batches, NOT a

@@ -145,3 +145,70 @@ def test_connection_hadoop_conf_applied_on_scan(spark, sf_dir):
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     assert hconf.get("fs.s3a.bucket.chqe-test.access.key") == "AKTEST"
     assert hconf.get("fs.s3a.bucket.chqe-test.endpoint") == "http://minio.local:9000"
+
+
+def test_reference_query_prunes_files_via_manifest(spark, sf_dir, tmp_path):
+    """A read_files query over a manifest-backed clustered directory
+    reads ONLY the files whose [min,max] intersect the WHERE bounds —
+    observed via df.inputFiles() — and returns exactly the unpruned
+    result."""
+    from chapterhouseqe_spark.connections import ConnectionRegistry
+    from chapterhouseqe_spark.engine import QueryEngine
+    from chapterhouseqe_spark.operators.layout import (
+        cluster_write,
+        write_manifest,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    path = str(tmp_path / "li_by_orderkey")
+    cluster_write(li, path, ["l_orderkey"], num_files=8)
+    write_manifest(path, ["l_orderkey"], spark=spark)
+
+    eng = QueryEngine(
+        spark,
+        results_root=str(tmp_path / "res"),
+        registry=ConnectionRegistry(default_base=str(tmp_path)),
+    )
+    sql = (
+        "select l_orderkey, l_quantity from "
+        "read_files('li_by_orderkey/*.parquet') "
+        "where l_orderkey >= 100 and l_orderkey <= 120"
+    )
+    df = eng.dataframe_for(sql, mode="reference")
+    assert 1 <= len(df.inputFiles()) <= 2, "manifest did not prune"
+
+    expected = sorted(
+        (r.l_orderkey, r.l_quantity)
+        for r in li.filter(
+            "l_orderkey >= 100 and l_orderkey <= 120"
+        ).select("l_orderkey", "l_quantity").collect()
+    )
+    got = sorted((r.l_orderkey, r.l_quantity) for r in df.collect())
+    assert got == expected and got
+
+    # a directory WITHOUT a manifest takes the plain path untouched
+    plain = str(tmp_path / "plain")
+    li.limit(100).write.parquet(plain)
+    df2 = eng.dataframe_for(
+        "select l_orderkey from read_files('plain/*.parquet') "
+        "where l_orderkey >= 0",
+        mode="reference",
+    )
+    assert df2.count() == 100
+
+
+def test_manifest_prune_bounds_extraction():
+    """Conjunct walking: AND-splits, mirrored literals, equality as a
+    closed point, non-numeric and OR conjuncts ignored."""
+    from chapterhouseqe_spark.sql.manifest_prune import numeric_bounds
+    from chapterhouseqe_spark.sql.parser import parse_select
+
+    stmt = parse_select(
+        "select a from read_files('x.parquet') "
+        "where a >= 5 and 20 > a and b = 7 and name = 'y' and (d = 1 or d = 2)"
+    )
+    b = numeric_bounds(stmt.where)
+    assert b["a"] == (5.0, 20.0)
+    assert b["b"] == (7.0, 7.0)
+    # string equality and OR-disjuncts never contribute bounds
+    assert "name" not in b and "d" not in b
