@@ -66,9 +66,51 @@ def _build_read_files(spark, args, kwargs, connections) -> DataFrame:
 
     if len(args) != 1:
         raise TableFunctionError("read_files takes exactly one path glob")
-    unknown = set(kwargs) - {"connection", "merge_schema"}
+    unknown = set(kwargs) - {
+        "connection",
+        "merge_schema",
+        "prune_col",
+        "prune_lo",
+        "prune_hi",
+    }
     if unknown:
         raise TableFunctionError(f"unknown read_files argument {sorted(unknown)[0]!r}")
+    # spark-mode manifest file skipping: the full-SQL path can't see
+    # the statement's WHERE clause (reference mode extracts it
+    # automatically — engine._load_source), so it is opt-in via
+    # prune_col/prune_lo/prune_hi against the directory's
+    # _MANIFEST.json. Same conservative numeric rules; a directory
+    # without a manifest or non-numeric bounds falls back to the plain
+    # scan. Results are identical either way — callers keep their own
+    # WHERE for the residual filter.
+    if "prune_col" in kwargs:
+        from chapterhouseqe_spark.sql.manifest_prune import pruned_file_list
+        from chapterhouseqe_spark.sql.parser import BinaryOp, Identifier, Literal
+
+        try:
+            lo = float(kwargs["prune_lo"]) if "prune_lo" in kwargs else None
+            hi = float(kwargs["prune_hi"]) if "prune_hi" in kwargs else None
+        except ValueError as e:
+            raise TableFunctionError(
+                "prune_lo/prune_hi must be numeric literals"
+            ) from e
+        if lo is None and hi is None:
+            raise TableFunctionError(
+                "prune_col requires prune_lo and/or prune_hi"
+            )
+        ident = Identifier((kwargs["prune_col"],))
+        conj = None
+        if lo is not None:
+            conj = BinaryOp(">=", ident, Literal(lo, "float"))
+        if hi is not None:
+            upper = BinaryOp("<=", ident, Literal(hi, "float"))
+            conj = BinaryOp("and", conj, upper) if conj is not None else upper
+        resolved = connections.get(kwargs.get("connection", "default")).resolve(
+            args[0]
+        )
+        kept = pruned_file_list(resolved, conj)
+        if kept is not None:
+            return spark.read.parquet(*kept)
     return load_glob(
         spark,
         args[0],

@@ -193,3 +193,49 @@ def test_file_sink_two_phase_commit(spark, tmp_path):
         rows.extend(lines)
     assert sorted(r["id"] for r in rows) == list(range(1000))
     assert all(r["v"] == r["id"] * 2.0 for r in rows)
+
+
+def test_spark_mode_read_files_prune_kwargs(spark, sf_dir, tmp_path):
+    """Full-SQL mode opts into manifest skipping via
+    prune_col/prune_lo/prune_hi — fewer input files, identical rows."""
+    from chapterhouseqe_spark.connections import ConnectionRegistry
+    from chapterhouseqe_spark.engine import QueryEngine
+    from chapterhouseqe_spark.operators.layout import (
+        cluster_write,
+        write_manifest,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    path = str(tmp_path / "li")
+    cluster_write(li, path, ["l_orderkey"], num_files=8)
+    write_manifest(path, ["l_orderkey"], spark=spark)
+
+    eng = QueryEngine(
+        spark,
+        results_root=str(tmp_path / "res"),
+        registry=ConnectionRegistry(default_base=str(tmp_path)),
+    )
+    pruned = eng.dataframe_for(
+        "select sum(l_quantity) as q from read_files('li/*.parquet', "
+        "prune_col=>'l_orderkey', prune_lo=>'100', prune_hi=>'120') "
+        "where l_orderkey between 100 and 120"
+    )
+    plain = eng.dataframe_for(
+        "select sum(l_quantity) as q from read_files('li/*.parquet') "
+        "where l_orderkey between 100 and 120"
+    )
+    assert pruned.collect() == plain.collect()
+
+    import pytest
+
+    from chapterhouseqe_spark.sql.table_functions import (
+        TableFunctionError,
+        default_table_functions,
+    )
+
+    fns = default_table_functions()
+    with pytest.raises(TableFunctionError, match="prune_lo"):
+        fns.get("read_files").build(
+            spark, ["li/*.parquet"], {"prune_col": "l_orderkey"},
+            ConnectionRegistry(default_base=str(tmp_path)),
+        )
