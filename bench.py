@@ -153,6 +153,7 @@ EXTENDED_QUERIES = [
     "text_gopher_rules",
     "events_windowed_topk",
     "multimodal_audio_chunks",
+    "events_anomaly_zscore",
 ]
 
 

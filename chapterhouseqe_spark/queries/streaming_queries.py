@@ -569,3 +569,79 @@ def events_windowed_topk(spark, sf_dir):
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT h, event_type, cnt,
+             COUNT(*) OVER w AS n_prev,
+             CAST(SUM(cnt) OVER w AS BIGINT) AS sum_prev,
+             CAST(SUM(cnt * cnt) OVER w AS BIGINT) AS sumsq_prev
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT {o_ts_str('h')} AS window_start, event_type, cnt,
+           CAST(sum_prev AS DOUBLE) / CAST(n_prev AS DOUBLE) AS mean_prev,
+           (CAST(cnt AS DOUBLE)
+            - CAST(sum_prev AS DOUBLE) / CAST(n_prev AS DOUBLE))
+           / sqrt((CAST(sumsq_prev AS DOUBLE)
+                   - CAST(sum_prev AS DOUBLE) * CAST(sum_prev AS DOUBLE)
+                     / CAST(n_prev AS DOUBLE))
+                  / CAST(n_prev - 1 AS DOUBLE) + 1.0) AS zscore
+    FROM stats WHERE n_prev >= 12
+    """,
+    tags=("streaming", "window", "stats"),
+    doc="windowed anomaly score: each hour's event count vs its "
+    "trailing-24h baseline, z = (x - mean)/sqrt(var + 1) per event "
+    "type (the +1 regularizer keeps constant-rate windows finite — "
+    "and in integer arithmetic until the last few IEEE ops, evaluated "
+    "in the same order on both engines so the score replays exactly; "
+    "a log-domain or engine-native stddev would not). The rank input "
+    "is the |hours|x|types| count table, so the trailing window is "
+    "tiny regardless of event volume — the standard rate-anomaly "
+    "monitor over an event stream",
+)
+def events_anomaly_zscore(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-24, -1)
+    )
+    stats = hourly.select(
+        "h",
+        "event_type",
+        "cnt",
+        F.count(F.lit(1)).over(w).alias("n_prev"),
+        F.sum("cnt").over(w).alias("sum_prev"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("sumsq_prev"),
+    ).filter(F.col("n_prev") >= 12)
+    mean = F.col("sum_prev").cast("double") / F.col("n_prev").cast("double")
+    var = (
+        F.col("sumsq_prev").cast("double")
+        - F.col("sum_prev").cast("double")
+        * F.col("sum_prev").cast("double")
+        / F.col("n_prev").cast("double")
+    ) / (F.col("n_prev") - 1).cast("double")
+    return stats.select(
+        ts_str(F.col("h")).alias("window_start"),
+        "event_type",
+        "cnt",
+        mean.alias("mean_prev"),
+        ((F.col("cnt").cast("double") - mean) / F.sqrt(var + F.lit(1.0))).alias(
+            "zscore"
+        ),
+    )
