@@ -190,11 +190,18 @@ GRADE_ORDER: tuple[str, ...] = (
     "variance_exact",
     "ref_order_by_limit",
     "exists_subquery",
-    # (b) per-family canaries
+    # (b) per-family canaries. Two slots go to queries whose
+    # IMPLEMENTATION changed in r7 and who therefore need fresh driver
+    # evidence more than their unchanged family-mates do:
+    # stream_dedup_watermark switched to dropDuplicatesWithinWatermark
+    # (the state-eviction fix) and embedding_sq_topk gained the salted
+    # two-stage top-k — the displaced representatives
+    # (stream_source_replay_agg, embedding_ann_rerank) are UNCHANGED
+    # since their green r6 rows.
     "dedup_minhash_lsh",
-    "embedding_ann_rerank",
+    "embedding_sq_topk",
     "text_unigram_quality",
-    "stream_source_replay_agg",
+    "stream_dedup_watermark",
     "merge_upsert_orders",
     "zorder_layout_scan",
     "multimodal_frame_sample",

@@ -107,9 +107,9 @@ def test_graded_prefix_invariants():
         "subquery": "exists_subquery",
         "udf": "udf_pandas_charge",
         "dedup": "dedup_minhash_lsh",
-        "similarity": "embedding_ann_rerank",
+        "similarity": "embedding_sq_topk",
         "text": "text_unigram_quality",
-        "streaming": "stream_source_replay_agg",
+        "streaming": "stream_dedup_watermark",
         "maintenance": "merge_upsert_orders",
         "layout": "zorder_layout_scan",
         "sources": "multimodal_frame_sample",
