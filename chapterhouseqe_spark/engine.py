@@ -188,7 +188,9 @@ class QueryEngine:
 
                 kept = pruned_file_list(resolved, where)
                 if kept is not None:
-                    return self.spark.read.parquet(*kept)
+                    return self.spark.read.option(
+                        "mergeSchema", str(source.merge_schema).lower()
+                    ).parquet(*kept)
             return load_glob(
                 self.spark,
                 source.path_glob,

@@ -110,7 +110,10 @@ def _build_read_files(spark, args, kwargs, connections) -> DataFrame:
         )
         kept = pruned_file_list(resolved, conj)
         if kept is not None:
-            return spark.read.parquet(*kept)
+            return spark.read.option(
+                "mergeSchema",
+                kwargs.get("merge_schema", "false").lower(),
+            ).parquet(*kept)
     return load_glob(
         spark,
         args[0],
