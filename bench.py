@@ -154,6 +154,7 @@ EXTENDED_QUERIES = [
     "events_windowed_topk",
     "multimodal_audio_chunks",
     "events_anomaly_zscore",
+    "ref_manifest_pruned_query",
 ]
 
 

@@ -2882,3 +2882,51 @@ def recursive_cte_hierarchy(spark, sf_dir):
         GROUP BY depth
         """
     )
+
+
+@query(
+    "ref_manifest_pruned_query",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+           {o_dsum('l_extendedprice')} AS total_price
+    FROM lineitem
+    WHERE l_orderkey >= 500 AND l_orderkey <= 900
+    """,
+    tags=("reference", "scan", "layout"),
+    doc="the engine's reference SQL path over a manifest-backed "
+    "clustered directory: numeric WHERE bounds prune files at PLAN "
+    "time (sql/manifest_prune.py via engine._load_source) and the "
+    "result must equal the plain full-table aggregate — the driver "
+    "gate becomes the end-to-end proof that pruning never changes an "
+    "answer. The clustered copy + manifest build is one-time, cached "
+    "by the source fingerprint like the other layout queries",
+)
+def ref_manifest_pruned_query(spark, sf_dir):
+    import os
+
+    from chapterhouseqe_spark.connections import ConnectionRegistry
+    from chapterhouseqe_spark.engine import QueryEngine
+    from chapterhouseqe_spark.operators.layout import (
+        cluster_write,
+        write_manifest,
+    )
+
+    key = _source_fingerprint(sf_dir, "lineitem")
+    base = f"/tmp/chqe_manifest/{key}"
+    out = f"{base}/lineitem_by_orderkey"
+    if not os.path.exists(os.path.join(out, "_MANIFEST.json")):
+        cluster_write(
+            t(spark, sf_dir, "lineitem"), out, ["l_orderkey"], num_files=8
+        )
+        write_manifest(out, ["l_orderkey"], spark=spark)
+    eng = QueryEngine(spark, registry=ConnectionRegistry(default_base=base))
+    df = eng.dataframe_for(
+        "select l_orderkey, l_extendedprice from "
+        "read_files('lineitem_by_orderkey/*.parquet') "
+        "where l_orderkey >= 500 and l_orderkey <= 900",
+        mode="reference",
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum(F.col("l_extendedprice")).alias("total_price"),
+    )
