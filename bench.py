@@ -155,6 +155,7 @@ EXTENDED_QUERIES = [
     "multimodal_audio_chunks",
     "events_anomaly_zscore",
     "ref_manifest_pruned_query",
+    "hll_set_algebra",
 ]
 
 

@@ -520,3 +520,109 @@ def linear_counting(
         F.countDistinct(F.col(key_col)).alias("n_exact"),
         F.countDistinct(pos).alias("bits_set"),
     )
+
+
+def _hll_estimate_from_registers(regs: DataFrame, m: int):
+    """(n_filled, s_scaled, hll_est) aggregate over a (bucket, M)
+    register frame — the shared integer-exact estimate used by
+    :func:`hll_estimate` and the set-algebra path."""
+    numerator = _HLL_ALPHA_64 * m * m * float(1 << 56)
+    filled = regs.agg(
+        F.count(F.lit(1)).alias("n_filled"),
+        F.coalesce(
+            F.sum(F.expr("CAST(1 AS BIGINT) << (56 - M)")),
+            F.lit(0).cast("long"),
+        ).alias("s_filled"),
+    )
+    s_total = (
+        F.col("s_filled")
+        + (F.lit(m).cast("long") - F.col("n_filled"))
+        * F.lit(1 << 56).cast("long")
+    )
+    return filled.select(
+        (F.lit(numerator) / s_total.cast("double")).alias("est")
+    )
+
+
+def hll_set_estimates(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_col: str,
+    m: int = 64,
+) -> DataFrame:
+    """HLL SET ALGEBRA — the mergeability contract exercised for real:
+    sketch A and sketch B merge by cellwise register MAX (a full-outer
+    join on bucket; a missing register is 0), the merged sketch
+    estimates ``|A ∪ B|`` WITHOUT rescanning either stream, and
+    ``|A ∩ B|`` follows by inclusion-exclusion
+    (est_a + est_b - est_union). This is what makes HLL state shippable
+    at 100 TB: per-shard/per-day sketches union by MAX — never by
+    re-aggregating keys — and audience-overlap style questions answer
+    from m-row states.
+
+    Returns ONE row: (m, est_a, est_b, est_union, est_intersection,
+    n_exact_a, n_exact_b, n_exact_union, n_exact_intersection) — the
+    exact columns grade the estimates against truth; the estimates
+    themselves are integer-exact up to one final division each, and
+    the intersection is a fixed-order 3-term double expression, so
+    every column replays bit-for-bit.
+    """
+    if m != 64:
+        raise ValueError("hll_set_estimates currently supports m=64 only")
+    ra = hll_registers(df_a, key_col, m)
+    rb = hll_registers(df_b, key_col, m)
+    merged = (
+        ra.select("bucket", F.col("M").alias("Ma"))
+        .join(rb.select("bucket", F.col("M").alias("Mb")), "bucket", "full")
+        .select(
+            "bucket",
+            F.greatest(
+                F.coalesce(F.col("Ma"), F.lit(0)),
+                F.coalesce(F.col("Mb"), F.lit(0)),
+            ).alias("M"),
+        )
+    )
+    ea = _hll_estimate_from_registers(ra, m).select(F.col("est").alias("est_a"))
+    eb = _hll_estimate_from_registers(rb, m).select(F.col("est").alias("est_b"))
+    eu = _hll_estimate_from_registers(merged, m).select(
+        F.col("est").alias("est_union")
+    )
+    ka = df_a.filter(F.col(key_col).isNotNull()).select(
+        F.col(key_col).alias("k")
+    )
+    kb = df_b.filter(F.col(key_col).isNotNull()).select(
+        F.col(key_col).alias("k")
+    )
+    exact = (
+        ka.distinct()
+        .withColumn("in_a", F.lit(1))
+        .join(kb.distinct().withColumn("in_b", F.lit(1)), "k", "full")
+        .agg(
+            F.sum(F.coalesce(F.col("in_a"), F.lit(0))).alias("n_exact_a"),
+            F.sum(F.coalesce(F.col("in_b"), F.lit(0))).alias("n_exact_b"),
+            F.count(F.lit(1)).alias("n_exact_union"),
+            F.sum(
+                (
+                    F.col("in_a").isNotNull() & F.col("in_b").isNotNull()
+                ).cast("bigint")
+            ).alias("n_exact_intersection"),
+        )
+    )
+    return (
+        ea.crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(m).alias("m"),
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+                "est_intersection"
+            ),
+            F.col("n_exact_a").cast("bigint").alias("n_exact_a"),
+            F.col("n_exact_b").cast("bigint").alias("n_exact_b"),
+            "n_exact_union",
+            "n_exact_intersection",
+        )
+    )

@@ -3397,3 +3397,76 @@ def multimodal_audio_chunks(spark, sf_dir):
 
     mm = attach_binary_payload(t(spark, sf_dir, "documents"))
     return chunk_audio(mm, chunk_bytes=64)
+
+
+def _hll_regs_cte(src_sql: str, key_expr: str) -> str:
+    """Register-table CTE body for the set-algebra oracle (m=64, same
+    md5/bit arithmetic as operators/sketches.py:hll_oracle_sql)."""
+    h = o_md5_int(f"CAST({key_expr} AS VARCHAR)")
+    return f"""
+      SELECT h % 64 AS bucket,
+             MAX(CASE WHEN h // 64 = 0 THEN 55
+                      ELSE 55 - length(bin(h // 64)) END) AS M
+      FROM (SELECT {h} AS h FROM {src_sql} WHERE {key_expr} IS NOT NULL)
+      GROUP BY h % 64
+    """
+
+
+def _hll_numerator_64() -> str:
+    from chapterhouseqe_spark.operators.sketches import _HLL_ALPHA_64
+
+    return repr(_HLL_ALPHA_64 * 64 * 64 * float(1 << 56))
+
+
+_HLL_EST_SQL = (
+    f"{_hll_numerator_64()} / "
+    "CAST(COALESCE(SUM((CAST(1 AS BIGINT) << (56 - M))), CAST(0 AS BIGINT))"
+    " + (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 56) AS DOUBLE)"
+)
+
+
+@query(
+    "hll_set_algebra",
+    oracle=f"""
+    WITH ra AS ({_hll_regs_cte("(SELECT user_id FROM events WHERE event_type = 'click')", "user_id")}),
+    rb AS ({_hll_regs_cte("(SELECT user_id FROM events WHERE event_type = 'purchase')", "user_id")}),
+    merged AS (
+      SELECT COALESCE(ra.bucket, rb.bucket) AS bucket,
+             GREATEST(COALESCE(ra.M, 0), COALESCE(rb.M, 0)) AS M
+      FROM ra FULL OUTER JOIN rb USING (bucket)
+    ),
+    ea AS (SELECT {_HLL_EST_SQL} AS est_a FROM ra),
+    eb AS (SELECT {_HLL_EST_SQL} AS est_b FROM rb),
+    eu AS (SELECT {_HLL_EST_SQL} AS est_union FROM merged),
+    ka AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    kb AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    ex AS (
+      SELECT CAST(SUM(CASE WHEN a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_a,
+             CAST(SUM(CASE WHEN b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_b,
+             CAST(COUNT(*) AS BIGINT) AS n_exact_union,
+             CAST(SUM(CASE WHEN a IS NOT NULL AND b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_intersection
+      FROM (SELECT ka.user_id AS a, kb.user_id AS b
+            FROM ka FULL OUTER JOIN kb ON ka.user_id = kb.user_id)
+    )
+    SELECT 64 AS m, est_a, est_b, est_union,
+           est_a + est_b - est_union AS est_intersection,
+           n_exact_a, n_exact_b, n_exact_union, n_exact_intersection
+    FROM ea, eb, eu, ex
+    """,
+    tags=("pipeline", "sketch"),
+    doc="HLL set algebra graded end-to-end: click-user and purchase-"
+    "user sketches MERGE by cellwise register MAX (full-outer join on "
+    "bucket) to estimate the union without rescanning either stream, "
+    "and the intersection follows by inclusion-exclusion — the "
+    "audience-overlap primitive, and the actual mergeability contract "
+    "shard sketches rely on at 100 TB. Estimates are integer-exact up "
+    "to one division each, so the row value-hashes "
+    "(operators/sketches.py:hll_set_estimates)",
+)
+def hll_set_algebra(spark, sf_dir):
+    from chapterhouseqe_spark.operators.sketches import hll_set_estimates
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    return hll_set_estimates(clicks, purchases, "user_id", m=64)

@@ -343,3 +343,46 @@ def test_gopher_rules_hand_checked(spark):
     assert not got[2].passes and got[2].alpha_word_frac == 0.0
     # 9 lines, 2 distinct -> dup frac 7/9 > 0.3
     assert not got[3].passes and abs(got[3].dup_line_frac - 7 / 9) < 1e-12
+
+
+def test_hll_merge_equals_sketch_of_union(spark):
+    """The merged sketch (cellwise MAX) must have IDENTICAL registers
+    to a sketch built over the concatenated streams — the mergeability
+    law itself, independent of any estimate."""
+    from chapterhouseqe_spark.operators.sketches import (
+        hll_registers,
+        hll_set_estimates,
+    )
+
+    a = spark.range(0, 500).withColumnRenamed("id", "k")
+    b = spark.range(300, 900).withColumnRenamed("id", "k")
+    ra = hll_registers(a, "k", 64)
+    rb = hll_registers(b, "k", 64)
+    from pyspark.sql import functions as F
+
+    merged = {
+        r.bucket: r.M
+        for r in ra.select("bucket", F.col("M").alias("Ma"))
+        .join(rb.select("bucket", F.col("M").alias("Mb")), "bucket", "full")
+        .select(
+            "bucket",
+            F.greatest(
+                F.coalesce(F.col("Ma"), F.lit(0)),
+                F.coalesce(F.col("Mb"), F.lit(0)),
+            ).alias("M"),
+        )
+        .collect()
+    }
+    direct = {
+        r.bucket: r.M
+        for r in hll_registers(a.unionAll(b), "k", 64).collect()
+    }
+    assert merged == direct
+
+    row = hll_set_estimates(a, b, "k", m=64).collect()[0]
+    assert row.n_exact_a == 500 and row.n_exact_b == 600
+    assert row.n_exact_union == 900 and row.n_exact_intersection == 200
+    # m=64 -> ~13% standard error; union within 3 sigma
+    assert abs(row.est_union - 900) / 900 < 3 * 1.04 / 8
+    # inclusion-exclusion consistency by construction
+    assert abs(row.est_a + row.est_b - row.est_union - row.est_intersection) < 1e-9
