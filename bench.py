@@ -156,6 +156,7 @@ EXTENDED_QUERIES = [
     "events_anomaly_zscore",
     "ref_manifest_pruned_query",
     "hll_set_algebra",
+    "graph_triangle_count",
 ]
 
 

@@ -3470,3 +3470,75 @@ def hll_set_algebra(spark, sf_dir):
     clicks = ev.filter(F.col("event_type") == "click")
     purchases = ev.filter(F.col("event_type") == "purchase")
     return hll_set_estimates(clicks, purchases, "user_id", m=64)
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey AS ok, l_linenumber AS ln, l_suppkey FROM lineitem
+    ),
+    raw AS (
+      SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM li a JOIN li b ON a.ok = b.ok AND a.ln = b.ln + 1
+      WHERE a.l_suppkey <> b.l_suppkey
+    ),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM raw
+    ),
+    deg AS (
+      SELECT v, COUNT(*) AS d FROM (
+        SELECT a AS v FROM und UNION ALL SELECT b FROM und
+      ) GROUP BY v
+    ),
+    e AS (
+      SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND und.a < und.b)
+                  THEN und.a ELSE und.b END AS u,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND und.a < und.b)
+                  THEN und.b ELSE und.a END AS w
+      FROM und JOIN deg da ON da.v = und.a JOIN deg db ON db.v = und.b
+    ),
+    wedges AS (
+      SELECT e1.u, e1.w AS v1, e2.w AS v2
+      FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.w < e2.w
+    ),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM wedges JOIN und ON und.a = wedges.v1 AND und.b = wedges.v2
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges,
+           n_triangles
+    FROM tri
+    """,
+    tags=("pipeline", "graph"),
+    doc="exact distributed triangle counting (Suri & Vassilvitskii "
+    "2011 degree-ordered wedges) over the supplier co-occurrence "
+    "graph: each triangle's unique lowest-(degree,id) node emits its "
+    "one wedge, so no overcount division and — the scale point — a "
+    "celebrity node forms wedges only through edges where it is the "
+    "LOW end, bounding per-node work by arboricity instead of "
+    "degree^2 (operators/graph.py:triangle_count)",
+)
+def graph_triangle_count(spark, sf_dir):
+    from chapterhouseqe_spark.operators.graph import triangle_count
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey"
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_suppkey").alias("src"),
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"),
+        (F.col("l_linenumber") - 1).alias("ln"),
+        F.col("l_suppkey").alias("dst"),
+    )
+    edges = (
+        a.join(b, ["ok", "ln"])
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+    return triangle_count(edges)

@@ -386,3 +386,19 @@ def test_hll_merge_equals_sketch_of_union(spark):
     assert abs(row.est_union - 900) / 900 < 3 * 1.04 / 8
     # inclusion-exclusion consistency by construction
     assert abs(row.est_a + row.est_b - row.est_union - row.est_intersection) < 1e-9
+
+
+def test_triangle_count_hand_checked(spark):
+    """K4 has 4 triangles; adding a pendant edge adds none; duplicate
+    and reversed edges collapse."""
+    from chapterhouseqe_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = k4 + [(3, 9), (1, 0), (2, 1)]  # pendant + dup/reversed
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = triangle_count(df).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (5, 7, 4)
+
+    # triangle-free graph (a path) counts zero
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    assert triangle_count(path).collect()[0].n_triangles == 0
