@@ -314,3 +314,20 @@ def test_windowed_topk_ranks_collapsed_input(queries, spark, sf_dir):
     # lists Window above the final aggregate pair
     assert plan.index("Window") < plan.index("HashAggregate")
     assert "Exchange SinglePartition" not in plan
+
+
+def test_hll_set_and_triangles_plan_shape(queries, spark, sf_dir):
+    """Register merge is a bounded (<=2m row) join; triangle counting
+    is pure equi-joins — neither may degrade into a cartesian, and the
+    sketch path must not shuffle anything corpus-sized after the
+    map-side register collapse."""
+    plan = _executed_plan(queries["hll_set_algebra"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    plan2 = _executed_plan(queries["graph_triangle_count"](spark, sf_dir))
+    assert "CartesianProduct" not in plan2
+    # the only nested-loop joins allowed are the 1-row final-assembly
+    # crossJoin(broadcast(...)) pair — wedge/membership joins must be
+    # hash equi-joins (a data-sized BNLJ would be the degree^2 blowup).
+    # AQE prints final + initial plans; count the final section only.
+    final2 = plan2.split("== Initial Plan ==")[0]
+    assert final2.count("BroadcastNestedLoopJoin") <= 2
