@@ -157,6 +157,7 @@ EXTENDED_QUERIES = [
     "ref_manifest_pruned_query",
     "hll_set_algebra",
     "graph_triangle_count",
+    "events_transition_matrix",
 ]
 
 

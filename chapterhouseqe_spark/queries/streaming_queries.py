@@ -645,3 +645,59 @@ def events_anomaly_zscore(spark, sf_dir):
             "zscore"
         ),
     )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    tot AS (
+      SELECT prev_type, CAST(SUM(cnt) AS BIGINT) AS row_total
+      FROM trans GROUP BY prev_type
+    )
+    SELECT t.prev_type, t.next_type, t.cnt,
+           CAST(t.cnt AS DOUBLE) / CAST(tt.row_total AS DOUBLE) AS p
+    FROM trans t JOIN tot tt USING (prev_type)
+    """,
+    tags=("streaming", "session", "stats"),
+    doc="first-order Markov transition matrix over per-user event "
+    "sequences (the action-sequence model behind next-event "
+    "prediction and behavioral cohorting): lag per user with the "
+    "event_id tie-break, transition counts, and row-normalized "
+    "probabilities as one division of exact BIGINTs. The matrix is "
+    "|types|^2 rows however large the stream; the per-user window "
+    "reads each partition once",
+)
+def events_transition_matrix(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = trans.groupBy("prev_type").agg(F.sum("cnt").alias("row_total"))
+    return trans.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "cnt",
+        (F.col("cnt").cast("double") / F.col("row_total").cast("double")).alias(
+            "p"
+        ),
+    )
