@@ -146,6 +146,19 @@ def _ensure_registered() -> None:
 # r6 verdict explicitly prioritized the stale cohort; new queries get
 # local oracle evidence (tests/test_queries_oracle.py) this round and
 # driver evidence in r8.
+#
+# r8 window plan (fill in next round): tier (a) the 16 zero-evidence
+# r7 additions (embedding_ivf_sq_topk, bpe_train_loop,
+# dedup_substring_passages, pipeline_temperature_weights,
+# pipeline_epoch_shuffle, bpe_encode_corpus_stats, text_bigram_quality,
+# pipeline_quality_lang_filter, text_gopher_rules, events_windowed_topk,
+# multimodal_audio_chunks, events_anomaly_zscore,
+# ref_manifest_pruned_query, hll_set_algebra, graph_triangle_count,
+# events_transition_matrix); tier (b) regrades of r7-changed
+# implementations not already graded in r7 (embedding_cosine_topk —
+# two-stage top-k; manifest_pruned_scan/manifest_bloom_scan —
+# distributed build); tier (c) per-family canaries, then backfill with
+# the stalest remaining (r3/r4-era) rows.
 GRADE_ORDER: tuple[str, ...] = (
     # (a) the r2-stale cohort, registration order
     "ref_projection_unnamed",
