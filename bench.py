@@ -158,6 +158,7 @@ EXTENDED_QUERIES = [
     "hll_set_algebra",
     "graph_triangle_count",
     "events_transition_matrix",
+    "dedup_substring_rewrite",
 ]
 
 

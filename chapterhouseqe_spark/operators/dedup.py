@@ -902,3 +902,75 @@ def substring_dup_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def substring_dedup_rewrite(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 8,
+) -> DataFrame:
+    """The REMOVAL half of ExactSubstr dedup (Lee et al. 2021): delete
+    every token covered by a length-``window`` passage that occurs more
+    than once corpus-wide, and rebuild the document from the surviving
+    tokens. Complements :func:`substring_dup_stats` (the detection/
+    scoring half).
+
+    Returns ``(id_col, n_tokens, n_kept, text_dedup)`` for documents
+    with >= ``window`` tokens; a fully-duplicated document comes back
+    with ``n_kept = 0`` and empty text (the corpus-level keep-one
+    policy belongs to document-grain dedup — this operator removes
+    REPEATED PASSAGES, including self-repeats, exactly as the paper's
+    suffix-array pass does).
+
+    Scale shape: the gram-count join is the same compact md5-keyed
+    shuffle as the stats pass; duplicated gram STARTS collect per doc
+    (bounded by tokens/doc), and coverage + reassembly run as JVM
+    higher-order array functions inside one projection — no second
+    shuffle, no Python.
+    """
+    from chapterhouseqe_spark.queries.registry import md5_int
+
+    tk = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    n = F.size(F.col("tk"))
+    docs = df.select(F.col(id_col), tk.alias("tk")).filter(n >= window)
+    grams = docs.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n - (window - 1)),
+                lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i, window)),
+            )
+        ).alias("pos0", "gram"),
+    ).select(id_col, (F.col("pos0") + 1).alias("start"), md5_int(F.col("gram")).alias("g"))
+    counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("g_cnt"))
+    dup_starts = (
+        grams.join(counts, "g")
+        .filter(F.col("g_cnt") > 1)
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("start")).alias("dups"))
+    )
+    joined = docs.join(dup_starts, id_col, "left").select(
+        id_col,
+        "tk",
+        F.coalesce(F.col("dups"), F.array().cast("array<int>")).alias("dups"),
+    )
+    pos_seq = F.sequence(F.lit(1), F.size(F.col("tk")))
+    kept_pos = F.filter(
+        pos_seq,
+        lambda p: ~F.exists(
+            F.col("dups"), lambda s: (p >= s) & (p <= s + (window - 1))
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.size(F.col("tk")).cast("bigint").alias("n_tokens"),
+        F.size(kept_pos).cast("bigint").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(kept_pos, lambda p: F.element_at(F.col("tk"), p)),
+        ).alias("text_dedup"),
+    )

@@ -3542,3 +3542,65 @@ def graph_triangle_count(spark, sf_dir):
         .select("src", "dst")
     )
     return triangle_count(edges)
+
+
+@query(
+    "dedup_substring_rewrite",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         t -> len(t) > 0) AS tk
+      FROM documents
+    ),
+    docs AS (SELECT doc_id, tk FROM toks WHERE len(tk) >= 8),
+    grams AS (
+      SELECT doc_id, i AS start,
+             {o_md5_int("array_to_string(tk[i:i+7], ' ')")} AS g
+      FROM docs, unnest(generate_series(1, len(tk) - 7)) AS u(i)
+    ),
+    counts AS (SELECT g, COUNT(*) AS g_cnt FROM grams GROUP BY g),
+    dups AS (
+      SELECT doc_id, list_sort(list(start)) AS dups
+      FROM grams JOIN counts USING (g)
+      WHERE g_cnt > 1 GROUP BY doc_id
+    ),
+    joined AS (
+      SELECT d.doc_id, d.tk, COALESCE(p.dups, []) AS dups
+      FROM docs d LEFT JOIN dups p USING (doc_id)
+    ),
+    kept AS (
+      SELECT doc_id, tk,
+             list_filter(generate_series(1, len(tk)),
+                         p -> NOT COALESCE(
+                           list_aggregate(
+                             list_transform(dups,
+                                            s -> p >= s AND p <= s + 7),
+                             'bool_or'),
+                           false)) AS kp
+      FROM joined
+    )
+    SELECT doc_id,
+           CAST(len(tk) AS BIGINT) AS n_tokens,
+           CAST(len(kp) AS BIGINT) AS n_kept,
+           -- array_to_string of an EMPTY list is NULL in DuckDB but ''
+           -- in Spark's concat_ws; coalesce to the Spark convention
+           COALESCE(array_to_string(list_transform(kp, p -> tk[p]), ' '), '')
+             AS text_dedup
+    FROM kept
+    """,
+    tags=("pipeline", "dedup"),
+    doc="ExactSubstr REMOVAL (Lee et al. 2021, the rewrite half): "
+    "every token covered by a corpus-repeated 8-token passage is "
+    "deleted and the document rebuilt from survivors — detection "
+    "shares the compact md5 gram-count shuffle with "
+    "dedup_substring_passages; coverage and reassembly are JVM "
+    "higher-order array ops in one projection "
+    "(operators/dedup.py:substring_dedup_rewrite)",
+)
+def dedup_substring_rewrite(spark, sf_dir):
+    from chapterhouseqe_spark.operators.dedup import substring_dedup_rewrite
+
+    return substring_dedup_rewrite(
+        t(spark, sf_dir, "documents"), "text", "doc_id", window=8
+    )

@@ -329,3 +329,38 @@ def test_substring_dup_stats_matches_bruteforce(spark):
     assert 3 not in got  # short doc has no length-8 passage
     for r in rows:
         assert abs(r.dup_frac - r.n_dup_grams / r.n_grams) < 1e-12
+
+
+def test_substring_rewrite_matches_bruteforce(spark):
+    """Removal semantics vs a brute-force Python model: tokens covered
+    by ANY corpus-repeated window-gram are deleted; survivors rebuild
+    in order."""
+    from chapterhouseqe_spark.operators.dedup import substring_dedup_rewrite
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog unique tail one"),
+        (1, "prefix text the quick brown fox jumps over the lazy dog"),
+        (2, "a b c d a b c d a b c d"),  # self-repeat: fully covered
+    ]
+    w = 8
+    toks = {d: t.split() for d, t in docs}
+    grams: dict = {}
+    for d, tk in toks.items():
+        for i in range(len(tk) - w + 1):
+            g = " ".join(tk[i : i + w])
+            grams[g] = grams.get(g, 0) + 1
+    expected = {}
+    for d, tk in toks.items():
+        covered = set()
+        for i in range(len(tk) - w + 1):
+            if grams[" ".join(tk[i : i + w])] > 1:
+                covered.update(range(i, i + w))
+        kept = [t for j, t in enumerate(tk) if j not in covered]
+        expected[d] = (len(tk), len(kept), " ".join(kept))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_kept, r.text_dedup)
+        for r in substring_dedup_rewrite(df, "text", "doc_id", window=w).collect()
+    }
+    assert got == expected
+    assert got[2][1] == 0 and got[2][2] == ""  # fully-covered doc
