@@ -159,6 +159,7 @@ EXTENDED_QUERIES = [
     "graph_triangle_count",
     "events_transition_matrix",
     "dedup_substring_rewrite",
+    "dedup_sparse_tf_cosine",
 ]
 
 

@@ -974,3 +974,84 @@ def substring_dedup_rewrite(
             F.transform(kept_pos, lambda p: F.element_at(F.col("tk"), p)),
         ).alias("text_dedup"),
     )
+
+
+def sparse_tf_cosine_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    max_df: int = 50,
+) -> DataFrame:
+    """Sparse term-frequency cosine similarity via an inverted index —
+    the bag-of-words complement to the dense-embedding ANN tiers, and
+    the classic all-pairs-similarity shape (term-keyed postings join,
+    cf. Bayardo et al. 2007 "Scaling Up All Pairs Similarity Search").
+
+    TF vectors only (no idf): idf needs ln(), which is not bit-portable
+    across engines, while the TF formulation stays EXACT — dot products
+    and squared norms are BIGINT sums over shared terms, and the cosine
+    is sqrt+multiply+divide in one fixed order, so a similarity
+    threshold compares bit-identical doubles in Spark and the oracle.
+
+    ``max_df`` drops terms appearing in more than that many documents
+    BEFORE the postings self-join — the standard posting-list cap: a
+    stop-term with df=D contributes O(D²) candidate pairs, so the cap
+    (not the join) is what bounds the quadratic term at scale. Dropped
+    terms also leave the norms, keeping cosine consistent with the
+    indexed subspace. Returns (id_a, id_b, dot, cos_sim) for pairs with
+    ``cos_sim >= threshold``, id_a < id_b.
+    """
+    tok = F.explode(
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda x: F.length(x) > 0,
+        )
+    )
+    postings = (
+        df.select(F.col(id_col).alias("doc"), tok.alias("term"))
+        .groupBy("doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df_cnt"))
+    kept = postings.join(
+        docfreq.filter(F.col("df_cnt") <= max_df).select("term"), "term"
+    )
+    norms = kept.groupBy("doc").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("nsq")
+    )
+    a = kept.select(
+        "term", F.col("doc").alias("id_a"), F.col("tf").alias("tf_a")
+    )
+    b = kept.select(
+        "term", F.col("doc").alias("id_b"), F.col("tf").alias("tf_b")
+    )
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    return (
+        dots.join(
+            norms.select(F.col("doc").alias("id_a"), F.col("nsq").alias("na")),
+            "id_a",
+        )
+        .join(
+            norms.select(F.col("doc").alias("id_b"), F.col("nsq").alias("nb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "dot",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("na").cast("double"))
+                    * F.sqrt(F.col("nb").cast("double"))
+                )
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= F.lit(threshold))
+    )

@@ -3604,3 +3604,57 @@ def dedup_substring_rewrite(spark, sf_dir):
     return substring_dedup_rewrite(
         t(spark, sf_dir, "documents"), "text", "doc_id", window=8
     )
+
+
+@query(
+    "dedup_sparse_tf_cosine",
+    oracle=r"""
+    WITH postings AS (
+      SELECT doc_id AS doc, t AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(
+                 string_split_regex(lower(trim(text)), '\s+'),
+                 x -> len(x) > 0)) AS t
+        FROM documents
+      ) GROUP BY doc_id, t
+    ),
+    kept AS (
+      SELECT p.* FROM postings p
+      JOIN (SELECT term FROM postings GROUP BY term
+            HAVING COUNT(*) <= 50) f USING (term)
+    ),
+    norms AS (SELECT doc, CAST(SUM(tf * tf) AS BIGINT) AS nsq
+              FROM kept GROUP BY doc),
+    dots AS (
+      SELECT a.doc AS id_a, b.doc AS id_b,
+             CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+      FROM kept a JOIN kept b ON a.term = b.term AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT d.id_a, d.id_b, d.dot,
+           CAST(d.dot AS DOUBLE)
+             / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+             AS cos_sim
+    FROM dots d
+    JOIN norms na ON na.doc = d.id_a
+    JOIN norms nb ON nb.doc = d.id_b
+    WHERE CAST(d.dot AS DOUBLE)
+          / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+          >= 0.8
+    """,
+    tags=("pipeline", "dedup", "similarity"),
+    doc="sparse bag-of-words cosine pairs via an inverted index "
+    "(Bayardo et al. 2007 all-pairs shape) — the sparse complement to "
+    "the dense ANN tiers. TF-only weights keep every dot/norm an "
+    "exact BIGINT (idf's ln() is not bit-portable); the df<=50 "
+    "posting-list cap, not the join, bounds the quadratic stop-term "
+    "blowup at scale (operators/dedup.py:sparse_tf_cosine_pairs)",
+)
+def dedup_sparse_tf_cosine(spark, sf_dir):
+    from chapterhouseqe_spark.operators.dedup import sparse_tf_cosine_pairs
+
+    return sparse_tf_cosine_pairs(
+        t(spark, sf_dir, "documents"), "text", "doc_id",
+        threshold=0.8, max_df=50,
+    )
