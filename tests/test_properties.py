@@ -364,3 +364,41 @@ def test_substring_rewrite_matches_bruteforce(spark):
     }
     assert got == expected
     assert got[2][1] == 0 and got[2][2] == ""  # fully-covered doc
+
+
+def test_sparse_tf_cosine_finds_clones_and_caps_stop_terms(spark):
+    """On a corpus with rare + stop terms: clone pairs surface at
+    cos=1.0 through their rare terms, stop-term-only overlap produces
+    NO pair (the cap removed those postings), and the fractional cap
+    reproduces the absolute cap's subspace at any corpus multiple.
+    (The registry query's sf0.1 result is legitimately empty — the
+    synthetic table's 31-term vocabulary saturates every cap — so this
+    test carries the behavioral evidence.)"""
+    from chapterhouseqe_spark.operators.dedup import sparse_tf_cosine_pairs
+
+    stop = "the and of to in"  # appears in every doc -> capped away
+    docs = [
+        (0, f"{stop} zebra quark nimbus"),
+        (1, f"{stop} zebra quark nimbus"),  # clone of 0 (rare terms)
+        (2, f"{stop} completely different rare words"),
+        (3, f"{stop} completely different rare words"),  # clone of 2
+        (4, f"{stop} unrelated solitary content"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in sparse_tf_cosine_pairs(
+            df, "text", "doc_id", threshold=0.8, max_df=3
+        ).collect()
+    }
+    assert set(pairs) == {(0, 1), (2, 3)}
+    assert all(abs(v - 1.0) < 1e-12 for v in pairs.values())
+
+    # fractional cap: 3/5 docs = 0.6 -> same subspace, same pairs
+    frac_pairs = {
+        (r.id_a, r.id_b)
+        for r in sparse_tf_cosine_pairs(
+            df, "text", "doc_id", threshold=0.8, max_df_frac=0.6
+        ).collect()
+    }
+    assert frac_pairs == {(0, 1), (2, 3)}
