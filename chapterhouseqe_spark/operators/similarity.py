@@ -57,6 +57,7 @@ def cosine_topk(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    two_stage: bool | None = None,
 ) -> DataFrame:
     """Top-k cosine neighbors for every probe row (brute-force baseline).
 
@@ -69,16 +70,23 @@ def cosine_topk(
     (``ivf_topk``/``pq_topk``/``ivfpq_topk``/``sq_topk``) — linear
     scans per probe do not survive a 100× corpus.
 
-    The top-k itself is TWO-STAGE (still exact): stage 1 takes the
-    top-k within each of 32 salt buckets per probe, stage 2 ranks the
-    ≤32k survivors per probe. A single ``Window.partitionBy(probe_id)``
-    would funnel the ENTIRE corpus's candidate rows for one probe into
-    one task (the r6 verdict's flagged hotspot); salting bounds the
-    final task at 32k rows per probe while the heavy stage-1 windows
-    parallelize across probe × salt. Exactness: every true top-k row
-    wins its own salt bucket (row_number is per-bucket, k survivors
-    per bucket ⊇ the global top k).
+    The top-k itself is TWO-STAGE above ~20k corpus rows (still
+    exact): stage 1 takes the top-k within each of 32 salt buckets per
+    probe, stage 2 ranks the ≤32k survivors per probe. A single
+    ``Window.partitionBy(probe_id)`` would funnel the ENTIRE corpus's
+    candidate rows for one probe into one task (the r6 verdict's
+    flagged hotspot); salting bounds the final task at 32k rows per
+    probe while the heavy stage-1 windows parallelize across
+    probe × salt. Exactness: every true top-k row wins its own salt
+    bucket (row_number is per-bucket, k survivors per bucket ⊇ the
+    global top k). SIZE-ADAPTIVE like the minhash verify join: below
+    the threshold the extra exchange costs more than it saves
+    (measured +0.6s at 2k rows vs −1.5s at 100k), so small corpora
+    keep the single window; the sizing count is a metadata-cheap
+    parquet count. Pass ``two_stage`` explicitly to pin either plan.
     """
+    if two_stage is None:
+        two_stage = emb.count() > 20_000
     n_salts = 32
     probes = emb.filter(probe_filter).select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("ea")
@@ -91,19 +99,19 @@ def cosine_topk(
         "probe_id",
         "id_b",
         cosine(F.col("ea"), F.col("eb")).alias("sim"),
-        F.pmod(F.col("id_b"), F.lit(n_salts)).alias("__salt"),
     )
-    w1 = Window.partitionBy("probe_id", "__salt").orderBy(
-        F.col("sim").desc(), F.col("id_b")
-    )
-    partial = (
-        scored.withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") <= k)
-        .drop("rn", "__salt")
-    )
+    if two_stage:
+        w1 = Window.partitionBy(
+            "probe_id", F.pmod(F.col("id_b"), F.lit(n_salts))
+        ).orderBy(F.col("sim").desc(), F.col("id_b"))
+        scored = (
+            scored.withColumn("rn", F.row_number().over(w1))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+        )
     w2 = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("id_b"))
     return (
-        partial.withColumn("rn", F.row_number().over(w2))
+        scored.withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") <= k)
         .select("probe_id", "id_b", "sim")
     )
@@ -936,6 +944,7 @@ def sq_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    two_stage: bool | None = None,
 ) -> DataFrame:
     """Approximate top-k neighbors by quantized integer dot product.
 
@@ -953,6 +962,10 @@ def sq_topk(
     compose with IVF bucketing instead (:func:`ivf_sq_topk`, the FAISS
     ``IVFx,SQ8`` tier), which ranks only nprobe buckets per probe.
     """
+    if two_stage is None:
+        # same size-adaptive rule as cosine_topk: below ~20k corpus
+        # rows the extra salt exchange costs more than it saves
+        two_stage = emb.count() > 20_000
     lo, hi = sq_bounds(emb, dim=dim, vec_col=vec_col)
     probes = emb.filter(probe_filter).select(
         F.col(id_col).alias("probe_id"),
@@ -971,28 +984,24 @@ def sq_topk(
         F.broadcast(probes)
         .crossJoin(corpus)
         .filter(F.col("probe_id") != F.col("id_b"))
-        .select(
-            "probe_id",
-            "id_b",
-            score.alias("score_q"),
-            F.pmod(F.col("id_b"), F.lit(32)).alias("__salt"),
+        .select("probe_id", "id_b", score.alias("score_q"))
+    )
+    if two_stage:
+        # two-stage exact top-k (same salting as cosine_topk): per-
+        # probe rank over the full corpus would funnel into one task
+        w1 = Window.partitionBy(
+            "probe_id", F.pmod(F.col("id_b"), F.lit(32))
+        ).orderBy(F.col("score_q").desc(), F.col("id_b"))
+        pairs = (
+            pairs.withColumn("rn", F.row_number().over(w1))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
         )
-    )
-    # two-stage exact top-k (same salting as cosine_topk): per-probe
-    # rank over the full corpus would funnel into one task
-    w1 = Window.partitionBy("probe_id", "__salt").orderBy(
-        F.col("score_q").desc(), F.col("id_b")
-    )
-    partial = (
-        pairs.withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") <= k)
-        .drop("rn", "__salt")
-    )
     w = Window.partitionBy("probe_id").orderBy(
         F.col("score_q").desc(), F.col("id_b")
     )
     return (
-        partial.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        pairs.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= k)
         .select("probe_id", "id_b", "score_q", "rnk")
     )
