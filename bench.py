@@ -160,6 +160,7 @@ EXTENDED_QUERIES = [
     "events_transition_matrix",
     "dedup_substring_rewrite",
     "dedup_sparse_tf_cosine",
+    "stats_iqr_outliers",
 ]
 
 

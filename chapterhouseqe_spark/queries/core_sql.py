@@ -2930,3 +2930,60 @@ def ref_manifest_pruned_query(spark, sf_dir):
         F.count(F.lit(1)).alias("cnt"),
         dsum(F.col("l_extendedprice")).alias("total_price"),
     )
+
+
+@query(
+    "stats_iqr_outliers",
+    oracle="""
+    WITH q AS (
+      SELECT c_mktsegment,
+             quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.75) AS q3
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+    )
+    SELECT o.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           q.q1, q.q3,
+           CAST(SUM(CASE WHEN o.o_totalprice < q.q1 - 1.5 * (q.q3 - q.q1)
+                          OR o.o_totalprice > q.q3 + 1.5 * (q.q3 - q.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM (SELECT c_mktsegment, o_totalprice
+          FROM orders JOIN customer ON o_custkey = c_custkey) o
+    JOIN q USING (c_mktsegment)
+    GROUP BY o.c_mktsegment, q.q1, q.q3
+    """,
+    tags=("agg", "stats", "quality"),
+    doc="per-segment IQR outlier census (the Tukey-fence data-QA "
+    "rule): exact interpolated quartiles (Spark percentile = DuckDB "
+    "quantile_cont, proven by percentile_stats), fences as fixed-order "
+    "double arithmetic, outliers counted against bit-identical "
+    "bounds. The fence table is |segments| rows broadcast back onto "
+    "the orders stream — one quartile pass + one counting pass",
+)
+def stats_iqr_outliers(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_mktsegment", "o_totalprice"
+    )
+    q = joined.groupBy("c_mktsegment").agg(
+        F.percentile("o_totalprice", 0.25).alias("q1"),
+        F.percentile("o_totalprice", 0.75).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.col("q1") - F.lit(1.5) * iqr
+    hi = F.col("q3") + F.lit(1.5) * iqr
+    return (
+        joined.join(F.broadcast(q), "c_mktsegment")
+        .groupBy("c_mktsegment", "q1", "q3")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                ((F.col("o_totalprice") < lo) | (F.col("o_totalprice") > hi)).cast(
+                    "bigint"
+                )
+            ).alias("n_outliers"),
+        )
+        .select("c_mktsegment", "n_orders", "q1", "q3", "n_outliers")
+    )
