@@ -161,6 +161,7 @@ EXTENDED_QUERIES = [
     "dedup_substring_rewrite",
     "dedup_sparse_tf_cosine",
     "stats_iqr_outliers",
+    "analyze_table_stats",
 ]
 
 

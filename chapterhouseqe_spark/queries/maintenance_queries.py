@@ -15,7 +15,14 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from chapterhouseqe_spark.queries.core_sql import _format_dir, _ref_engine, t
-from chapterhouseqe_spark.queries.registry import dsum, o_dsum, o_ts_str, query, ts_str
+from chapterhouseqe_spark.queries.registry import (
+    dsum,
+    o_dsum,
+    o_md5_int,
+    o_ts_str,
+    query,
+    ts_str,
+)
 
 
 @query(
@@ -583,3 +590,114 @@ def _manifest_bloom_dir(spark, sf_dir) -> str:
             out, ["l_orderkey"], m_bits=1 << 18, n_hashes=3, spark=spark
         )
     return out
+
+
+def _hll_num() -> str:
+    from chapterhouseqe_spark.operators.sketches import _HLL_ALPHA_64
+
+    return repr(_HLL_ALPHA_64 * 64 * 64 * float(1 << 56))
+
+
+@query(
+    "analyze_table_stats",
+    oracle=f"""
+    WITH melted AS (
+      SELECT col, val FROM (
+        SELECT 'o_custkey' AS col, CAST(o_custkey AS VARCHAR) AS val FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', o_orderstatus FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority', o_orderpriority FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', strftime(o_orderdate, '%Y-%m-%d') FROM orders
+      )
+    ),
+    h AS (
+      SELECT col, {o_md5_int('val')} AS h
+      FROM melted WHERE val IS NOT NULL
+    ),
+    regs AS (
+      SELECT col, h % 64 AS bucket,
+             MAX(CASE WHEN h // 64 = 0 THEN 55
+                      ELSE 55 - length(bin(h // 64)) END) AS M
+      FROM h GROUP BY col, h % 64
+    ),
+    est AS (
+      SELECT col,
+             {_hll_num()} /
+             CAST(COALESCE(SUM((CAST(1 AS BIGINT) << (56 - M))), CAST(0 AS BIGINT))
+                  + (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 56) AS DOUBLE) AS ndv_est
+      FROM regs GROUP BY col
+    ),
+    base AS (
+      SELECT col,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls
+      FROM melted GROUP BY col
+    )
+    SELECT b.col, b.n_rows, b.n_nulls, e.ndv_est
+    FROM base b JOIN est e USING (col)
+    """,
+    tags=("maintenance", "sketch", "quality"),
+    doc="ANALYZE-style per-column statistics in ONE table pass (the "
+    "inputs a cost-based optimizer wants: row count, null count, HLL "
+    "NDV estimate per column): columns melt to (col, value) rows "
+    "inside the scan stage, the register table is |cols| x 64 rows "
+    "however wide/long the table, and the NDV estimate reuses the "
+    "integer-exact HLL arithmetic so it value-hashes. Stringification "
+    "is restricted to int/string/date columns (double rendering is "
+    "not engine-portable) — the production recipe normalizes each "
+    "type explicitly, exactly as here",
+)
+def analyze_table_stats(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    melted = None
+    for col, expr in (
+        ("o_custkey", F.col("o_custkey").cast("string")),
+        ("o_orderstatus", F.col("o_orderstatus")),
+        ("o_orderpriority", F.col("o_orderpriority")),
+        ("o_orderdate", F.date_format(F.col("o_orderdate"), "yyyy-MM-dd")),
+    ):
+        part = o.select(F.lit(col).alias("col"), expr.alias("val"))
+        melted = part if melted is None else melted.unionAll(part)
+
+    from chapterhouseqe_spark.operators.sketches import _HLL_ALPHA_64
+
+    # per-column registers need the col in the GROUP key — same
+    # arithmetic as operators/sketches.py:hll_registers with (col,
+    # bucket) grouping
+    h = (
+        F.conv(F.substring(F.md5(F.col("val")), 1, 15), 16, 10).cast("long")
+    )
+    rem = F.call_function("div", h, F.lit(64))
+    rho = F.when(rem == 0, F.lit(55)).otherwise(F.lit(55) - F.length(F.bin(rem)))
+    reg = (
+        melted.filter(F.col("val").isNotNull())
+        .select("col", (h % 64).alias("bucket"), rho.alias("rho"))
+        .groupBy("col", "bucket")
+        .agg(F.max("rho").alias("M"))
+    )
+    numerator = _HLL_ALPHA_64 * 64 * 64 * float(1 << 56)
+    est = reg.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n_filled"),
+        F.coalesce(
+            F.sum(F.expr("CAST(1 AS BIGINT) << (56 - M)")),
+            F.lit(0).cast("long"),
+        ).alias("s_filled"),
+    ).select(
+        "col",
+        (
+            F.lit(numerator)
+            / (
+                F.col("s_filled")
+                + (F.lit(64).cast("long") - F.col("n_filled"))
+                * F.lit(1 << 56).cast("long")
+            ).cast("double")
+        ).alias("ndv_est"),
+    )
+    base = melted.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("val").isNull().cast("bigint")).alias("n_nulls"),
+    )
+    return base.join(est, "col").select("col", "n_rows", "n_nulls", "ndv_est")
