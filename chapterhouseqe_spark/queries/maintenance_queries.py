@@ -648,7 +648,12 @@ def _hll_num() -> str:
     "integer-exact HLL arithmetic so it value-hashes. Stringification "
     "is restricted to int/string/date columns (double rendering is "
     "not engine-portable) — the production recipe normalizes each "
-    "type explicitly, exactly as here",
+    "type explicitly, exactly as here. KNOWN small-range bias: raw "
+    "HLL overestimates NDV below ~2.5m distincts (o_orderstatus: 3 "
+    "exact -> ~47 estimated); real HLLs switch to linear counting "
+    "there, but ln() is not bit-portable so the graded form stays "
+    "raw and DETERMINISTIC — route small-NDV columns through the "
+    "linear_counting operator instead",
 )
 def analyze_table_stats(spark, sf_dir):
     o = t(spark, sf_dir, "orders")

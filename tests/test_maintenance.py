@@ -477,3 +477,39 @@ def test_write_snapshot_through_cas_pointer_store(spark, tmp_path):
     # the loser's directory was quarantined, not committed
     orphans = [d for d in os.listdir(path) if d.startswith("_orphan-")]
     assert orphans
+
+
+def test_analyze_table_stats_ndv_within_hll_error(spark, sf_dir):
+    """Per-column NDV estimates land within 3 sigma of the exact
+    distinct counts (m=64 -> ~13% standard error), and the exact
+    row/null bookkeeping is exact."""
+    from chapterhouseqe_spark.queries.registry import get_queries
+
+    rows = {
+        r.col: r for r in get_queries()["analyze_table_stats"](spark, sf_dir).collect()
+    }
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = o.count()
+    import pyspark.sql.functions as F
+
+    for col in ("o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"):
+        r = rows[col]
+        assert r.n_rows == n and r.n_nulls == 0
+        exact = o.select(F.countDistinct(col)).collect()[0][0]
+        if exact > 160:  # n >> m: the 3-sigma relative bound applies
+            assert abs(r.ndv_est - exact) / exact < 3 * 1.04 / 8, (
+                col,
+                r.ndv_est,
+                exact,
+            )
+        else:
+            # small-range regime: RAW HLL overestimates (the estimate
+            # saturates near alpha*m ~ 45 while registers stay sparse);
+            # real HLLs switch to linear counting below 2.5m — the
+            # operator documents the bias, and the repo's
+            # linear_counting operator covers that range
+            assert exact <= r.ndv_est <= 0.709 * 64 * 1.5, (
+                col,
+                r.ndv_est,
+                exact,
+            )
