@@ -496,7 +496,7 @@ def test_analyze_table_stats_ndv_within_hll_error(spark, sf_dir):
         r = rows[col]
         assert r.n_rows == n and r.n_nulls == 0
         exact = o.select(F.countDistinct(col)).collect()[0][0]
-        if exact > 160:  # n >> m: the 3-sigma relative bound applies
+        if exact >= 50:  # register occupancy high enough for the bound
             assert abs(r.ndv_est - exact) / exact < 3 * 1.04 / 8, (
                 col,
                 r.ndv_est,
