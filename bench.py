@@ -162,6 +162,7 @@ EXTENDED_QUERIES = [
     "dedup_sparse_tf_cosine",
     "stats_iqr_outliers",
     "analyze_table_stats",
+    "audit_referential_integrity",
 ]
 
 

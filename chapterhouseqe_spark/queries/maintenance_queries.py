@@ -706,3 +706,54 @@ def analyze_table_stats(spark, sf_dir):
         F.sum(F.col("val").isNull().cast("bigint")).alias("n_nulls"),
     )
     return base.join(est, "col").select("col", "n_rows", "n_nulls", "ndv_est")
+
+
+@query(
+    "audit_referential_integrity",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM orders ord LEFT JOIN customer c ON ord.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'customer->nation', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM customer cu LEFT JOIN nation n ON cu.c_nationkey = n.n_nationkey
+    """,
+    tags=("maintenance", "quality", "join"),
+    doc="referential-integrity audit across the star schema: per FK "
+    "edge, total child rows and orphans (children whose parent key "
+    "resolves to nothing). Each edge is one left join counted in one "
+    "pass — the dimension side broadcasts, so the audit costs one "
+    "scan per fact table however large the lake; a nonzero orphan "
+    "count is the load-order/corruption signal a pipeline gates on",
+)
+def audit_referential_integrity(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey")
+
+    def edge(name, child, parent, ck, pk):
+        j = child.join(parent, child[ck] == parent[pk], "left")
+        return j.agg(
+            F.lit(name).alias("fk"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(parent[pk].isNull().cast("bigint")).alias("n_orphans"),
+        ).select("fk", "n_rows", "n_orphans")
+
+    return (
+        edge("lineitem->orders", li, o.select("o_orderkey"), "l_orderkey", "o_orderkey")
+        .unionAll(
+            edge("orders->customer", o.select("o_custkey"), c.select("c_custkey"), "o_custkey", "c_custkey")
+        )
+        .unionAll(
+            edge("customer->nation", c.select("c_nationkey"), n, "c_nationkey", "n_nationkey")
+        )
+    )
