@@ -163,6 +163,8 @@ EXTENDED_QUERIES = [
     "stats_iqr_outliers",
     "analyze_table_stats",
     "audit_referential_integrity",
+    "timeseries_mom_growth",
+    "events_dau_stickiness",
 ]
 
 

@@ -2987,3 +2987,52 @@ def stats_iqr_outliers(spark, sf_dir):
         )
         .select("c_mktsegment", "n_orders", "q1", "q3", "n_outliers")
     )
+
+
+@query(
+    "timeseries_mom_growth",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             {o_dsum('o_totalprice')} AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, n_orders, revenue,
+           lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+           CASE WHEN lag(revenue) OVER (ORDER BY month) IS NOT NULL
+                THEN (revenue - lag(revenue) OVER (ORDER BY month))
+                     / lag(revenue) OVER (ORDER BY month)
+           END AS mom_growth
+    FROM monthly
+    """,
+    tags=("agg", "window", "stats"),
+    doc="month-over-month revenue growth — the reporting time-series "
+    "shape (monthly rollup + lag + relative delta). Revenue sums are "
+    "decimal-exact; growth is one subtraction + one division of those "
+    "exact-derived doubles in fixed order. The lag window runs over "
+    "the |months|-row rollup, so the single-partition sort is ~100 "
+    "rows however large the fact table — bounded by construction, not "
+    "an accident",
+)
+def timeseries_mom_growth(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("revenue"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "n_orders",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.when(
+            prev.isNotNull(), (F.col("revenue") - prev) / prev
+        ).alias("mom_growth"),
+    )

@@ -701,3 +701,64 @@ def events_transition_matrix(spark, sf_dir):
             "p"
         ),
     )
+
+
+@query(
+    "events_dau_stickiness",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events
+    ),
+    dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+    wau AS (
+      SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+      FROM dau d JOIN ud u
+        ON u.day <= d.day
+       AND u.day >= strftime(CAST(d.day AS DATE) - INTERVAL 6 DAY, '%Y-%m-%d')
+      GROUP BY d.day
+    )
+    SELECT d.day, d.dau, w.wau,
+           CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
+    FROM dau d JOIN wau w USING (day)
+    """,
+    tags=("streaming", "agg", "stats"),
+    doc="DAU / trailing-7-day WAU / stickiness (the product-analytics "
+    "engagement triple): the stream collapses to DISTINCT (day, user) "
+    "first — everything after runs on that bounded frame, and the "
+    "trailing-window distinct is a range join of |days| x (day,user) "
+    "rows, never a rescan of raw events. Stickiness is one division "
+    "of exact BIGINTs",
+)
+def events_dau_stickiness(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    ud = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id"
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    days = dau.select("day")
+    win = (
+        days.alias("d")
+        .join(
+            ud.alias("u"),
+            (F.col("u.day") <= F.col("d.day"))
+            & (
+                F.col("u.day")
+                >= F.date_format(
+                    F.date_sub(F.col("d.day").cast("date"), 6), "yyyy-MM-dd"
+                )
+            ),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("u.user_id").alias("wau"))
+    )
+    return (
+        dau.join(win, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+    )
