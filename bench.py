@@ -165,6 +165,8 @@ EXTENDED_QUERIES = [
     "audit_referential_integrity",
     "timeseries_mom_growth",
     "events_dau_stickiness",
+    "orders_fulfillment_latency",
+    "embedding_norm_audit",
 ]
 
 

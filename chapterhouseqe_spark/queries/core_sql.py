@@ -3036,3 +3036,46 @@ def timeseries_mom_growth(spark, sf_dir):
             prev.isNotNull(), (F.col("revenue") - prev) / prev
         ).alias("mom_growth"),
     )
+
+
+@query(
+    "orders_fulfillment_latency",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           quantile_cont(date_diff('day', o.o_orderdate,
+                                   CAST(l.l_shipdate AS DATE)), 0.5)
+             AS p50_ship_days,
+           quantile_cont(date_diff('day', o.o_orderdate,
+                                   CAST(l.l_shipdate AS DATE)), 0.95)
+             AS p95_ship_days,
+           CAST(SUM(CASE WHEN date_diff('day', o.o_orderdate,
+                                        CAST(l.l_shipdate AS DATE)) > 90
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_over_90d
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("agg", "stats", "join"),
+    doc="fulfillment-latency SLA profile per order priority: p50/p95 "
+    "of the order-to-ship day gap plus the over-90-day count — the "
+    "operations-metrics shape (gap as an exact integer day diff, "
+    "percentiles via the proven Spark percentile = DuckDB "
+    "quantile_cont interpolation). At fact-x-fact scale the join "
+    "shuffles on l_orderkey like any TPC-H join",
+)
+def orders_fulfillment_latency(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    gap = F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.percentile(gap, 0.5).alias("p50_ship_days"),
+            F.percentile(gap, 0.95).alias("p95_ship_days"),
+            F.sum((gap > 90).cast("bigint")).alias("n_over_90d"),
+        )
+    )

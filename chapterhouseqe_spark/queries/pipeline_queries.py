@@ -3658,3 +3658,47 @@ def dedup_sparse_tf_cosine(spark, sf_dir):
         t(spark, sf_dir, "documents"), "text", "doc_id",
         threshold=0.8, max_df=50,
     )
+
+
+@query(
+    "embedding_norm_audit",
+    oracle=f"""
+    WITH norms AS (
+      SELECT vec_id,
+             sqrt(list_reduce(
+               list_transform(generate_series(1, len(embedding)),
+                              i -> CAST(embedding[i] AS DOUBLE)
+                                   * CAST(embedding[i] AS DOUBLE)),
+               (acc, x) -> acc + x)) AS nrm
+      FROM embeddings
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN nrm < 1e-6 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_near_zero,
+           quantile_cont(nrm, 0.5) AS p50_norm,
+           quantile_cont(nrm, 0.95) AS p95_norm,
+           MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+    FROM norms
+    """,
+    tags=("pipeline", "similarity", "quality"),
+    doc="embedding-table QA audit: vector-norm distribution "
+    "(p50/p95/min/max) and the near-zero census — degenerate vectors "
+    "poison cosine similarity (undefined direction) and collapse LSH "
+    "buckets, so a nonzero n_near_zero gates the ANN index build. "
+    "Norms use the sequential-fold exact-double convention; the "
+    "percentiles interpolate those bit-identical doubles. One narrow "
+    "pass, one bounded aggregate",
+)
+def embedding_norm_audit(spark, sf_dir):
+    from chapterhouseqe_spark.operators.similarity import exact_dot
+
+    emb = t(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(exact_dot(F.col("embedding"), F.col("embedding")))
+    return emb.select(nrm.alias("nrm")).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum((F.col("nrm") < 1e-6).cast("bigint")).alias("n_near_zero"),
+        F.percentile("nrm", 0.5).alias("p50_norm"),
+        F.percentile("nrm", 0.95).alias("p95_norm"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+    )
