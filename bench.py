@@ -167,6 +167,7 @@ EXTENDED_QUERIES = [
     "events_dau_stickiness",
     "orders_fulfillment_latency",
     "embedding_norm_audit",
+    "corpus_composition_report",
 ]
 
 

@@ -3702,3 +3702,36 @@ def embedding_norm_audit(spark, sf_dir):
         F.min("nrm").alias("min_norm"),
         F.max("nrm").alias("max_norm"),
     )
+
+
+@query(
+    "corpus_composition_report",
+    oracle="""
+    SELECT COALESCE(lang, '<all>') AS lang,
+           COALESCE(source, '<all>') AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+    """,
+    tags=("pipeline", "corpus", "agg"),
+    doc="corpus composition rollup (the what-is-in-my-training-set "
+    "report): doc and char counts by language x source with lang, "
+    "source, and grand-total margins in ONE grouping-sets pass — one "
+    "Expand over one scan, never four scans; exact integer counts "
+    "grade directly. The per-cell shares that mixing decisions need "
+    "divide these exact counts downstream",
+)
+def corpus_composition_report(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("ccr_documents")
+    return spark.sql(
+        """
+        SELECT COALESCE(lang, '<all>') AS lang,
+               COALESCE(source, '<all>') AS source,
+               COUNT(*) AS n_docs,
+               SUM(n_chars) AS total_chars
+        FROM ccr_documents
+        GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+        """
+    )
