@@ -120,105 +120,93 @@ def _ensure_registered() -> None:
 
 # Grading priority. The driver's correctness gate grades a 50-entry
 # prefix of the registry, so dict order decides which queries get
-# driver-oracle evidence. Round-7 window (executes round-6 verdict item
-# 1 — the evidence-freshness rotation):
-# (a) the full 42-query r2-stale cohort, in registration order: every
-#     query whose only driver evidence was r1/r2 (ref_int_division,
-#     ref_coercion_mixed and the rest of the reference-semantics core,
-#     the join/agg/window/subquery/set/scalar-function basics, csv/json
-#     scan, TPC-H q3/q5, the pandas-UDF query). Four rounds of engine
-#     drift separated these from their last driver check; this window
-#     retires that gap in one pass.
-# (b) 8 rotating canaries so every operator family keeps in-window
-#     evidence (pinned by tests/test_queries_arrays.py). The family map
-#     is consolidated for r7: temporal/as-of folds into "join",
-#     snapshot/IVM/quality into "maintenance", the batch Python
-#     DataSource + multimodal binary sources into "sources", and the
-#     custom replayable streaming source rides "streaming" via
-#     stream_source_replay_agg — every finer-grained r6 representative
-#     (asof_join_clicks, snapshot_time_travel, ivm_incremental_rollup,
-#     data_quality_report, custom_datasource_scan, events_sessionization,
-#     ann_recall_eval) carries green r6 driver evidence already.
-#     dedup's canary is dedup_minhash_lsh, the stalest non-r2 query
-#     (last graded r4).
-# New round-7 queries (e.g. embedding_ivf_sq_topk) intentionally sit
-# AFTER the window: zero-evidence normally outranks regrades, but the
-# r6 verdict explicitly prioritized the stale cohort; new queries get
-# local oracle evidence (tests/test_queries_oracle.py) this round and
-# driver evidence in r8.
-#
-# r8 window plan (fill in next round): tier (a) the 16 zero-evidence
-# r7 additions (embedding_ivf_sq_topk, bpe_train_loop,
-# dedup_substring_passages, pipeline_temperature_weights,
-# pipeline_epoch_shuffle, bpe_encode_corpus_stats, text_bigram_quality,
-# pipeline_quality_lang_filter, text_gopher_rules, events_windowed_topk,
-# multimodal_audio_chunks, events_anomaly_zscore,
-# ref_manifest_pruned_query, hll_set_algebra, graph_triangle_count,
-# events_transition_matrix); tier (b) regrades of r7-changed
-# implementations not already graded in r7 (embedding_cosine_topk —
-# two-stage top-k; manifest_pruned_scan/manifest_bloom_scan —
-# distributed build); tier (c) per-family canaries, then backfill with
-# the stalest remaining (r3/r4-era) rows.
+# driver-oracle evidence. Round-8 window (executes round-7 verdict item
+# 1 — grade every zero-driver-evidence query):
+# (a) all 26 round-7 additions, which sat after the r7 window by the
+#     rotation rule ("the r6 verdict explicitly prioritized the stale
+#     cohort"); each is oracle-green locally at sf0.001/0.01/0.1 and
+#     8 were independently re-verified by the r7 judge, but driver
+#     rows are the standard.
+# (b) 4 regrades of queries whose IMPLEMENTATION changed in r7 after
+#     (or without) their last driver row: embedding_cosine_topk and
+#     embedding_sq_topk gained the size-adaptive two-stage salted
+#     top-k; manifest_pruned_scan and manifest_bloom_scan now read a
+#     distributed-built manifest.
+# (c) 7 per-family canaries for families not already covered by (a)
+#     or (b), chosen as each family's STALEST row: orc_scan (scan,
+#     r5), range_join_windows (join, r4), grouping_sets_mix (agg,
+#     r4), set_except_intersect_all (sets, r6),
+#     correlated_agg_subquery (subquery, r6), udaf_grouped_median
+#     (udf, r6), stream_source_replay_agg (streaming, r6). The other
+#     families ride the window: dedup → dedup_substring_passages,
+#     similarity → embedding_ivf_sq_topk, text → text_gopher_rules,
+#     maintenance → analyze_table_stats, layout →
+#     manifest_pruned_scan, sources → multimodal_audio_chunks,
+#     corpus-prep → pipeline_epoch_shuffle, window →
+#     events_windowed_topk.
+# (d) 13 backfill slots for the stalest remaining rows (all last
+#     graded r4): dedup_exact, embedding_ivf_topk, text_stats,
+#     text_lang_id, tpch_q6/q18/q19, multimodal_decode_features,
+#     events_tumbling_window, pipeline_contamination_check,
+#     json_extract_props, ref_qualified_wildcard,
+#     window_time_range_avg.
+# Queries ADDED in round 8 intentionally sit after the window (the
+# same rotation rule) and are first in line for the r9 window.
 GRADE_ORDER: tuple[str, ...] = (
-    # (a) the r2-stale cohort, registration order
-    "ref_projection_unnamed",
-    "ref_int_division",
-    "ref_coercion_mixed",
-    "ref_comparison_ops",
-    "ref_string_filter",
-    "csv_scan",
-    "json_scan",
-    "named_table_scan",
-    "join_inner_agg",
-    "join_left_with_zeros",
-    "join_right",
-    "join_semi",
-    "join_anti",
-    "join_multiway_star",
-    "group_having",
-    "order_by_limit_topk",
-    "distinct_values",
-    "set_union_all",
-    "set_intersect",
-    "set_except",
-    "rollup_agg",
-    "window_rank_topn",
-    "window_lag_running",
-    "cte_segment_totals",
-    "in_subquery",
-    "scalar_subquery",
-    "string_functions",
-    "like_patterns",
-    "math_functions",
-    "date_functions",
-    "case_when_buckets",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "null_handling",
-    "regexp_ops",
-    "cube_agg",
-    "count_distinct",
-    "udf_pandas_charge",
-    "percentile_stats",
-    "variance_exact",
-    "ref_order_by_limit",
-    "exists_subquery",
-    # (b) per-family canaries. Two slots go to queries whose
-    # IMPLEMENTATION changed in r7 and who therefore need fresh driver
-    # evidence more than their unchanged family-mates do:
-    # stream_dedup_watermark switched to dropDuplicatesWithinWatermark
-    # (the state-eviction fix) and embedding_sq_topk gained the salted
-    # two-stage top-k — the displaced representatives
-    # (stream_source_replay_agg, embedding_ann_rerank) are UNCHANGED
-    # since their green r6 rows.
-    "dedup_minhash_lsh",
+    # (a) the 26 zero-driver-evidence r7 additions, registration order
+    "ref_manifest_pruned_query",
+    "stats_iqr_outliers",
+    "timeseries_mom_growth",
+    "orders_fulfillment_latency",
+    "analyze_table_stats",
+    "audit_referential_integrity",
+    "embedding_ivf_sq_topk",
+    "bpe_train_loop",
+    "dedup_substring_passages",
+    "pipeline_temperature_weights",
+    "pipeline_epoch_shuffle",
+    "bpe_encode_corpus_stats",
+    "text_bigram_quality",
+    "pipeline_quality_lang_filter",
+    "text_gopher_rules",
+    "multimodal_audio_chunks",
+    "hll_set_algebra",
+    "graph_triangle_count",
+    "dedup_substring_rewrite",
+    "dedup_sparse_tf_cosine",
+    "embedding_norm_audit",
+    "corpus_composition_report",
+    "events_windowed_topk",
+    "events_anomaly_zscore",
+    "events_transition_matrix",
+    "events_dau_stickiness",
+    # (b) regrades of r7-changed implementations
+    "embedding_cosine_topk",
     "embedding_sq_topk",
-    "text_unigram_quality",
-    "stream_dedup_watermark",
-    "merge_upsert_orders",
-    "zorder_layout_scan",
-    "multimodal_frame_sample",
-    "pipeline_pack_sequences",
+    "manifest_pruned_scan",
+    "manifest_bloom_scan",
+    # (c) per-family canaries (stalest row per uncovered family)
+    "orc_scan",
+    "range_join_windows",
+    "grouping_sets_mix",
+    "set_except_intersect_all",
+    "correlated_agg_subquery",
+    "udaf_grouped_median",
+    "stream_source_replay_agg",
+    # (d) backfill: the stalest remaining rows (last graded r4)
+    "dedup_exact",
+    "embedding_ivf_topk",
+    "text_stats",
+    "text_lang_id",
+    "tpch_q6_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive",
+    "multimodal_decode_features",
+    "events_tumbling_window",
+    "pipeline_contamination_check",
+    "json_extract_props",
+    "ref_qualified_wildcard",
+    "window_time_range_avg",
 )
 
 

@@ -92,28 +92,27 @@ def test_graded_prefix_invariants():
     assert not no_oracle, f"graded without oracle: {no_oracle}"
 
     # One representative per family stays in-window across rotations.
-    # r7 consolidation (the window is dedicated to the 42-query
-    # r2-stale cohort per the r6 verdict): temporal/as-of joins fold
-    # into "join", snapshot/IVM/quality into "maintenance", the batch
-    # Python DataSource + multimodal binary into "sources", and the
-    # custom replayable streaming source into "streaming" — each
-    # folded-away representative carries green r6 driver evidence.
+    # r8 rotation (the window grades the 26 zero-driver-evidence r7
+    # additions per the r7 verdict, item 1): eight families are
+    # represented by a tier-(a)/(b) member of that cohort; the other
+    # seven get their STALEST query as an explicit canary slot. Every
+    # displaced r7 representative carries a green r7 driver row.
     families = {
-        "scan": "csv_scan",
-        "join": "join_multiway_star",
-        "agg": "rollup_agg",
-        "window": "window_rank_topn",
-        "sets": "set_union_all",
-        "subquery": "exists_subquery",
-        "udf": "udf_pandas_charge",
-        "dedup": "dedup_minhash_lsh",
-        "similarity": "embedding_sq_topk",
-        "text": "text_unigram_quality",
-        "streaming": "stream_dedup_watermark",
-        "maintenance": "merge_upsert_orders",
-        "layout": "zorder_layout_scan",
-        "sources": "multimodal_frame_sample",
-        "corpus-prep": "pipeline_pack_sequences",
+        "scan": "orc_scan",
+        "join": "range_join_windows",
+        "agg": "grouping_sets_mix",
+        "window": "events_windowed_topk",
+        "sets": "set_except_intersect_all",
+        "subquery": "correlated_agg_subquery",
+        "udf": "udaf_grouped_median",
+        "dedup": "dedup_substring_passages",
+        "similarity": "embedding_ivf_sq_topk",
+        "text": "text_gopher_rules",
+        "streaming": "stream_source_replay_agg",
+        "maintenance": "analyze_table_stats",
+        "layout": "manifest_pruned_scan",
+        "sources": "multimodal_audio_chunks",
+        "corpus-prep": "pipeline_epoch_shuffle",
     }
     out = [f"{fam}:{n}" for fam, n in families.items() if n not in first50]
     assert not out, f"families without an in-window representative: {out}"
