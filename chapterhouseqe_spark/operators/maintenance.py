@@ -294,8 +294,16 @@ def write_snapshot(df: DataFrame, table_path: str, pointer_store=None) -> int:
                 "another writer committed first; re-read and retry"
             )
         # mirror into the local pointer file so path-only readers
-        # (read_snapshot/_committed_latest) see the committed version
-    tmp = os.path.join(table_path, "_LATEST.tmp")
+        # (read_snapshot/_committed_latest) see the committed version.
+        # The mirror is monotonic-guarded: a writer that won CAS at
+        # version N but stalled before mirroring must not os.replace
+        # over version N+1's already-written mirror — path-only
+        # readers would regress to N even though the CAS store says
+        # N+1. (Advancing the mirror is safe only forward; the CAS
+        # store remains the source of truth for writers either way.)
+        if _committed_latest(table_path) >= version:
+            return version
+    tmp = os.path.join(table_path, f"_LATEST.tmp-{uuid.uuid4().hex}")
     with open(tmp, "w") as fh:
         fh.write(str(version))
     os.replace(tmp, os.path.join(table_path, "_LATEST"))  # atomic swap

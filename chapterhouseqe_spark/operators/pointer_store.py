@@ -79,6 +79,67 @@ class LocalFSPointerStore:
         except FileNotFoundError:
             return None
 
+    def _break_stale(self, lock: str, judged: os.stat_result) -> bool:
+        """Remove ``lock`` iff it is still the exact (inode, mtime)
+        the caller judged stale. A bare ``os.remove`` races: between
+        the caller's stat and the remove, another writer may have
+        already broken the stale lock and O_EXCL-created a FRESH one
+        at the same path — removing that would let two writers into
+        the critical section. Two defenses: (1) breaking is serialized
+        by a short-lived ``.breaker`` lock, so no two breakers
+        interleave with a fresh acquirer; (2) before removing, the
+        lock is re-stat'ed and its (st_ino, st_mtime_ns) compared to
+        the judged-stale stat — a fresh lock is a different inode, so
+        it is never removed. Returns True when the caller may retry
+        acquisition (the stale lock is gone), False when a live writer
+        is active and the CAS should fail so the caller re-reads.
+        """
+        blk = lock + ".breaker"
+        try:
+            bfd = os.open(blk, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            # Another breaker is active — or crashed. The breaker
+            # critical section is stat+remove (microseconds), so an
+            # old breaker lock is a crash; clear it with the same
+            # inode-compare discipline and let the caller retry later.
+            try:
+                bst = os.stat(blk)
+            except OSError:
+                return False
+            if time.time() - bst.st_mtime < self.lock_timeout_s:
+                return False
+            try:
+                cur = os.stat(blk)
+                if (cur.st_ino, cur.st_mtime_ns) == (
+                    bst.st_ino,
+                    bst.st_mtime_ns,
+                ):
+                    os.remove(blk)
+            except OSError:
+                pass
+            return False
+        try:
+            os.close(bfd)
+            try:
+                cur = os.stat(lock)
+            except OSError:
+                return True  # stale lock already gone — retry
+            if (cur.st_ino, cur.st_mtime_ns) != (
+                judged.st_ino,
+                judged.st_mtime_ns,
+            ):
+                return False  # replaced by a live writer's fresh lock
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+            return True
+        finally:
+            try:
+                os.remove(blk)
+            except OSError:
+                pass
+
     def compare_and_swap(
         self, name: str, expected: str | None, new: str
     ) -> bool:
@@ -88,15 +149,13 @@ class LocalFSPointerStore:
         except FileExistsError:
             # stale-lock breaking: a crashed writer's lock outlives it
             try:
-                age = time.time() - os.path.getmtime(lock)
+                st = os.stat(lock)
             except OSError:
                 return False  # lock vanished mid-check: someone is active
-            if age < self.lock_timeout_s:
+            if time.time() - st.st_mtime < self.lock_timeout_s:
                 return False  # an active writer holds it — fail, re-read
-            try:
-                os.remove(lock)
-            except OSError:
-                pass
+            if not self._break_stale(lock, st):
+                return False
             return self.compare_and_swap(name, expected, new)
         try:
             os.close(fd)

@@ -55,16 +55,41 @@ class FileSinkWriter(DataSourceWriter):
         return _StagedFile(staged, n)
 
     # DRIVER-side finalize: nothing is visible until every task
-    # succeeded and the manifest lands
+    # succeeded and the manifest lands. The save mode decides how this
+    # commit composes with a previous one: overwrite removes the prior
+    # commit's part files (so glob-readers can't see stale
+    # higher-numbered parts from a larger earlier commit), append
+    # continues part numbering after the existing manifest and merges
+    # the file lists (never os.replace-ing over a live part file).
     def commit(self, messages) -> None:
-        entries = []
+        manifest = os.path.join(self.path, "_SINK_MANIFEST.json")
+        prior = {"files": [], "rows": 0}
+        if os.path.exists(manifest):
+            with open(manifest) as fh:
+                prior = json.load(fh)
+        if self.overwrite:
+            for e in prior["files"]:
+                try:
+                    os.remove(os.path.join(self.path, e["file"]))
+                except OSError:
+                    pass
+            # stale parts a torn earlier run left behind without a
+            # manifest entry are also stale data to a glob-reader
+            for f in os.listdir(self.path):
+                if f.startswith("part-") and f.endswith(".jsonl"):
+                    try:
+                        os.remove(os.path.join(self.path, f))
+                    except OSError:
+                        pass
+            prior = {"files": [], "rows": 0}
+        base = len(prior["files"])
+        entries = list(prior["files"])
         for i, m in enumerate(sorted(messages, key=lambda m: m.staged_path)):
-            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            final = os.path.join(self.path, f"part-{base + i:05d}.jsonl")
             os.replace(m.staged_path, final)
             entries.append(
                 {"file": os.path.basename(final), "rows": m.n_rows}
             )
-        manifest = os.path.join(self.path, "_SINK_MANIFEST.json")
         with open(manifest, "w") as fh:
             json.dump({"files": entries, "rows": sum(e["rows"] for e in entries)}, fh)
 

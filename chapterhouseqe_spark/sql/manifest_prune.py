@@ -46,10 +46,10 @@ def _conjuncts(expr) -> list:
     return [expr]
 
 
-def numeric_bounds(where) -> dict[str, tuple[float | None, float | None]]:
+def numeric_bounds(where) -> dict[str, tuple[int | float | None, int | float | None]]:
     """Per-column (lo, hi) closed numeric bounds implied by the WHERE's
     top-level conjuncts; None = unbounded on that side."""
-    bounds: dict[str, tuple[float | None, float | None]] = {}
+    bounds: dict[str, tuple[int | float | None, int | float | None]] = {}
     if where is None:
         return bounds
     for c in _conjuncts(where):
@@ -67,7 +67,11 @@ def numeric_bounds(where) -> dict[str, tuple[float | None, float | None]]:
         if not isinstance(lit.value, (int, float)):
             continue
         name = ident.parts[-1] if hasattr(ident, "parts") else ident.name
-        v = float(lit.value)
+        # Keep int literals as Python ints: float() rounds BIGINTs
+        # above 2^53, which could wrongly prune a file whose exact
+        # int min/max brackets the true literal (pruning must never
+        # change results). Python compares int vs int/float exactly.
+        v = lit.value if isinstance(lit.value, int) else float(lit.value)
         lo, hi = bounds.get(name, (None, None))
         if op in (">=", ">"):
             lo = v if lo is None else max(lo, v)

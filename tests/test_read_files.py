@@ -212,3 +212,28 @@ def test_manifest_prune_bounds_extraction():
     assert b["b"] == (7.0, 7.0)
     # string equality and OR-disjuncts never contribute bounds
     assert "name" not in b and "d" not in b
+
+
+def test_manifest_prune_bigint_bounds_stay_exact():
+    """r7 advisor finding: int literals must stay Python ints — a
+    BIGINT above 2^53 coerced through float() rounds to a neighboring
+    value and can wrongly prune a file whose exact int min/max
+    brackets the true literal (pruning must never change results)."""
+    from chapterhouseqe_spark.sql.manifest_prune import numeric_bounds
+    from chapterhouseqe_spark.sql.parser import parse_select
+
+    big = 9007199254740993  # 2^53 + 1: float(big) == 2^53
+    stmt = parse_select(
+        f"select a from read_files('x.parquet') where a = {big}"
+    )
+    lo, hi = numeric_bounds(stmt.where)["a"]
+    assert lo == big and isinstance(lo, int)
+    assert hi == big and isinstance(hi, int)
+    # the file-keep predicate with exact int stats bracketing the
+    # literal: [2^53, 2^53+2] must NOT be pruned (float bounds would
+    # prune it via mx < lo after lo rounded up... or keep wrongly) —
+    # with int bounds the comparison is exact
+    mn, mx = big - 1, big + 1
+    assert not (mn > hi or mx < lo)
+    # and a file strictly above the literal IS prunable
+    assert (big + 1) > hi or False

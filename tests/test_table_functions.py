@@ -239,3 +239,48 @@ def test_spark_mode_read_files_prune_kwargs(spark, sf_dir, tmp_path):
             spark, ["li/*.parquet"], {"prune_col": "l_orderkey"},
             ConnectionRegistry(default_base=str(tmp_path)),
         )
+
+
+def test_file_sink_append_then_overwrite_modes(spark, tmp_path):
+    """commit() honors the save mode (r7 advisor finding): append
+    continues part numbering after the prior manifest instead of
+    os.replace-ing over live part files; overwrite removes every prior
+    part so a glob-reader can't see stale higher-numbered parts from a
+    larger earlier commit."""
+    import json
+    import os
+
+    from chapterhouseqe_spark.sources.filesink import register_file_sink
+
+    register_file_sink(spark)
+    path = str(tmp_path / "sink_modes")
+
+    spark.range(0, 100).repartition(4).write.format(
+        "chqe_filesink"
+    ).mode("append").save(path)
+    spark.range(100, 150).repartition(2).write.format(
+        "chqe_filesink"
+    ).mode("append").save(path)
+
+    with open(os.path.join(path, "_SINK_MANIFEST.json")) as fh:
+        man = json.load(fh)
+    assert man["rows"] == 150
+    assert len(man["files"]) == 6  # 4 + 2, no clobbered parts
+    rows = []
+    for entry in man["files"]:
+        with open(os.path.join(path, entry["file"])) as fh:
+            rows.extend(json.loads(l) for l in fh)
+    assert sorted(r["id"] for r in rows) == list(range(150))
+
+    # overwrite with a SMALLER commit: stale parts 2..5 must be gone
+    spark.range(0, 20).repartition(2).write.format(
+        "chqe_filesink"
+    ).mode("overwrite").save(path)
+    with open(os.path.join(path, "_SINK_MANIFEST.json")) as fh:
+        man = json.load(fh)
+    assert man["rows"] == 20
+    assert len(man["files"]) == 2
+    on_disk = sorted(
+        f for f in os.listdir(path) if f.startswith("part-")
+    )
+    assert on_disk == sorted(e["file"] for e in man["files"])
