@@ -241,6 +241,31 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         core[name] = round(time.time() - t0, 3)
 
+    # sf1 tier (r7 verdict item 2): the headline queries again at 10x
+    # the bench scale, so the per-family 10x scale probes become a
+    # repeatable per-round regression artifact instead of one-off
+    # PLANS.md numbers. The data is locally generated
+    # (tools/gen_sf_data.py — same schema/distributions as the
+    # driver's tables); skipped silently when the directory is absent
+    # so the driver's default run still works on a fresh clone.
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "testdata_sf1"),
+    )
+    sf1: dict[str, float] = {}
+    if os.path.isdir(sf1_dir):
+        for tbl in ("lineitem", "orders", "customer", "documents",
+                    "embeddings", "events"):
+            spark.read.parquet(f"{sf1_dir}/{tbl}.parquet").write.format(
+                "noop"
+            ).mode("overwrite").save()
+        for name in BENCH_QUERIES:
+            build = queries[name]
+            t0 = time.time()
+            df = build(spark, sf1_dir)
+            df.write.format("noop").mode("overwrite").save()
+            sf1[name] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     full = json.dumps(
         {
@@ -252,6 +277,8 @@ def main() -> None:
             "extended_total": round(sum(extended.values()), 3),
             "core": core,
             "core_total": round(sum(core.values()), 3),
+            "sf1": sf1,
+            "sf1_total": round(sum(sf1.values()), 3),
             "sf": sf,
         }
     )
@@ -278,6 +305,7 @@ def main() -> None:
             "core_total": round(sum(core.values()), 3),
             "n_extended": len(extended),
             "n_core": len(core),
+            "sf1_total": round(sum(sf1.values()), 3) if sf1 else None,
             "detail": "bench_last.json",
             "sf": sf,
         }
