@@ -2806,13 +2806,14 @@ def kmeans_sampled_train_assign(spark, sf_dir):
     )
 
 
-@query(
-    "embedding_ivf_sq_topk",
-    # IVF bucket replay (centroid_method='first', exactly as
-    # embedding_ivf_topk_approx) composed with the SQ code replay
-    # (exactly as embedding_sq_topk): probes rank ONLY their nprobe=4
-    # buckets, scoring on uint8 codes with BIGINT dot products.
-    oracle=f"""
+# IVF bucket replay (centroid_method='first', exactly as
+# embedding_ivf_topk_approx) composed with the SQ code replay (exactly
+# as embedding_sq_topk): probes rank ONLY their nprobe=4 buckets,
+# scoring on uint8 codes with BIGINT dot products. Shared by the
+# inline-build query and the prebuilt-index query: persisting the
+# index through parquet and reading it back must be bit-identical, so
+# BOTH replay against the same SQL.
+_IVF_SQ_ORACLE = f"""
     WITH cent AS (
       SELECT vec_id AS cid, embedding AS cvec
       FROM embeddings ORDER BY vec_id LIMIT 16
@@ -2880,7 +2881,12 @@ def kmeans_sampled_train_assign(spark, sf_dir):
                                 ORDER BY score_q DESC, id_b) AS rnk
       FROM scores) x
     WHERE rnk <= 5
-    """,
+    """
+
+
+@query(
+    "embedding_ivf_sq_topk",
+    oracle=_IVF_SQ_ORACLE,
     tags=("pipeline", "similarity"),
     doc="IVF + scalar quantization composed (the FAISS IVFx,SQ8 tier, "
     "r6 verdict item 6): nprobe=4/16 bucket restriction BOUNDS the "
@@ -2902,6 +2908,61 @@ def embedding_ivf_sq_topk(spark, sf_dir):
         nprobe=4,
         dim=64,
         centroid_method="first",
+    )
+
+
+@query(
+    "embedding_ivf_sq_prebuilt_topk",
+    oracle=_IVF_SQ_ORACLE,
+    tags=("pipeline", "similarity"),
+    doc="The PRODUCTION IVF+SQ serving split (r7 verdict item 4): "
+    "phase 1 builds the IVF index ONCE per corpus fingerprint — "
+    "centroids + coarse assignments persisted as parquet tables "
+    "(the amortization write_training_shards uses for the epoch "
+    "permutation) — and phase 2 searches via prebuilt=, so the "
+    "graded query pays index BUILD only on a cold corpus and every "
+    "later call is bucket-restricted search alone (PLANS.md r7 "
+    "measured the inline build dominating search 7:1 at 100k "
+    "vectors). Same oracle as embedding_ivf_sq_topk: the parquet "
+    "round-trip of float32 arrays is bit-exact, so search over the "
+    "persisted index must equal search over the inline index "
+    "(operators/similarity.py:ivf_sq_topk prebuilt=)",
+)
+def embedding_ivf_sq_prebuilt_topk(spark, sf_dir):
+    import os
+
+    from chapterhouseqe_spark.operators.similarity import (
+        ivf_assign,
+        ivf_sq_topk,
+    )
+    from chapterhouseqe_spark.queries.core_sql import _source_fingerprint
+
+    emb = t(spark, sf_dir, "embeddings")
+    # ---- phase 1: build + persist (skipped when the index exists) ----
+    key = _source_fingerprint(sf_dir, "embeddings")
+    base = f"/tmp/chqe_ivf_index/{key}"
+    cdir, adir = f"{base}/centroids", f"{base}/assignments"
+    if not (
+        os.path.exists(os.path.join(cdir, "_SUCCESS"))
+        and os.path.exists(os.path.join(adir, "_SUCCESS"))
+    ):
+        centroids, assignments = ivf_assign(
+            emb, 16, centroid_method="first"
+        )
+        centroids.write.mode("overwrite").parquet(cdir)
+        assignments.write.mode("overwrite").parquet(adir)
+    # ---- phase 2: search against the persisted index ----
+    return ivf_sq_topk(
+        emb,
+        F.col("vec_id") < 5,
+        k=5,
+        n_centroids=16,
+        nprobe=4,
+        dim=64,
+        prebuilt=(
+            spark.read.parquet(cdir),
+            spark.read.parquet(adir),
+        ),
     )
 
 

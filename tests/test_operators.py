@@ -565,3 +565,34 @@ def test_ivf_sq_prebuilt_matches_inline(spark, sf_dir):
     )
     assert sorted(map(tuple, inline.collect()), key=lambda t: (t[0], t[3])) == \
         sorted(map(tuple, pre.collect()), key=lambda t: (t[0], t[3]))
+
+
+def test_ivf_sq_prebuilt_query_warm_reuse(spark, sf_dir, tmp_path, monkeypatch):
+    """The graded prebuilt query's phase split: the first call builds
+    and persists the index; a second call must NOT rebuild (the
+    _SUCCESS markers gate the build) and must return identical rows."""
+    import os
+
+    import chapterhouseqe_spark.operators.similarity as sim
+    from chapterhouseqe_spark.queries.pipeline_queries import (
+        embedding_ivf_sq_prebuilt_topk,
+    )
+
+    cold = sorted(
+        map(tuple, embedding_ivf_sq_prebuilt_topk(spark, sf_dir).collect())
+    )
+    from chapterhouseqe_spark.queries.core_sql import _source_fingerprint
+
+    base = f"/tmp/chqe_ivf_index/{_source_fingerprint(sf_dir, 'embeddings')}"
+    assert os.path.exists(f"{base}/centroids/_SUCCESS")
+    assert os.path.exists(f"{base}/assignments/_SUCCESS")
+
+    # poison the build path: a warm call must never reach ivf_assign
+    def boom(*a, **kw):
+        raise AssertionError("warm call rebuilt the IVF index")
+
+    monkeypatch.setattr(sim, "ivf_assign", boom)
+    warm = sorted(
+        map(tuple, embedding_ivf_sq_prebuilt_topk(spark, sf_dir).collect())
+    )
+    assert warm == cold
