@@ -16,6 +16,11 @@ primitive behind one interface so the snapshot protocol is portable:
   semantics an external CAS service (DynamoDB conditional PUT, etcd
   txn, GCS ``x-goog-if-generation-match``) provides; used by tests to
   pin the protocol independent of any filesystem.
+- :class:`HTTPPointerStore` + :class:`CASHTTPServer` — the remote
+  shape: conditional PUT over HTTP with retry/backoff, and lost-ack
+  resolution by re-read (the exactly-once commit ambiguity every
+  networked CAS client must handle); the server model injects
+  dropped responses and 5xx for the fault tests.
 
 The contract: ``compare_and_swap`` succeeds for EXACTLY ONE of any set
 of concurrent writers that read the same prior value — the loser must
@@ -171,3 +176,188 @@ class LocalFSPointerStore:
                 os.remove(lock)
             except OSError:
                 pass
+
+
+class CASHTTPServer:
+    """Stdlib model of a remote conditional-write service (DynamoDB
+    conditional PUT / etcd txn / GCS ``x-goog-if-generation-match``),
+    so :class:`HTTPPointerStore` is proven against a genuinely REMOTE
+    CAS — network round-trips, lost responses — not just the POSIX and
+    in-process models.
+
+    Protocol (one resource per pointer name):
+
+    - ``GET /pointer/<name>`` → 200 with the value in the body, or 404.
+    - ``PUT /pointer/<name>`` with ``If-Match: <value>`` (the literal
+      ``\\x00absent`` means "expect no pointer") → 204 when the
+      condition held and the write applied, 412 when it did not.
+
+    Fault injection for tests: ``drop_acks_after_apply`` makes the
+    next N conditional PUTs APPLY server-side but close the connection
+    without a response — the lost-ack case a client must resolve by
+    re-reading; ``fail_before_apply`` returns 503 WITHOUT applying —
+    the retryable case.
+    """
+
+    ABSENT = "\x00absent"
+
+    def __init__(self) -> None:
+        import http.server
+
+        self._values: dict[str, str] = {}
+        self._mu = threading.Lock()
+        self.drop_acks_after_apply = 0
+        self.fail_before_apply = 0
+        store = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_GET(self):
+                name = self.path.rsplit("/", 1)[-1]
+                with store._mu:
+                    v = store._values.get(name)
+                if v is None:
+                    self.send_response(404)
+                    self.end_headers()
+                else:
+                    body = v.encode()
+                    self.send_response(200)
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+
+            def do_PUT(self):
+                name = self.path.rsplit("/", 1)[-1]
+                n = int(self.headers.get("Content-Length", 0))
+                new = self.rfile.read(n).decode()
+                expected = self.headers.get("If-Match", CASHTTPServer.ABSENT)
+                with store._mu:
+                    if store.fail_before_apply > 0:
+                        store.fail_before_apply -= 1
+                        self.send_response(503)
+                        self.end_headers()
+                        return
+                    cur = store._values.get(name)
+                    want = None if expected == CASHTTPServer.ABSENT else expected
+                    ok = cur == want
+                    if ok:
+                        store._values[name] = new
+                    if ok and store.drop_acks_after_apply > 0:
+                        store.drop_acks_after_apply -= 1
+                        # lost ack: write applied, response never sent
+                        self.close_connection = True
+                        self.connection.close()
+                        return
+                self.send_response(204 if ok else 412)
+                self.end_headers()
+
+        import http.server as hs
+
+        self._httpd = hs.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        self.address = f"http://127.0.0.1:{self._httpd.server_address[1]}"
+
+    def close(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+
+
+class HTTPPointerStore:
+    """CAS pointer store over HTTP conditional PUT.
+
+    Same contract as the other stores: ``compare_and_swap`` succeeds
+    for exactly one of any set of concurrent writers that read the
+    same prior value — the SERVER serializes, this client only has to
+    survive the network:
+
+    - transient failures (connection refused, 5xx, timeout) are
+      retried with backoff, bounded by ``max_attempts``;
+    - a LOST RESPONSE after an applied write (the classic exactly-once
+      commit ambiguity) is resolved by re-reading: if the pointer now
+      equals ``new``, this writer's CAS applied and the ack was lost →
+      success; if it still equals ``expected``, the write never
+      applied → retry the PUT; anything else means another writer
+      committed → failure. The resolution is value-equality (same ABA
+      caveat as the file store — snapshot versions are monotonic
+      integers, so values never repeat in this protocol).
+    """
+
+    def __init__(
+        self,
+        address: str,
+        timeout_s: float = 5.0,
+        max_attempts: int = 5,
+        backoff_s: float = 0.05,
+    ) -> None:
+        self.address = address.rstrip("/")
+        self.timeout_s = timeout_s
+        self.max_attempts = max_attempts
+        self.backoff_s = backoff_s
+
+    def _url(self, name: str) -> str:
+        return f"{self.address}/pointer/{name}"
+
+    def read(self, name: str) -> str | None:
+        import urllib.error
+        import urllib.request
+
+        last: Exception | None = None
+        for attempt in range(self.max_attempts):
+            try:
+                req = urllib.request.Request(self._url(name))
+                with urllib.request.urlopen(req, timeout=self.timeout_s) as r:
+                    return r.read().decode()
+            except urllib.error.HTTPError as e:
+                if e.code == 404:
+                    return None
+                last = e
+            except OSError as e:  # refused / reset / timeout
+                last = e
+            time.sleep(self.backoff_s * (2**attempt))
+        raise PointerStoreError(f"read({name}) failed: {last}")
+
+    def compare_and_swap(
+        self, name: str, expected: str | None, new: str
+    ) -> bool:
+        import urllib.error
+        import urllib.request
+
+        match = CASHTTPServer.ABSENT if expected is None else expected
+        last: Exception | None = None
+        for attempt in range(self.max_attempts):
+            try:
+                req = urllib.request.Request(
+                    self._url(name),
+                    data=new.encode(),
+                    method="PUT",
+                    headers={"If-Match": match},
+                )
+                with urllib.request.urlopen(req, timeout=self.timeout_s) as r:
+                    return r.status == 204
+            except urllib.error.HTTPError as e:
+                if e.code == 412:
+                    return False
+                last = e  # 5xx: not applied, retry
+            except OSError as e:
+                # Ambiguous: the server may have applied the write and
+                # lost the ack. Re-read to resolve before retrying —
+                # a blind retry would 412 against our OWN committed
+                # value and report a false conflict.
+                last = e
+                try:
+                    cur = self.read(name)
+                except PointerStoreError:
+                    time.sleep(self.backoff_s * (2**attempt))
+                    continue
+                if cur == new:
+                    return True  # applied, ack lost
+                if cur != expected:
+                    return False  # another writer won
+                # cur == expected: never applied — fall through, retry
+            time.sleep(self.backoff_s * (2**attempt))
+        raise PointerStoreError(f"compare_and_swap({name}) failed: {last}")
