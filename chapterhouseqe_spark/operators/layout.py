@@ -251,6 +251,178 @@ def _distributed_file_map(spark, files: list[str], fn) -> list[dict]:
     )
 
 
+SHARD_DIR = "_manifest_shards"
+
+
+def _shard_entry_rows(
+    path: str, k: int, files: list[str], columns: list[str]
+) -> dict:
+    """Build and write ONE manifest shard (runs on an executor in the
+    distributed build): the per-file entries land in
+    ``<path>/_manifest_shards/shard-<k>.json`` (atomic tmp+rename on
+    the shared table storage), and only a tiny index row — shard name,
+    file count, per-column aggregate bounds — returns to the driver.
+    A column where any member file lacks stats gets ``None`` bounds
+    (the shard can never be skipped on it: conservative, same rule as
+    a stat-less file)."""
+    import json as _json
+    import os
+    import uuid as _uuid
+
+    entries = sorted(
+        (_footer_entry(f, columns) for f in files), key=lambda e: e["file"]
+    )
+    sdir = os.path.join(path, SHARD_DIR)
+    os.makedirs(sdir, exist_ok=True)
+    name = f"shard-{k:05d}.json"
+    tmp = os.path.join(sdir, f".tmp-{_uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        _json.dump({"files": entries}, fh)
+    os.replace(tmp, os.path.join(sdir, name))
+    bounds: dict = {}
+    for col in columns:
+        rngs = [e.get(col) for e in entries]
+        if not rngs or any(r is None for r in rngs):
+            bounds[col] = None
+        else:
+            bounds[col] = [min(r[0] for r in rngs), max(r[1] for r in rngs)]
+    return {"shard": name, "n_files": len(entries), "bounds": bounds}
+
+
+def write_manifest_sharded(
+    path: str,
+    columns: list[str],
+    spark=None,
+    shard_size: int = 1000,
+) -> int:
+    """Sharded manifest for O(10^6)-file tables (r7 verdict item 5).
+
+    ``write_manifest`` assembles ONE ``_MANIFEST.json`` on the driver —
+    correct, but at a million files the single JSON itself (collect,
+    serialize, parse on every query) becomes the bottleneck. This
+    build writes ``_manifest_shards/shard-<k>.json`` per ``shard_size``
+    files — from EXECUTOR tasks straight to the table's shared storage,
+    so no per-file entry ever passes through the driver — and a small
+    ``_MANIFEST_INDEX.json`` holding one row per shard: file count and
+    per-column AGGREGATE [min, max]. Readers consult the index first
+    and skip entire shards whose aggregate range excludes the query
+    (on a clustered layout — cluster_write / zorder_write — shards
+    cover disjoint key ranges, so a point query opens ~1 shard JSON,
+    not the full manifest). Pruning rules per surviving shard are the
+    byte-identical per-file rules of the plain form.
+
+    Any stale ``_MANIFEST.json`` is removed (one source of truth);
+    ``write_manifest`` likewise clears a stale sharded form. Returns
+    files indexed.
+    """
+    import glob as _glob
+    import json as _json
+    import os
+    import shutil as _shutil
+
+    files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    sdir = os.path.join(path, SHARD_DIR)
+    if os.path.isdir(sdir):
+        _shutil.rmtree(sdir)
+    chunks = [
+        (k, files[i : i + shard_size])
+        for k, i in enumerate(range(0, len(files), shard_size))
+    ]
+    if spark is not None and len(chunks) > 1:
+        import pandas as _pd
+
+        cols = list(columns)
+
+        def _run(batches):
+            for pdf in batches:
+                out = []
+                for k, blob in zip(pdf["k"], pdf["files"]):
+                    row = _shard_entry_rows(
+                        path, int(k), _json.loads(blob), cols
+                    )
+                    out.append(_json.dumps(row))
+                yield _pd.DataFrame({"row": out})
+
+        sc = spark.sparkContext
+        sc.setLocalProperty("spark.jobGroup.id", MANIFEST_JOB_GROUP)
+        try:
+            rows = (
+                spark.createDataFrame(
+                    [(k, _json.dumps(fs)) for k, fs in chunks],
+                    "k int, files string",
+                )
+                .repartition(len(chunks))
+                .mapInPandas(_run, "row string")
+                .collect()
+            )
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        index = sorted(
+            (_json.loads(r.row) for r in rows), key=lambda s: s["shard"]
+        )
+    else:
+        index = [
+            _shard_entry_rows(path, k, fs, list(columns)) for k, fs in chunks
+        ]
+    tmp = os.path.join(path, "_MANIFEST_INDEX.json.tmp")
+    with open(tmp, "w") as fh:
+        _json.dump({"columns": list(columns), "shards": index}, fh)
+    os.replace(tmp, os.path.join(path, "_MANIFEST_INDEX.json"))
+    stale = os.path.join(path, "_MANIFEST.json")
+    if os.path.exists(stale):
+        os.remove(stale)
+    return sum(s["n_files"] for s in index)
+
+
+def load_manifest(path: str) -> dict | None:
+    """Unified manifest view {columns, files} from either form, or
+    None when the directory carries no manifest. The sharded form
+    loads ALL shards here — use :func:`sharded_entries` with a skip
+    predicate when the point is to avoid exactly that."""
+    import json as _json
+    import os
+
+    plain = os.path.join(path, "_MANIFEST.json")
+    if os.path.exists(plain):
+        with open(plain) as fh:
+            return _json.load(fh)
+    idx = os.path.join(path, "_MANIFEST_INDEX.json")
+    if os.path.exists(idx):
+        with open(idx) as fh:
+            index = _json.load(fh)
+        files: list = []
+        for s in index["shards"]:
+            with open(os.path.join(path, SHARD_DIR, s["shard"])) as fh:
+                files.extend(_json.load(fh)["files"])
+        return {"columns": index["columns"], "files": files}
+    return None
+
+
+def sharded_entries(path: str, keep_shard) -> tuple[list[dict], int]:
+    """(entries from shards where ``keep_shard(bounds) is True``, total
+    file count across ALL shards). Plain manifests degrade to one
+    un-skippable shard, so callers are form-agnostic."""
+    import json as _json
+    import os
+
+    idx = os.path.join(path, "_MANIFEST_INDEX.json")
+    if not os.path.exists(idx):
+        man = load_manifest(path)
+        if man is None:
+            raise FileNotFoundError(f"no manifest at {path}")
+        return man["files"], len(man["files"])
+    with open(idx) as fh:
+        index = _json.load(fh)
+    total = sum(s["n_files"] for s in index["shards"])
+    entries: list = []
+    for s in index["shards"]:
+        if not keep_shard(s.get("bounds", {})):
+            continue
+        with open(os.path.join(path, SHARD_DIR, s["shard"])) as fh:
+            entries.extend(_json.load(fh)["files"])
+    return entries, total
+
+
 def write_manifest(path: str, columns: list[str], spark=None) -> int:
     """Build ``<path>/_MANIFEST.json`` from parquet footers: per file,
     per column (min, max) plus row count. Metadata-only (no data IO).
@@ -282,6 +454,15 @@ def write_manifest(path: str, columns: list[str], spark=None) -> int:
         entries = [_footer_entry(f, columns) for f in files]
     with open(os.path.join(path, "_MANIFEST.json"), "w") as fh:
         _json.dump({"columns": columns, "files": entries}, fh)
+    # one source of truth: clear a stale sharded form
+    import shutil as _shutil
+
+    idx = os.path.join(path, "_MANIFEST_INDEX.json")
+    if os.path.exists(idx):
+        os.remove(idx)
+    sdir = os.path.join(path, SHARD_DIR)
+    if os.path.isdir(sdir):
+        _shutil.rmtree(sdir)
     return len(entries)
 
 
@@ -294,20 +475,26 @@ def manifest_pruned_files(
     A file with no stats for the column is conservatively kept (false
     keeps only cost IO; false skips would lose rows). Range endpoints
     go through the same encoding as the stored stats, so comparisons
-    stay within one ordered domain.
+    stay within one ordered domain. On a sharded manifest, shards
+    whose aggregate [min, max] excludes the range are skipped without
+    ever opening their JSON (same conservative rule at shard grain: a
+    shard with None bounds is always opened).
     """
-    import json as _json
     import os
 
-    with open(os.path.join(path, "_MANIFEST.json")) as fh:
-        man = _json.load(fh)
     lo_e, hi_e = _enc_stat(lo), _enc_stat(hi)
+
+    def _keep_shard(bounds: dict) -> bool:
+        b = bounds.get(column)
+        return b is None or (b[0] <= hi_e and b[1] >= lo_e)
+
+    entries, total = sharded_entries(path, _keep_shard)
     kept = []
-    for entry in man["files"]:
+    for entry in entries:
         rng = entry.get(column)
         if rng is None or (rng[0] <= hi_e and rng[1] >= lo_e):
             kept.append(os.path.join(path, entry["file"]))
-    return kept, len(man["files"])
+    return kept, total
 
 
 def manifest_scan(spark, path: str, column: str, lo, hi):
@@ -413,22 +600,64 @@ def write_manifest_blooms(
     import json as _json
     import os
 
-    with open(os.path.join(path, "_MANIFEST.json")) as fh:
-        man = _json.load(fh)
-    files = [os.path.join(path, e["file"]) for e in man["files"]]
-    if spark is not None and files:
-        built = _distributed_file_map(
-            spark, files, lambda f: _bloom_entry(f, columns, m_bits, n_hashes)
-        )
-    else:
-        built = [_bloom_entry(f, columns, m_bits, n_hashes) for f in files]
-    by_file = {b["file"]: b["bloom"] for b in built}
-    for entry in man["files"]:
-        entry["bloom"] = by_file[entry["file"]]
-    man["bloom_params"] = {"m_bits": m_bits, "n_hashes": n_hashes}
-    with open(os.path.join(path, "_MANIFEST.json"), "w") as fh:
-        _json.dump(man, fh)
-    return len(man["files"])
+    plain = os.path.join(path, "_MANIFEST.json")
+    idx_path = os.path.join(path, "_MANIFEST_INDEX.json")
+    if os.path.exists(plain):
+        with open(plain) as fh:
+            man = _json.load(fh)
+        files = [os.path.join(path, e["file"]) for e in man["files"]]
+        if spark is not None and files:
+            built = _distributed_file_map(
+                spark,
+                files,
+                lambda f: _bloom_entry(f, columns, m_bits, n_hashes),
+            )
+        else:
+            built = [_bloom_entry(f, columns, m_bits, n_hashes) for f in files]
+        by_file = {b["file"]: b["bloom"] for b in built}
+        for entry in man["files"]:
+            entry["bloom"] = by_file[entry["file"]]
+        man["bloom_params"] = {"m_bits": m_bits, "n_hashes": n_hashes}
+        with open(plain, "w") as fh:
+            _json.dump(man, fh)
+        return len(man["files"])
+    # sharded form: the per-file data passes are the same distributed
+    # job; blooms write back into each shard, and each index row gains
+    # the bitwise OR of its members' blooms — a valid shard-level
+    # bloom (the union of sets hashed into the same family), so a
+    # point probe skips whole shards before opening any shard JSON.
+    with open(idx_path) as fh:
+        index = _json.load(fh)
+    n = 0
+    for srow in index["shards"]:
+        spath = os.path.join(path, SHARD_DIR, srow["shard"])
+        with open(spath) as fh:
+            shard = _json.load(fh)
+        files = [os.path.join(path, e["file"]) for e in shard["files"]]
+        if spark is not None and files:
+            built = _distributed_file_map(
+                spark,
+                files,
+                lambda f: _bloom_entry(f, columns, m_bits, n_hashes),
+            )
+        else:
+            built = [_bloom_entry(f, columns, m_bits, n_hashes) for f in files]
+        by_file = {b["file"]: b["bloom"] for b in built}
+        agg = {c: 0 for c in columns}
+        for entry in shard["files"]:
+            entry["bloom"] = by_file[entry["file"]]
+            for c in columns:
+                agg[c] |= int(entry["bloom"][c], 16)
+        with open(spath, "w") as fh:
+            _json.dump(shard, fh)
+        srow["bloom"] = {c: format(agg[c], "x") for c in columns}
+        n += len(shard["files"])
+    index["bloom_params"] = {"m_bits": m_bits, "n_hashes": n_hashes}
+    tmp = idx_path + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump(index, fh)
+    os.replace(tmp, idx_path)
+    return n
 
 
 def manifest_bloom_files(path: str, column: str, value) -> tuple[list[str], int]:
@@ -438,22 +667,45 @@ def manifest_bloom_files(path: str, column: str, value) -> tuple[list[str], int]
     import json as _json
     import os
 
-    with open(os.path.join(path, "_MANIFEST.json")) as fh:
-        man = _json.load(fh)
-    params = man.get("bloom_params", {})
+    plain = os.path.join(path, "_MANIFEST.json")
+    idx_path = os.path.join(path, "_MANIFEST_INDEX.json")
+    if os.path.exists(plain):
+        with open(plain) as fh:
+            man = _json.load(fh)
+        params = man.get("bloom_params", {})
+        entries, total = man["files"], len(man["files"])
+        shard_rows = None
+    else:
+        with open(idx_path) as fh:
+            index = _json.load(fh)
+        params = index.get("bloom_params", {})
+        total = sum(s["n_files"] for s in index["shards"])
+        shard_rows = index["shards"]
     m_bits = params.get("m_bits", 2048)
     n_hashes = params.get("n_hashes", 3)
     pos = _bloom_positions_py(value, n_hashes, m_bits)
-    kept = []
-    for entry in man["files"]:
-        hexbits = entry.get("bloom", {}).get(column)
+
+    def _hits(hexbits: str | None) -> bool:
         if hexbits is None:
-            kept.append(os.path.join(path, entry["file"]))
-            continue
+            return True  # no bloom: conservatively admit
         bits = int(hexbits, 16)
-        if all((bits >> p) & 1 for p in pos):
-            kept.append(os.path.join(path, entry["file"]))
-    return kept, len(man["files"])
+        return all((bits >> p) & 1 for p in pos)
+
+    if shard_rows is not None:
+        entries = []
+        for srow in shard_rows:
+            if not _hits(srow.get("bloom", {}).get(column)):
+                continue  # whole shard provably misses the value
+            with open(
+                os.path.join(path, SHARD_DIR, srow["shard"])
+            ) as fh:
+                entries.extend(_json.load(fh)["files"])
+    kept = [
+        os.path.join(path, entry["file"])
+        for entry in entries
+        if _hits(entry.get("bloom", {}).get(column))
+    ]
+    return kept, total
 
 
 def manifest_point_scan(spark, path: str, column: str, value):

@@ -97,17 +97,55 @@ def pruned_file_list(resolved: str, where) -> list[str] | None:
             break
     if not os.path.isdir(base):
         return None
+    # Either manifest form: the plain single JSON, or the sharded
+    # index (operators/layout.py:write_manifest_sharded) — shards
+    # whose aggregate bounds exclude the query range are skipped
+    # without opening their JSON, same conservative rules.
     mpath = os.path.join(base, "_MANIFEST.json")
-    if not os.path.exists(mpath):
+    ipath = os.path.join(base, "_MANIFEST_INDEX.json")
+    if os.path.exists(mpath):
+        with open(mpath) as fh:
+            man = json.load(fh)
+        n_total = len(man["files"])
+        entries = man["files"]
+        columns = man.get("columns", [])
+    elif os.path.exists(ipath):
+        with open(ipath) as fh:
+            index = json.load(fh)
+        columns = index.get("columns", [])
+        n_total = sum(s["n_files"] for s in index["shards"])
+        bounds0 = numeric_bounds(where)
+        entries = []
+        for srow in index["shards"]:
+            skip = False
+            for col, (lo, hi) in bounds0.items():
+                b = (srow.get("bounds") or {}).get(col)
+                if b is None:
+                    continue
+                mn, mx = b
+                if not isinstance(mn, (int, float)) or not isinstance(
+                    mx, (int, float)
+                ):
+                    continue
+                if (hi is not None and mn > hi) or (
+                    lo is not None and mx < lo
+                ):
+                    skip = True
+                    break
+            if skip:
+                continue
+            with open(
+                os.path.join(base, "_manifest_shards", srow["shard"])
+            ) as fh:
+                entries.extend(json.load(fh)["files"])
+    else:
         return None
-    with open(mpath) as fh:
-        man = json.load(fh)
     bounds = numeric_bounds(where)
-    usable = [c for c in man.get("columns", []) if c in bounds]
+    usable = [c for c in columns if c in bounds]
     if not usable:
         return None
     kept = []
-    for entry in man["files"]:
+    for entry in entries:
         keep = True
         for col in usable:
             rng = entry.get(col)
@@ -124,6 +162,6 @@ def pruned_file_list(resolved: str, where) -> list[str] | None:
                 break
         if keep:
             kept.append(os.path.join(base, entry["file"]))
-    if not kept or len(kept) == len(man["files"]):
+    if not kept or len(kept) == n_total:
         return None  # nothing pruned (or everything): plain scan
     return kept
