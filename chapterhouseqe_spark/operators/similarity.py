@@ -140,6 +140,75 @@ def cosine_pairs(
     )
 
 
+def hard_negatives(
+    emb: DataFrame,
+    anchor_filter: Column,
+    k: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    two_stage: bool | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the ``k`` nearest-by-cosine corpus vectors carrying a DIFFERENT
+    label — the negatives closest to the decision boundary, the
+    standard pair-mining step for embedding finetunes (in-batch
+    negatives miss exactly these).
+
+    Same plan discipline as :func:`cosine_topk` (broadcast anchors ×
+    corpus, no corpus shuffle for candidate generation; size-adaptive
+    two-stage salted top-k above ~20k rows so no single task funnels
+    the corpus) with one extra scan-stage predicate: ``label_b !=
+    label_a``, applied BEFORE scoring so mismatched rows never pay the
+    dot product. Exact by construction — for a mined training set,
+    audit-grade exactness matters more than ANN speed; at 100 TB run
+    the same shape over ANN candidates (``ivf_topk`` output) instead
+    of the raw corpus. Returns (anchor_id, id_b, label_b, sim, rnk),
+    rnk <= k, ties broken on smaller id_b.
+    """
+    if two_stage is None:
+        two_stage = emb.count() > 20_000
+    n_salts = 32
+    anchors = emb.filter(anchor_filter).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("ea"),
+        F.col(label_col).alias("label_a"),
+    )
+    corpus = ensure_parallelism(emb).select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("eb"),
+        F.col(label_col).alias("label_b"),
+    )
+    scored = (
+        F.broadcast(anchors)
+        .crossJoin(corpus)
+        .filter(F.col("label_b") != F.col("label_a"))
+        .select(
+            "anchor_id",
+            "id_b",
+            "label_b",
+            cosine(F.col("ea"), F.col("eb")).alias("sim"),
+        )
+    )
+    if two_stage:
+        w1 = Window.partitionBy(
+            "anchor_id", F.pmod(F.col("id_b"), F.lit(n_salts))
+        ).orderBy(F.col("sim").desc(), F.col("id_b"))
+        scored = (
+            scored.withColumn("rn", F.row_number().over(w1))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+        )
+    w2 = Window.partitionBy("anchor_id").orderBy(
+        F.col("sim").desc(), F.col("id_b")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .select("anchor_id", "id_b", "label_b", "sim", "rnk")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]

@@ -3079,3 +3079,179 @@ def orders_fulfillment_latency(spark, sf_dir):
             F.sum((gap > 90).cast("bigint")).alias("n_over_90d"),
         )
     )
+
+
+@query(
+    "join_fuzzy_part_names",
+    oracle=r"""
+    WITH names AS (
+      SELECT DISTINCT p_name AS name FROM part WHERE len(p_name) >= 3
+    ),
+    grams AS (
+      SELECT name, unnest(list_distinct(
+        list_transform(generate_series(1, len(name) - 2),
+                       i -> substr(name, i, 3)))) AS g
+      FROM names
+    ),
+    cand AS (
+      SELECT a.name AS name_a, b.name AS name_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM grams a JOIN grams b ON a.g = b.g AND a.name < b.name
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    )
+    SELECT name_a, name_b, n_shared,
+           CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev
+    FROM cand
+    WHERE levenshtein(name_a, name_b) <= 3
+    """,
+    tags=("join", "fuzzy"),
+    doc="fuzzy self-join of part names: distinct-first dedup, 3-gram "
+    "shared-count prefilter (a gram-keyed hash join, never a cross "
+    "product), exact levenshtein verify on the surviving candidates "
+    "only — the Gravano-style approximate-join decomposition; both "
+    "engines implement plain Levenshtein so the verify predicate is "
+    "bit-portable (operators/fuzzy.py:qgram_levenshtein_join)",
+)
+def join_fuzzy_part_names(spark, sf_dir):
+    from chapterhouseqe_spark.operators.fuzzy import qgram_levenshtein_join
+
+    return qgram_levenshtein_join(
+        t(spark, sf_dir, "part"), "p_name", q=3, min_shared=2, max_dist=3
+    )
+
+
+@query(
+    "stats_winsorize",
+    oracle="""
+    WITH cuts AS (
+      SELECT c_mktsegment,
+             quantile_cont(c_acctbal, 0.05) AS p05,
+             quantile_cont(c_acctbal, 0.95) AS p95
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN c.c_acctbal < k.p05 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_lo,
+           CAST(SUM(CASE WHEN c.c_acctbal > k.p95 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clipped_hi,
+           CAST(SUM(CAST(
+             CASE WHEN c.c_acctbal < k.p05 THEN k.p05
+                  WHEN c.c_acctbal > k.p95 THEN k.p95
+                  ELSE c.c_acctbal END AS DECIMAL(27,6)))
+             AS DOUBLE) AS winsorized_sum
+    FROM customer c JOIN cuts k USING (c_mktsegment)
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("agg", "stats"),
+    doc="per-segment winsorization (clip at p05/p95): the standard "
+    "outlier-robust normalization before aggregate stats or model "
+    "features. Plan: one grouped percentile pass over <=5 groups, "
+    "its 5-row output BROADCAST back onto the fact scan, clip as a "
+    "scan-stage CASE — no second shuffle of the fact table; the "
+    "decimal cast keeps the clipped sum order-insensitive (Spark "
+    "percentile = DuckDB quantile_cont interpolation, proven by "
+    "percentile_stats)",
+)
+def stats_winsorize(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    cuts = cust.groupBy("c_mktsegment").agg(
+        F.percentile("c_acctbal", 0.05).alias("p05"),
+        F.percentile("c_acctbal", 0.95).alias("p95"),
+    )
+    bal = F.col("c_acctbal")
+    clipped = (
+        F.when(bal < F.col("p05"), F.col("p05"))
+        .when(bal > F.col("p95"), F.col("p95"))
+        .otherwise(bal)
+    )
+    return (
+        cust.join(F.broadcast(cuts), "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((bal < F.col("p05")).cast("bigint")).alias("n_clipped_lo"),
+            F.sum((bal > F.col("p95")).cast("bigint")).alias("n_clipped_hi"),
+            F.sum(clipped.cast("decimal(27,6)"))
+            .cast("double")
+            .alias("winsorized_sum"),
+        )
+    )
+
+
+@query(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_type, value,
+             LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_type,
+             LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                             THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_ts
+      FROM events
+    )
+    SELECT COALESCE(CASE WHEN ts - touch_ts <= INTERVAL 7 DAY
+                         THEN touch_type END, 'organic') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE)
+             AS attributed_value
+    FROM marked
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    tags=("window", "events"),
+    doc="last-touch marketing attribution: each purchase credits the "
+    "user's most recent PRECEDING view/click within 7 days, else "
+    "'organic'. One user-keyed window (running last_value IGNORE "
+    "NULLS over a conditional — no self-join against the touch "
+    "events) then a tiny keyed agg; ties on ts break on event_id so "
+    "both engines walk one deterministic order. The window carries "
+    "each user's events once — the same single-shuffle shape as "
+    "sessionization, linear at any event volume",
+)
+def events_attribution_last_touch(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("view", "click")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+    )
+    within = F.timestamp_diff("SECOND", F.col("touch_ts"), F.col("ts")) <= (
+        7 * 86400
+    )
+    return (
+        marked.filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(
+                F.when(within, F.col("touch_type")), F.lit("organic")
+            ).alias("channel"),
+            "value",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(27,4)"))
+            .cast("double")
+            .alias("attributed_value"),
+        )
+    )

@@ -3796,3 +3796,160 @@ def corpus_composition_report(spark, sf_dir):
         GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
         """
     )
+
+
+@query(
+    "embedding_hard_negatives",
+    oracle=f"""
+    WITH anchors AS (
+      SELECT vec_id AS anchor_id, embedding AS ea, label AS label_a
+      FROM embeddings WHERE vec_id < 6
+    ),
+    cand AS (
+      SELECT a.anchor_id, b.vec_id AS id_b, b.label AS label_b,
+             a.ea, b.embedding AS eb
+      FROM anchors a JOIN embeddings b ON b.label <> a.label_a
+    ),
+    dots AS (
+      SELECT anchor_id, id_b, label_b,
+             list_reduce(
+               list_transform(generate_series(1, len(ea)),
+                              i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)),
+               (acc, x) -> acc + x) AS dot
+      FROM cand
+    ),
+    {_COSINE_NORMS_CTE}
+    SELECT anchor_id, id_b, label_b, sim, CAST(rn AS BIGINT) AS rnk
+    FROM (
+      SELECT d.anchor_id, d.id_b, d.label_b,
+             d.dot / (na.nrm * nb.nrm) AS sim,
+             ROW_NUMBER() OVER (PARTITION BY d.anchor_id
+                                ORDER BY d.dot / (na.nrm * nb.nrm) DESC,
+                                         d.id_b) AS rn
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.anchor_id
+      JOIN norms nb ON nb.vec_id = d.id_b
+    ) x WHERE rn <= 2
+    """,
+    tags=("pipeline", "similarity"),
+    doc="hard-negative mining for contrastive finetunes: per anchor "
+    "(vec_id<6), the 2 nearest-by-cosine vectors with a DIFFERENT "
+    "label — the negatives closest to the decision boundary that "
+    "in-batch sampling misses. Same broadcast-anchors plan as "
+    "cosine_topk with the label predicate applied BEFORE scoring; "
+    "size-adaptive two-stage salted top-k above 20k rows "
+    "(operators/similarity.py:hard_negatives)",
+)
+def embedding_hard_negatives(spark, sf_dir):
+    from chapterhouseqe_spark.operators.similarity import hard_negatives
+
+    emb = t(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, F.col("vec_id") < 6, k=2)
+
+
+@query(
+    "pipeline_source_quota",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, n_chars, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN rn <= 20 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN rn <= 20 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS kept_chars
+    FROM ranked
+    GROUP BY source
+    """,
+    tags=("pipeline", "sampling"),
+    doc="per-source document quota (anti-domination): keep at most 20 "
+    "docs per source, ranked by length (quality proxy) with doc_id "
+    "ties — the corpus-curation cap that stops one crawl domain from "
+    "swamping the mixture. One source-keyed window then a keyed agg "
+    "(a single shuffle); at 100 TB sources are the natural partition "
+    "key and per-key state is one counter",
+)
+def pipeline_source_quota(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    )
+    kept = F.col("rn") <= 20
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(kept.cast("bigint")).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
+    )
+
+
+@query(
+    "pipeline_stratified_split",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n_lang
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN rn <= CAST(floor(0.9 * n_lang) AS BIGINT) THEN 'train'
+                WHEN rn <= CAST(floor(0.95 * n_lang) AS BIGINT) THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM ranked
+    GROUP BY 1, 2
+    """,
+    tags=("pipeline", "sampling"),
+    doc="EXACT stratified 90/5/5 split per language: rank docs within "
+    "each stratum by md5(doc_id) (a deterministic pseudo-random "
+    "order both engines compute identically) and cut at exact floor "
+    "counts — unlike pipeline_hash_split's statistical buckets, "
+    "every stratum's proportions are exact to the document, the "
+    "contract an eval-set builder needs. One stratum-keyed window + "
+    "keyed agg; ranking is the same single shuffle at any corpus "
+    "size",
+)
+def pipeline_stratified_split(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    wn = Window.partitionBy("lang")
+    ranked = docs.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n_lang"),
+    )
+    split = (
+        F.when(
+            F.col("rn") <= F.floor(0.9 * F.col("n_lang")).cast("bigint"),
+            F.lit("train"),
+        )
+        .when(
+            F.col("rn") <= F.floor(0.95 * F.col("n_lang")).cast("bigint"),
+            F.lit("val"),
+        )
+        .otherwise(F.lit("test"))
+    )
+    return (
+        ranked.select("lang", split.alias("split"), "n_chars")
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
