@@ -3255,3 +3255,60 @@ def events_attribution_last_touch(spark, sf_dir):
             .alias("attributed_value"),
         )
     )
+
+
+@query(
+    "stats_weighted_median",
+    oracle="""
+    WITH ordered AS (
+      SELECT l_returnflag, l_extendedprice,
+             CAST(l_quantity AS BIGINT) AS w,
+             SUM(CAST(l_quantity AS BIGINT))
+               OVER (PARTITION BY l_returnflag
+                     ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_w,
+             SUM(CAST(l_quantity AS BIGINT))
+               OVER (PARTITION BY l_returnflag) AS tot_w
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(tot_w AS BIGINT) AS total_weight,
+           l_extendedprice AS weighted_median_price
+    FROM ordered
+    WHERE 2 * cum_w >= tot_w AND 2 * (cum_w - w) < tot_w
+    """,
+    tags=("agg", "stats"),
+    doc="quantity-WEIGHTED median price per return flag: the straddle "
+    "row where the running weight first covers half the group total "
+    "(integer-exact — weights cast to BIGINT, the straddle predicate "
+    "2*cum >= tot avoids any division; order ties broken on the "
+    "full key so both engines walk one sequence). One partitioned "
+    "window + filter, no self-join; the grouped-median UDAF covers "
+    "the unweighted case, this covers importance-weighted stats "
+    "(e.g. token-weighted quality medians over a corpus)",
+)
+def stats_weighted_median(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    wo = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    w = F.col("l_quantity").cast("bigint")
+    ordered = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        w.alias("w"),
+        F.sum(w)
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_w"),
+        F.sum(w).over(wtot).alias("tot_w"),
+    )
+    return ordered.filter(
+        (2 * F.col("cum_w") >= F.col("tot_w"))
+        & (2 * (F.col("cum_w") - F.col("w")) < F.col("tot_w"))
+    ).select(
+        "l_returnflag",
+        F.col("tot_w").cast("bigint").alias("total_weight"),
+        F.col("l_extendedprice").alias("weighted_median_price"),
+    )

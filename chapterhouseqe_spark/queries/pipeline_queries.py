@@ -3953,3 +3953,69 @@ def pipeline_stratified_split(spark, sf_dir):
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+@query(
+    "multimodal_image_patches",
+    # payload is utf-8 of ASCII-only text (same verified property as
+    # multimodal_audio_chunks), so VARCHAR substrings slice the same
+    # bytes and sha256 agrees; substring past the end is '' in both.
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n
+      FROM documents WHERE octet_length(encode(text)) > 0
+    ),
+    dims AS (
+      SELECT doc_id, text, n,
+             CAST(ceil(n / 32.0) AS INTEGER) AS n_rows
+      FROM sized
+    ),
+    prow AS (
+      SELECT doc_id, text, n_rows,
+             unnest(generate_series(
+               0, greatest(CAST(ceil(n_rows / 8.0) AS INTEGER) - 1, 0)))
+               AS patch_row
+      FROM dims
+    ),
+    grid AS (
+      SELECT doc_id, text, patch_row,
+             unnest(generate_series(0, 3)) AS patch_col
+      FROM prow
+    ),
+    patches AS (
+      SELECT doc_id, patch_row, patch_col,
+             substr(text, (patch_row * 8 + 0) * 32 + patch_col * 8 + 1, 8) ||
+             substr(text, (patch_row * 8 + 1) * 32 + patch_col * 8 + 1, 8) ||
+             substr(text, (patch_row * 8 + 2) * 32 + patch_col * 8 + 1, 8) ||
+             substr(text, (patch_row * 8 + 3) * 32 + patch_col * 8 + 1, 8) ||
+             substr(text, (patch_row * 8 + 4) * 32 + patch_col * 8 + 1, 8) ||
+             substr(text, (patch_row * 8 + 5) * 32 + patch_col * 8 + 1, 8) ||
+             substr(text, (patch_row * 8 + 6) * 32 + patch_col * 8 + 1, 8) ||
+             substr(text, (patch_row * 8 + 7) * 32 + patch_col * 8 + 1, 8)
+               AS pb
+      FROM grid
+    )
+    SELECT doc_id, CAST(patch_row AS INTEGER) AS patch_row,
+           CAST(patch_col AS INTEGER) AS patch_col,
+           CAST(octet_length(encode(pb)) AS BIGINT) AS patch_len,
+           sha256(pb) AS patch_sha
+    FROM patches
+    """,
+    tags=("pipeline", "multimodal"),
+    doc="ViT-style patchify: each payload is a row-major 32-byte-wide "
+    "raster cut into an 8x8 patch grid, one row per (doc, patch_row, "
+    "patch_col) with length + sha256 as the decoded-embedding stand-"
+    "in; ragged last rows/columns shrink or empty out exactly like "
+    "real rasters. Pure JVM (double explode + 8 concatenated binary "
+    "substrings in the scan stage, zero Python); a real decoder "
+    "consumes these pre-cut, relationally-pruned patches over Arrow "
+    "(sources/multimodal.py:patch_grid)",
+)
+def multimodal_image_patches(spark, sf_dir):
+    from chapterhouseqe_spark.sources.multimodal import (
+        attach_binary_payload,
+        patch_grid,
+    )
+
+    mm = attach_binary_payload(t(spark, sf_dir, "documents"))
+    return patch_grid(mm, row_bytes=32, patch=8)

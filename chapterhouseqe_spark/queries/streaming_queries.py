@@ -762,3 +762,100 @@ def events_dau_stickiness(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "stream_interval_join",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, ts AS pts, value FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CAST(p.value AS DECIMAL(27,4))) AS DOUBLE)
+             AS attributed_value
+    FROM c JOIN p ON p.user_id = c.user_id
+                 AND p.pts >= c.cts
+                 AND p.pts <= c.cts + INTERVAL 1 HOUR
+    GROUP BY c.user_id
+    """,
+    tags=("streaming", "join"),
+    doc="STREAM-STREAM interval join through real micro-batches: "
+    "clicks and purchases arrive as two independent file streams, "
+    "joined on user_id with a one-hour event-time range condition "
+    "under watermarks on BOTH sides — the canonical Structured "
+    "Streaming two-stream state shape (each side buffers only rows "
+    "newer than the other side's watermark minus the interval, so "
+    "state is bounded by rate x window, not stream length). The "
+    "watermark delay here exceeds the dataset span, so the streamed "
+    "join is exact and the oracle is the plain batch interval join",
+)
+def stream_interval_join(spark, sf_dir):
+    import shutil
+    import tempfile
+    import uuid
+
+    from chapterhouseqe_spark.queries.core_sql import t
+
+    ev = t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="chqe_stream_ij_")
+    try:
+        clicks_dir, purch_dir = f"{tmp}/clicks", f"{tmp}/purchases"
+        ev.filter(F.col("event_type") == "click").write.parquet(clicks_dir)
+        ev.filter(F.col("event_type") == "purchase").write.parquet(purch_dir)
+        c = (
+            spark.readStream.schema(ev.schema)
+            .parquet(clicks_dir)
+            .select(
+                F.col("user_id"),
+                F.col("ts").cast("timestamp").alias("cts"),
+            )
+            .withWatermark("cts", "3650 days")
+        )
+        p = (
+            spark.readStream.schema(ev.schema)
+            .parquet(purch_dir)
+            .select(
+                F.col("user_id").alias("p_user_id"),
+                F.col("ts").cast("timestamp").alias("pts"),
+                F.col("value"),
+            )
+            .withWatermark("pts", "3650 days")
+        )
+        joined = c.join(
+            p,
+            (F.col("p_user_id") == F.col("user_id"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        name = f"stream_ij_{uuid.uuid4().hex[:8]}"
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(300)
+        if not finished:
+            q.stop()
+            raise RuntimeError(
+                "stream_interval_join: availableNow run did not finish "
+                "within 300s — infra stall, not a query bug"
+            )
+        return (
+            spark.table(name)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum(F.col("value").cast("decimal(27,4)"))
+                .cast("double")
+                .alias("attributed_value"),
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -186,3 +186,60 @@ def chunk_audio(
             F.sha2(chunk, 256).alias("chunk_sha"),
         )
     )
+
+
+def patch_grid(
+    multimodal: DataFrame,
+    row_bytes: int = 32,
+    patch: int = 8,
+) -> DataFrame:
+    """ViT-style patchify (stubbed codec, real plumbing): treat each
+    binary payload as a row-major raster ``row_bytes`` wide and cut it
+    into a ``patch`` x ``patch`` grid — the image-side analog of
+    :func:`chunk_audio`'s PCM framing, and the exact pre-processing
+    shape a patch-embedding model consumes (for real images,
+    ``row_bytes = width x bytes_per_pixel``).
+
+    Emits one row per (doc, patch_row, patch_col) with the patch's
+    byte length and sha256 (the deterministic stand-in for a decoded
+    patch embedding). Ragged edges behave like real rasters: the last
+    patch row/column may be short or empty — substring past the
+    payload end yields empty bytes, identically in both engines.
+
+    Scale note: patchify is PURE JVM — a double explode over the
+    patch grid plus ``patch`` fixed binary substrings concatenated
+    per row, all inside the scan stage with zero Python; a real
+    decoder sits AFTER this, receiving relationally-pruned patches
+    over the Arrow boundary exactly like :func:`decode_features`.
+    """
+    n = F.length(F.col("payload"))
+    n_rows = F.ceil(n.cast("double") / F.lit(float(row_bytes))).cast("int")
+    n_prow = F.ceil(n_rows.cast("double") / F.lit(float(patch))).cast("int")
+    n_pcol = row_bytes // patch
+    pr = F.explode(F.sequence(F.lit(0), F.greatest(n_prow - 1, F.lit(0))))
+    pc = F.explode(F.sequence(F.lit(0), F.lit(n_pcol - 1)))
+    patch_bytes = F.concat(
+        *[
+            F.col("payload").substr(
+                (
+                    (F.col("patch_row") * patch + r) * row_bytes
+                    + F.col("patch_col") * patch
+                    + 1
+                ).cast("int"),
+                F.lit(patch),
+            )
+            for r in range(patch)
+        ]
+    )
+    return (
+        multimodal.filter(n > 0)
+        .select(F.col("doc_id"), F.col("payload"), pr.alias("patch_row"))
+        .select("doc_id", "payload", "patch_row", pc.alias("patch_col"))
+        .select(
+            "doc_id",
+            "patch_row",
+            "patch_col",
+            F.length(patch_bytes).cast("bigint").alias("patch_len"),
+            F.sha2(patch_bytes, 256).alias("patch_sha"),
+        )
+    )
