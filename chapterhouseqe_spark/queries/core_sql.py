@@ -3312,3 +3312,121 @@ def stats_weighted_median(spark, sf_dir):
         F.col("tot_w").cast("bigint").alias("total_weight"),
         F.col("l_extendedprice").alias("weighted_median_price"),
     )
+
+
+@query(
+    "orders_abc_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS r
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, r,
+             SUM(r) OVER (ORDER BY r DESC, o_custkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_r,
+             SUM(r) OVER () AS tot_r
+      FROM rev
+    )
+    SELECT CASE WHEN cum_r * 100 <= tot_r * 80 THEN 'A'
+                WHEN cum_r * 100 <= tot_r * 95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(r) AS DOUBLE) AS class_revenue
+    FROM ranked
+    GROUP BY 1
+    """,
+    tags=("agg", "stats", "window"),
+    doc="ABC / Pareto classification: customers ranked by revenue, "
+    "class A = the head covering 80% of cumulative revenue, B to "
+    "95%, C the tail. Exact in both engines — revenue accumulates "
+    "as DECIMAL and the thresholds compare as cum*100 <= tot*80 "
+    "(integer-scaled decimal, no double division); ranking ties "
+    "break on custkey. The global running sum is one ordered window "
+    "over the ALREADY-AGGREGATED per-customer frame (|customers| "
+    "rows, not |orders|) — the single-partition window carries the "
+    "small frame, the fact table only ever sees the keyed agg",
+)
+def orders_abc_pareto(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(27,2)")).alias("r")
+    )
+    wcum = (
+        Window.orderBy(F.col("r").desc(), "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy()
+    ranked = rev.select(
+        "o_custkey",
+        "r",
+        F.sum("r").over(wcum).alias("cum_r"),
+        F.sum("r").over(wtot).alias("tot_r"),
+    )
+    abc = (
+        F.when(F.col("cum_r") * 100 <= F.col("tot_r") * 80, F.lit("A"))
+        .when(F.col("cum_r") * 100 <= F.col("tot_r") * 95, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return (
+        ranked.select(abc.alias("abc_class"), "r")
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("r").cast("double").alias("class_revenue"),
+        )
+    )
+
+
+@query(
+    "scan_schema_evolution",
+    # the evolved directory holds two parquet files with DIFFERENT
+    # schemas (v1 lacks o_orderpriority); mergeSchema unions them with
+    # NULLs for the missing column. Content equals the orders table
+    # split at o_orderkey 1000 with the column blanked on the v1 half,
+    # so the oracle replays that CASE over the original table.
+    oracle="""
+    SELECT o_orderstatus,
+           CASE WHEN o_orderkey < 1000 THEN NULL
+                ELSE o_orderpriority END AS o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE)
+             AS total
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("source", "scan"),
+    doc="schema evolution on read: a table directory whose files were "
+    "written under two schema versions (a column added mid-history) "
+    "reads as ONE frame via mergeSchema — old files surface NULL for "
+    "the new column, the exact Iceberg/Delta add-column contract. "
+    "The footer-union costs one metadata pass; data pages are never "
+    "rewritten (the point of additive evolution at 100 TB: schema "
+    "changes are O(files) metadata, not O(bytes) rewrites)",
+)
+def scan_schema_evolution(spark, sf_dir):
+    import os
+
+    o = t(spark, sf_dir, "orders")
+    key = _source_fingerprint(sf_dir, "orders")
+    out = f"/tmp/chqe_formats/{key}/orders_evolved"
+    marker = os.path.join(out, "_SUCCESS_EVOLVED")
+    if not os.path.exists(marker):
+        # v1 era: the table had no o_orderpriority column
+        o.filter(F.col("o_orderkey") < 1000).drop(
+            "o_orderpriority"
+        ).coalesce(1).write.mode("overwrite").parquet(out)
+        # v2 era: column added — append new-schema files to the SAME dir
+        o.filter(F.col("o_orderkey") >= 1000).coalesce(1).write.mode(
+            "append"
+        ).parquet(out)
+        open(marker, "w").close()
+    evolved = spark.read.option("mergeSchema", "true").parquet(out)
+    return evolved.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
+        .cast("double")
+        .alias("total"),
+    )

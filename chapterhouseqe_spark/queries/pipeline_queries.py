@@ -4019,3 +4019,125 @@ def multimodal_image_patches(spark, sf_dir):
 
     mm = attach_binary_payload(t(spark, sf_dir, "documents"))
     return patch_grid(mm, row_bytes=32, patch=8)
+
+
+@query(
+    "embedding_matryoshka_overlap",
+    # both engines rank by dot/(|a||b|) computed in one fold order;
+    # the truncated side slices dims 1..16 on BOTH the probe and the
+    # corpus vector (norms over the slice, not the full vector)
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS probe_id, b.vec_id AS id_b,
+             a.embedding AS ea, b.embedding AS eb
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < 6 AND b.vec_id != a.vec_id
+    ),
+    {_COSINE_NORMS_CTE},
+    tnorms AS (
+      SELECT vec_id,
+             SQRT(list_reduce(
+               list_transform(generate_series(1, 16),
+                              i -> CAST(embedding[i] AS DOUBLE)
+                                   * CAST(embedding[i] AS DOUBLE)),
+               (acc, x) -> acc + x)) AS tnrm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT p.probe_id, p.id_b,
+             list_reduce(
+               list_transform(generate_series(1, len(p.ea)),
+                              i -> CAST(p.ea[i] AS DOUBLE) * CAST(p.eb[i] AS DOUBLE)),
+               (acc, x) -> acc + x) / (na.nrm * nb.nrm) AS sim_full,
+             list_reduce(
+               list_transform(generate_series(1, 16),
+                              i -> CAST(p.ea[i] AS DOUBLE) * CAST(p.eb[i] AS DOUBLE)),
+               (acc, x) -> acc + x) / (ta.tnrm * tb.tnrm) AS sim_trunc
+      FROM pairs p
+      JOIN norms na ON na.vec_id = p.probe_id
+      JOIN norms nb ON nb.vec_id = p.id_b
+      JOIN tnorms ta ON ta.vec_id = p.probe_id
+      JOIN tnorms tb ON tb.vec_id = p.id_b
+    ),
+    topk_full AS (
+      SELECT probe_id, id_b, rn FROM (
+        SELECT probe_id, id_b,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY sim_full DESC, id_b) AS rn
+        FROM scored) x WHERE rn <= 3
+    ),
+    topk_trunc AS (
+      SELECT probe_id, id_b, rn FROM (
+        SELECT probe_id, id_b,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY sim_trunc DESC, id_b) AS rn
+        FROM scored) x WHERE rn <= 3
+    )
+    SELECT f.probe_id,
+           CAST(COUNT(t.id_b) AS BIGINT) AS n_overlap,
+           MIN(CASE WHEN f.rn = 1 THEN f.id_b END) AS top1_full,
+           (SELECT id_b FROM topk_trunc t2
+            WHERE t2.probe_id = f.probe_id AND t2.rn = 1) AS top1_trunc
+    FROM topk_full f
+    LEFT JOIN topk_trunc t
+      ON t.probe_id = f.probe_id AND t.id_b = f.id_b
+    GROUP BY f.probe_id
+    """,
+    tags=("pipeline", "similarity"),
+    doc="Matryoshka truncation audit (MRL-style): per probe, top-3 "
+    "neighbors under the FULL 64-dim cosine vs the first-16-dim "
+    "truncation (norms over the slice), reporting overlap@3 and both "
+    "top-1s — the measurement that decides whether a 4x-cheaper "
+    "truncated index is recall-safe before switching the ANN tier to "
+    "it. Same broadcast-probe plan as cosine_topk run under two "
+    "scorings of ONE candidate pass; the audit never re-scans the "
+    "corpus twice",
+)
+def embedding_matryoshka_overlap(spark, sf_dir):
+    from chapterhouseqe_spark.operators.similarity import cosine
+
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("ea")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+    )
+    scored = (
+        F.broadcast(probes)
+        .crossJoin(corpus)
+        .filter(F.col("probe_id") != F.col("id_b"))
+        .select(
+            "probe_id",
+            "id_b",
+            cosine(F.col("ea"), F.col("eb")).alias("sim_full"),
+            cosine(
+                F.slice(F.col("ea"), 1, 16), F.slice(F.col("eb"), 1, 16)
+            ).alias("sim_trunc"),
+        )
+    )
+    wf = Window.partitionBy("probe_id").orderBy(
+        F.col("sim_full").desc(), "id_b"
+    )
+    wt = Window.partitionBy("probe_id").orderBy(
+        F.col("sim_trunc").desc(), "id_b"
+    )
+    ranked = scored.select(
+        "probe_id",
+        "id_b",
+        F.row_number().over(wf).alias("rn_full"),
+        F.row_number().over(wt).alias("rn_trunc"),
+    ).filter((F.col("rn_full") <= 3) | (F.col("rn_trunc") <= 3))
+    return ranked.groupBy("probe_id").agg(
+        F.sum(
+            ((F.col("rn_full") <= 3) & (F.col("rn_trunc") <= 3)).cast(
+                "bigint"
+            )
+        ).alias("n_overlap"),
+        F.min(
+            F.when(F.col("rn_full") == 1, F.col("id_b"))
+        ).alias("top1_full"),
+        F.min(
+            F.when(F.col("rn_trunc") == 1, F.col("id_b"))
+        ).alias("top1_trunc"),
+    )
