@@ -596,3 +596,76 @@ def test_ivf_sq_prebuilt_query_warm_reuse(spark, sf_dir, tmp_path, monkeypatch):
         map(tuple, embedding_ivf_sq_prebuilt_topk(spark, sf_dir).collect())
     )
     assert warm == cold
+
+
+def test_hard_negatives_label_exclusion_and_order(spark, sf_dir):
+    """Every mined negative carries a label different from its
+    anchor's, ranks are 1..k with sims non-increasing, and the rnk=1
+    row is the true nearest different-label neighbor (cross-checked
+    against a numpy brute force)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from chapterhouseqe_spark.operators.similarity import hard_negatives
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = hard_negatives(emb, F.col("vec_id") < 4, k=3).collect()
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in emb.select("vec_id", "label").collect()
+    }
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    by_anchor: dict = {}
+    for r in rows:
+        assert labels[r["id_b"]] != labels[r["anchor_id"]]
+        assert r["label_b"] == labels[r["id_b"]]
+        by_anchor.setdefault(r["anchor_id"], []).append(r)
+    for aid, rs in by_anchor.items():
+        rs.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r["sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        # numpy brute force for the top negative
+        a = vecs[aid]
+        best = max(
+            (
+                (
+                    float(
+                        a @ vecs[b] / (np.linalg.norm(a) * np.linalg.norm(vecs[b]))
+                    ),
+                    -b,
+                )
+                for b in vecs
+                if labels[b] != labels[aid]
+            ),
+        )
+        assert rs[0]["id_b"] == -best[1]
+
+
+def test_qgram_join_predicates_and_known_pair(spark, tmp_path):
+    """Candidate filtering is sound for the returned set: every pair
+    satisfies shared-gram and distance predicates; a planted typo pair
+    (distance 1, long shared runs) always surfaces; an unrelated
+    string never pairs."""
+    from chapterhouseqe_spark.operators.fuzzy import qgram_levenshtein_join
+
+    df = spark.createDataFrame(
+        [
+            ("economy anodized steel",),
+            ("economy anodizes steel",),  # 1 edit from the first
+            ("promo burnished copper",),
+            ("zzz",),
+            ("economy anodized steel",),  # duplicate row: dedup first
+        ],
+        "name string",
+    )
+    out = qgram_levenshtein_join(df, "name", q=3, min_shared=2, max_dist=2)
+    rows = out.collect()
+    assert all(r["name_a"] < r["name_b"] for r in rows)
+    assert all(r["n_shared"] >= 2 and r["lev"] <= 2 for r in rows)
+    got = {(r["name_a"], r["name_b"]) for r in rows}
+    assert ("economy anodized steel", "economy anodizes steel") in got
+    assert not any("zzz" in p for pair in got for p in pair)
