@@ -252,14 +252,24 @@ def main() -> None:
         "SPARK_GRAFT_SF1_DIR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "testdata_sf1"),
     )
+    # The tier is TIME-BUDGETED (default 480s) so the whole bench stays
+    # inside any reasonable harness timeout: once the budget is spent,
+    # remaining queries are SKIPPED and named in "sf1_skipped" — a
+    # visible cap, never a silent one.
     sf1: dict[str, float] = {}
+    sf1_skipped: list[str] = []
     if os.path.isdir(sf1_dir):
+        budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET_S", "480"))
         for tbl in ("lineitem", "orders", "customer", "documents",
                     "embeddings", "events"):
             spark.read.parquet(f"{sf1_dir}/{tbl}.parquet").write.format(
                 "noop"
             ).mode("overwrite").save()
+        tier_start = time.time()
         for name in BENCH_QUERIES:
+            if time.time() - tier_start > budget:
+                sf1_skipped.append(name)
+                continue
             build = queries[name]
             t0 = time.time()
             df = build(spark, sf1_dir)
@@ -279,6 +289,7 @@ def main() -> None:
             "core_total": round(sum(core.values()), 3),
             "sf1": sf1,
             "sf1_total": round(sum(sf1.values()), 3),
+            "sf1_skipped": sf1_skipped,
             "sf": sf,
         }
     )
@@ -306,6 +317,7 @@ def main() -> None:
             "n_extended": len(extended),
             "n_core": len(core),
             "sf1_total": round(sum(sf1.values()), 3) if sf1 else None,
+            "sf1_n_skipped": len(sf1_skipped),
             "detail": "bench_last.json",
             "sf": sf,
         }

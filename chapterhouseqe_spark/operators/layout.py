@@ -439,7 +439,11 @@ def write_manifest(path: str, columns: list[str], spark=None) -> int:
     task per file) and only the final JSON assembly happens on the
     driver — the build itself scales with the cluster. Without it the
     driver reads footers serially (fine for a handful of local files;
-    not the 100 TB path).
+    not the 100 TB path). The single JSON is itself the limit around
+    O(10^5-10^6) files (collect + parse-per-query scale with file
+    count): beyond that use :func:`write_manifest_sharded`, whose
+    shards never pass through the driver and whose index lets readers
+    skip whole shards.
     """
     import glob as _glob
     import json as _json
