@@ -40,6 +40,10 @@ DEFAULT_SET = [
     "bpe_train_loop",
     "dedup_substring_passages",
     "pipeline_epoch_shuffle",
+    # round-8 additions
+    "embedding_ivf_sq_prebuilt_topk",
+    "join_fuzzy_part_names",
+    "embedding_hard_negatives",
 ]
 
 
