@@ -57,8 +57,14 @@ def asof_join(
     (key, ts) the winner is unspecified — pre-aggregate the right side
     to one row per (key, ts) when that matters.
     """
+    if direction == "nearest":
+        return _asof_join_nearest(
+            left, right, on, left_ts, right_ts, tolerance, suffix
+        )
     if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     right_ts = right_ts or left_ts
     val_cols = [c for c in right.columns if c not in on]
     payload = F.struct(*[F.col(c).alias(c) for c in val_cols])
@@ -107,6 +113,92 @@ def asof_join(
             "__m", F.when(in_range, F.col("__m"))
         )
 
+    out_left = [F.col("__lp")[c].alias(c) for c in left.columns]
+    out_right = [F.col("__m")[c].alias(f"{c}{suffix}") for c in val_cols]
+    return matched.select(*out_left, *out_right)
+
+
+def _asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str | None,
+    tolerance: Column | None,
+    suffix: str,
+) -> DataFrame:
+    """``direction='nearest'``: each left row picks whichever of its
+    backward and forward matches is closer in time (ties → backward,
+    pandas ``merge_asof`` convention).
+
+    Still ONE shuffle: both candidates come out of the same union-sort
+    pass — the backward match is the running ``last(..., ignorenulls)``
+    up to the current row, the forward match the mirrored ``first(...)
+    `` from the current row on, two windows over one partitioning so
+    Catalyst reuses the single exchange. ``tolerance`` applies to the
+    winning side's distance. ``right_ts`` must be among the right
+    payload columns (the distance is measured against it).
+    """
+    right_ts = right_ts or left_ts
+    val_cols = [c for c in right.columns if c not in on]
+    if right_ts not in val_cols:
+        raise ValueError("direction='nearest' requires right_ts among right's columns")
+    payload = F.struct(*[F.col(c).alias(c) for c in val_cols])
+
+    l_tagged = left.select(
+        *on,
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lp"),
+        F.lit(None).cast(right.select(payload).schema[0].dataType).alias("__rp"),
+    )
+    r_tagged = right.select(
+        *on,
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(l_tagged.schema["__lp"].dataType).alias("__lp"),
+        payload.alias("__rp"),
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    order = [F.col("__t").asc(), F.col("__is_left").asc()]
+    wb = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    matched = unioned.select(
+        "*",
+        F.last("__rp", ignorenulls=True).over(wb).alias("__mb"),
+        F.first("__rp", ignorenulls=True).over(wf).alias("__mf"),
+    ).filter(F.col("__is_left") == 1)
+
+    # NOTE the ordering subtlety: right rows sort BEFORE left rows at
+    # equal __t (__is_left asc), so an exactly-simultaneous right row
+    # is visible to the backward side (distance 0) but NOT the forward
+    # window — backward-wins-ties makes that asymmetry unobservable.
+    # plain subtraction keeps the distance in the column's own ordered
+    # domain (numeric diff, or day-time interval for timestamps — a
+    # cast to double would fail on TIMESTAMP_NTZ)
+    db = F.col("__t") - F.col("__mb")[right_ts]
+    df_ = F.col("__mf")[right_ts] - F.col("__t")
+    pick_backward = F.col("__mb").isNotNull() & (
+        F.col("__mf").isNull() | (db <= df_)
+    )
+    chosen = F.when(pick_backward, F.col("__mb")).otherwise(F.col("__mf"))
+    matched = matched.withColumn("__m", chosen)
+    if tolerance is not None:
+        dist = F.when(
+            F.col("__m")[right_ts] >= F.col("__t"),
+            F.col("__m")[right_ts] - F.col("__t"),
+        ).otherwise(F.col("__t") - F.col("__m")[right_ts])
+        matched = matched.withColumn(
+            "__m", F.when(dist <= tolerance, F.col("__m"))
+        )
     out_left = [F.col("__lp")[c].alias(c) for c in left.columns]
     out_right = [F.col("__m")[c].alias(f"{c}{suffix}") for c in val_cols]
     return matched.select(*out_left, *out_right)

@@ -3430,3 +3430,162 @@ def scan_schema_evolution(spark, sf_dir):
         .cast("double")
         .alias("total"),
     )
+
+
+@query(
+    "asof_join_nearest",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, ts, MAX(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    ),
+    b AS (
+      SELECT c.event_id, c.user_id, c.ts,
+             p.ts AS bts, p.purchase_value AS bval
+      FROM c ASOF LEFT JOIN p
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+    ),
+    f AS (
+      SELECT c.event_id, p.ts AS fts, p.purchase_value AS fval
+      FROM c ASOF LEFT JOIN p
+        ON c.user_id = p.user_id AND c.ts <= p.ts
+    ),
+    chosen AS (
+      SELECT b.event_id, b.user_id, b.ts,
+             CASE WHEN b.bts IS NOT NULL
+                       AND (f.fts IS NULL OR (b.ts - b.bts) <= (f.fts - b.ts))
+                  THEN b.bts ELSE f.fts END AS mts,
+             CASE WHEN b.bts IS NOT NULL
+                       AND (f.fts IS NULL OR (b.ts - b.bts) <= (f.fts - b.ts))
+                  THEN b.bval ELSE f.fval END AS mval
+      FROM b JOIN f ON f.event_id = b.event_id
+    )
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           strftime(CASE WHEN mts IS NOT NULL
+                              AND (CASE WHEN mts >= ts THEN mts - ts
+                                        ELSE ts - mts END)
+                                  <= INTERVAL 2 HOUR
+                         THEN mts END, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           CASE WHEN mts IS NOT NULL
+                     AND (CASE WHEN mts >= ts THEN mts - ts
+                               ELSE ts - mts END) <= INTERVAL 2 HOUR
+                THEN mval END AS purchase_value
+    FROM chosen
+    """,
+    tags=("join", "temporal"),
+    doc="NEAREST-direction as-of join (pandas merge_asof convention, "
+    "ties to backward): each click matches whichever same-user "
+    "purchase is closer in time, within a 2-hour tolerance. Still "
+    "ONE shuffle — backward and forward candidates come out of the "
+    "same union-sort pass as two windows (running last / mirrored "
+    "first) over one partitioning, so Catalyst reuses the single "
+    "exchange (operators/temporal.py:asof_join direction='nearest'); "
+    "oracle composes DuckDB's native backward + forward ASOF joins",
+)
+def asof_join_nearest(spark, sf_dir):
+    from chapterhouseqe_spark.operators.temporal import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    j = asof_join(
+        clicks,
+        purchases,
+        ["user_id"],
+        "ts",
+        direction="nearest",
+        tolerance=F.expr("INTERVAL 2 HOURS"),
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        ts_str(F.col("ts")).alias("click_ts"),
+        ts_str(F.col("ts_r")).alias("purchase_ts"),
+        F.col("purchase_value_r").alias("purchase_value"),
+    )
+
+
+@query(
+    "orders_rfm_segments",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(o_orderdate),
+                       (SELECT MAX(o_orderdate) FROM orders))
+               AS recency_days,
+             COUNT(*) AS frequency,
+             SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey, monetary,
+             NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+             NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+             NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+      FROM per_cust
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary) AS DOUBLE) AS segment_revenue
+    FROM scored
+    GROUP BY 1, 2, 3
+    """,
+    tags=("agg", "window", "stats"),
+    doc="RFM segmentation: recency/frequency/monetary per customer, "
+    "each scored into quintiles (NTILE over a fully-tiebroken order, "
+    "so both engines bucket identically), rolled up to segment "
+    "counts + revenue — the classic CRM cube. The three NTILEs run "
+    "over the per-customer AGGREGATE (|customers| rows), not the "
+    "fact table; like the Pareto query, the single-partition windows "
+    "carry only the collapsed frame",
+)
+def orders_rfm_segments(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    max_date = o.agg(F.max("o_orderdate").alias("mx"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)")).alias(
+                "monetary"
+            ),
+        )
+        .crossJoin(F.broadcast(max_date))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("mx"), F.col("last_order")).alias(
+                "recency_days"
+            ),
+            "frequency",
+            "monetary",
+        )
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy("recency_days", "o_custkey"))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary").desc(), "o_custkey"))
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary").cast("double").alias("segment_revenue"),
+    )

@@ -38,6 +38,7 @@ from chapterhouseqe_spark.operators.similarity import (
 from chapterhouseqe_spark.operators.sketches import (
     hll_grouped_oracle_sql,
     hll_oracle_sql,
+    hll_sliding_oracle_sql,
 )
 from chapterhouseqe_spark.queries.core_sql import t
 from chapterhouseqe_spark.queries.registry import o_md5_int, query
@@ -4140,4 +4141,26 @@ def embedding_matryoshka_overlap(spark, sf_dir):
         F.min(
             F.when(F.col("rn_trunc") == 1, F.col("id_b"))
         ).alias("top1_trunc"),
+    )
+
+
+@query(
+    "hll_sliding_union",
+    oracle=hll_sliding_oracle_sql("events", "user_id", "ts", 6, 64),
+    tags=("pipeline", "sketch"),
+    doc="sliding-window uniques by MERGING per-hour HLL sketches "
+    "(6-hour windows, 1-hour slide): registers build once per (hour, "
+    "bucket) — the only pass over raw events — then explode into "
+    "their covering windows and merge cellwise-MAX on the tiny "
+    "register frame. The oracle sketches each window's RAW rows "
+    "directly, so the graded equality IS the mergeability law "
+    "(merged per-hour sketches == sketch of the union), on top of "
+    "the integer-exact estimate arithmetic "
+    "(operators/sketches.py:hll_sliding_estimate)",
+)
+def hll_sliding_union(spark, sf_dir):
+    from chapterhouseqe_spark.operators.sketches import hll_sliding_estimate
+
+    return hll_sliding_estimate(
+        t(spark, sf_dir, "events"), "user_id", "ts", window_hours=6
     )

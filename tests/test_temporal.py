@@ -136,3 +136,46 @@ def test_range_join_timestamps(spark):
         ).collect()
     ]
     assert got == [(1, 7)]
+
+
+def test_asof_nearest_picks_closer_side_and_ties_backward(spark):
+    """direction='nearest': closer side wins, exact ties go backward
+    (merge_asof convention), tolerance nulls far matches, and a key
+    with only one-sided candidates still matches."""
+    from pyspark.sql import functions as F
+
+    from chapterhouseqe_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 200), (2, 50), (3, 10)], "k int, ts int"
+    )
+    right = spark.createDataFrame(
+        [(1, 90, "b90"), (1, 205, "f205"), (1, 300, "f300"),
+         (2, 400, "far"), (3, 10, "exact")],
+        "k int, ts int, tag string",
+    )
+    out = {
+        (r["k"], r["ts"]): (r["tag_r"], r["ts_r"])
+        for r in asof_join(
+            left, right, ["k"], "ts", direction="nearest"
+        ).collect()
+    }
+    assert out[(1, 100)] == ("b90", 90)      # 10 back vs 105 fwd
+    assert out[(1, 200)] == ("f205", 205)    # 5 fwd vs 110 back
+    assert out[(2, 50)] == ("far", 400)      # only forward exists
+    assert out[(3, 10)] == ("exact", 10)     # distance 0
+
+    # equidistant: backward wins
+    left2 = spark.createDataFrame([(9, 100)], "k int, ts int")
+    right2 = spark.createDataFrame(
+        [(9, 90, "back"), (9, 110, "fwd")], "k int, ts int, tag string"
+    )
+    r2 = asof_join(left2, right2, ["k"], "ts", direction="nearest").collect()
+    assert r2[0]["tag_r"] == "back"
+
+    # tolerance: the only candidate is 350 away, cap at 100 → null
+    out3 = asof_join(
+        left.filter("k = 2"), right, ["k"], "ts",
+        direction="nearest", tolerance=F.lit(100),
+    ).collect()
+    assert out3[0]["tag_r"] is None and out3[0]["ts_r"] is None
