@@ -3589,3 +3589,75 @@ def orders_rfm_segments(spark, sf_dir):
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("monetary").cast("double").alias("segment_revenue"),
     )
+
+
+@query(
+    "events_pit_features",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, event_type, value, ts,
+             CAST(epoch(ts) AS BIGINT) AS es
+      FROM events
+    ),
+    feat AS (
+      SELECT user_id, event_type, ts,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER w
+               AS n_views_24h,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER w
+               AS n_clicks_24h,
+             SUM(CASE WHEN event_type IN ('view', 'click')
+                      THEN CAST(value AS DECIMAL(27,4)) END) OVER w
+               AS engaged_value_24h
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY es
+                   RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           CAST(n_views_24h AS BIGINT) AS n_views_24h,
+           CAST(n_clicks_24h AS BIGINT) AS n_clicks_24h,
+           CAST(COALESCE(engaged_value_24h, 0) AS DOUBLE)
+             AS engaged_value_24h
+    FROM feat WHERE event_type = 'purchase'
+    """,
+    tags=("window", "temporal", "events"),
+    doc="point-in-time-correct feature extraction (the feature-store "
+    "contract for training data): at every purchase, the user's "
+    "trailing-24h engagement counts and decimal-exact engaged value, "
+    "computed as conditional sums over ONE epoch-seconds RANGE frame "
+    "— no as-of self-join, no leakage (features see only rows at or "
+    "before the label's timestamp; the purchase itself contributes "
+    "nothing because features count view/click only). One user-keyed "
+    "window exchange at any event volume",
+)
+def events_pit_features(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-86400, 0)
+    )
+    is_view = F.col("event_type") == "view"
+    is_click = F.col("event_type") == "click"
+    engaged = F.col("event_type").isin("view", "click")
+    feat = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum(is_view.cast("int")).over(w).alias("n_views_24h"),
+        F.sum(is_click.cast("int")).over(w).alias("n_clicks_24h"),
+        F.sum(
+            F.when(engaged, F.col("value").cast("decimal(27,4)"))
+        )
+        .over(w)
+        .alias("engaged_value_24h"),
+    )
+    return feat.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        ts_str(F.col("ts")).alias("purchase_ts"),
+        F.col("n_views_24h").cast("bigint").alias("n_views_24h"),
+        F.col("n_clicks_24h").cast("bigint").alias("n_clicks_24h"),
+        F.coalesce(F.col("engaged_value_24h"), F.lit(0))
+        .cast("double")
+        .alias("engaged_value_24h"),
+    )
