@@ -3596,7 +3596,12 @@ def orders_rfm_segments(spark, sf_dir):
     oracle="""
     WITH u AS (
       SELECT user_id, event_type, value, ts,
-             CAST(epoch(ts) AS BIGINT) AS es
+             -- floor, not CAST: event ts carries microseconds and
+             -- DuckDB's CAST(double AS BIGINT) ROUNDS while Spark's
+             -- unix_timestamp FLOORS — a .5s-boundary event would
+             -- land in a different epoch second and shift its RANGE
+             -- frame by one (caught by the sf0.1 cross-scale check)
+             CAST(floor(epoch(ts)) AS BIGINT) AS es
       FROM events
     ),
     feat AS (
