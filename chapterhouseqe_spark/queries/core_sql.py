@@ -3666,3 +3666,143 @@ def events_pit_features(spark, sf_dir):
         .cast("double")
         .alias("engaged_value_24h"),
     )
+
+
+@query(
+    "orders_basket_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    part_freq AS (
+      SELECT l_partkey, COUNT(*) AS n_ord FROM items GROUP BY l_partkey
+    ),
+    tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS n_both
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    )
+    SELECT p.part_a, p.part_b,
+           CAST(p.n_both AS BIGINT) AS n_both,
+           CAST(p.n_both * t.n_orders AS DOUBLE)
+             / CAST(fa.n_ord * fb.n_ord AS DOUBLE) AS lift
+    FROM pairs p
+    JOIN part_freq fa ON p.part_a = fa.l_partkey
+    JOIN part_freq fb ON p.part_b = fb.l_partkey
+    CROSS JOIN tot t
+    """,
+    tags=("join", "agg", "stats"),
+    doc="market-basket pair mining with lift: parts co-ordered in the "
+    "same order, support >= 2, lift = P(a,b)/(P(a)P(b)). The pair "
+    "generator is an orderkey-keyed SELF-JOIN (co-partitioned — both "
+    "sides shuffle on the same key once), so the blowup is bounded by "
+    "per-order basket size squared, never |lineitem|^2; the part "
+    "frequency table is |parts| rows and broadcasts. lift is one "
+    "division of two exact BIGINT products, bit-portable. 100 TB: "
+    "baskets are small (tens of items), so the quadratic term is a "
+    "constant factor on the one co-partitioned shuffle",
+)
+def orders_basket_pairs(spark, sf_dir):
+    items = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    part_freq = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_ord")
+    )
+    tot = items.agg(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+    )
+    fa = part_freq.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_ord").alias("na")
+    )
+    fb = part_freq.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_ord").alias("nb")
+    )
+    return (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            (
+                (F.col("n_both") * F.col("n_orders")).cast("double")
+                / (F.col("na") * F.col("nb")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "orders_new_vs_returning",
+    oracle="""
+    WITH seq AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             CAST(o_totalprice AS DECIMAL(27,2)) AS price,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new_customers,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repeat_orders,
+           CAST(SUM(CASE WHEN rn > 1 THEN price ELSE 0 END) AS DOUBLE)
+             AS repeat_revenue
+    FROM seq GROUP BY month
+    """,
+    tags=("window", "agg"),
+    doc="monthly new-vs-returning decomposition: each order is tagged "
+    "first-ever-for-this-customer via one customer-keyed row_number "
+    "(orderkey tiebreak), then rolled up by month — the "
+    "acquisition-vs-retention revenue split every growth dashboard "
+    "opens with. One keyed window + one keyed agg; the fact table "
+    "shuffles once on customer, and the month rollup rides map-side "
+    "partials. Revenue sums stay in DECIMAL until the final DOUBLE "
+    "cast (order-insensitive, engine-exact)",
+)
+def orders_new_vs_returning(spark, sf_dir):
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = t(spark, sf_dir, "orders").select(
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM").alias(
+            "month"
+        ),
+        F.col("o_totalprice").cast("decimal(27,2)").alias("price"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return seq.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum((F.col("rn") == 1).cast("bigint")).alias("n_new_customers"),
+        F.sum((F.col("rn") > 1).cast("bigint")).alias("n_repeat_orders"),
+        F.sum(
+            F.when(F.col("rn") > 1, F.col("price")).otherwise(
+                F.lit(0).cast("decimal(27,2)")
+            )
+        )
+        .cast("double")
+        .alias("repeat_revenue"),
+    )

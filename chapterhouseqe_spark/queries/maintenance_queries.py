@@ -757,3 +757,63 @@ def audit_referential_integrity(spark, sf_dir):
             edge("customer->nation", c.select("c_nationkey"), n, "c_nationkey", "n_nationkey")
         )
     )
+
+
+@query(
+    "audit_join_skew",
+    oracle="""
+    WITH per AS (
+      SELECT 'lineitem.l_orderkey' AS key_col, l_orderkey AS k
+      FROM lineitem
+      UNION ALL SELECT 'lineitem.l_partkey', l_partkey FROM lineitem
+      UNION ALL SELECT 'orders.o_custkey', o_custkey FROM orders
+      UNION ALL SELECT 'events.user_id', user_id FROM events
+    ),
+    counts AS (
+      SELECT key_col, k, COUNT(*) AS n FROM per GROUP BY key_col, k
+    )
+    SELECT key_col,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(n) AS BIGINT) AS max_key_rows,
+           CAST(MAX(n) * COUNT(*) AS DOUBLE) / SUM(n) AS skew_ratio
+    FROM counts GROUP BY key_col
+    """,
+    tags=("maintenance", "skew", "stats"),
+    doc="join-key skew census: for each candidate shuffle key, total "
+    "rows, distinct keys, the heaviest key's row count, and "
+    "skew_ratio = max/mean — the decide-before-you-shuffle "
+    "diagnostic that picks between a plain keyed join, AQE skew "
+    "handling, and explicit salting (operators/bucketing.py). Each "
+    "key column is one keyed count that collapses to |keys| rows "
+    "before the 4-row final rollup; the ratio is one division of "
+    "exact BIGINTs. 100 TB: this is the cheap scan you run BEFORE "
+    "committing a petabyte shuffle to a hot-keyed plan",
+)
+def audit_join_skew(spark, sf_dir):
+    def census(df, key_col, label):
+        counts = df.groupBy(F.col(key_col).alias("k")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        return counts.agg(
+            F.lit(label).alias("key_col"),
+            F.sum("n").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("n").alias("max_key_rows"),
+            (
+                (F.max("n") * F.count(F.lit(1))).cast("double")
+                / F.sum("n")
+            ).alias("skew_ratio"),
+        ).select("key_col", "n_rows", "n_keys", "max_key_rows", "skew_ratio")
+
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        census(li, "l_orderkey", "lineitem.l_orderkey")
+        .unionAll(census(li, "l_partkey", "lineitem.l_partkey"))
+        .unionAll(
+            census(t(spark, sf_dir, "orders"), "o_custkey", "orders.o_custkey")
+        )
+        .unionAll(
+            census(t(spark, sf_dir, "events"), "user_id", "events.user_id")
+        )
+    )

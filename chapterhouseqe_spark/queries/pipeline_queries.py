@@ -4164,3 +4164,267 @@ def hll_sliding_union(spark, sf_dir):
     return hll_sliding_estimate(
         t(spark, sf_dir, "events"), "user_id", "ts", window_hours=6
     )
+
+
+@query(
+    "text_ngram_diversity",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, string_split_regex(lower(trim(text)), '\\s+') AS tk
+      FROM documents
+    ),
+    tri AS (
+      SELECT lang,
+             unnest(list_transform(generate_series(1, len(tk) - 2),
+                    i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2])) AS g
+      FROM toks WHERE len(tk) >= 3
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+           CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*) AS diversity
+    FROM tri GROUP BY lang
+    """,
+    tags=("pipeline", "text", "quality"),
+    doc="per-language trigram type/token diversity — the self-repetition "
+    "/ memorization-risk audit over a corpus slice (a low distinct-to-"
+    "total ratio flags template spam the per-doc repetition score "
+    "misses because the repeats span documents). One generator pass + "
+    "one keyed count-distinct rollup; the ratio is a single BIGINT/"
+    "BIGINT division, bit-portable. 100 TB: the trigram stream shuffles "
+    "once on (lang, gram) for the distinct, with map-side partial "
+    "aggregation collapsing repeats before the exchange",
+)
+def text_ngram_diversity(spark, sf_dir):
+    toks = F.col("toks")
+    n = F.size(toks) - 2
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    tri = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("toks"),
+        )
+        .select("lang", F.explode(tri).alias("g"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.count_distinct(F.col("g")).alias("n_distinct"),
+            (
+                F.count_distinct(F.col("g")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("diversity"),
+        )
+    )
+
+
+@query(
+    "text_zipf_coverage",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      FROM documents
+    ),
+    freq AS (
+      SELECT w, COUNT(*) AS n FROM tok WHERE w <> '' GROUP BY w
+    ),
+    ranked AS (
+      SELECT w, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rnk,
+             SUM(n) OVER (ORDER BY n DESC, w
+                          ROWS UNBOUNDED PRECEDING) AS cum_n,
+             SUM(n) OVER () AS total_n
+      FROM freq
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, w AS token,
+           CAST(n AS BIGINT) AS n,
+           CAST(cum_n AS DOUBLE) / total_n AS cum_share
+    FROM ranked WHERE rnk <= 20
+    """,
+    tags=("pipeline", "text", "stats"),
+    doc="Zipf frequency-rank audit: top-20 tokens by corpus frequency "
+    "with cumulative coverage share — the how-head-heavy-is-my-"
+    "vocabulary report that sizes stop-term caps (dedup df caps, CMS "
+    "widths) before they are set. The token stream collapses to the "
+    "|vocab|-row frequency table (one keyed shuffle, map-side "
+    "partials) BEFORE the global rank window, so the single-partition "
+    "exchange carries vocabulary rows, never corpus rows — the same "
+    "documented bounded pattern as orders_abc_pareto. cum/total is one "
+    "BIGINT/BIGINT division, bit-portable",
+)
+def text_zipf_coverage(spark, sf_dir):
+    freq = (
+        t(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_rank = Window.orderBy(F.col("n").desc(), F.col("w"))
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    return (
+        freq.select(
+            F.row_number().over(w_rank).alias("rnk"),
+            F.col("w").alias("token"),
+            "n",
+            (
+                F.sum("n").over(w_cum).cast("double")
+                / F.sum("n").over(w_all)
+            ).alias("cum_share"),
+        )
+        .filter(F.col("rnk") <= 20)
+    )
+
+
+@query(
+    "embedding_gram_matrix",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id,
+             unnest(generate_series(1, len(embedding))) AS i,
+             embedding
+      FROM embeddings
+    ),
+    cells AS (
+      SELECT a.i AS i, b.i AS j,
+             CAST(a.embedding[a.i] AS DOUBLE)
+               * CAST(b.embedding[b.i] AS DOUBLE) AS prod
+      FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+    )
+    SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CAST(prod AS DECIMAL(27,8))) AS DOUBLE) AS gram_sum
+    FROM cells GROUP BY i, j
+    """,
+    tags=("pipeline", "similarity", "stats"),
+    doc="distributed Gram matrix (X^T X upper triangle) over the "
+    "embedding table — the one-pass linear-algebra primitive behind "
+    "PCA whitening, covariance conditioning, and dimensionality "
+    "audits. Spark side expands each vector to its d(d+1)/2 cell "
+    "products with two nested posexplodes (no self-join, one scan) "
+    "and aggregates by (i, j): map-side partial aggregation collapses "
+    "every partition to <= 2,080 rows (d=64) before the single "
+    "exchange, so the shuffle is dimension-sized, never corpus-sized "
+    "— at 100 TB the reduce moves O(d^2 x partitions) doubles. "
+    "float32 products are exactly representable in DOUBLE and sums "
+    "go through DECIMAL(27,8) (order-insensitive, engine-exact)",
+)
+def embedding_gram_matrix(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    left = e.select(
+        "vec_id",
+        F.col("embedding").alias("emb"),
+        F.posexplode("embedding").alias("i0", "vi"),
+    )
+    both = left.select(
+        (F.col("i0") + 1).alias("i"),
+        F.col("vi"),
+        F.posexplode("emb").alias("j0", "vj"),
+    ).filter(F.col("i") <= F.col("j0") + 1)
+    return (
+        both.select(
+            "i",
+            (F.col("j0") + 1).alias("j"),
+            (F.col("vi").cast("double") * F.col("vj").cast("double")).alias(
+                "prod"
+            ),
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.col("prod").cast("decimal(27,8)"))
+            .cast("double")
+            .alias("gram_sum"),
+        )
+    )
+
+
+@query(
+    "dedup_cluster_size_hist",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+            FROM toks) z
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    dup_pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM dup_pairs
+      UNION SELECT id_b, id_a FROM dup_pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a
+    ),
+    roots AS (
+      SELECT d.doc_id,
+             LEAST(d.doc_id,
+                   COALESCE((SELECT MIN(r.b) FROM reach r
+                             WHERE r.a = d.doc_id), d.doc_id)) AS root
+      FROM documents d
+    ),
+    csize AS (SELECT root, COUNT(*) AS sz FROM roots GROUP BY root)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM csize WHERE sz >= 2 GROUP BY sz
+    """,
+    tags=("pipeline", "dedup", "stats"),
+    doc="near-dup cluster-size histogram: minhash-LSH pairs (exact-"
+    "verified, same pair set as dedup_keep_canonical) -> connected "
+    "components -> components per size — the duplication-topology "
+    "report (a heavy tail of giant clusters means template spam; all "
+    "2s means benign re-posts) that sizes the canonical-survivor "
+    "pass. Reuses operators/dedup.py:connected_components, whose "
+    "hop+pointer-jump rounds converge in O(log diameter); the "
+    "histogram itself is two keyed collapses over the |docs|-row "
+    "label frame. Oracle walks the same pair set via recursive "
+    "transitive closure",
+)
+def dedup_cluster_size_hist(spark, sf_dir):
+    from chapterhouseqe_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, "text", "doc_id", threshold=0.5)
+    comp = connected_components(pairs, d.select(F.col("doc_id").alias("id")))
+    return (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .filter(F.col("sz") >= 2)
+        .groupBy(F.col("sz").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )

@@ -859,3 +859,114 @@ def stream_interval_join(spark, sf_dir):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "events_debounce",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us >= 60000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN gap_us < 60000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+    FROM seq GROUP BY event_type
+    """,
+    tags=("streaming", "window", "dedup"),
+    doc="per-stream throttle / min-gap filter: an event survives only "
+    "if >= 60s elapsed since the PREVIOUS raw event of the same "
+    "(user, type) — the bot-burst / double-fire suppressor that runs "
+    "before sessionization (distinct from true previous-KEPT-event "
+    "debounce, which is iterative state — that variant lives in the "
+    "streaming harness as watermark dedup). One (user,type)-keyed "
+    "window with an event_id tiebreak, then a keyed rollup; the event "
+    "stream shuffles exactly once. 100 TB: state is one lag row per "
+    "key, and the keyed window never funnels",
+)
+def events_debounce(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    return (
+        t(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .select("event_type", gap.alias("gap_us"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (
+                    F.col("gap_us").isNull()
+                    | (F.col("gap_us") >= 60_000_000)
+                ).cast("bigint")
+            ).alias("n_kept"),
+            F.sum(
+                (F.col("gap_us") < 60_000_000).cast("bigint")
+            ).alias("n_dropped"),
+        )
+    )
+
+
+@query(
+    "events_power_user_share",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ),
+    tiles AS (
+      SELECT user_id, n,
+             NTILE(100) OVER (ORDER BY n DESC, user_id) AS tile
+      FROM counts
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN tile = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_top_users,
+           CAST(SUM(CASE WHEN tile = 1 THEN n ELSE 0 END) AS BIGINT)
+             AS top_events,
+           CAST(SUM(n) AS BIGINT) AS total_events,
+           CAST(SUM(CASE WHEN tile = 1 THEN n ELSE 0 END) AS DOUBLE)
+             / SUM(n) AS top_share
+    FROM tiles
+    """,
+    tags=("streaming", "agg", "skew", "stats"),
+    doc="traffic concentration audit: what share of all events comes "
+    "from the top percentile of users (NTILE over a fully-tiebroken "
+    "order, so both engines bucket identically) — the whale/bot "
+    "detector, and the measurement that decides whether user_id is "
+    "salt-worthy as a shuffle key (companion to audit_join_skew's "
+    "max/mean ratio). The event stream collapses to the |users|-row "
+    "count frame before the single-partition percentile window — the "
+    "documented bounded pattern; the share is one BIGINT/BIGINT "
+    "division",
+)
+def events_power_user_share(spark, sf_dir):
+    from pyspark.sql import Window
+
+    counts = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tiles = counts.select(
+        "n",
+        F.ntile(100)
+        .over(Window.orderBy(F.col("n").desc(), F.col("user_id")))
+        .alias("tile"),
+    )
+    top = F.when(F.col("tile") == 1, F.col("n")).otherwise(F.lit(0))
+    return tiles.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum((F.col("tile") == 1).cast("bigint")).alias("n_top_users"),
+        F.sum(top).alias("top_events"),
+        F.sum("n").alias("total_events"),
+        (F.sum(top).cast("double") / F.sum("n")).alias("top_share"),
+    )
