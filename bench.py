@@ -183,6 +183,18 @@ def core_tier(all_names: list[str]) -> list[str]:
     return [n for n in all_names if n not in timed]
 
 
+def _relieve(spark) -> None:
+    """Drop inter-query residue: cached operator intermediates, then a
+    Python GC (py4j holds the JVM-side broadcasts alive until their
+    Python wrappers are collected) so the JVM GC + ContextCleaner can
+    actually reclaim them."""
+    import gc
+
+    spark.catalog.clearCache()
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -193,6 +205,14 @@ def main() -> None:
     from chapterhouseqe_spark.queries.registry import get_queries
     from chapterhouseqe_spark.session import get_spark
 
+    # 6g, not the session default 4g: the bench is the one consumer
+    # that runs ALL 200+ registered queries through a single local
+    # JVM, and the steady-state residue (broadcast payloads + cached
+    # operator intermediates awaiting ContextCleaner) needs headroom
+    # the per-test sessions don't — two full runs OOMed late in the
+    # core tier at 4g. 6g stays under the knee where the session.py
+    # A/B measured young-gen pause cost (that was at 16g).
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "6g")
     spark = get_spark("chqe-bench")
     queries = get_queries()
 
@@ -217,29 +237,34 @@ def main() -> None:
             "noop"
         ).mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        build = queries[name]
-        t0 = time.time()
-        df = build(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+    def run_tier(names) -> dict[str, float]:
+        # One shared local JVM times 217 queries back-to-back;
+        # operators persist() intermediates (LSH shingle tables, CC
+        # frontiers, IVF codebooks...) and every broadcast join leaves
+        # a payload behind until the ContextCleaner's own GC cycle
+        # catches up — which, on the deliberately-small 4g heap
+        # (session.py A/B: bigger heaps cost 15-40% wall-clock), it
+        # does not: two full bench runs died with Java-heap OOM late
+        # in the core tier / sf1 warm-up (GCLocker retries, then a
+        # failed 23MB TaskMemoryManager page). Dropping the cache and
+        # nudging a driver GC BETWEEN tiers keeps the steady-state
+        # footprint flat — the local-mode analog of per-job executor
+        # lifetime on a cluster — without touching any timed region.
+        out: dict[str, float] = {}
+        for i, name in enumerate(names):
+            build = queries[name]
+            t0 = time.time()
+            df = build(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            out[name] = round(time.time() - t0, 3)
+            if (i + 1) % 40 == 0:  # the 100+-query core tier OOMs
+                _relieve(spark)  # without mid-tier relief
+        _relieve(spark)
+        return out
 
-    extended: dict[str, float] = {}
-    for name in EXTENDED_QUERIES:
-        build = queries[name]
-        t0 = time.time()
-        df = build(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        extended[name] = round(time.time() - t0, 3)
-
-    core: dict[str, float] = {}
-    for name in core_tier(list(queries)):
-        build = queries[name]
-        t0 = time.time()
-        df = build(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        core[name] = round(time.time() - t0, 3)
+    timings = run_tier(BENCH_QUERIES)
+    extended = run_tier(EXTENDED_QUERIES)
+    core = run_tier(core_tier(list(queries)))
 
     # sf1 tier (r7 verdict item 2): the headline queries again at 10x
     # the bench scale, so the per-family 10x scale probes become a
