@@ -1,0 +1,215 @@
+"""Model-based checks for the round-8 query additions.
+
+Each new registry query already grades against its DuckDB oracle at
+three scales (tests/test_queries_oracle.py); these tests pin the
+SEMANTICS against independent models — numpy linear algebra, brute
+force pure Python — and the internal conservation laws the oracles
+can't express (e.g. new + repeat == total), on both synthetic corners
+and the shared sf0.001 tables.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from chapterhouseqe_spark.queries.registry import get_queries
+
+QUERIES = get_queries()
+
+
+def _run(name, spark, sf_dir):
+    return QUERIES[name](spark, sf_dir)
+
+
+# ------------------------------------------------------------------ gram
+
+
+def test_gram_matrix_matches_numpy(spark, tmp_path):
+    rng = np.random.default_rng(7)
+    n, d = 23, 5
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    rows = [(i, [float(v) for v in x[i]], int(i % 3)) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    df.write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = {
+        (r.i, r.j): (r.n_vecs, r.gram_sum)
+        for r in _run("embedding_gram_matrix", spark, str(tmp_path)).collect()
+    }
+    gram = x.astype(np.float64).T @ x.astype(np.float64)
+    assert len(out) == d * (d + 1) // 2
+    for i in range(1, d + 1):
+        for j in range(i, d + 1):
+            n_vecs, s = out[(i, j)]
+            assert n_vecs == n
+            # query quantizes each product at DECIMAL(27,8)
+            assert s == pytest.approx(gram[i - 1, j - 1], abs=1e-6)
+
+
+# ---------------------------------------------------------------- basket
+
+
+def test_basket_pairs_matches_bruteforce(spark, tmp_path):
+    rng = np.random.default_rng(11)
+    rows = []
+    for ok in range(40):
+        parts = rng.choice(12, size=rng.integers(1, 6), replace=False)
+        for pk in parts:
+            # duplicate lines for some parts: the DISTINCT must dedup
+            for _ in range(rng.integers(1, 3)):
+                rows.append((ok, int(pk)))
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    # brute-force model
+    baskets: dict[int, set[int]] = {}
+    for ok, pk in rows:
+        baskets.setdefault(ok, set()).add(pk)
+    from collections import Counter
+
+    both = Counter()
+    freq = Counter()
+    for items in baskets.values():
+        for pk in items:
+            freq[pk] += 1
+        for a in items:
+            for b in items:
+                if a < b:
+                    both[(a, b)] += 1
+    n_orders = len(baskets)
+    expect = {
+        (a, b): (c, c * n_orders / (freq[a] * freq[b]))
+        for (a, b), c in both.items()
+        if c >= 2
+    }
+
+    got = {
+        (r.part_a, r.part_b): (r.n_both, r.lift)
+        for r in _run("orders_basket_pairs", spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(expect)
+    for k, (c, lift) in expect.items():
+        assert got[k][0] == c
+        assert got[k][1] == pytest.approx(lift, rel=1e-12)
+
+
+# -------------------------------------------------------------- debounce
+
+
+def test_debounce_matches_python_model(spark, tmp_path):
+    rng = np.random.default_rng(3)
+    rows = []
+    eid = 0
+    for uid in range(4):
+        t_us = 0
+        for _ in range(30):
+            t_us += int(rng.integers(0, 150)) * 1_000_000
+            etype = ["click", "view"][int(rng.integers(0, 2))]
+            rows.append((eid, t_us * 1000, uid, etype, 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    # model: per (user, type) ordered by (ts, event_id), kept iff
+    # >= 60s since previous RAW event
+    from collections import defaultdict
+
+    seqs = defaultdict(list)
+    for e, ts_ns, u, ty, _v, _p in rows:
+        seqs[(u, ty)].append((ts_ns // 1000, e))
+    agg: dict[str, list[int]] = {}
+    for (u, ty), es in seqs.items():
+        es.sort()
+        prev = None
+        for ts_us, _e in es:
+            k = agg.setdefault(ty, [0, 0, 0])
+            k[0] += 1
+            if prev is None or ts_us - prev >= 60_000_000:
+                k[1] += 1
+            else:
+                k[2] += 1
+            prev = ts_us
+
+    got = {
+        r.event_type: (r.n_events, r.n_kept, r.n_dropped)
+        for r in _run("events_debounce", spark, str(tmp_path)).collect()
+    }
+    assert got == {ty: tuple(v) for ty, v in agg.items()}
+
+
+# ------------------------------------------------- conservation laws
+
+
+def test_new_vs_returning_conservation(spark, sf_dir):
+    rows = _run("orders_new_vs_returning", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_new_customers + r.n_repeat_orders == r.n_orders
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert sum(r.n_new_customers for r in rows) == n_cust
+    assert sum(r.n_orders for r in rows) == orders.count()
+
+
+def test_zipf_coverage_shape(spark, sf_dir):
+    rows = sorted(
+        _run("text_zipf_coverage", spark, sf_dir).collect(),
+        key=lambda r: r.rnk,
+    )
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    shares = [r.cum_share for r in rows]
+    assert all(b >= a for a, b in zip(shares, shares[1:]))
+    assert 0 < shares[-1] <= 1.0 + 1e-12
+    ns = [r.n for r in rows]
+    assert all(a >= b for a, b in zip(ns, ns[1:]))
+
+
+def test_ngram_diversity_bounds(spark, sf_dir):
+    rows = _run("text_ngram_diversity", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_distinct <= r.n_trigrams
+        assert 0 < r.diversity <= 1.0
+        assert r.diversity == pytest.approx(r.n_distinct / r.n_trigrams)
+
+
+def test_power_user_share_bounds(spark, sf_dir):
+    (r,) = _run("events_power_user_share", spark, sf_dir).collect()
+    assert 1 <= r.n_top_users <= r.n_users
+    assert 0 < r.top_events <= r.total_events
+    assert r.top_share == pytest.approx(r.top_events / r.total_events)
+    # top tile averages at least the overall mean events/user
+    assert r.top_events * r.n_users >= r.total_events * r.n_top_users
+
+
+def test_cluster_size_hist_matches_canonical_survivors(spark, sf_dir):
+    hist = _run("dedup_cluster_size_hist", spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    survivors = _run("dedup_keep_canonical", spark, sf_dir).count()
+    # every cluster of size s drops s-1 docs relative to the canonical
+    # survivor set; singletons survive untouched
+    dropped = sum((r.cluster_size - 1) * r.n_clusters for r in hist)
+    assert n_docs - survivors == dropped
+    assert all(r.cluster_size >= 2 and r.n_clusters >= 1 for r in hist)
+
+
+def test_join_skew_census_exact(spark, sf_dir):
+    rows = {r.key_col: r for r in _run("audit_join_skew", spark, sf_dir).collect()}
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    r = rows["orders.o_custkey"]
+    assert r.n_rows == orders.count()
+    assert r.n_keys == orders.select("o_custkey").distinct().count()
+    top = (
+        orders.groupBy("o_custkey").count().orderBy("count", ascending=False)
+    ).first()["count"]
+    assert r.max_key_rows == top
+    assert r.skew_ratio == pytest.approx(top * r.n_keys / r.n_rows)
