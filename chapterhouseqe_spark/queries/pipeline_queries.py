@@ -4428,3 +4428,165 @@ def dedup_cluster_size_hist(spark, sf_dir):
         .groupBy(F.col("sz").alias("cluster_size"))
         .agg(F.count(F.lit(1)).alias("n_clusters"))
     )
+
+
+@query(
+    "text_hash_classifier_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, lang,
+             ({o_md5_int("'w:' || CAST(" + o_md5_int("w") + " % 4096 AS VARCHAR)")})
+               % 1001 - 500 AS wgt
+      FROM tok WHERE w <> ''
+    ),
+    scored AS (
+      SELECT doc_id, lang, SUM(wgt) AS score FROM feat GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pos,
+           CAST(SUM(score) AS BIGINT) AS sum_score,
+           CAST(SUM(score) AS DOUBLE) / COUNT(*) AS avg_score
+    FROM scored GROUP BY lang
+    """,
+    tags=("pipeline", "text", "quality"),
+    doc="hashing-trick linear classifier scoring — the fasttext-style "
+    "quality-filter pattern that gates CommonCrawl-scale corpora: each "
+    "token maps to one of 4,096 feature buckets (md5 hashing trick, no "
+    "vocabulary table to build or broadcast), each bucket carries a "
+    "deterministic integer weight in [-500, 500] (a stand-in for "
+    "trained weights — the container has no model artifacts, and "
+    "integer weights keep the per-doc score an exact BIGINT both "
+    "engines agree on), and a document's score is the sum over its "
+    "token stream. The model is CONSTANT-size however large the "
+    "corpus; scoring is one doc-keyed shuffle with map-side partials "
+    "then a |langs|-row rollup — at 100 TB this is the cheapest "
+    "per-doc signal in the pipeline, which is why production filters "
+    "run exactly this shape",
+)
+def text_hash_classifier_score(spark, sf_dir):
+    from chapterhouseqe_spark.queries.registry import md5_int
+
+    feat_bucket = F.pmod(md5_int(F.col("w")), F.lit(4096))
+    wgt = F.pmod(
+        md5_int(F.concat(F.lit("w:"), feat_bucket.cast("string"))),
+        F.lit(1001),
+    ) - F.lit(500)
+    scored = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .select("doc_id", "lang", wgt.alias("wgt"))
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("wgt").alias("score"))
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("score") > 0).cast("bigint")).alias("n_pos"),
+        F.sum("score").alias("sum_score"),
+        (F.sum("score").cast("double") / F.count(F.lit(1))).alias(
+            "avg_score"
+        ),
+    )
+
+
+@query(
+    "pipeline_byte_balanced_shards",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             {o_md5_int("CAST(doc_id AS VARCHAR)")} % 64 AS bucket,
+             {o_md5_int("'s:' || CAST(doc_id AS VARCHAR)")} AS k
+      FROM documents
+    ),
+    cum_in AS (
+      SELECT doc_id, n_chars, bucket,
+             SUM(n_chars) OVER (PARTITION BY bucket ORDER BY k, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS c_in
+      FROM keyed
+    ),
+    btot AS (
+      SELECT bucket, SUM(n_chars) AS b_bytes FROM keyed GROUP BY bucket
+    ),
+    boff AS (
+      SELECT bucket,
+             SUM(b_bytes) OVER (ORDER BY bucket
+                                ROWS UNBOUNDED PRECEDING) - b_bytes
+               AS offset
+      FROM btot
+    ),
+    assigned AS (
+      SELECT c.doc_id, c.n_chars,
+             CAST(floor((b.offset + c.c_in - c.n_chars) / 65536.0)
+                  AS BIGINT) AS shard
+      FROM cum_in c JOIN boff b ON c.bucket = b.bucket
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_bytes
+    FROM assigned GROUP BY shard
+    """,
+    tags=("pipeline", "corpus"),
+    doc="byte-balanced training-shard assignment via a DISTRIBUTED "
+    "prefix sum: docs get a deterministic md5 bucket (64) and an "
+    "md5 order key; a within-bucket running byte total plus a "
+    "64-row bucket-offset table (the only global window, bounded by "
+    "bucket count) yields every document's exact global byte offset "
+    "WITHOUT a corpus-sized single partition — the two-phase scan "
+    "pattern every distributed cumsum uses. shard = "
+    "floor(offset/64KiB), so shards land within one document of the "
+    "byte target however skewed the length distribution — the "
+    "equal-WORK split that count-based sharding "
+    "(corpus.write_training_shards) can't give when doc lengths are "
+    "heavy-tailed. One keyed window shuffle + one broadcast join at "
+    "any corpus size",
+)
+def pipeline_byte_balanced_shards(spark, sf_dir):
+    from chapterhouseqe_spark.queries.registry import md5_int
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.pmod(md5_int(F.col("doc_id").cast("string")), F.lit(64)).alias(
+            "bucket"
+        ),
+        md5_int(F.concat(F.lit("s:"), F.col("doc_id").cast("string"))).alias(
+            "k"
+        ),
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum_in = d.select(
+        "doc_id", "n_chars", "bucket", F.sum("n_chars").over(w_in).alias("c_in")
+    )
+    btot = d.groupBy("bucket").agg(F.sum("n_chars").alias("b_bytes"))
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    boff = btot.select(
+        "bucket",
+        (F.sum("b_bytes").over(w_off) - F.col("b_bytes")).alias("offset"),
+    )
+    assigned = cum_in.join(F.broadcast(boff), "bucket").select(
+        F.floor(
+            (F.col("offset") + F.col("c_in") - F.col("n_chars")) / 65536
+        ).alias("shard"),
+        "n_chars",
+    )
+    return assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_bytes"),
+    )
