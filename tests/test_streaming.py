@@ -288,3 +288,149 @@ def test_stream_to_snapshot_pipeline(spark, tmp_path):
         F.sum("id").alias("s")
     ).collect()[0].s
     assert s == sum(range(120))
+
+
+def test_debounce_kept_vs_model_and_throttle(spark, tmp_path):
+    """True previous-KEPT debounce through real micro-batches equals
+    the pure-Python sequential fold — and diverges from the lag-based
+    throttle on a burst that outlasts the gap (0s,30s,70s: throttle
+    keeps only t=0; debounce also keeps t=70)."""
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chapterhouseqe_spark.streaming.debounce import debounce_kept
+
+    base = datetime(2026, 2, 1, 9, 0, 0)
+    # (user, type, offset_s): bursts, exact-gap edges, multi-key mix
+    rows = [
+        (1, "click", 0), (1, "click", 30), (1, "click", 70),   # divergence
+        (1, "click", 129), (1, "click", 130),                  # 129 dropped (59s), 130 kept (60s)
+        (1, "view", 5), (1, "view", 6),                        # per-type state
+        (2, "click", 0), (2, "click", 60),                     # exact gap kept
+        (2, "click", 61), (2, "click", 200),
+    ]
+    staging = tmp_path / "deb_events"
+    staging.mkdir()
+    # two files -> the fold must survive a micro-batch boundary
+    for name, chunk in [("f1.parquet", rows[:6]), ("f2.parquet", rows[6:])]:
+        u, ty, off = zip(*chunk)
+        eids = [rows.index(c) for c in chunk]
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array(list(u), pa.int64()),
+                    "event_type": pa.array(list(ty)),
+                    "ts": pa.array(
+                        [base + timedelta(seconds=o) for o in off],
+                        pa.timestamp("us"),
+                    ),
+                    "event_id": pa.array(eids, pa.int64()),
+                }
+            ),
+            str(staging / name),
+        )
+
+    ev = (
+        spark.readStream.schema(
+            "user_id long, event_type string, ts timestamp, event_id long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(staging))
+        .withWatermark("ts", "10 minutes")
+    )
+    q = (
+        debounce_kept(ev, gap_seconds=60)
+        .writeStream.format("memory")
+        .queryName("t_debounce_kept")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        r.event_id for r in spark.table("t_debounce_kept").collect()
+    }
+
+    # pure-Python previous-kept model
+    from collections import defaultdict
+
+    seqs = defaultdict(list)
+    for eid, (u, ty, off) in enumerate(rows):
+        seqs[(u, ty)].append((off, eid))
+    want = set()
+    for es in seqs.values():
+        last = None
+        for off, eid in sorted(es):
+            if last is None or off - last >= 60:
+                want.add(eid)
+                last = off
+    assert got == want
+    # the divergence case: throttle (lag vs previous RAW) drops eid=2
+    assert 2 in got  # t=70 kept by debounce
+    # and the exact-gap edge pair behaves asymmetrically
+    assert 4 in got and 3 not in got
+
+
+def test_debounce_state_retires_behind_watermark(spark, tmp_path):
+    """The event-time timeout must RETIRE debounce state once the
+    watermark passes last_kept + gap (from then on any event clears
+    the gap anyway) — the state-eviction property the r7 streaming
+    probe showed correctness oracles can't see. 400 keys arrive in
+    batch 1; batch 2 is one event two hours later, whose watermark
+    times every idle key out: the state store must end near-empty,
+    not at O(keys ever seen)."""
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chapterhouseqe_spark.streaming.debounce import debounce_kept
+
+    base = datetime(2026, 2, 1, 9, 0, 0)
+    staging = tmp_path / "deb_evict"
+    staging.mkdir()
+
+    def write(name, rows):
+        u, ty, off, eid = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array(list(u), pa.int64()),
+                    "event_type": pa.array(list(ty)),
+                    "ts": pa.array(
+                        [base + timedelta(seconds=o) for o in off],
+                        pa.timestamp("us"),
+                    ),
+                    "event_id": pa.array(list(eid), pa.int64()),
+                }
+            ),
+            str(staging / name),
+        )
+
+    write("f1.parquet", [(u, "click", u % 50, u) for u in range(400)])
+    write("f2.parquet", [(9999, "click", 7200, 9999)])
+
+    ev = (
+        spark.readStream.schema(
+            "user_id long, event_type string, ts timestamp, event_id long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(staging))
+        .withWatermark("ts", "10 minutes")
+    )
+    q = (
+        debounce_kept(ev, gap_seconds=60)
+        .writeStream.format("memory")
+        .queryName("t_debounce_evict")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    prog = q.lastProgress
+    state_rows = prog["stateOperators"][0]["numRowsTotal"]
+    # 401 keys passed through; only the final straggler's key may live
+    assert state_rows <= 2, f"state not evicted: {state_rows} rows"
+    assert spark.table("t_debounce_evict").count() == 401
