@@ -817,3 +817,72 @@ def audit_join_skew(spark, sf_dir):
             census(t(spark, sf_dir, "events"), "user_id", "events.user_id")
         )
     )
+
+
+@query(
+    "ivm_join_delta",
+    # oracle recomputes the maintained joined rollup DIRECTLY from the
+    # final table states — the incremental path must be
+    # indistinguishable from a full recompute.
+    oracle=f"""
+    WITH orders_final AS (
+      SELECT * FROM orders
+      WHERE (o_orderkey % 7 <> 0 AND o_orderkey % 5 <> 0)
+         OR o_orderkey % 7 = 0
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {o_dsum('o.o_totalprice')} AS revenue
+    FROM orders_final o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("maintenance", "ivm", "join"),
+    doc="incremental maintenance of an aggregate OVER A JOIN: the "
+    "per-segment orders-x-customer rollup is maintained under signed "
+    "changes to BOTH base tables (order deletes + inserts, late-"
+    "arriving customer inserts) by composing "
+    "operators/maintenance.py:join_view_delta (dV = dA*B + A*dB + "
+    "dA*dB, signs multiplied — Blakeley et al. 1986) into "
+    "apply_rollup_delta. Neither the join view nor the bases are "
+    "recomputed: incremental cost is two change-sized broadcast "
+    "joins + one delta-vs-delta join + a |delta| merge into the "
+    "|segments|-row state. The A*dB term is exercised for real: base "
+    "orders referencing a not-yet-arrived customer enter the view "
+    "only when that customer's insert lands",
+)
+def ivm_join_delta(spark, sf_dir):
+    from chapterhouseqe_spark.operators.maintenance import (
+        apply_rollup_delta,
+        join_view_delta,
+        rollup_state,
+    )
+
+    orders = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+    )
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    ok = F.col("o_orderkey")
+    base_o = orders.filter(ok % 7 != 0)
+    base_c = cust.filter(F.col("custkey") % 11 != 0)
+    # signed change feeds: delete every base order with key % 5 == 0,
+    # insert the held-out % 7 orders, and land the held-out customers
+    delta_o = base_o.filter(ok % 5 == 0).withColumn(
+        "__sign", F.lit(-1)
+    ).unionByName(orders.filter(ok % 7 == 0).withColumn("__sign", F.lit(1)))
+    delta_c = cust.filter(F.col("custkey") % 11 == 0).withColumn(
+        "__sign", F.lit(1)
+    )
+
+    state = rollup_state(
+        base_o.join(base_c, "custkey"), ["c_mktsegment"], ["o_totalprice"]
+    )
+    dv = join_view_delta(base_o, base_c, delta_o, delta_c, ["custkey"])
+    return apply_rollup_delta(
+        state, dv, ["c_mktsegment"], ["o_totalprice"], "__sign"
+    ).select(
+        "c_mktsegment",
+        F.col("n"),
+        F.col("sum_o_totalprice").cast("double").alias("revenue"),
+    )

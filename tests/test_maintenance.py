@@ -692,3 +692,52 @@ def test_write_snapshot_through_http_pointer_store(spark, tmp_path):
         assert read_snapshot(spark, path, version=2).count() == 10
     finally:
         srv.close()
+
+
+def test_join_view_delta_sign_algebra(spark):
+    """dV = dA*B + A*dB + dA*dB with multiplied signs must equal the
+    multiset difference V_new - V_old for every sign combination —
+    including delete-meets-insert (-1) and the A*dB late-arrival term."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from chapterhouseqe_spark.operators.maintenance import join_view_delta
+
+    a_rows = [(1, "a1"), (2, "a2"), (3, "a3")]
+    b_rows = [(1, "b1"), (3, "b3")]
+    da_rows = [(2, "a2", -1), (4, "a4", 1), (1, "a1b", 1)]
+    db_rows = [(2, "b2", 1), (4, "b4", 1), (3, "b3", -1)]
+    A = spark.createDataFrame(a_rows, "k long, av string")
+    B = spark.createDataFrame(b_rows, "k long, bv string")
+    dA = spark.createDataFrame(da_rows, "k long, av string, __sign int")
+    dB = spark.createDataFrame(db_rows, "k long, bv string, __sign int")
+
+    dv = Counter()
+    for r in join_view_delta(A, B, dA, dB, ["k"]).collect():
+        dv[(r["k"], r["av"], r["bv"])] += r["__sign"]
+
+    def view(ar, br):
+        c = Counter()
+        for k, av in ar:
+            for k2, bv in br:
+                if k == k2:
+                    c[(k, av, bv)] += 1
+        return c
+
+    a_new = Counter([tuple(r) for r in a_rows])
+    for k, av, s in da_rows:
+        a_new[(k, av)] += s
+    b_new = Counter([tuple(r) for r in b_rows])
+    for k, bv, s in db_rows:
+        b_new[(k, bv)] += s
+    v_old = view(a_rows, b_rows)
+    v_new = view(
+        [r for r, n in a_new.items() for _ in range(n)],
+        [r for r, n in b_new.items() for _ in range(n)],
+    )
+    want = Counter(v_new)
+    want.subtract(v_old)
+    assert {k: v for k, v in dv.items() if v} == {
+        k: v for k, v in want.items() if v
+    }
