@@ -970,3 +970,79 @@ def events_power_user_share(spark, sf_dir):
         F.sum("n").alias("total_events"),
         (F.sum(top).cast("double") / F.sum("n")).alias("top_share"),
     )
+
+
+@query(
+    "events_forward_fill",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT event_type,
+             date_trunc('hour', MIN(ts)) AS lo,
+             date_trunc('hour', MAX(ts)) AS hi
+      FROM events GROUP BY event_type
+    ),
+    slots AS (
+      SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ),
+    hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             COUNT(*) AS c, {o_dsum('value')} AS sv
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT s.event_type, s.h, COALESCE(hr.c, 0) AS cnt, hr.sv
+      FROM slots s LEFT JOIN hourly hr
+        ON hr.event_type = s.event_type AND hr.h = s.h
+    )
+    SELECT event_type, {o_ts_str('h')} AS hour_s, CAST(cnt AS BIGINT) AS cnt,
+           COALESCE(last_value(sv IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS UNBOUNDED PRECEDING), 0.0) AS filled_value,
+           CAST(cnt > 0 AS BOOLEAN) AS observed
+    FROM grid
+    """,
+    tags=("streaming", "timeseries", "window"),
+    doc="forward-fill resampling (LOCF): the dense hourly grid again, "
+    "but silent hours CARRY the last observed hourly value instead of "
+    "zeroing — last-observation-carried-forward, the fill rule "
+    "sensor/price/feature pipelines need where absence means "
+    "'unchanged', not 'zero' (events_resample_gapfill covers the "
+    "count-like case). One ignore-nulls running last_value per "
+    "type-keyed window over the |types|x|hours| grid — the grid, "
+    "never the event stream, pays the window; the hourly sums "
+    "carried are decimal-exact so LOCF propagates bit-identical "
+    "values in both engines",
+)
+def events_forward_fill(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    slots = bounds.select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias(
+            "h"
+        ),
+    )
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"), dsum(F.col("value")).alias("sv"))
+    grid = slots.join(hourly, ["event_type", "h"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return grid.select(
+        "event_type",
+        ts_str(F.col("h")).alias("hour_s"),
+        F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("cnt"),
+        F.coalesce(
+            F.last("sv", ignorenulls=True).over(w), F.lit(0.0)
+        ).alias("filled_value"),
+        (F.coalesce(F.col("c"), F.lit(0)) > 0).alias("observed"),
+    )
