@@ -331,3 +331,44 @@ def test_hll_set_and_triangles_plan_shape(queries, spark, sf_dir):
     # AQE prints final + initial plans; count the final section only.
     final2 = plan2.split("== Initial Plan ==")[0]
     assert final2.count("BroadcastNestedLoopJoin") <= 2
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "orders_basket_pairs",
+        "embedding_gram_matrix",
+        "pipeline_byte_balanced_shards",
+        "ivm_join_delta",
+        "join_fuzzy_part_names",
+        "dedup_cluster_size_hist",
+    ],
+)
+def test_round8_ops_no_cartesian(queries, spark, sf_dir, name):
+    # the r8 pair-generating / delta-joining families are keyed or
+    # broadcast BY DESIGN — none may degrade into a cartesian
+    plan = _executed_plan(queries[name](spark, sf_dir))
+    assert "CartesianProduct" not in plan, name
+
+
+def test_gram_matrix_single_dimension_sized_exchange(queries, spark, sf_dir):
+    # the nested-posexplode Gram matrix must stay join-free with ONE
+    # exchange (the (i,j)-keyed aggregation) — the self-join
+    # formulation would shuffle the corpus twice and join it
+    plan = _executed_plan(queries["embedding_gram_matrix"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2  # agg exchange (+AQE read node)
+
+
+def test_byte_shards_no_corpus_single_partition(queries, spark, sf_dir):
+    # the distributed prefix sum may single-partition ONLY the 64-row
+    # bucket-offset frame: the doc-level window must stay bucket-keyed
+    plan = _executed_plan(
+        queries["pipeline_byte_balanced_shards"](spark, sf_dir)
+    )
+    # AQE prints final + "== Initial Plan ==" sections; pin the final
+    final = plan.split("== Initial Plan ==")[0]
+    # window over buckets is hashpartitioned; exactly one
+    # SinglePartition exchange (the 64-row offset table) is allowed
+    assert final.count("Exchange SinglePartition") <= 1
+    assert "hashpartitioning(bucket" in final
