@@ -4590,3 +4590,177 @@ def pipeline_byte_balanced_shards(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_bytes"),
     )
+
+
+@query(
+    "dedup_minhash_error_audit",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+            FROM toks) z
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b, i, sa.n + sb.n - i AS u
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.3
+    ),
+    sigs AS (
+      SELECT doc_id, p,
+             MIN(('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || s), 1, 15))::BIGINT)
+               AS mh
+      FROM sh, generate_series(0, 15) AS g(p)
+      GROUP BY doc_id, p
+    ),
+    est AS (
+      SELECT pr.id_a, pr.id_b, pr.i, pr.u,
+             SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS m
+      FROM pairs pr
+      JOIN sigs a ON a.doc_id = pr.id_a
+      JOIN sigs b ON b.doc_id = pr.id_b AND b.p = a.p
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT CAST((abs(m * u - 16 * i) * 20) // (16 * u) AS BIGINT)
+             AS err_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM est GROUP BY 1
+    """,
+    tags=("pipeline", "dedup", "stats"),
+    doc="MinHash estimation-error audit — the dedup analog of "
+    "ann_recall_eval: over the EXACT >= 0.3 Jaccard pair set, a "
+    "16-permutation md5-replayable signature estimates each pair's "
+    "similarity and the |estimate - exact| error lands in 0.05-wide "
+    "buckets, computed entirely in BIGINTs (|m*u - 16*i|*20 div "
+    "(16*u) — no float ever subtracted), so the graded histogram IS "
+    "the estimator's measured accuracy. This is the measurement loop "
+    "that justifies the production path's permutation count "
+    "(operators/dedup.py:minhash_signatures runs 128 xxhash64 perms "
+    "for detection; this audit family is md5 so DuckDB replays it "
+    "bit-for-bit). One inverted-index shuffle for the exact pairs + "
+    "a 16x signature pass over the same persisted shingle frame",
+)
+def dedup_minhash_error_audit(spark, sf_dir):
+    from chapterhouseqe_spark.queries.registry import md5_int
+
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(F.col("w")) - 2
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    tri = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("w"), i),
+            F.element_at(F.col("w"), i + 1),
+            F.element_at(F.col("w"), i + 2),
+        ),
+    )
+    sh = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("w"))
+        .select("doc_id", F.array_distinct(tri).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+    )
+    from pyspark import StorageLevel
+
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    inter = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    pairs = (
+        inter.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("doc_id").alias("id_a"), F.col("n").alias("na")
+                )
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("doc_id").alias("id_b"), F.col("n").alias("nb")
+                )
+            ),
+            "id_b",
+        )
+        .withColumn("u", F.col("na") + F.col("nb") - F.col("i"))
+        .filter(
+            F.col("i").cast("double") / F.col("u").cast("double") >= 0.3
+        )
+        .select("id_a", "id_b", "i", "u")
+    )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda p: F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s: md5_int(
+                    F.concat(p.cast("string"), F.lit(":"), s)
+                ),
+            )
+        ),
+    )
+    sigs = sh.select("doc_id", sig.alias("sig"))
+    est = (
+        pairs.join(
+            F.broadcast(
+                sigs.select(
+                    F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a")
+                )
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                sigs.select(
+                    F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b")
+                )
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "m",
+            F.size(
+                F.filter(
+                    F.zip_with(
+                        "sig_a", "sig_b", lambda x, y: x == y
+                    ),
+                    lambda v: v,
+                )
+            ).cast("long"),
+        )
+    )
+    return (
+        est.select(
+            F.expr(
+                "CAST((abs(m * u - 16 * i) * 20) div (16 * u) AS BIGINT)"
+            ).alias("err_bucket")
+        )
+        .groupBy("err_bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
