@@ -3806,3 +3806,76 @@ def orders_new_vs_returning(spark, sf_dir):
         .cast("double")
         .alias("repeat_revenue"),
     )
+
+
+@query(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey, MIN(o_orderdate) AS first_dt
+      FROM orders GROUP BY o_custkey
+    ),
+    cohort_sizes AS (
+      SELECT strftime(date_trunc('year', first_dt), '%Y') AS cohort,
+             COUNT(*) AS n_customers
+      FROM firsts GROUP BY 1
+    ),
+    placed AS (
+      SELECT strftime(date_trunc('year', f.first_dt), '%Y') AS cohort,
+             date_diff('year', date_trunc('year', f.first_dt),
+                       date_trunc('year', o.o_orderdate)) AS year_index,
+             CAST(o.o_totalprice AS DECIMAL(27,2)) AS price
+      FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    )
+    SELECT p.cohort, CAST(p.year_index AS BIGINT) AS year_index,
+           CAST(ANY_VALUE(cs.n_customers) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(p.price) AS DOUBLE) AS revenue,
+           CAST(SUM(p.price) AS DOUBLE) / ANY_VALUE(cs.n_customers)
+             AS revenue_per_cohort_customer
+    FROM placed p JOIN cohort_sizes cs ON cs.cohort = p.cohort
+    GROUP BY 1, 2
+    """,
+    tags=("agg", "window", "timeseries"),
+    doc="customer-lifetime-value triangle: customers cohorted by "
+    "first-order year, revenue attributed to (cohort, years-since-"
+    "acquisition) — the acquisition-payback table next to the "
+    "new-vs-returning split and the events cohort-retention grid "
+    "(which counts users; this one follows money). The fact table "
+    "joins the |customers|-row first-order frame (customer-keyed, "
+    "co-partitioned with the groupBy that built it) and collapses to "
+    "|cohorts| x |years| rows; revenue stays DECIMAL until the final "
+    "DOUBLE cast and the per-customer rate is one division",
+)
+def orders_cohort_ltv(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_dt"))
+    cohort = F.date_format(F.date_trunc("year", F.col("first_dt")), "yyyy")
+    placed = o.join(firsts, "o_custkey").select(
+        cohort.alias("cohort"),
+        (
+            F.year(F.col("o_orderdate")) - F.year(F.col("first_dt"))
+        ).cast("long").alias("year_index"),
+        F.col("o_totalprice").cast("decimal(27,2)").alias("price"),
+    )
+    sizes = firsts.groupBy(cohort.alias("cohort")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    return (
+        placed.groupBy("cohort", "year_index")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price").alias("rev_dec"),
+        )
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "year_index",
+            F.col("n_customers").cast("long").alias("n_customers"),
+            "n_orders",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            (
+                F.col("rev_dec").cast("double") / F.col("n_customers")
+            ).alias("revenue_per_cohort_customer"),
+        )
+    )
