@@ -314,6 +314,8 @@ def test_debounce_kept_vs_model_and_throttle(spark, tmp_path):
     staging = tmp_path / "deb_events"
     staging.mkdir()
     # two files -> the fold must survive a micro-batch boundary
+    import os as _os
+
     for name, chunk in [("f1.parquet", rows[:6]), ("f2.parquet", rows[6:])]:
         u, ty, off = zip(*chunk)
         eids = [rows.index(c) for c in chunk]
@@ -331,6 +333,10 @@ def test_debounce_kept_vs_model_and_throttle(spark, tmp_path):
             ),
             str(staging / name),
         )
+    # pin batch order: the file source sorts by modification time and
+    # same-second writes made it nondeterministic under a loaded suite
+    _os.utime(staging / "f1.parquet", (1, 1))
+    _os.utime(staging / "f2.parquet", (2, 2))
 
     ev = (
         spark.readStream.schema(
@@ -409,8 +415,15 @@ def test_debounce_state_retires_behind_watermark(spark, tmp_path):
             str(staging / name),
         )
 
+    import os as _os
+
     write("f1.parquet", [(u, "click", u % 50, u) for u in range(400)])
     write("f2.parquet", [(9999, "click", 7200, 9999)])
+    # the file source orders batches by modification time; equal
+    # mtimes (same-second writes) made batch order nondeterministic
+    # under a loaded suite — pin it explicitly
+    _os.utime(staging / "f1.parquet", (1, 1))
+    _os.utime(staging / "f2.parquet", (2, 2))
 
     ev = (
         spark.readStream.schema(
