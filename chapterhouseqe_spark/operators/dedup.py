@@ -32,7 +32,7 @@ from __future__ import annotations
 import logging
 
 from pyspark import StorageLevel
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from chapterhouseqe_spark.operators.util import ensure_parallelism
@@ -329,17 +329,48 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     k: int = 3,
     max_shingle_freq: int | None = 10_000,
+    prefix_filter: bool = False,
 ) -> DataFrame:
-    """EXACT n-gram Jaccard pairs via an inverted index on shingles.
+    """EXACT n-gram Jaccard pairs via an inverted index on shingles,
+    optionally PREFIX-FILTERED.
 
-    ``max_shingle_freq`` drops shingles shared by more than N docs
-    (stop-shingles) before pairing — the standard bound on the quadratic
-    blow-up. Defaults ON at 10k (one 10k-doc posting list is 5·10⁷
-    pairs); pass ``None`` for the fully exact answer. DEBUG logging
-    reports dropped stop-shingle counts. Note dropping a stop-shingle can
-    only LOSE candidate pairs whose entire overlap is boilerplate —
-    Jaccard for surviving candidates stays exact because it is computed
-    from the full shingle sets, not the pruned postings.
+    Prefix filtering (Chaudhuri et al. SSJoin 2006 / Bayardo et al.
+    All-Pairs 2007): under any fixed total order of shingles, a pair
+    with ``J(A,B) >= t`` has ``|A∩B| >= ceil(t·|A|)``, so the first
+    ``|A| - ceil(t·|A|) + 1`` shingles of A — its PREFIX — must contain
+    an element of the intersection (all of A∩B cannot fit in the
+    shorter suffix), and the order-minimal intersection element lands
+    in BOTH prefixes. Indexing only prefixes is therefore LOSSLESS: the
+    candidate join still surfaces every qualifying pair, and Jaccard is
+    re-verified from the full shingle sets (``_jaccard_on_pairs``), so
+    the output equals the exact all-pairs answer. Ordering rarest-first
+    (global frequency asc, shingle asc for determinism) is what makes
+    it fast: boilerplate shingles with huge posting lists sort LAST and
+    fall out of prefixes, so the per-shingle quadratic pairing term
+    collapses onto rare shingles with tiny posting lists. The old form
+    (``prefix_filter=False``) pays sum(c_s²) rows into a pair-count
+    shuffle; the prefix form pays it only over prefix postings.
+
+    ``max_shingle_freq`` remains the lossy 100 TB backstop: shingles
+    shared by more than N docs are dropped from the index BEFORE prefix
+    selection (prefix lengths then derive from the filtered set sizes),
+    bounding an adversarial corpus where a hot shingle is every doc's
+    rarest. Candidates are then pairs sharing a non-hot prefix shingle
+    — a subset of the old non-hot-shingle candidates. Pass ``None`` for
+    the fully exact answer. Verified Jaccard always uses the FULL
+    shingle sets, so surviving pairs are exact either way.
+
+    Default OFF — measured A/B (PLANS.md round-8 prefix-filter probe):
+    the direct pair-count path wins when posting lists are short or
+    when most candidates are true pairs (sf0.1 5k docs: 6.0s vs 8.3s;
+    50k replica corpus where all 250,600 candidates verify: 19.3s vs
+    233.7s — the prefix path re-joins full shingle arrays per candidate
+    and pays a per-doc window sort). The prefix path wins, losslessly,
+    exactly where the direct path degrades quadratically: boilerplate-
+    heavy corpora with ``max_shingle_freq=None`` (12k docs sharing a
+    40-token header: 7.9s vs 50.1s, gap growing with n²). Turn it ON
+    when you need the EXACT answer on a corpus whose hot shingles you
+    cannot afford to (lossily) cap.
     """
     sh = with_shingles(df, text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
     posting = sh.select("id", F.explode("shingles").alias("s"))
@@ -361,8 +392,31 @@ def ngram_jaccard_pairs(
                 max_shingle_freq,
             )
         posting = posting.join(F.broadcast(hot), "s", "left_anti")
+    if prefix_filter:
+        freq = posting.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
+        w = Window.partitionBy("id")
+        ranked = (
+            posting.join(freq, "s")
+            .withColumn("rn", F.row_number().over(w.orderBy("df_s", "s")))
+            .withColumn("n", F.count(F.lit(1)).over(w))
+        )
+        # ceil with a tiny epsilon: float t·n landing a hair ABOVE an
+        # exact integer would shorten the prefix and lose pairs at
+        # exactly the threshold; under-shooting only lengthens it.
+        alpha = F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9))
+        posting = ranked.filter(F.col("rn") <= F.col("n") - alpha + 1).select("id", "s")
     a = posting.select(F.col("id").alias("id_a"), "s")
     b = posting.select(F.col("id").alias("id_b"), "s")
+    if prefix_filter:
+        cand = (
+            a.join(b, "s")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        return _jaccard_on_pairs(cand, sh, n_docs=sh.count()).filter(
+            F.col("jaccard") >= threshold
+        )
     inter = (
         a.join(b, "s")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -248,6 +248,27 @@ def dedup_ngram_jaccard(spark, sf_dir):
 
 
 @query(
+    "dedup_ngram_jaccard_prefix",
+    oracle=_SHINGLE_CTE.format(tau=0.3),
+    tags=("pipeline", "dedup"),
+    doc=(
+        "Same exact jaccard-pairs answer via LOSSLESS prefix filtering "
+        "(SSJoin/All-Pairs): only each doc's n-ceil(τ·n)+1 globally-"
+        "rarest shingles are indexed — the scale path for boilerplate-"
+        "heavy corpora where the direct index would need a lossy cap"
+    ),
+)
+def dedup_ngram_jaccard_prefix(spark, sf_dir):
+    return ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        threshold=0.3,
+        prefix_filter=True,
+    )
+
+
+@query(
     "dedup_simhash",
     oracle=r"""
     WITH toks AS (

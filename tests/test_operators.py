@@ -75,6 +75,47 @@ def test_simhash_identical_docs_share_fingerprint(docs):
     assert all(fp >= 0 for fp in fps.values())  # 60-bit, sign-safe
 
 
+def test_prefix_filter_is_lossless(docs, spark):
+    # prefix filtering (SSJoin/All-Pairs) must return the EXACT
+    # all-pairs answer — same pairs, same jaccard values — including
+    # on a boilerplate-heavy corpus where prefixes drop most postings
+    as_set = lambda df: {(r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()}
+    direct = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+    prefixed = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5, prefix_filter=True)
+    assert as_set(direct) == as_set(prefixed)
+
+    from pyspark.sql import functions as F
+
+    header = " ".join(f"boiler{i}" for i in range(30))
+    boiler = (
+        spark.range(40)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(
+                F.lit(header + " body"),
+                (F.col("id") % 4).cast("string"),
+                F.lit(" tail"),
+                F.col("id").cast("string"),
+            ).alias("text"),
+        )
+    )
+    d2 = ngram_jaccard_pairs(boiler, "text", "doc_id", threshold=0.5, max_shingle_freq=None)
+    p2 = ngram_jaccard_pairs(
+        boiler, "text", "doc_id", threshold=0.5, max_shingle_freq=None, prefix_filter=True
+    )
+    assert as_set(d2) == as_set(p2) and d2.count() > 0
+
+
+def test_prefix_filter_respects_stop_shingle_cap(docs):
+    # hot-shingle capping composes with prefix selection: with an
+    # aggressive cap only the exact-dup pair survives, same as direct
+    capped = ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.1, max_shingle_freq=1, prefix_filter=True
+    )
+    for r in capped.collect():
+        assert (r["id_a"], r["id_b"]) == (0, 1)
+
+
 def test_stop_shingle_cap(docs):
     # with an aggressive cap every shingle shared by >1 doc is dropped,
     # so only the exact-dup pair (via their unique shingles) remains
