@@ -1046,3 +1046,111 @@ def events_forward_fill(spark, sf_dir):
         ).alias("filled_value"),
         (F.coalesce(F.col("c"), F.lit(0)) > 0).alias("observed"),
     )
+
+
+@query(
+    "events_ewma_hourly",
+    oracle=f"""
+    WITH RECURSIVE hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             {o_dsum('value')} / COUNT(*) AS avg_val
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, h, avg_val,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM hourly
+    ),
+    r AS (
+      SELECT event_type, h, avg_val, rn, avg_val AS ewma
+      FROM ranked WHERE rn = 1
+      UNION ALL
+      SELECT n.event_type, n.h, n.avg_val, n.rn,
+             0.25 * n.avg_val + 0.75 * r.ewma
+      FROM r JOIN ranked n
+        ON n.event_type = r.event_type AND n.rn = r.rn + 1
+    )
+    SELECT event_type, {o_ts_str('h')} AS hour_s, avg_val, ewma FROM r
+    """,
+    tags=("streaming", "timeseries", "stateful"),
+    doc="per-type hourly EWMA (alpha=0.25) — a linear recurrence no "
+    "built-in window frame expresses, run as applyInPandas over the "
+    "hourly grid: the event stream collapses in ONE decimal-exact "
+    "aggregation (map-side partials), then each |hours|-row series "
+    "folds sequentially inside its own Arrow batch, partitioned by "
+    "series key. The oracle replays the identical fold as a recursive "
+    "CTE; alpha is an exact binary fraction so every step is the same "
+    "two mults + one add in both engines — bit-identical doubles out",
+)
+def events_ewma_hourly(spark, sf_dir):
+    from chapterhouseqe_spark.operators.temporal import ewma_series
+
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg((dsum(F.col("value")) / F.count(F.lit(1))).alias("avg_val"))
+    hourly = hourly.select(
+        "event_type", ts_str(F.col("h")).alias("hour_s"), "avg_val"
+    )
+    return ewma_series(hourly, ["event_type"], "hour_s", "avg_val", alpha=0.25)
+
+
+@query(
+    "events_ewma_anomaly",
+    oracle=f"""
+    WITH RECURSIVE hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             {o_dsum('value')} / COUNT(*) AS avg_val
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, h, avg_val,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM hourly
+    ),
+    r AS (
+      SELECT event_type, h, avg_val, rn,
+             avg_val AS ewma, CAST(0.0 AS DOUBLE) AS ewmad,
+             CAST(NULL AS DOUBLE) AS expected,
+             CAST(NULL AS DOUBLE) AS deviation,
+             CAST(NULL AS DOUBLE) AS band,
+             FALSE AS is_anom
+      FROM ranked WHERE rn = 1
+      UNION ALL
+      SELECT n.event_type, n.h, n.avg_val, n.rn,
+             0.25 * n.avg_val + 0.75 * r.ewma,
+             0.25 * abs(n.avg_val - r.ewma) + 0.75 * r.ewmad,
+             r.ewma,
+             abs(n.avg_val - r.ewma),
+             3.0 * r.ewmad,
+             n.rn > 12 AND abs(n.avg_val - r.ewma) > 3.0 * r.ewmad
+      FROM r JOIN ranked n
+        ON n.event_type = r.event_type AND n.rn = r.rn + 1
+    )
+    SELECT event_type, {o_ts_str('h')} AS hour_s, avg_val,
+           expected, deviation, band
+    FROM r WHERE is_anom
+    """,
+    tags=("streaming", "timeseries", "stateful"),
+    doc="EWMA-residual anomaly hours: two coupled recurrences (level + "
+    "EW mean-abs-deviation) fold per series in one applyInPandas pass; "
+    "a point is anomalous when it deviates from the PRE-update level "
+    "by more than 3x the PRE-update deviation estimate after a "
+    "12-point warmup. The oracle recursion carries both accumulators, "
+    "so the flagged set — thresholded doubles included — is "
+    "bit-identical; shows the recurrence seam handles vector state "
+    "(Holt's trend is the same shape with one more accumulator)",
+)
+def events_ewma_anomaly(spark, sf_dir):
+    from chapterhouseqe_spark.operators.temporal import ewma_anomaly_series
+
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg((dsum(F.col("value")) / F.count(F.lit(1))).alias("avg_val"))
+    hourly = hourly.select(
+        "event_type", ts_str(F.col("h")).alias("hour_s"), "avg_val"
+    )
+    return ewma_anomaly_series(
+        hourly, ["event_type"], "hour_s", "avg_val", alpha=0.25, k=3.0, warmup=12
+    )

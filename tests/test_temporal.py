@@ -179,3 +179,50 @@ def test_asof_nearest_picks_closer_side_and_ties_backward(spark):
         direction="nearest", tolerance=F.lit(100),
     ).collect()
     assert out3[0]["tag_r"] is None and out3[0]["ts_r"] is None
+
+
+def test_ewma_series_matches_hand_fold(spark):
+    from chapterhouseqe_spark.operators.temporal import ewma_series
+
+    rows = [("a", f"t{i}", float(v)) for i, v in enumerate([4.0, 8.0, 8.0, 0.0])]
+    rows += [("b", "t0", 10.0)]
+    df = spark.createDataFrame(rows, ["k", "o", "x"])
+    got = {
+        (r["k"], r["o"]): r["ewma"]
+        for r in ewma_series(df, ["k"], "o", "x", alpha=0.25).collect()
+    }
+    # hand fold, alpha=0.25: s1=4, s2=.25*8+.75*4=5, s3=.25*8+.75*5=5.75,
+    # s4=.25*0+.75*5.75=4.3125 — all exact binary fractions
+    assert got == {
+        ("a", "t0"): 4.0,
+        ("a", "t1"): 5.0,
+        ("a", "t2"): 5.75,
+        ("a", "t3"): 4.3125,
+        ("b", "t0"): 10.0,
+    }
+
+
+def test_ewma_anomaly_flags_spike_after_warmup(spark):
+    from chapterhouseqe_spark.operators.temporal import ewma_anomaly_series
+
+    # flat series with one big spike after warmup and one before it:
+    # only the post-warmup spike is flagged, with pre-update expected/band
+    vals = [5.0] * 3 + [50.0] + [5.0] * 10 + [90.0] + [5.0] * 3
+    df = spark.createDataFrame(
+        [("a", f"t{i:02d}", v) for i, v in enumerate(vals)], ["k", "o", "x"]
+    )
+    out = ewma_anomaly_series(df, ["k"], "o", "x", alpha=0.25, k=3.0, warmup=12).collect()
+    assert [r["o"] for r in out] == ["t14"]
+    r = out[0]
+    assert r["x"] == 90.0 and r["deviation"] == abs(90.0 - r["expected"])
+    assert r["deviation"] > r["band"] > 0.0
+
+
+def test_ewma_anomaly_never_flags_inside_warmup(spark):
+    from chapterhouseqe_spark.operators.temporal import ewma_anomaly_series
+
+    vals = [5.0, 5.0, 500.0, 5.0, 5.0]
+    df = spark.createDataFrame(
+        [("a", f"t{i}", v) for i, v in enumerate(vals)], ["k", "o", "x"]
+    )
+    assert ewma_anomaly_series(df, ["k"], "o", "x", warmup=12).count() == 0
