@@ -396,3 +396,82 @@ def ewma_anomaly_series(
         return out
 
     return df.groupBy(*keys).applyInPandas(fold, out_schema)
+
+
+def holt_forecast(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.25,
+    beta: float = 0.25,
+    horizon: int = 6,
+) -> DataFrame:
+    """Holt's linear-trend forecast per series: smooth a level and a
+    trend, then project ``horizon`` steps ahead.
+
+        l_1 = x_1;  b_1 = 0
+        l_t = alpha*x_t + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+        forecast(h) = l_T + h*b_T          for h = 1..horizon
+
+    (b_1 = 0 rather than the x_2 - x_1 lookahead init so the fold is a
+    pure forward recurrence — replayable in a recursive CTE without a
+    second pass; with any warmup-length series the two inits converge
+    geometrically.) Returns one row per key per horizon step:
+    keys + ``h`` (1-based), ``level``, ``trend``, ``forecast``.
+
+    Same execution and bit-exactness contract as :func:`ewma_series`:
+    one shuffle on the series key, python-scalar IEEE doubles in the
+    op order a recursive CTE replays (alpha/beta exact binary
+    fractions), forecasts produced as ``l + (h * b)`` in both engines.
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    key_fields = [f for f in df.schema.fields if f.name in keys]
+    out_schema = StructType(
+        key_fields
+        + [
+            StructField("h", IntegerType()),
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+            StructField("forecast", DoubleType()),
+        ]
+    )
+    a = float(alpha)
+    ac = 1.0 - a
+    be = float(beta)
+    bc = 1.0 - be
+
+    def fold(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        lvl = None
+        tr = 0.0
+        for x in pdf[value_col].tolist():
+            if lvl is None:
+                lvl = x
+                continue
+            prev = lvl
+            lvl = a * x + ac * (lvl + tr)
+            tr = be * (lvl - prev) + bc * tr
+        head = pdf.iloc[0]
+        rows = [
+            {
+                **{k: head[k] for k in keys},
+                "h": h,
+                "level": lvl,
+                "trend": tr,
+                "forecast": lvl + (h * tr),
+            }
+            for h in range(1, horizon + 1)
+        ]
+        return pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.groupBy(*keys).applyInPandas(fold, out_schema)

@@ -1154,3 +1154,113 @@ def events_ewma_anomaly(spark, sf_dir):
     return ewma_anomaly_series(
         hourly, ["event_type"], "hour_s", "avg_val", alpha=0.25, k=3.0, warmup=12
     )
+
+
+@query(
+    "events_holt_forecast",
+    oracle=f"""
+    WITH RECURSIVE hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             {o_dsum('value')} / COUNT(*) AS avg_val
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, avg_val,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_pts
+      FROM hourly
+    ),
+    r AS (
+      SELECT event_type, rn, n_pts,
+             avg_val AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM ranked WHERE rn = 1
+      UNION ALL
+      SELECT n.event_type, n.rn, n.n_pts,
+             0.25 * n.avg_val + 0.75 * (r.l + r.b),
+             0.25 * ((0.25 * n.avg_val + 0.75 * (r.l + r.b)) - r.l)
+               + 0.75 * r.b
+      FROM r JOIN ranked n
+        ON n.event_type = r.event_type AND n.rn = r.rn + 1
+    )
+    SELECT event_type, CAST(g.h AS INTEGER) AS h,
+           l AS level, b AS trend, l + (g.h * b) AS forecast
+    FROM r, generate_series(1, 6) AS g(h)
+    WHERE rn = n_pts
+    """,
+    tags=("streaming", "timeseries", "stateful", "forecast"),
+    doc="Holt linear-trend forecast, 6 hours ahead per event type: the "
+    "level+trend double recurrence folds over the hourly grid in the "
+    "same applyInPandas seam as the EWMA family (b_1=0 forward init — "
+    "no lookahead, so a recursive CTE replays it exactly), then each "
+    "series projects l_T + h*b_T for h=1..6. Forecasting as a "
+    "DataFrame op: one decimal-exact collapse of the stream, one "
+    "series-key shuffle, |types|x6 rows out, bit-identical doubles",
+)
+def events_holt_forecast(spark, sf_dir):
+    from chapterhouseqe_spark.operators.temporal import holt_forecast
+
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg((dsum(F.col("value")) / F.count(F.lit(1))).alias("avg_val"))
+    hourly = hourly.select(
+        "event_type", ts_str(F.col("h")).alias("hour_s"), "avg_val"
+    )
+    return holt_forecast(
+        hourly, ["event_type"], "hour_s", "avg_val",
+        alpha=0.25, beta=0.25, horizon=6,
+    )
+
+
+@query(
+    "events_seasonality_profile",
+    oracle=f"""
+    WITH per_hod AS (
+      SELECT event_type, CAST(date_part('hour', ts) AS INTEGER) AS hod,
+             COUNT(*) AS n, {o_dsum('value')} / COUNT(*) AS hod_avg
+      FROM events GROUP BY 1, 2
+    ),
+    per_type AS (
+      SELECT event_type, {o_dsum('value')} / COUNT(*) AS type_avg
+      FROM events GROUP BY 1
+    )
+    SELECT h.event_type, h.hod, h.n, h.hod_avg,
+           h.hod_avg / t.type_avg AS seasonal_index,
+           ROW_NUMBER() OVER (
+             PARTITION BY h.event_type
+             ORDER BY h.hod_avg / t.type_avg DESC, h.hod
+           ) AS peak_rank
+    FROM per_hod h JOIN per_type t USING (event_type)
+    """,
+    tags=("streaming", "timeseries"),
+    doc="hour-of-day seasonality profile: per (type, hour-of-day) mean "
+    "over per-type mean — the multiplicative seasonal index — plus a "
+    "peak-hour ranking. Every mean is a decimal-exact sum with ONE "
+    "double division, and the index is one more division of those "
+    "bit-identical doubles, so no float accumulation order exists to "
+    "diverge; two map-side-partial aggregations over the stream, a "
+    "|types|-row broadcast join, a |types|x24 window",
+)
+def events_seasonality_profile(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    per_hod = ev.groupBy(
+        "event_type", F.hour("ts").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (dsum(F.col("value")) / F.count(F.lit(1))).alias("hod_avg"),
+    )
+    per_type = ev.groupBy("event_type").agg(
+        (dsum(F.col("value")) / F.count(F.lit(1))).alias("type_avg")
+    )
+    joined = per_hod.join(F.broadcast(per_type), "event_type").withColumn(
+        "seasonal_index", F.col("hod_avg") / F.col("type_avg")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("seasonal_index").desc(), F.col("hod")
+    )
+    return joined.select(
+        "event_type", "hod", "n", "hod_avg", "seasonal_index",
+        F.row_number().over(w).alias("peak_rank"),
+    )

@@ -226,3 +226,33 @@ def test_ewma_anomaly_never_flags_inside_warmup(spark):
         [("a", f"t{i}", v) for i, v in enumerate(vals)], ["k", "o", "x"]
     )
     assert ewma_anomaly_series(df, ["k"], "o", "x", warmup=12).count() == 0
+
+
+def test_holt_forecast_linear_series_converges_to_slope(spark):
+    from chapterhouseqe_spark.operators.temporal import holt_forecast
+
+    # a long exactly-linear series: level tracks the line, trend
+    # converges to the slope, so forecasts continue the line closely
+    n, slope = 200, 2.0
+    df = spark.createDataFrame(
+        [("a", f"t{i:04d}", slope * i) for i in range(n)], ["k", "o", "x"]
+    )
+    out = {r["h"]: r for r in holt_forecast(df, ["k"], "o", "x").collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    last = slope * (n - 1)
+    r1 = out[1]
+    assert abs(r1["trend"] - slope) < 1e-6
+    assert abs(r1["level"] - last) < 1e-3
+    for h, r in out.items():
+        assert r["forecast"] == r["level"] + h * r["trend"]
+        assert abs(r["forecast"] - (last + slope * h)) < 1e-2
+
+
+def test_holt_forecast_constant_series_flat(spark):
+    from chapterhouseqe_spark.operators.temporal import holt_forecast
+
+    df = spark.createDataFrame(
+        [("a", f"t{i}", 7.0) for i in range(9)], ["k", "o", "x"]
+    )
+    for r in holt_forecast(df, ["k"], "o", "x", horizon=3).collect():
+        assert r["forecast"] == 7.0 and r["trend"] == 0.0
