@@ -7,6 +7,9 @@ over the same parquet tables, watermarked windowed aggregation, and
 stateful per-key processing.
 """
 
+from chapterhouseqe_spark.streaming.recurrence import (
+    streaming_ewma,
+)
 from chapterhouseqe_spark.streaming.sessions import (
     sessionize,
     stateful_user_stats,
@@ -25,6 +28,7 @@ __all__ = [
     "sessionize",
     "stateful_user_stats",
     "stream_dedup",
+    "streaming_ewma",
     "stream_user_rollup",
     "stream_window_counts",
 ]

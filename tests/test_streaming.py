@@ -447,3 +447,74 @@ def test_debounce_state_retires_behind_watermark(spark, tmp_path):
     # 401 keys passed through; only the final straggler's key may live
     assert state_rows <= 2, f"state not evicted: {state_rows} rows"
     assert spark.table("t_debounce_evict").count() == 401
+
+
+def test_streaming_ewma_state_survives_micro_batches(spark, tmp_path):
+    """Streaming EWMA through real micro-batches equals the pure-Python
+    fold bit-for-bit — including across the batch boundary, where a
+    state loss would restart the recurrence (s=x) and diverge."""
+    from datetime import datetime, timedelta
+
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from chapterhouseqe_spark.streaming.recurrence import streaming_ewma
+
+    base = datetime(2026, 3, 1, 12, 0, 0)
+    rows = [  # (type, offset_s, value) — two series interleaved
+        ("a", 0, 4.0), ("b", 1, 100.0), ("a", 2, 8.0),
+        ("a", 3, 8.0), ("b", 4, 50.0),
+        # -- micro-batch boundary --
+        ("a", 5, 0.0), ("b", 6, 75.0), ("a", 7, 16.0),
+    ]
+    staging = tmp_path / "ewma_events"
+    staging.mkdir()
+    for name, chunk, mt in [("f1.parquet", rows[:5], 1), ("f2.parquet", rows[5:], 2)]:
+        ty, off, val = zip(*chunk)
+        pq.write_table(
+            pa.table(
+                {
+                    "event_type": pa.array(list(ty)),
+                    "ts": pa.array(
+                        [base + timedelta(seconds=o) for o in off],
+                        pa.timestamp("us"),
+                    ),
+                    "event_id": pa.array([rows.index(c) for c in chunk], pa.int64()),
+                    "value": pa.array(list(val), pa.float64()),
+                }
+            ),
+            str(staging / name),
+        )
+        _os.utime(staging / name, (mt, mt))
+
+    ev = (
+        spark.readStream.schema(
+            "event_type string, ts timestamp, event_id long, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(staging))
+    )
+    q = (
+        streaming_ewma(ev, alpha=0.25)
+        .writeStream.format("memory")
+        .queryName("t_stream_ewma")
+        .option("checkpointLocation", str(tmp_path / "ewma_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        r.event_id: r.ewma for r in spark.table("t_stream_ewma").collect()
+    }
+
+    # pure-Python model over the full in-order log
+    model, s = {}, {}
+    for i, (ty, _off, x) in enumerate(rows):
+        s[ty] = x if ty not in s else 0.25 * x + 0.75 * s[ty]
+        model[i] = s[ty]
+    assert got == model
+    # the boundary rows genuinely exercise carried state: a restarted
+    # fold (s=x) would emit x itself — assert they differ from that
+    assert got[5] != 0.0 and got[6] != 75.0
