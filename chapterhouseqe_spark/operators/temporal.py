@@ -475,3 +475,70 @@ def holt_forecast(
         return pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     return df.groupBy(*keys).applyInPandas(fold, out_schema)
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    target_col: str = "mu",
+    slack_col: str = "kappa",
+    threshold_col: str = "h",
+) -> DataFrame:
+    """Two-sided CUSUM changepoint detection per series (Page 1954):
+
+        sp_t = max(0, sp_{t-1} + ((x_t - mu) - kappa))
+        sn_t = max(0, sn_{t-1} + ((mu - kappa) - x_t))
+
+    A changepoint fires when either statistic exceeds ``h``; both reset
+    to 0 after a detection (standard restart, so consecutive drifted
+    points report one changepoint per threshold crossing, not one per
+    point). Emits only the flagged rows: keys + order + value +
+    ``cusum`` (the crossing statistic) + ``direction`` ('up'/'down').
+
+    ``mu`` (in-control target), ``kappa`` (slack) and ``h`` (decision
+    interval) arrive as COLUMNS — constant within a series — so callers
+    derive them with decimal-exact aggregations and a broadcast join;
+    deriving them inside the fold from the series' own doubles would
+    re-introduce order-dependent float sums. Same seam and
+    bit-exactness contract as :func:`ewma_series`; ``max`` is
+    ``GREATEST`` in the oracle recursion (identical IEEE semantics),
+    and the deviation is parenthesized ``(x - mu) - kappa`` in both
+    engines.
+    """
+    from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+    import pandas as pd
+
+    base_fields = [
+        f for f in df.schema.fields
+        if f.name not in (target_col, slack_col, threshold_col)
+    ]
+    out_schema = StructType(
+        base_fields
+        + [StructField("cusum", DoubleType()), StructField("direction", StringType())]
+    )
+    base_cols = [f.name for f in base_fields]
+
+    def fold(pdf):
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        mu = pdf[target_col].iloc[0]
+        kappa = pdf[slack_col].iloc[0]
+        h = pdf[threshold_col].iloc[0]
+        sp = 0.0
+        sn = 0.0
+        hits = []
+        for i, x in enumerate(pdf[value_col].tolist()):
+            sp = max(0.0, sp + ((x - mu) - kappa))
+            sn = max(0.0, sn + ((mu - kappa) - x))
+            if sp > h or sn > h:
+                hits.append((i, sp if sp > h else sn, "up" if sp > h else "down"))
+                sp = 0.0
+                sn = 0.0
+        out = pdf.iloc[[t[0] for t in hits]][base_cols].copy()
+        out["cusum"] = [t[1] for t in hits]
+        out["direction"] = [t[2] for t in hits]
+        return out
+
+    return df.groupBy(*keys).applyInPandas(fold, out_schema)

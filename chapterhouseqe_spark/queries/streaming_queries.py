@@ -1264,3 +1264,102 @@ def events_seasonality_profile(spark, sf_dir):
         "event_type", "hod", "n", "hod_avg", "seasonal_index",
         F.row_number().over(w).alias("peak_rank"),
     )
+
+
+@query(
+    "events_cusum_changepoints",
+    oracle=f"""
+    WITH RECURSIVE hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             {o_dsum('value')} / COUNT(*) AS avg_val
+      FROM events GROUP BY 1, 2
+    ),
+    params AS (
+      SELECT event_type, {o_dsum('value')} / COUNT(*) AS mu
+      FROM events GROUP BY 1
+    ),
+    ranked AS (
+      SELECT h.event_type, h.hr, h.avg_val, p.mu,
+             0.25 * p.mu AS kappa,
+             ROW_NUMBER() OVER (PARTITION BY h.event_type ORDER BY h.hr) AS rn
+      FROM hourly h JOIN params p USING (event_type)
+    ),
+    r AS (
+      SELECT event_type, hr, avg_val, mu, kappa, rn,
+             CASE WHEN GREATEST(0.0, 0.0 + ((avg_val - mu) - kappa)) > mu
+                    OR GREATEST(0.0, 0.0 + ((mu - kappa) - avg_val)) > mu
+                  THEN 0.0
+                  ELSE GREATEST(0.0, 0.0 + ((avg_val - mu) - kappa)) END AS sp,
+             CASE WHEN GREATEST(0.0, 0.0 + ((avg_val - mu) - kappa)) > mu
+                    OR GREATEST(0.0, 0.0 + ((mu - kappa) - avg_val)) > mu
+                  THEN 0.0
+                  ELSE GREATEST(0.0, 0.0 + ((mu - kappa) - avg_val)) END AS sn,
+             CASE WHEN GREATEST(0.0, 0.0 + ((avg_val - mu) - kappa)) > mu
+                  THEN GREATEST(0.0, 0.0 + ((avg_val - mu) - kappa))
+                  WHEN GREATEST(0.0, 0.0 + ((mu - kappa) - avg_val)) > mu
+                  THEN GREATEST(0.0, 0.0 + ((mu - kappa) - avg_val))
+                  END AS cusum,
+             CASE WHEN GREATEST(0.0, 0.0 + ((avg_val - mu) - kappa)) > mu
+                  THEN 'up'
+                  WHEN GREATEST(0.0, 0.0 + ((mu - kappa) - avg_val)) > mu
+                  THEN 'down' END AS direction
+      FROM ranked WHERE rn = 1
+      UNION ALL
+      SELECT n.event_type, n.hr, n.avg_val, n.mu, n.kappa, n.rn,
+             CASE WHEN GREATEST(0.0, r.sp + ((n.avg_val - n.mu) - n.kappa)) > n.mu
+                    OR GREATEST(0.0, r.sn + ((n.mu - n.kappa) - n.avg_val)) > n.mu
+                  THEN 0.0
+                  ELSE GREATEST(0.0, r.sp + ((n.avg_val - n.mu) - n.kappa)) END,
+             CASE WHEN GREATEST(0.0, r.sp + ((n.avg_val - n.mu) - n.kappa)) > n.mu
+                    OR GREATEST(0.0, r.sn + ((n.mu - n.kappa) - n.avg_val)) > n.mu
+                  THEN 0.0
+                  ELSE GREATEST(0.0, r.sn + ((n.mu - n.kappa) - n.avg_val)) END,
+             CASE WHEN GREATEST(0.0, r.sp + ((n.avg_val - n.mu) - n.kappa)) > n.mu
+                  THEN GREATEST(0.0, r.sp + ((n.avg_val - n.mu) - n.kappa))
+                  WHEN GREATEST(0.0, r.sn + ((n.mu - n.kappa) - n.avg_val)) > n.mu
+                  THEN GREATEST(0.0, r.sn + ((n.mu - n.kappa) - n.avg_val))
+                  END,
+             CASE WHEN GREATEST(0.0, r.sp + ((n.avg_val - n.mu) - n.kappa)) > n.mu
+                  THEN 'up'
+                  WHEN GREATEST(0.0, r.sn + ((n.mu - n.kappa) - n.avg_val)) > n.mu
+                  THEN 'down' END
+      FROM r JOIN ranked n
+        ON n.event_type = r.event_type AND n.rn = r.rn + 1
+    )
+    SELECT event_type, {o_ts_str('hr')} AS hour_s, avg_val, cusum, direction
+    FROM r WHERE direction IS NOT NULL
+    """,
+    tags=("streaming", "timeseries", "stateful"),
+    doc="two-sided CUSUM changepoint detection (Page 1954) over the "
+    "hourly grid: reflected cumulative sums of slack-adjusted "
+    "deviations, reset on detection, flagging sustained drifts the "
+    "point-wise anomaly queries miss. In-control target mu is the "
+    "decimal-exact per-type mean of the RAW stream (deriving it from "
+    "the series' own doubles would re-introduce order-dependent "
+    "sums); kappa = mu/4, threshold = mu. The oracle recursion "
+    "repeats the GREATEST step expression per CASE arm — verbose but "
+    "bit-identical to the fold's two reflected accumulators",
+)
+def events_cusum_changepoints(spark, sf_dir):
+    from chapterhouseqe_spark.operators.temporal import cusum_changepoints
+
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg((dsum(F.col("value")) / F.count(F.lit(1))).alias("avg_val"))
+    params = ev.groupBy("event_type").agg(
+        (dsum(F.col("value")) / F.count(F.lit(1))).alias("mu")
+    )
+    grid = (
+        hourly.join(F.broadcast(params), "event_type")
+        .withColumn("kappa", F.lit(0.25) * F.col("mu"))
+        .withColumn("hthr", F.col("mu"))
+        .select(
+            "event_type", ts_str(F.col("h")).alias("hour_s"),
+            "avg_val", "mu", "kappa", "hthr",
+        )
+    )
+    return cusum_changepoints(
+        grid, ["event_type"], "hour_s", "avg_val",
+        target_col="mu", slack_col="kappa", threshold_col="hthr",
+    )

@@ -256,3 +256,45 @@ def test_holt_forecast_constant_series_flat(spark):
     )
     for r in holt_forecast(df, ["k"], "o", "x", horizon=3).collect():
         assert r["forecast"] == 7.0 and r["trend"] == 0.0
+
+
+def test_cusum_flags_sustained_shift_not_noise(spark):
+    from chapterhouseqe_spark.operators.temporal import cusum_changepoints
+
+    # in-control at 10, sustained shift to 16 at t=20: CUSUM (mu=10,
+    # kappa=2, h=8) accumulates (16-10-2)=4/step and fires ~2 steps in;
+    # an isolated single spike of the same size never reaches h
+    vals = [10.0] * 20 + [16.0] * 10
+    rows = [("a", f"t{i:02d}", v, 10.0, 2.0, 8.0) for i, v in enumerate(vals)]
+    rows += [("b", f"t{i:02d}", 16.0 if i == 5 else 10.0, 10.0, 2.0, 8.0)
+             for i in range(30)]
+    df = spark.createDataFrame(
+        rows, ["k", "o", "x", "mu", "kappa", "h"]
+    )
+    out = cusum_changepoints(
+        df, ["k"], "o", "x", target_col="mu", slack_col="kappa", threshold_col="h"
+    ).collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    assert "b" not in by_key  # lone spike: 4 < h, decays next step
+    hits = sorted(by_key["a"], key=lambda r: r["o"])
+    # fires at t=22 (3 steps x 4 = 12 > 8), resets, fires again at t=25...
+    assert hits[0]["o"] == "t22" and hits[0]["direction"] == "up"
+    assert hits[0]["cusum"] == 12.0
+    # after reset the statistic re-accumulates from zero
+    assert hits[1]["o"] == "t25"
+
+
+def test_cusum_detects_downward_drift(spark):
+    from chapterhouseqe_spark.operators.temporal import cusum_changepoints
+
+    vals = [10.0] * 5 + [4.0] * 5
+    df = spark.createDataFrame(
+        [("a", f"t{i}", v, 10.0, 2.0, 8.0) for i, v in enumerate(vals)],
+        ["k", "o", "x", "mu", "kappa", "h"],
+    )
+    out = cusum_changepoints(
+        df, ["k"], "o", "x", target_col="mu", slack_col="kappa", threshold_col="h"
+    ).collect()
+    assert out and all(r["direction"] == "down" for r in out)
