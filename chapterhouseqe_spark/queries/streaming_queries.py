@@ -1363,3 +1363,87 @@ def events_cusum_changepoints(spark, sf_dir):
         grid, ["event_type"], "hour_s", "avg_val",
         target_col="mu", slack_col="kappa", threshold_col="hthr",
     )
+
+
+@query(
+    "events_holt_backtest",
+    oracle=f"""
+    WITH RECURSIVE hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             {o_dsum('value')} / COUNT(*) AS avg_val
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, hr, avg_val,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_pts
+      FROM hourly
+    ),
+    train AS (SELECT * FROM ranked WHERE rn <= n_pts - 24),
+    r AS (
+      SELECT event_type, rn, n_pts,
+             avg_val AS l, CAST(0.0 AS DOUBLE) AS b
+      FROM train WHERE rn = 1
+      UNION ALL
+      SELECT n.event_type, n.rn, n.n_pts,
+             0.25 * n.avg_val + 0.75 * (r.l + r.b),
+             0.25 * ((0.25 * n.avg_val + 0.75 * (r.l + r.b)) - r.l)
+               + 0.75 * r.b
+      FROM r JOIN train n
+        ON n.event_type = r.event_type AND n.rn = r.rn + 1
+    ),
+    fc AS (
+      SELECT event_type, CAST(g.h AS INTEGER) AS h,
+             l + (g.h * b) AS forecast
+      FROM r, generate_series(1, 24) AS g(h)
+      WHERE rn = n_pts - 24
+    )
+    SELECT f.event_type, f.h, t.avg_val AS actual, f.forecast,
+           abs(f.forecast - t.avg_val) AS abs_err
+    FROM fc f JOIN ranked t
+      ON t.event_type = f.event_type AND t.rn = (t.n_pts - 24) + f.h
+    """,
+    tags=("streaming", "timeseries", "forecast"),
+    doc="walk-forward backtest of the Holt forecaster: hold out each "
+    "series' last 24 hours, fit level+trend on the prefix, forecast "
+    "h=1..24, and report per-step absolute error against the held-out "
+    "actuals — the train/test split, the fit, and the error "
+    "measurement all inside the engine. Errors stay per-(series, h) "
+    "rows (no error MEAN: averaging doubles would re-introduce "
+    "order-dependent accumulation); |types|x24 rows out",
+)
+def events_holt_backtest(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from chapterhouseqe_spark.operators.temporal import holt_forecast
+
+    ev = t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg((dsum(F.col("value")) / F.count(F.lit(1))).alias("avg_val"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    wn = Window.partitionBy("event_type")
+    ranked = hourly.select(
+        "event_type", ts_str(F.col("h")).alias("hour_s"), "avg_val",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n_pts"),
+    )
+    train = ranked.filter(F.col("rn") <= F.col("n_pts") - 24).select(
+        "event_type", "hour_s", "avg_val"
+    )
+    fc = holt_forecast(
+        train, ["event_type"], "hour_s", "avg_val",
+        alpha=0.25, beta=0.25, horizon=24,
+    )
+    test = ranked.filter(F.col("rn") > F.col("n_pts") - 24).select(
+        "event_type",
+        (F.col("rn") - (F.col("n_pts") - 24)).cast("int").alias("h"),
+        F.col("avg_val").alias("actual"),
+    )
+    return (
+        fc.join(test, ["event_type", "h"])
+        .select(
+            "event_type", "h", "actual", "forecast",
+            F.abs(F.col("forecast") - F.col("actual")).alias("abs_err"),
+        )
+    )
