@@ -42,36 +42,32 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
-def bm25_topk(
-    docs: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def term_frequencies(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Top-``k`` docs per query under BM25 scoring (rational idf).
-
-    ``queries`` has columns (query_id, term) — one row per distinct
-    query term, already lowercased. Returns (query_id, doc_id, score,
-    rank) with rank 1..k per query ordered by (score DESC, doc_id).
-
-    score(q, d) = sum over q's terms t present in d of
-        idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
-    with idf(t) = (2N - 2df + 1) / (2df + 1)  — exact-integer rational.
-    """
+    """The (doc_id, term, tf) collapse — tokenize ONCE; this persisted
+    frame is the inverted index every retrieval op derives dl/df/stats
+    from, so the corpus is scanned a single time."""
     from pyspark import StorageLevel
 
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
     )
-    # tokenize ONCE: the (doc, term, tf) collapse is the inverted
-    # index; dl, df, and the global stats all derive from it, so the
-    # corpus is scanned a single time and the persisted frame is the
-    # collapsed index, not the raw token stream.
-    tf = toks.groupBy("doc_id", "term").agg(
+    return toks.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def bm25_scores(tf: DataFrame, queries: DataFrame) -> DataFrame:
+    """(query_id, doc_id, score) for every candidate doc sharing >= 1
+    term with the query — the scoring core shared by :func:`bm25_topk`
+    and :func:`bm25_self_retrieval`.
+
+    score(q, d) = sum over q's terms t present in d of
+        idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    with idf(t) = (2N - 2df + 1) / (2df + 1)  — exact-integer rational.
+    """
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     # the ONLY single-partition exchange carries this 1-row frame
     stats = dl.agg(
@@ -109,15 +105,87 @@ def bm25_topk(
     )
     # ordered left fold, NOT SUM: accumulation order is part of the
     # result contract (see module docstring)
-    agg = scored.groupBy("query_id", "doc_id").agg(
+    return scored.groupBy("query_id", "doc_id").agg(
         F.aggregate(
             F.array_sort(F.collect_list(F.struct("term", "sc"))),
             F.lit(0.0),
             lambda acc, x: acc + x["sc"],
         ).alias("score")
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` docs per query under BM25 scoring (rational idf).
+
+    ``queries`` has columns (query_id, term) — one row per distinct
+    query term, already lowercased. Returns (query_id, doc_id, score,
+    rank) with rank 1..k per query ordered by (score DESC, doc_id).
+    """
+    agg = bm25_scores(term_frequencies(docs, text_col, id_col), queries)
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
     return (
         agg.select("query_id", "doc_id", "score", F.row_number().over(w).alias("rank"))
         .filter(F.col("rank") <= k)
+    )
+
+
+def bm25_self_retrieval(
+    docs: DataFrame,
+    probe_mod: int = 173,
+    probe_rem: int = 7,
+    n_terms: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Retrieval-quality eval by self-retrieval: probe docs (a
+    deterministic ``doc_id % probe_mod == probe_rem`` sample) are
+    turned into queries from their own ``n_terms`` highest-tf terms
+    (ties broken by term asc), searched against the FULL corpus, and
+    scored by where the source doc itself ranks — rank 1 means the
+    corpus's best match for a doc's own salient terms is the doc.
+    Returns (probe_id, rank, rr) with rr the reciprocal rank; rows
+    stay per-probe (an MRR mean of doubles would be order-dependent —
+    callers can fold it or report the distribution).
+
+    Rank is computed WITHOUT sorting the candidate set: rank = 1 +
+    count of candidates strictly better than the self row under
+    (score DESC, doc_id ASC) — one aggregation over posting-bounded
+    candidates instead of a per-query global sort.
+    """
+    tf = term_frequencies(docs, text_col, id_col)
+    w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("term"))
+    probes = (
+        tf.filter(F.col("doc_id") % probe_mod == probe_rem)
+        .withColumn("tr", F.row_number().over(w))
+        .filter(F.col("tr") <= n_terms)
+        .select(F.col("doc_id").alias("query_id"), "term")
+    )
+    scores = bm25_scores(tf, F.broadcast(probes))
+    self_rows = scores.filter(F.col("query_id") == F.col("doc_id")).select(
+        "query_id",
+        F.col("score").alias("self_score"),
+        F.col("doc_id").alias("self_id"),
+    )
+    better = (
+        scores.join(F.broadcast(self_rows), "query_id")
+        .filter(
+            (F.col("score") > F.col("self_score"))
+            | ((F.col("score") == F.col("self_score")) & (F.col("doc_id") < F.col("self_id")))
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_better"))
+    )
+    return (
+        self_rows.join(better, "query_id", "left")
+        .select(
+            F.col("query_id").alias("probe_id"),
+            (F.coalesce(F.col("n_better"), F.lit(0)) + 1).alias("rank"),
+            (F.lit(1.0) / (F.coalesce(F.col("n_better"), F.lit(0)) + 1)).alias("rr"),
+        )
     )

@@ -4864,3 +4864,83 @@ def docs_bm25_topk(spark, sf_dir):
 
     q = spark.createDataFrame(list(_BM25_QUERY_TERMS), ["query_id", "term"])
     return bm25_topk(t(spark, sf_dir, "documents"), q, k=10)
+
+
+@query(
+    "docs_bm25_self_retrieval",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    stats AS (
+      SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    probes AS (
+      SELECT doc_id AS query_id, term FROM (
+        SELECT doc_id, term,
+               ROW_NUMBER() OVER (
+                 PARTITION BY doc_id ORDER BY tf DESC, term
+               ) AS tr
+        FROM tf WHERE doc_id % 173 = 7
+      ) WHERE tr <= 3
+    ),
+    scored AS (
+      SELECT q.query_id, tf.doc_id, q.term,
+             (CAST(2 * s.n - 2 * dfreq.df + 1 AS DOUBLE) / (2 * dfreq.df + 1))
+             * ((tf.tf * CAST(2.2 AS DOUBLE))
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))) AS sc
+      FROM probes q
+      JOIN tf ON tf.term = q.term
+      JOIN dfreq ON dfreq.term = q.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    ),
+    agg AS (
+      SELECT query_id, doc_id,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE), list(sc ORDER BY term)),
+               (a, b) -> a + b
+             ) AS score
+      FROM scored GROUP BY 1, 2
+    ),
+    self_rows AS (
+      SELECT query_id, score AS self_score, doc_id AS self_id
+      FROM agg WHERE query_id = doc_id
+    ),
+    better AS (
+      SELECT a.query_id, COUNT(*) AS n_better
+      FROM agg a JOIN self_rows s USING (query_id)
+      WHERE a.score > s.self_score
+         OR (a.score = s.self_score AND a.doc_id < s.self_id)
+      GROUP BY 1
+    )
+    SELECT s.query_id AS probe_id,
+           COALESCE(b.n_better, 0) + 1 AS rank,
+           CAST(1.0 AS DOUBLE) / (COALESCE(b.n_better, 0) + 1) AS rr
+    FROM self_rows s LEFT JOIN better b USING (query_id)
+    """,
+    tags=("pipeline", "text", "retrieval"),
+    doc="retrieval-quality eval by self-retrieval: a deterministic "
+    "doc_id-mod probe sample queries the corpus with its own 3 "
+    "highest-tf terms and reports where the source doc ranks "
+    "(reciprocal rank per probe; rows stay per-probe — an MRR mean "
+    "of doubles would be order-dependent). Rank is computed WITHOUT "
+    "a per-query sort: 1 + count of strictly-better candidates under "
+    "(score DESC, doc_id ASC), one aggregation over posting-bounded "
+    "candidates. On this template-generated corpus the top-tf terms "
+    "are weakly discriminative, so ranks > 1 are expected and the "
+    "DISTRIBUTION is the signal — which is exactly what the eval "
+    "exists to measure",
+)
+def docs_bm25_self_retrieval(spark, sf_dir):
+    from chapterhouseqe_spark.operators.retrieval import bm25_self_retrieval
+
+    return bm25_self_retrieval(
+        t(spark, sf_dir, "documents"), probe_mod=173, probe_rem=7, n_terms=3
+    )

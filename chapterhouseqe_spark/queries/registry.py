@@ -152,7 +152,7 @@ def _ensure_registered() -> None:
 #     window_time_range_avg.
 # Queries ADDED in round 8 intentionally sit after the window (the
 # same rotation rule) and are first in line for the r9 window.
-# r9 window plan: tier (a) = the 34 r8 additions, registration order
+# r9 window plan: tier (a) = the 35 r8 additions, registration order
 # (asof_join_nearest, embedding_hard_negatives,
 # embedding_ivf_sq_prebuilt_topk, embedding_matryoshka_overlap,
 # events_attribution_last_touch, events_pit_features,
@@ -166,7 +166,8 @@ def _ensure_registered() -> None:
 # events_power_user_share, dedup_ngram_jaccard_prefix,
 # events_ewma_hourly, events_ewma_anomaly, docs_bm25_topk,
 # events_holt_forecast, events_seasonality_profile,
-# events_cusum_changepoints, events_holt_backtest — all oracle-green locally at three
+# events_cusum_changepoints, events_holt_backtest,
+# docs_bm25_self_retrieval — all oracle-green locally at three
 # scales); tiers (b)-(d) per the standing rotation rules: regrades of
 # r9-changed implementations, per-family canaries for uncovered
 # families, then the stalest remaining rows.

@@ -65,3 +65,29 @@ def test_bm25_unknown_term_contributes_nothing(spark, corpus):
     only_known = bm25_topk(corpus, _q(spark, "spark"), k=10).collect()
     key = lambda rows: sorted((r["doc_id"], r["rank"], r["score"]) for r in rows)
     assert key(with_unknown) == key(only_known)
+
+
+def test_self_retrieval_unique_content_ranks_first(spark):
+    from chapterhouseqe_spark.operators.retrieval import bm25_self_retrieval
+
+    # probe doc (id 7 = 0 % 173 shifted): give it globally unique salient
+    # terms -> it must retrieve itself at rank 1 (rr == 1.0)
+    rows = [(i, "common words shared by every document here") for i in range(20)]
+    rows[7] = (7, "zebra quark xylophone zebra quark xylophone common words")
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bm25_self_retrieval(docs, probe_mod=173, probe_rem=7, n_terms=3).collect()
+    assert len(out) == 1
+    assert out[0]["probe_id"] == 7 and out[0]["rank"] == 1 and out[0]["rr"] == 1.0
+
+
+def test_self_retrieval_duplicate_content_shares_rank_by_id(spark):
+    from chapterhouseqe_spark.operators.retrieval import bm25_self_retrieval
+
+    # probe doc 7 is an exact duplicate of doc 3: identical scores, and
+    # the (score DESC, doc_id ASC) tiebreak puts doc 3 first -> rank 2
+    rows = [(i, f"filler{i} filler{i} noise") for i in range(20)]
+    rows[3] = (3, "zebra quark xylophone salient")
+    rows[7] = (7, "zebra quark xylophone salient")
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bm25_self_retrieval(docs, probe_mod=173, probe_rem=7, n_terms=3).collect()
+    assert len(out) == 1 and out[0]["rank"] == 2 and out[0]["rr"] == 0.5
