@@ -152,25 +152,32 @@ def _ensure_registered() -> None:
 #     window_time_range_avg.
 # Queries ADDED in round 8 intentionally sit after the window (the
 # same rotation rule) and are first in line for the r9 window.
-# r9 window plan: tier (a) = the 35 r8 additions, registration order
-# (asof_join_nearest, embedding_hard_negatives,
+# r9 window plan, computed (not hand-tallied — the r7 verdict's item 7
+# showed hand counts drift) as registry MINUS the union of green rows
+# in CORRECTNESS_r01..r07 MINUS this window's 50 names: tier (a) = the
+# 41 round-8 additions, alphabetical (asof_join_nearest,
+# audit_join_skew, dedup_cluster_size_hist, dedup_minhash_error_audit,
+# dedup_ngram_jaccard_prefix, docs_bm25_self_retrieval, docs_bm25_topk,
+# embedding_gram_matrix, embedding_hard_negatives,
 # embedding_ivf_sq_prebuilt_topk, embedding_matryoshka_overlap,
-# events_attribution_last_touch, events_pit_features,
-# hll_sliding_union, join_fuzzy_part_names, multimodal_image_patches,
-# orders_abc_pareto, orders_rfm_segments, pipeline_source_quota,
-# pipeline_stratified_split, scan_schema_evolution,
-# stats_weighted_median, stats_winsorize, stream_interval_join,
-# text_ngram_diversity, text_zipf_coverage, events_debounce,
-# orders_basket_pairs, audit_join_skew, orders_new_vs_returning,
-# embedding_gram_matrix, dedup_cluster_size_hist,
-# events_power_user_share, dedup_ngram_jaccard_prefix,
-# events_ewma_hourly, events_ewma_anomaly, docs_bm25_topk,
-# events_holt_forecast, events_seasonality_profile,
-# events_cusum_changepoints, events_holt_backtest,
-# docs_bm25_self_retrieval — all oracle-green locally at three
-# scales); tiers (b)-(d) per the standing rotation rules: regrades of
-# r9-changed implementations, per-family canaries for uncovered
-# families, then the stalest remaining rows.
+# events_attribution_last_touch, events_cusum_changepoints,
+# events_debounce, events_ewma_anomaly, events_ewma_hourly,
+# events_forward_fill, events_holt_backtest, events_holt_forecast,
+# events_pit_features, events_power_user_share,
+# events_seasonality_profile, hll_sliding_union, ivm_join_delta,
+# join_fuzzy_part_names, multimodal_image_patches, orders_abc_pareto,
+# orders_basket_pairs, orders_cohort_ltv, orders_new_vs_returning,
+# orders_rfm_segments, pipeline_byte_balanced_shards,
+# pipeline_source_quota, pipeline_stratified_split,
+# scan_schema_evolution, stats_weighted_median, stats_winsorize,
+# stream_interval_join, text_hash_classifier_score,
+# text_ngram_diversity, text_zipf_coverage — all oracle-green locally
+# at three scales); the remaining 9 slots per the standing rotation
+# rules: regrades of r9-changed implementations first (the prefix-
+# filter jaccard rewrite shares dedup_ngram_jaccard's row — already
+# tier (a) via its own query), then per-family canaries for families
+# the 41 leave uncovered (scan, subquery, sets, udf, maintenance),
+# then the stalest remaining rows.
 GRADE_ORDER: tuple[str, ...] = (
     # (a) the 26 zero-driver-evidence r7 additions, registration order
     "ref_manifest_pruned_query",
