@@ -1447,3 +1447,109 @@ def events_holt_backtest(spark, sf_dir):
             F.abs(F.col("forecast") - F.col("actual")).alias("abs_err"),
         )
     )
+
+
+@query(
+    "events_linear_trend",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hidx, value
+      FROM events
+    ),
+    anchored AS (
+      SELECT b.event_type,
+             CAST(b.hidx - m.minh AS DECIMAL(12,0)) AS x,
+             CAST(b.value AS DECIMAL(18,4)) AS y
+      FROM base b
+      JOIN (SELECT event_type, MIN(hidx) AS minh FROM base GROUP BY 1) m
+        USING (event_type)
+    ),
+    sums AS (
+      -- widths chosen so every product below stays within 38 digits
+      -- AND at least one factor exceeds 18 digits (int128 arithmetic;
+      -- DuckDB overflows int64 on DECIMAL(18)xDECIMAL(18) products)
+      SELECT event_type,
+             CAST(COUNT(*) AS DECIMAL(13,0)) AS n,
+             CAST(SUM(x) AS DECIMAL(14,0)) AS sx,
+             CAST(SUM(x * x) AS DECIMAL(24,0)) AS sxx,
+             CAST(SUM(y) AS DECIMAL(19,4)) AS sy,
+             CAST(SUM(x * y) AS DECIMAL(24,4)) AS sxy,
+             CAST(SUM(y * y) AS DECIMAL(20,8)) AS syy
+      FROM anchored GROUP BY 1
+    ),
+    parts AS (
+      SELECT event_type, n,
+             CAST(n * sxy - sx * sy AS DOUBLE) AS cov_n,
+             CAST(n * sxx - sx * sx AS DOUBLE) AS var_x_n,
+             -- sy stays DECIMAL(19): one int128 factor per product, or
+             -- DuckDB multiplies in int64 and bounds the raw product
+             -- at 10^18 regardless of whether it fits the result type
+             CAST(n * syy - sy * CAST(sy AS DECIMAL(15,4))
+                  AS DOUBLE) AS var_y_n,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      FROM sums
+    ),
+    fit AS (
+      SELECT event_type, n, sxd, syd, cov_n, var_x_n, var_y_n,
+             cov_n / var_x_n AS slope
+      FROM parts
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n, slope,
+           (syd - slope * sxd) / CAST(n AS DOUBLE) AS intercept,
+           (cov_n * cov_n) / (var_x_n * var_y_n) AS r2
+    FROM fit
+    """,
+    tags=("streaming", "timeseries", "stats"),
+    doc="per-type OLS linear trend (value vs hours-since-series-start) "
+    "via EXACT normal equations: x is an anchored integer hour index, "
+    "y casts to decimal while still RAW (computed doubles never cast "
+    "to decimal — not portable), and every sum/product stays within "
+    "explicitly bounded decimal precisions so n*Sxy - Sx*Sy etc. are "
+    "exact rationals; slope/intercept/r2 are then a fixed handful of "
+    "double ops on bit-identical operands. Distributed OLS with zero "
+    "float accumulation — one agg with map-side partials after a "
+    "broadcast min-anchor join",
+)
+def events_linear_trend(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 3600000000").alias("hidx"),
+        "value",
+    )
+    minh = base.groupBy("event_type").agg(F.min("hidx").alias("minh"))
+    anchored = base.join(F.broadcast(minh), "event_type").select(
+        "event_type",
+        (F.col("hidx") - F.col("minh")).cast("decimal(12,0)").alias("x"),
+        F.col("value").cast("decimal(18,4)").alias("y"),
+    )
+    sums = anchored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(13,0)").alias("n"),
+        F.sum("x").cast("decimal(14,0)").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(24,0)").alias("sxx"),
+        F.sum("y").cast("decimal(19,4)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(24,4)").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(20,8)").alias("syy"),
+    )
+    sy15 = F.col("sy").cast("decimal(15,4)")
+    parts = sums.select(
+        "event_type", "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double").alias("cov_n"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("double").alias("var_x_n"),
+        (F.col("n") * F.col("syy") - sy15 * sy15)
+        .cast("double").alias("var_y_n"),
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("sy").cast("double").alias("syd"),
+    )
+    fit = parts.withColumn("slope", F.col("cov_n") / F.col("var_x_n"))
+    return fit.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        "slope",
+        ((F.col("syd") - F.col("slope") * F.col("sxd")) / F.col("n").cast("double"))
+        .alias("intercept"),
+        ((F.col("cov_n") * F.col("cov_n")) / (F.col("var_x_n") * F.col("var_y_n")))
+        .alias("r2"),
+    )
