@@ -1553,3 +1553,105 @@ def events_linear_trend(spark, sf_dir):
         ((F.col("cov_n") * F.col("cov_n")) / (F.col("var_x_n") * F.col("var_y_n")))
         .alias("r2"),
     )
+
+
+@query(
+    "events_type_correlation",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hidx FROM events
+    ),
+    bounds AS (SELECT MIN(hidx) AS lo, MAX(hidx) AS hi FROM base),
+    hours AS (
+      SELECT unnest(generate_series(lo, hi)) AS hidx FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM base),
+    counts AS (
+      SELECT event_type, hidx, COUNT(*) AS c FROM base GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT t.event_type, h.hidx, COALESCE(c.c, 0) AS c
+      FROM types t CROSS JOIN hours h
+      LEFT JOIN counts c
+        ON c.event_type = t.event_type AND c.hidx = h.hidx
+    ),
+    sums AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n,
+             SUM(a.c) AS sa, SUM(b.c) AS sb,
+             SUM(a.c * a.c) AS saa, SUM(b.c * b.c) AS sbb,
+             SUM(a.c * b.c) AS sab
+      FROM grid a JOIN grid b
+        ON a.hidx = b.hidx AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    ),
+    parts AS (
+      SELECT type_a, type_b, n,
+             CAST(n * sab - sa * sb AS DOUBLE) AS cov_n,
+             CAST(n * saa - sa * sa AS DOUBLE) AS var_a_n,
+             CAST(n * sbb - sb * sb AS DOUBLE) AS var_b_n
+      FROM sums
+    )
+    SELECT type_a, type_b, CAST(n AS BIGINT) AS n,
+           cov_n / sqrt(var_a_n * var_b_n) AS pearson_r
+    FROM parts
+    """,
+    tags=("streaming", "timeseries", "stats"),
+    doc="cross-series Pearson correlation matrix from dense hourly "
+    "COUNT vectors (zero-filled grid so silent hours count, which is "
+    "what makes correlations honest): every sum is integer-exact, so "
+    "r is four double ops on exact operands — and sqrt, unlike log, "
+    "is IEEE-754 correctly-rounded everywhere, hence bit-portable. "
+    "The pair join runs on the |types|x|hours| grid, never the stream",
+)
+def events_type_correlation(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 3600000000").alias("hidx"),
+    )
+    # ONE stream scan: bounds and the type list both derive from the
+    # persisted (type, hour, count) collapse, not from re-reading events
+    counts = base.groupBy("event_type", "hidx").agg(
+        F.count(F.lit(1)).alias("c")
+    ).persist()
+    bounds = counts.agg(F.min("hidx").alias("lo"), F.max("hidx").alias("hi"))
+    types = counts.select("event_type").distinct()
+    hours = bounds.select(F.explode(F.sequence("lo", "hi")).alias("hidx"))
+    grid = (
+        types.crossJoin(F.broadcast(hours))
+        .join(counts, ["event_type", "hidx"], "left")
+        .select(
+            "event_type", "hidx",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    a = grid.select(
+        F.col("event_type").alias("type_a"), "hidx", F.col("c").alias("ca")
+    )
+    b = grid.select(
+        F.col("event_type").alias("type_b"), "hidx", F.col("c").alias("cb")
+    )
+    pairs = a.join(b, "hidx").filter(F.col("type_a") < F.col("type_b"))
+    sums = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ca").alias("sa"),
+        F.sum("cb").alias("sb"),
+        F.sum(F.col("ca") * F.col("ca")).alias("saa"),
+        F.sum(F.col("cb") * F.col("cb")).alias("sbb"),
+        F.sum(F.col("ca") * F.col("cb")).alias("sab"),
+    )
+    parts = sums.select(
+        "type_a", "type_b", "n",
+        (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb"))
+        .cast("double").alias("cov_n"),
+        (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa"))
+        .cast("double").alias("var_a_n"),
+        (F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb"))
+        .cast("double").alias("var_b_n"),
+    )
+    return parts.select(
+        "type_a", "type_b", "n",
+        (F.col("cov_n") / F.sqrt(F.col("var_a_n") * F.col("var_b_n")))
+        .alias("pearson_r"),
+    )
