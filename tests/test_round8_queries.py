@@ -213,3 +213,56 @@ def test_join_skew_census_exact(spark, sf_dir):
     ).first()["count"]
     assert r.max_key_rows == top
     assert r.skew_ratio == pytest.approx(top * r.n_keys / r.n_rows)
+
+
+# ------------------------------------------------- recurrence-family models
+
+
+def test_linear_trend_matches_numpy_lstsq(spark, sf_dir):
+    rows = _run("events_linear_trend", spark, sf_dir).collect()
+    assert rows
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    raw = con.execute(
+        "SELECT event_type, epoch_us(ts) // 3600000000 AS hidx, value FROM events"
+    ).fetchall()
+    by_type = {}
+    for ty, hidx, v in raw:
+        by_type.setdefault(ty, []).append((hidx, v))
+    for r in rows:
+        pts = by_type[r["event_type"]]
+        x = np.array([p[0] for p in pts], dtype=np.float64)
+        x -= x.min()
+        y = np.array([p[1] for p in pts], dtype=np.float64)
+        slope, intercept = np.polyfit(x, y, 1)
+        assert r["slope"] == pytest.approx(slope, rel=1e-9)
+        assert r["intercept"] == pytest.approx(intercept, rel=1e-9)
+        assert 0.0 <= r["r2"] <= 1.0
+
+
+def test_type_correlation_matches_numpy(spark, sf_dir):
+    rows = _run("events_type_correlation", spark, sf_dir).collect()
+    assert rows
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    raw = con.execute(
+        "SELECT event_type, epoch_us(ts) // 3600000000 AS hidx FROM events"
+    ).fetchall()
+    lo = min(h for _, h in raw)
+    hi = max(h for _, h in raw)
+    vecs = {}
+    for ty, h in raw:
+        vecs.setdefault(ty, np.zeros(hi - lo + 1))
+        vecs[ty][h - lo] += 1
+    for r in rows:
+        expect = np.corrcoef(vecs[r["type_a"]], vecs[r["type_b"]])[0, 1]
+        assert r["pearson_r"] == pytest.approx(expect, abs=1e-9)
+        assert -1.0 <= r["pearson_r"] <= 1.0
