@@ -1655,3 +1655,90 @@ def events_type_correlation(spark, sf_dir):
         (F.col("cov_n") / F.sqrt(F.col("var_a_n") * F.col("var_b_n")))
         .alias("pearson_r"),
     )
+
+
+@query(
+    "events_markov_prediction_eval",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    train AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS cnt
+      FROM seq
+      WHERE prev_type IS NOT NULL AND ts < TIMESTAMP '2024-01-24'
+      GROUP BY 1, 2
+    ),
+    pred AS (
+      SELECT prev_type, next_type AS predicted FROM (
+        SELECT prev_type, next_type,
+               ROW_NUMBER() OVER (
+                 PARTITION BY prev_type ORDER BY cnt DESC, next_type
+               ) AS rn
+        FROM train
+      ) WHERE rn = 1
+    ),
+    test AS (
+      SELECT prev_type, event_type AS actual
+      FROM seq
+      WHERE prev_type IS NOT NULL AND ts >= TIMESTAMP '2024-01-24'
+    )
+    SELECT t.prev_type,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN t.actual = p.predicted THEN 1 ELSE 0 END)
+                AS BIGINT) AS hits,
+           CAST(SUM(CASE WHEN t.actual = p.predicted THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS hit_rate
+    FROM test t JOIN pred p USING (prev_type)
+    GROUP BY t.prev_type
+    """,
+    tags=("streaming", "session", "stats", "eval"),
+    doc="next-event prediction eval for the first-order Markov model: "
+    "train argmax-next-type transitions on events before a fixed time "
+    "cutoff (deterministic count-desc/type-asc tiebreak), score on "
+    "the held-out tail, report per-state hit counts and rate — the "
+    "train/test discipline of events_holt_backtest applied to the "
+    "transition matrix. Everything is integers until one final "
+    "division; the model join broadcasts |types| rows. NOTE: test "
+    "pairs whose PREVIOUS event predates the cutoff are included — "
+    "the transition is scored where it lands, matching online serving",
+)
+def events_markov_prediction_eval(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "ts", "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    cutoff = F.lit("2024-01-24").cast("timestamp")
+    train = (
+        seq.filter(F.col("ts") < cutoff)
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wp = Window.partitionBy("prev_type").orderBy(
+        F.col("cnt").desc(), F.col("next_type")
+    )
+    pred = (
+        train.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("prev_type", F.col("next_type").alias("predicted"))
+    )
+    test = seq.filter(F.col("ts") >= cutoff).select(
+        "prev_type", F.col("event_type").alias("actual")
+    )
+    hit = (F.col("actual") == F.col("predicted")).cast("bigint")
+    return (
+        test.join(F.broadcast(pred), "prev_type")
+        .groupBy("prev_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(hit).alias("hits"),
+            (F.sum(hit).cast("double") / F.count(F.lit(1))).alias("hit_rate"),
+        )
+    )
