@@ -60,8 +60,17 @@ def dsum(col: Column, scale: int = 4) -> Column:
 
 
 def o_dsum(expr: str, scale: int = 4) -> str:
-    """DuckDB oracle twin of :func:`dsum`."""
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(27,{scale}))) AS DOUBLE)"
+    """DuckDB oracle twin of :func:`dsum`.
+
+    The double cast goes through VARCHAR: DuckDB converts decimal ->
+    double as (double)raw_integer / 10^scale, which double-rounds (1
+    ulp off) once the scaled integer exceeds 2^52 — first reached by
+    scale-6 revenue sums at sf1. Java's BigDecimal.doubleValue() is
+    correctly rounded at every magnitude (it switches to the string
+    path above 2^52), so the oracle parses the exact decimal string
+    instead; below 2^52 both paths agree, making this safe everywhere.
+    """
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(27,{scale}))) AS VARCHAR) AS DOUBLE)"
 
 
 def drevenue(price: Column, discount: Column, tax: Column | None = None) -> Column:
@@ -89,7 +98,9 @@ def o_drevenue(price: str, discount: str, tax: str | None = None) -> str:
     )
     if tax is not None:
         e = f"({e}) * (CAST(1 AS DECIMAL(3,2)) + CAST({tax} AS DECIMAL(3,2)))"
-    return f"CAST(SUM({e}) AS DOUBLE)"
+    # VARCHAR round-trip: see o_dsum — scale-6 charge sums cross 2^52
+    # at sf1 and DuckDB's direct decimal->double cast double-rounds.
+    return f"CAST(CAST(SUM({e}) AS VARCHAR) AS DOUBLE)"
 
 
 def md5_int(col: Column) -> Column:
