@@ -135,6 +135,104 @@ def bm25_topk(
     )
 
 
+RRF_K = 60
+
+
+def hybrid_rrf_retrieval(
+    docs: DataFrame,
+    emb: DataFrame,
+    probe_mod: int = 173,
+    probe_rem: int = 7,
+    n_terms: int = 3,
+    k_sys: int = 20,
+    k_out: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid lexical+dense retrieval fused by Reciprocal Rank Fusion.
+
+    The standard two-tower retrieval stack: BM25 (rational idf, see
+    module docstring) and embedding-cosine each produce a per-probe
+    top-``k_sys`` ranking; RRF fuses them as
+
+        rrf(d) = 1/(K + rank_lex(d)) + 1/(K + rank_dense(d))
+
+    with K = 60 (Cormack & Clarke, SIGIR'09) and a missing system
+    contributing 0 — rank fusion needs no score calibration between
+    systems, which is why it is the production default for hybrid
+    search. Probes are the deterministic ``doc_id % probe_mod ==
+    probe_rem`` sample, queried by their own ``n_terms`` top-tf terms
+    (lexical side) and their own embedding row (dense side,
+    ``vec_id`` = ``doc_id``); the probe doc itself is excluded from
+    both candidate lists.
+
+    Bit-portability: ranks are integers, and rrf is exactly two
+    double divisions added in the written order — no score mixing, no
+    order-dependent float sum anywhere (the underlying BM25/cosine
+    scores are already bit-exact ordered folds, so the integer ranks
+    agree across engines).
+
+    Scale shape: the lexical side is posting-bounded (candidates share
+    a probe term); the dense side here is the exact ``cosine_topk``
+    baseline (size-adaptive two-stage salted top-k) — at corpus scale
+    swap it for an ANN tier (``ivf_sq_topk(prebuilt=...)``), which
+    returns the same (probe_id, id_b, sim) shape. The fusion join
+    itself touches ≤ 2·k_sys rows per probe — negligible at any scale.
+    """
+    from chapterhouseqe_spark.operators.similarity import cosine_topk
+
+    tf = term_frequencies(docs, text_col, id_col)
+    wt = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("term"))
+    probes = (
+        tf.filter(F.col("doc_id") % probe_mod == probe_rem)
+        .withColumn("tr", F.row_number().over(wt))
+        .filter(F.col("tr") <= n_terms)
+        .select(F.col("doc_id").alias("query_id"), "term")
+    )
+    lex_scores = bm25_scores(tf, F.broadcast(probes)).filter(
+        F.col("query_id") != F.col("doc_id")
+    )
+    wl = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    lex = (
+        lex_scores.withColumn("lex_rank", F.row_number().over(wl))
+        .filter(F.col("lex_rank") <= k_sys)
+        .select("query_id", "doc_id", "lex_rank")
+    )
+    dense_top = cosine_topk(
+        emb,
+        F.col(emb_id_col) % probe_mod == probe_rem,
+        k=k_sys,
+        id_col=emb_id_col,
+        vec_col=vec_col,
+    )
+    wd = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("id_b"))
+    dense = dense_top.select(
+        F.col("probe_id").alias("query_id"),
+        F.col("id_b").alias("doc_id"),
+        F.row_number().over(wd).alias("dense_rank"),
+    )
+    fused = lex.join(dense, ["query_id", "doc_id"], "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("dense_rank")), F.lit(0.0))
+    wf = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rrf", rrf)
+        .withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= k_out)
+        .select(
+            F.col("query_id").alias("probe_id"),
+            "doc_id",
+            "lex_rank",
+            "dense_rank",
+            "rrf",
+            "fused_rank",
+        )
+    )
+
+
 def bm25_self_retrieval(
     docs: DataFrame,
     probe_mod: int = 173,

@@ -4944,3 +4944,129 @@ def docs_bm25_self_retrieval(spark, sf_dir):
     return bm25_self_retrieval(
         t(spark, sf_dir, "documents"), probe_mod=173, probe_rem=7, n_terms=3
     )
+
+
+_HYBRID_LEX_CTES = """
+    toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    stats AS (
+      SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    probes AS (
+      SELECT doc_id AS query_id, term FROM (
+        SELECT doc_id, term,
+               ROW_NUMBER() OVER (
+                 PARTITION BY doc_id ORDER BY tf DESC, term
+               ) AS tr
+        FROM tf WHERE doc_id % 173 = 7
+      ) WHERE tr <= 3
+    ),
+    scored AS (
+      SELECT q.query_id, tf.doc_id, q.term,
+             (CAST(2 * s.n - 2 * dfreq.df + 1 AS DOUBLE) / (2 * dfreq.df + 1))
+             * ((tf.tf * CAST(2.2 AS DOUBLE))
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl)))) AS sc
+      FROM probes q
+      JOIN tf ON tf.term = q.term
+      JOIN dfreq ON dfreq.term = q.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    ),
+    agg AS (
+      SELECT query_id, doc_id,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE), list(sc ORDER BY term)),
+               (a, b) -> a + b
+             ) AS score
+      FROM scored GROUP BY 1, 2
+    )
+"""
+
+
+@query(
+    "docs_hybrid_rrf_retrieval",
+    oracle=f"""
+    WITH {_HYBRID_LEX_CTES},
+    lex AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id
+             ) AS lex_rank
+      FROM agg WHERE query_id <> doc_id
+      QUALIFY lex_rank <= 20
+    ),
+    {_COSINE_NORMS_CTE.strip().rstrip()},
+    pdense AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 173 = 7
+    ),
+    ddots AS (
+      SELECT p.vec_id AS query_id, e.vec_id AS doc_id,
+             list_reduce(
+               list_transform(generate_series(1, len(p.embedding)),
+                              i -> CAST(p.embedding[i] AS DOUBLE)
+                                   * CAST(e.embedding[i] AS DOUBLE)),
+               (acc, x) -> acc + x) AS dot
+      FROM pdense p JOIN embeddings e ON e.vec_id <> p.vec_id
+    ),
+    dense AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY (d.dot / (na.nrm * nb.nrm)) DESC, doc_id
+             ) AS dense_rank
+      FROM ddots d
+      JOIN norms na ON na.vec_id = d.query_id
+      JOIN norms nb ON nb.vec_id = d.doc_id
+      QUALIFY dense_rank <= 20
+    ),
+    fused AS (
+      SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+             COALESCE(l.doc_id, d.doc_id) AS doc_id,
+             l.lex_rank, d.dense_rank,
+             COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.lex_rank),
+                      CAST(0.0 AS DOUBLE))
+             + COALESCE(CAST(1.0 AS DOUBLE) / (60 + d.dense_rank),
+                        CAST(0.0 AS DOUBLE)) AS rrf
+      FROM lex l FULL OUTER JOIN dense d
+        ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+    )
+    SELECT query_id AS probe_id, doc_id, lex_rank, dense_rank, rrf,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY rrf DESC, doc_id
+           ) AS fused_rank
+    FROM fused
+    QUALIFY fused_rank <= 10
+    """,
+    tags=("pipeline", "text", "retrieval", "similarity"),
+    doc="hybrid lexical+dense retrieval fused by Reciprocal Rank "
+    "Fusion (K=60, Cormack & Clarke SIGIR'09): BM25 (rational idf) "
+    "and embedding-cosine each rank top-20 per probe; rrf = "
+    "1/(60+lex_rank) + 1/(60+dense_rank) with a missing system "
+    "contributing 0 — rank fusion needs no cross-system score "
+    "calibration, which is why it is the production hybrid-search "
+    "default. Ranks are integers and rrf is two double divisions "
+    "added in written order, so fusion adds zero float-portability "
+    "surface. Lexical candidates are posting-bounded; the dense side "
+    "is the exact two-stage top-k here and swaps for the prebuilt "
+    "IVF+SQ tier at corpus scale (same output shape) — "
+    "operators/retrieval.py:hybrid_rrf_retrieval",
+)
+def docs_hybrid_rrf_retrieval(spark, sf_dir):
+    from chapterhouseqe_spark.operators.retrieval import hybrid_rrf_retrieval
+
+    return hybrid_rrf_retrieval(
+        t(spark, sf_dir, "documents"),
+        t(spark, sf_dir, "embeddings"),
+        probe_mod=173,
+        probe_rem=7,
+        n_terms=3,
+        k_sys=20,
+        k_out=10,
+    )

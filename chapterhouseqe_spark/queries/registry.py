@@ -184,8 +184,9 @@ def _ensure_registered() -> None:
 # stream_interval_join, events_linear_trend, events_type_correlation,
 # events_markov_prediction_eval,
 # text_hash_classifier_score,
-# text_ngram_diversity, text_zipf_coverage — all oracle-green locally
-# at three scales); the remaining 9 slots per the standing rotation
+# text_ngram_diversity, text_zipf_coverage,
+# docs_hybrid_rrf_retrieval — all oracle-green locally
+# at three scales, most also at sf1); the remaining slots per the standing rotation
 # rules: regrades of r9-changed implementations first (the prefix-
 # filter jaccard rewrite shares dedup_ngram_jaccard's row — already
 # tier (a) via its own query), then per-family canaries for families

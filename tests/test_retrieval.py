@@ -91,3 +91,51 @@ def test_self_retrieval_duplicate_content_shares_rank_by_id(spark):
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
     out = bm25_self_retrieval(docs, probe_mod=173, probe_rem=7, n_terms=3).collect()
     assert len(out) == 1 and out[0]["rank"] == 2 and out[0]["rr"] == 0.5
+
+
+def test_hybrid_rrf_both_systems_beats_single_system(spark):
+    from chapterhouseqe_spark.operators.retrieval import hybrid_rrf_retrieval
+
+    # probe doc 7: doc 3 matches BOTH systems (shares all probe terms,
+    # nearest embedding), doc 5 is lexical-only (one term, orthogonal
+    # vector), doc 4 is dense-only (2nd-nearest vector, no terms).
+    docs = [(i, f"noise filler{i}") for i in range(8)]
+    docs[7] = (7, "zebra quark xylophone")
+    docs[3] = (3, "zebra quark xylophone")
+    docs[5] = (5, "zebra blah")
+    ddf = spark.createDataFrame(docs, ["doc_id", "text"])
+    vecs = [
+        (0, [0.3, 0.7]), (1, [0.2, 0.8]), (2, [0.1, 0.9]),
+        (3, [0.9, 0.1]), (4, [0.4, 0.6]), (5, [0.0, 1.0]),
+        (6, [0.25, 0.75]), (7, [1.0, 0.0]),
+    ]
+    edf = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = hybrid_rrf_retrieval(ddf, edf, probe_mod=173, probe_rem=7).collect()
+    assert {r["probe_id"] for r in out} == {7}
+    ranked = [r["doc_id"] for r in sorted(out, key=lambda r: r["fused_rank"])]
+    # the probe never retrieves itself; both-systems doc 3 wins; the
+    # lexical-only doc 5 (rrf 1/62 + 1/67 via dense rank 7) still beats
+    # the best dense-only doc 4 (1/62): two mid ranks > one good rank
+    assert 7 not in ranked
+    assert ranked[0] == 3 and ranked[1] == 5 and ranked[2] == 4
+    assert [r["fused_rank"] for r in sorted(out, key=lambda r: r["fused_rank"])] == list(
+        range(1, len(out) + 1)
+    )
+    by_doc = {r["doc_id"]: r for r in out}
+    # missing-system ranks surface as nulls, not zeros
+    assert by_doc[4]["lex_rank"] is None and by_doc[4]["dense_rank"] == 2
+    assert by_doc[5]["lex_rank"] == 2 and by_doc[5]["dense_rank"] == 7
+    assert by_doc[3]["rrf"] == pytest.approx(2.0 / 61.0)
+
+
+def test_hybrid_rrf_k_out_truncates(spark):
+    from chapterhouseqe_spark.operators.retrieval import hybrid_rrf_retrieval
+
+    docs = [(i, f"noise filler{i}") for i in range(8)]
+    docs[7] = (7, "zebra quark xylophone")
+    ddf = spark.createDataFrame(docs, ["doc_id", "text"])
+    vecs = [(i, [float(i + 1), 1.0]) for i in range(8)]
+    edf = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = hybrid_rrf_retrieval(ddf, edf, probe_mod=173, probe_rem=7, k_out=3).collect()
+    assert len(out) == 3
+    assert sorted(r["fused_rank"] for r in out) == [1, 2, 3]
