@@ -437,6 +437,98 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_dropped(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    k: int = 3,
+    max_shingle_freq: int | None = 10_000,
+) -> DataFrame:
+    """ASYMMETRIC containment dedup: docs whose shingle set is mostly a
+    subset of a larger doc's — C(A→B) = |A∩B| / |A| ≥ threshold.
+
+    Jaccard structurally misses size-mismatched duplication: a 50-token
+    quote fully embedded in a 5,000-token article has J ≈ 0.01 but
+    containment 1.0. Containment is the RefinedWeb/Gopher-style "is
+    this doc subsumed by another" test, and the keeper rule mirrors
+    ``dedup_keep_canonical``: a doc is dropped only when its container
+    is STRICTLY larger (by distinct-shingle count), or equal-sized with
+    a smaller id — so mutual containment (exact near-copies) keeps
+    exactly one canonical survivor and the relation is acyclic by
+    construction (size, id) is a total order.
+
+    Returns (doc_id, container_id, containment) for each dropped doc,
+    container = the (containment DESC, container size DESC, id ASC)
+    best — one row per dropped doc, deterministic.
+
+    Same execution skeleton as :func:`ngram_jaccard_pairs` (one
+    inverted-index shuffle; ``max_shingle_freq`` is the same lossy
+    100 TB backstop applied BEFORE pairing, while containment
+    denominators always use the full shingle-set size). Each
+    containment value is a single double division of exact integers —
+    bit-portable. The directional expansion doubles candidate rows but
+    not the index shuffle; the final per-doc argmax window sees only
+    that doc's qualifying containers, bounded by its posting overlap.
+    """
+    sh = with_shingles(df, text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
+    posting = sh.select("id", F.explode("shingles").alias("s"))
+    if max_shingle_freq is not None:
+        hot = (
+            posting.groupBy("s")
+            .count()
+            .filter(F.col("count") > max_shingle_freq)
+            .select("s")
+        )
+        posting = posting.join(F.broadcast(hot), "s", "left_anti")
+    a = posting.select(F.col("id").alias("id_a"), "s")
+    b = posting.select(F.col("id").alias("id_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sh.select("id", F.size("shingles").alias("n"))
+    both = inter.join(
+        sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a"
+    ).join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+    sided = both.select(
+        F.col("id_a").alias("doc_id"),
+        F.col("id_b").alias("container_id"),
+        "inter",
+        F.col("n_a").alias("n_d"),
+        F.col("n_b").alias("n_c"),
+    ).unionByName(
+        both.select(
+            F.col("id_b").alias("doc_id"),
+            F.col("id_a").alias("container_id"),
+            "inter",
+            F.col("n_b").alias("n_d"),
+            F.col("n_a").alias("n_c"),
+        )
+    )
+    cand = (
+        sided.filter(
+            (F.col("n_c") > F.col("n_d"))
+            | ((F.col("n_c") == F.col("n_d")) & (F.col("container_id") < F.col("doc_id")))
+        )
+        .withColumn(
+            "containment",
+            F.col("inter").cast("double") / F.col("n_d").cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("containment").desc(), F.col("n_c").desc(), F.col("container_id")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "container_id", "containment")
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame, text_col: str, id_col: str, bits: int = 60
 ) -> DataFrame:

@@ -5070,3 +5070,69 @@ def docs_hybrid_rrf_retrieval(spark, sf_dir):
         k_sys=20,
         k_out=10,
     )
+
+
+@query(
+    "dedup_ngram_containment",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+            FROM toks) z
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    bsized AS (
+      SELECT i.id_a, i.id_b, i.i, sa.n AS n_a, sb.n AS n_b
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.id_a
+      JOIN sizes sb ON sb.doc_id = i.id_b
+    ),
+    sided AS (
+      SELECT id_a AS doc_id, id_b AS container_id, i, n_a AS n_d, n_b AS n_c
+      FROM bsized
+      UNION ALL
+      SELECT id_b, id_a, i, n_b, n_a FROM bsized
+    ),
+    cand AS (
+      SELECT doc_id, container_id, n_c,
+             CAST(i AS DOUBLE) / CAST(n_d AS DOUBLE) AS containment
+      FROM sided
+      WHERE (n_c > n_d OR (n_c = n_d AND container_id < doc_id))
+        AND CAST(i AS DOUBLE) / CAST(n_d AS DOUBLE) >= 0.5
+    )
+    SELECT doc_id, container_id, containment
+    FROM (
+      SELECT doc_id, container_id, containment,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id
+               ORDER BY containment DESC, n_c DESC, container_id
+             ) AS rn
+      FROM cand
+    ) WHERE rn = 1
+    """,
+    tags=("pipeline", "dedup"),
+    doc="ASYMMETRIC containment dedup (C(A->B) = |A∩B|/|A| >= 0.5 over "
+    "3-shingles): catches size-mismatched subsumption that symmetric "
+    "Jaccard structurally misses (a quote fully embedded in a long "
+    "article has J~0.01 but containment 1.0). Drop rule is acyclic by "
+    "the (size, id) total order — container strictly larger, or "
+    "equal-sized with smaller id, so exact near-copies keep one "
+    "canonical survivor. Same single inverted-index shuffle as the "
+    "jaccard family; containment is one double division of exact "
+    "integers — operators/dedup.py:ngram_containment_dropped",
+)
+def dedup_ngram_containment(spark, sf_dir):
+    from chapterhouseqe_spark.operators.dedup import ngram_containment_dropped
+
+    return ngram_containment_dropped(
+        t(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.5
+    )
