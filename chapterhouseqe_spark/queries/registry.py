@@ -166,8 +166,9 @@ def _ensure_registered() -> None:
 # r9 window plan, computed (not hand-tallied — the r7 verdict's item 7
 # showed hand counts drift) as registry MINUS the union of green rows
 # in CORRECTNESS_r01..r07 MINUS this window's 50 names: tier (a) = the
-# 44 round-8 additions, alphabetical (asof_join_nearest,
+# 46 round-8 additions, alphabetical (asof_join_nearest,
 # audit_join_skew, dedup_cluster_size_hist, dedup_minhash_error_audit,
+# dedup_ngram_containment,
 # dedup_ngram_jaccard_prefix, docs_bm25_self_retrieval, docs_bm25_topk,
 # embedding_gram_matrix, embedding_hard_negatives,
 # embedding_ivf_sq_prebuilt_topk, embedding_matryoshka_overlap,
@@ -190,7 +191,7 @@ def _ensure_registered() -> None:
 # rules: regrades of r9-changed implementations first (the prefix-
 # filter jaccard rewrite shares dedup_ngram_jaccard's row — already
 # tier (a) via its own query), then per-family canaries for families
-# the 41 leave uncovered (scan, subquery, sets, udf, maintenance),
+# tier (a) leaves uncovered (scan, subquery, sets, udf, maintenance),
 # then the stalest remaining rows.
 GRADE_ORDER: tuple[str, ...] = (
     # (a) the 26 zero-driver-evidence r7 additions, registration order
