@@ -560,6 +560,80 @@ def simhash_fingerprints(
     return bit_sums.select(F.col("id").alias("doc_id"), fp.alias("fingerprint"))
 
 
+def hamming_band_pairs(
+    fp: DataFrame,
+    bits: int = 60,
+    bands: int = 4,
+    max_dist: int = 3,
+    id_col: str = "doc_id",
+    fp_col: str = "fingerprint",
+    max_band_bucket: int | None = 10_000,
+) -> DataFrame:
+    """EXACT Hamming-radius self-join over integer fingerprints via
+    band pigeonhole — the pairing stage for SimHash radius search and
+    perceptual image-hash dedup.
+
+    Split each ``bits``-bit fingerprint into ``bands`` equal slices; two
+    fingerprints within Hamming distance ``max_dist ≤ bands - 1`` differ
+    in at most ``bands - 1`` slices, so by pigeonhole they agree on at
+    least one slice — every qualifying pair is guaranteed to collide in
+    some band bucket (no recall loss, unlike probabilistic MinHash
+    banding). Candidates are verified with ``bit_count(xor)``, so false
+    band collisions are filtered exactly.
+
+    Execution mirrors :func:`minhash_lsh_pairs`: one groupBy
+    (band, slice) shuffle collects each bucket, pairs stream from a
+    two-step posexplode (largest in-flight value = one bucket array),
+    and ``max_band_bucket`` is the same lossy skew guard — a degenerate
+    slice value (e.g. all-zero hashes from empty payloads) caps at the
+    bound instead of an O(S²) hot task, and a dropped bucket's true
+    pairs still surface through their other ``bands - 1`` slices unless
+    those are equally degenerate. Returns (id_a, id_b, hamming) with
+    id_a < id_b, exact distances, one row per pair.
+    """
+    if max_dist > bands - 1:
+        raise ValueError(
+            f"max_dist={max_dist} needs bands >= max_dist + 1 (got {bands})"
+        )
+    width = bits // bands
+    mask = (1 << width) - 1
+    banded = (
+        fp.select(F.col(id_col).alias("id"), F.col(fp_col).alias("fp"))
+        .withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
+        .withColumn("bv", F.expr(f"shiftright(fp, band * {width}) & {mask}"))
+    )
+    buckets = (
+        banded.groupBy("band", "bv")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "fp"))).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if max_band_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_band_bucket)
+    cand = (
+        buckets.select(
+            F.posexplode("ids").alias("i", "a"), F.col("ids")
+        )
+        .select(
+            "a",
+            F.explode(
+                F.slice("ids", F.col("i") + F.lit(2), F.size("ids"))
+            ).alias("b"),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_dist)
+
+
 def connected_components(
     pairs: DataFrame,
     ids: DataFrame,

@@ -5136,3 +5136,77 @@ def dedup_ngram_containment(spark, sf_dir):
     return ngram_containment_dropped(
         t(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.5
     )
+
+
+@query(
+    "multimodal_phash_dedup",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             upper(substr(text, 1, 1)) || substr(text, 2)
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    nz AS (
+      SELECT doc_id, text, length(text) AS n FROM base WHERE length(text) > 0
+    ),
+    samp AS (
+      SELECT doc_id, t.i AS i,
+             CAST(ascii(substr(text,
+               CAST((t.i * (n - 1)) // 59 AS INT) + 1, 1)) AS BIGINT) AS b
+      FROM nz, range(0, 60) t(i)
+    ),
+    tot AS (SELECT doc_id, SUM(b) AS total FROM samp GROUP BY doc_id),
+    fp AS (
+      SELECT s.doc_id,
+             SUM(CASE WHEN 60 * s.b > t.total
+                 THEN (1::BIGINT << s.i) ELSE 0 END) AS fp
+      FROM samp s JOIN tot t USING (doc_id) GROUP BY s.doc_id
+    ),
+    banded AS (
+      SELECT doc_id, fp, g.band AS band,
+             (fp >> (g.band * 15)) & 32767 AS bv
+      FROM fp, range(0, 4) g(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, a.fp AS fp_a,
+                      b.doc_id AS id_b, b.fp AS fp_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bv = b.bv
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
+    """,
+    tags=("pipeline", "multimodal", "dedup"),
+    doc="Perceptual-hash image dedup (stubbed codec, real plumbing): "
+    "60-bit average-hash per binary payload (stride-sampled positions, "
+    "integer-exact cross-multiplied threshold — zero floats), paired by "
+    "an EXACT Hamming-radius-3 band join (pigeonhole over 4 slices, "
+    "bit_count(xor) verify). Deterministic 're-encoded' variants "
+    "(uppercase first char, doc_id%10==0, id+1e6) stand in for "
+    "re-compressed images; 49/50 land within radius 3 with zero false "
+    "positives at sf0.001 — the 50th drifts past the radius, the "
+    "recall behavior a real perceptual hash has "
+    "(sources/multimodal.py:image_ahash, "
+    "operators/dedup.py:hamming_band_pairs)",
+)
+def multimodal_phash_dedup(spark, sf_dir):
+    from chapterhouseqe_spark.operators.dedup import hamming_band_pairs
+    from chapterhouseqe_spark.sources.multimodal import (
+        attach_binary_payload,
+        image_ahash,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    variants = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.upper(F.substring("text", 1, 1)), F.expr("substr(text, 2)")
+        ).alias("text"),
+    )
+    base = docs.select("doc_id", "text").unionByName(variants)
+    fp = image_ahash(attach_binary_payload(base))
+    return hamming_band_pairs(fp, bits=60, bands=4, max_dist=3)

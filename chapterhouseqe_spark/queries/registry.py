@@ -166,7 +166,7 @@ def _ensure_registered() -> None:
 # r9 window plan, computed (not hand-tallied — the r7 verdict's item 7
 # showed hand counts drift) as registry MINUS the union of green rows
 # in CORRECTNESS_r01..r07 MINUS this window's 50 names: tier (a) = the
-# 46 round-8 additions, alphabetical (asof_join_nearest,
+# 47 round-8 additions, alphabetical (asof_join_nearest,
 # audit_join_skew, dedup_cluster_size_hist, dedup_minhash_error_audit,
 # dedup_ngram_containment,
 # dedup_ngram_jaccard_prefix, docs_bm25_self_retrieval, docs_bm25_topk,
@@ -183,7 +183,7 @@ def _ensure_registered() -> None:
 # pipeline_source_quota, pipeline_stratified_split,
 # scan_schema_evolution, stats_weighted_median, stats_winsorize,
 # stream_interval_join, events_linear_trend, events_type_correlation,
-# events_markov_prediction_eval,
+# events_markov_prediction_eval, multimodal_phash_dedup,
 # text_hash_classifier_score,
 # text_ngram_diversity, text_zipf_coverage,
 # docs_hybrid_rrf_retrieval — all oracle-green locally

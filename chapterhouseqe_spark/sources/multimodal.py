@@ -188,6 +188,54 @@ def chunk_audio(
     )
 
 
+def image_ahash(
+    multimodal: DataFrame,
+    bits: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Perceptual average-hash (aHash) fingerprint per payload —
+    the image-dedup primitive (stubbed codec, real plumbing).
+
+    Real aHash: decode → grayscale → downsample to an 8×8 grid →
+    bit i = pixel i > mean. Without codecs, the downsample is modeled
+    by stride-sampling ``bits`` evenly-spaced byte positions from the
+    payload (the same even-spacing rule :func:`sample_frames` uses),
+    and "pixel value" is the sampled codepoint. The thresholding is
+    INTEGER-EXACT — bit i is ``bits·sample_i > Σsamples`` (cross-
+    multiplied, no float mean) — so Spark and the DuckDB oracle agree
+    bit for bit. Near-identical payloads (re-encodes, small local
+    edits) land within a small Hamming radius; pair them with
+    :func:`~chapterhouseqe_spark.operators.dedup.hamming_band_pairs`.
+
+    Scale note: the whole hash is per-row JVM higher-order-function
+    work inside the scan stage — zero shuffles, zero Python. A real
+    decoder would sit in ``mapInPandas`` producing the 64 grayscale
+    samples; everything from the threshold down is unchanged.
+    """
+    txt = F.decode(F.col("payload"), "utf-8")
+    out = multimodal.filter(F.length(F.col("payload")) > 0).select(
+        F.col(id_col),
+        txt.alias("_t"),
+        F.length(txt).alias("_n"),
+    )
+    out = out.withColumn(
+        "_s",
+        F.expr(
+            f"transform(sequence(0, {bits - 1}), "
+            "i -> ascii(substr(_t, cast((i * (_n - 1)) div "
+            f"{bits - 1} as int) + 1, 1)))"
+        ),
+    ).withColumn(
+        "_tot", F.expr("aggregate(_s, 0L, (a, x) -> a + cast(x as bigint))")
+    )
+    fp = F.expr(
+        f"aggregate(transform(sequence(0, {bits - 1}), "
+        f"i -> IF({bits} * cast(element_at(_s, i + 1) as bigint) > _tot, "
+        "shiftleft(1L, i), 0L)), 0L, (a, x) -> a + x)"
+    )
+    return out.select(F.col(id_col), fp.alias("fingerprint"))
+
+
 def patch_grid(
     multimodal: DataFrame,
     row_bytes: int = 32,

@@ -266,3 +266,40 @@ def test_type_correlation_matches_numpy(spark, sf_dir):
         expect = np.corrcoef(vecs[r["type_a"]], vecs[r["type_b"]])[0, 1]
         assert r["pearson_r"] == pytest.approx(expect, abs=1e-9)
         assert -1.0 <= r["pearson_r"] <= 1.0
+
+
+def test_hamming_band_pairs_matches_bruteforce(spark):
+    from chapterhouseqe_spark.operators.dedup import hamming_band_pairs
+
+    # deterministic pseudo-random 60-bit fingerprints + planted near pairs
+    fps = [(i, (i * 2654435761 * 97 + 13) % (1 << 60)) for i in range(80)]
+    fps += [(100 + i, fps[i][1] ^ (1 << (7 * i % 60))) for i in range(10)]
+    fps += [(200 + i, fps[i][1] ^ 0b111 << (5 * i)) for i in range(5)]
+    df = spark.createDataFrame(fps, "doc_id long, fingerprint long")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_band_pairs(df, bits=60, bands=4, max_dist=3).collect()
+    }
+    want = set()
+    for (ia, fa) in fps:
+        for (ib, fb) in fps:
+            if ia < ib and bin(fa ^ fb).count("1") <= 3:
+                want.add((ia, ib, bin(fa ^ fb).count("1")))
+    assert got == want and len(want) >= 15
+
+
+def test_image_ahash_invariants(spark, sf_dir):
+    from chapterhouseqe_spark.sources.multimodal import (
+        attach_binary_payload,
+        image_ahash,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = image_ahash(attach_binary_payload(docs)).collect()
+    assert len(fp) == docs.count()  # one fingerprint per non-empty payload
+    for r in fp:
+        assert 0 <= r.fingerprint < (1 << 60)
+    # identical payloads must hash identically: re-hash a copy
+    again = {r.doc_id: r.fingerprint
+             for r in image_ahash(attach_binary_payload(docs)).collect()}
+    assert all(again[r.doc_id] == r.fingerprint for r in fp)
