@@ -5210,3 +5210,136 @@ def multimodal_phash_dedup(spark, sf_dir):
     base = docs.select("doc_id", "text").unionByName(variants)
     fp = image_ahash(attach_binary_payload(base))
     return hamming_band_pairs(fp, bits=60, bands=4, max_dist=3)
+
+
+@query(
+    "dedup_simhash_radius",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' spark'
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tk
+      FROM base
+    ),
+    th AS (
+      SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS h FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, j,
+             SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS w
+      FROM th, generate_series(0, 59) AS g(j)
+      GROUP BY doc_id, j
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN w > 0 THEN CAST(1 AS BIGINT) << j
+                      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS fp
+      FROM bits GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, fp, g.band AS band,
+             (fp >> (g.band * 15)) & 32767 AS bv
+      FROM fp, range(0, 4) g(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, a.fp AS fp_a,
+                      b.doc_id AS id_b, b.fp AS fp_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bv = b.bv
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
+    """,
+    tags=("pipeline", "dedup"),
+    doc="SimHash RADIUS search: extends dedup_simhash's equality "
+    "matching to Hamming-distance<=3 pairing via the exact pigeonhole "
+    "band join (4x15-bit slices, bit_count(xor) verify) — the standard "
+    "near-duplicate recall SimHash was designed for (Charikar 2002 / "
+    "Manku et al. 2007 use the same slice-pigeonhole). Deterministic "
+    "one-token-append variants (doc_id%10==0, id+1e6) model serially "
+    "edited docs: 37/50 land within radius 3 alongside the corpus's "
+    "natural near-identical-multiset collisions "
+    "(operators/dedup.py:simhash_fingerprints + hamming_band_pairs)",
+)
+def dedup_simhash_radius(spark, sf_dir):
+    from chapterhouseqe_spark.operators.dedup import (
+        hamming_band_pairs,
+        simhash_fingerprints,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    variants = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" spark")).alias("text"),
+    )
+    base = docs.select("doc_id", "text").unionByName(variants)
+    fp = simhash_fingerprints(base, "text", "doc_id")
+    return hamming_band_pairs(fp, bits=60, bands=4, max_dist=3)
+
+
+@query(
+    "text_char_coincidence_filter",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, repeat('a', 64)
+      FROM documents WHERE doc_id % 25 = 0
+    ),
+    nz AS (
+      SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+      FROM base WHERE length(text) > 1
+    ),
+    c AS (
+      SELECT doc_id, n,
+             list_transform(list_distinct(string_split(text, '')),
+               d -> CAST(len(list_filter(string_split(text, ''),
+                 ch -> ch = d)) AS BIGINT)) AS cnts
+      FROM nz
+    ),
+    k AS (
+      SELECT doc_id, n, CAST(len(cnts) AS BIGINT) AS n_distinct,
+             CAST(list_sum(list_transform(cnts, x -> x * (x - 1)))
+                  AS BIGINT) AS ic_num
+      FROM c
+    )
+    SELECT doc_id, n AS n_chars, n_distinct, ic_num,
+           CAST(ic_num AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
+             AS coincidence,
+           2 * ic_num > n * (n - 1) AS is_repetitive
+    FROM k
+    """,
+    tags=("pipeline", "text"),
+    doc="Character-diversity quality filter via Friedman's index of "
+    "coincidence IC = sum(c*(c-1))/(n*(n-1)) — exp(-Renyi-2 entropy) "
+    "up to finite-sample correction, so thresholding IC is the same "
+    "gibberish/padding-run/binary-blob gate as collision entropy but "
+    "integer-exact: every aggregate a BIGINT, ONE final double "
+    "division, and the is_repetitive flag compares integers only "
+    "(2*ic_num > n*(n-1) == IC > 0.5). Shannon entropy was rejected: "
+    "its per-symbol libm ln terms diverged at 1 ulp between engines "
+    "on 32/552 rows. Histogram per-row via JVM higher-order functions "
+    "(zero shuffles/Python). Deterministic repeat(\'a\',64) injections "
+    "(doc_id%25==0, id+1e6) hit IC=1.0 and trip the flag; real docs "
+    "sit near 0.05-0.08 (functions/text.py:with_char_diversity)",
+)
+def text_char_coincidence_filter(spark, sf_dir):
+    from chapterhouseqe_spark.functions.text import with_char_diversity
+
+    docs = t(spark, sf_dir, "documents")
+    lows = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("repeat('a', 64)").alias("text"),
+    )
+    base = docs.select("doc_id", "text").unionByName(lows)
+    d = with_char_diversity(base)
+    return d.withColumn(
+        "is_repetitive",
+        2 * F.col("ic_num") > F.col("n_chars") * (F.col("n_chars") - 1),
+    )

@@ -166,9 +166,9 @@ def _ensure_registered() -> None:
 # r9 window plan, computed (not hand-tallied — the r7 verdict's item 7
 # showed hand counts drift) as registry MINUS the union of green rows
 # in CORRECTNESS_r01..r07 MINUS this window's 50 names: tier (a) = the
-# 47 round-8 additions, alphabetical (asof_join_nearest,
+# 49 round-8 additions, alphabetical (asof_join_nearest,
 # audit_join_skew, dedup_cluster_size_hist, dedup_minhash_error_audit,
-# dedup_ngram_containment,
+# dedup_ngram_containment, dedup_simhash_radius,
 # dedup_ngram_jaccard_prefix, docs_bm25_self_retrieval, docs_bm25_topk,
 # embedding_gram_matrix, embedding_hard_negatives,
 # embedding_ivf_sq_prebuilt_topk, embedding_matryoshka_overlap,
@@ -184,7 +184,7 @@ def _ensure_registered() -> None:
 # scan_schema_evolution, stats_weighted_median, stats_winsorize,
 # stream_interval_join, events_linear_trend, events_type_correlation,
 # events_markov_prediction_eval, multimodal_phash_dedup,
-# text_hash_classifier_score,
+# text_char_coincidence_filter, text_hash_classifier_score,
 # text_ngram_diversity, text_zipf_coverage,
 # docs_hybrid_rrf_retrieval — all oracle-green locally
 # at three scales, most also at sf1); the remaining slots per the standing rotation

@@ -303,3 +303,21 @@ def test_image_ahash_invariants(spark, sf_dir):
     again = {r.doc_id: r.fingerprint
              for r in image_ahash(attach_binary_payload(docs)).collect()}
     assert all(again[r.doc_id] == r.fingerprint for r in fp)
+
+
+def test_char_diversity_matches_python_model(spark, sf_dir):
+    import collections
+
+    from chapterhouseqe_spark.functions.text import with_char_diversity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    got = {r.doc_id: r for r in with_char_diversity(docs).collect()}
+    for row in docs.collect():
+        n = len(row.text)
+        if n <= 1:
+            continue
+        cnt = collections.Counter(row.text)
+        ic_num = sum(c * (c - 1) for c in cnt.values())
+        g = got[row.doc_id]
+        assert (g.n_chars, g.n_distinct, g.ic_num) == (n, len(cnt), ic_num)
+        assert g.coincidence == ic_num / (n * (n - 1))
