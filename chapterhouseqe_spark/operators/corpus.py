@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def chunk_documents(
@@ -266,3 +267,126 @@ def write_training_shards(
         .parquet(path)
     )
     return n_shards
+
+
+def novelty_curve(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 10,
+    k: int = 3,
+) -> DataFrame:
+    """Marginal n-gram novelty per corpus tranche — the
+    diminishing-returns diagnostic for data collection ("is the next
+    10% of crawl still contributing new content, or only duplicates?").
+
+    Docs are split into ``buckets`` tranches by ingestion order
+    (``id_col``); a k-shingle is NEW in the tranche where it first
+    appears (min doc id over its occurrences). Returns one row per
+    tranche: docs in the tranche, distinct shingles first seen there,
+    the running cumulative vocabulary, and the per-doc novelty rate
+    (the one double division; every aggregate is BIGINT-exact).
+
+    100 TB shape: one explode + groupBy(shingle) shuffle computes
+    first-occurrence (map-side combining min), then the result
+    collapses to ``buckets`` rows — the cumulative window runs over
+    ``buckets`` rows, not data. Tranche boundaries use the dense doc
+    id directly; for non-dense ids substitute ``row_number`` over
+    ingestion time at one extra sort.
+    """
+    from chapterhouseqe_spark.operators.dedup import with_shingles
+
+    n_total = docs.count()
+    sh = with_shingles(docs, text_col, id_col, k).select(
+        "id", F.explode("shingles").alias("s")
+    )
+    first = sh.groupBy("s").agg(F.min("id").alias("first_id"))
+    bkt = lambda c: F.expr(f"cast(({c} * {buckets}) div {n_total} as int)")
+    new_per = first.select(bkt("first_id").alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("new_shingles")
+    )
+    docs_per = docs.select(bkt(id_col).alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        docs_per.join(new_per, "bucket", "left")
+        .withColumn("new_shingles", F.coalesce("new_shingles", F.lit(0)))
+        .withColumn("cum_shingles", F.sum("new_shingles").over(w))
+        .withColumn(
+            "novelty_per_doc",
+            F.col("new_shingles").cast("double") / F.col("n_docs").cast("double"),
+        )
+        .select("bucket", "n_docs", "new_shingles", "cum_shingles", "novelty_per_doc")
+    )
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    k: int = 3,
+) -> DataFrame:
+    """Pairwise content overlap between corpus SOURCES — the curation
+    governance matrix ("which feeds are mirroring each other?") that
+    doc-level dedup doesn't surface.
+
+    For each unordered source pair: distinct k-shingles present in
+    both, each side's distinct-shingle total, and the Jaccard overlap
+    (one double division of exact integers). Mirrored feeds show high
+    Jaccard before any doc-level near-dup fires, because the shared
+    content is spread across many non-identical docs.
+
+    100 TB shape: the corpus collapses FIRST to distinct
+    (shingle, source) postings — |vocab|·|sources| rows, not token
+    rows — then the pair expansion is bounded per shingle by
+    C(sources, 2), a constant for real corpora (10s-100s of feeds),
+    NOT by document count. One distinct shuffle + one pair-key
+    aggregation; no joins against the corpus itself.
+    """
+    from chapterhouseqe_spark.operators.dedup import (
+        ensure_parallelism,
+        word_shingles,
+    )
+
+    # persist: three consumers (both self-join sides + sizes) would
+    # otherwise each re-run the corpus explode + distinct
+    posting = (
+        ensure_parallelism(docs)
+        .filter(F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= k)
+        .select(
+            F.col(source_col).alias("src"),
+            F.explode(word_shingles(F.col(text_col), k)).alias("s"),
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sizes = posting.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        posting.alias("a")
+        .join(posting.alias("b"), "s")
+        .filter(F.col("a.src") < F.col("b.src"))
+        .groupBy(F.col("a.src").alias("src_a"), F.col("b.src").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("src").alias("src_a"), F.col("n").alias("n_a")),
+            "src_a",
+        )
+        .join(
+            sizes.select(F.col("src").alias("src_b"), F.col("n").alias("n_b")),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "shared",
+            "n_a",
+            "n_b",
+            (
+                F.col("shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

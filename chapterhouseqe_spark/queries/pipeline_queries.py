@@ -5343,3 +5343,97 @@ def text_char_coincidence_filter(spark, sf_dir):
         "is_repetitive",
         2 * F.col("ic_num") > F.col("n_chars") * (F.col("n_chars") - 1),
     )
+
+
+@query(
+    "corpus_novelty_curve",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+            FROM toks) z
+    ),
+    n AS (SELECT COUNT(*) AS n_total FROM documents),
+    first AS (SELECT s, MIN(doc_id) AS first_id FROM sh GROUP BY s),
+    newb AS (
+      SELECT CAST((first_id * 10) // n.n_total AS INT) AS bucket,
+             COUNT(*) AS new_shingles
+      FROM first, n GROUP BY 1
+    ),
+    docsb AS (
+      SELECT CAST((doc_id * 10) // n.n_total AS INT) AS bucket,
+             COUNT(*) AS n_docs
+      FROM documents, n GROUP BY 1
+    )
+    SELECT d.bucket, d.n_docs,
+           COALESCE(nw.new_shingles, 0) AS new_shingles,
+           CAST(SUM(COALESCE(nw.new_shingles, 0)) OVER (
+             ORDER BY d.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_shingles,
+           CAST(COALESCE(nw.new_shingles, 0) AS DOUBLE)
+             / CAST(d.n_docs AS DOUBLE) AS novelty_per_doc
+    FROM docsb d LEFT JOIN newb nw ON d.bucket = nw.bucket
+    """,
+    tags=("pipeline", "corpus"),
+    doc="Marginal n-gram novelty per corpus tranche (Heaps-style "
+    "diminishing-returns diagnostic for data collection): docs split "
+    "into 10 ingestion-order tranches; a 3-shingle is NEW where its "
+    "min doc_id lands. Distinct new-shingle counts fall 2413 -> 886 "
+    "across tranches at sf0.01 — the curve that answers 'is the next "
+    "10% of crawl still contributing content?'. One explode + "
+    "groupBy(shingle) min shuffle, then the window runs over 10 rows "
+    "(operators/corpus.py:novelty_curve)",
+)
+def corpus_novelty_curve(spark, sf_dir):
+    from chapterhouseqe_spark.operators.corpus import novelty_curve
+
+    return novelty_curve(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "corpus_source_overlap",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source, string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    posting AS (
+      SELECT DISTINCT source AS src,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM (SELECT source, w,
+                   unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+            FROM toks) z
+    ),
+    sizes AS (SELECT src, COUNT(*) AS n FROM posting GROUP BY src),
+    pairs AS (
+      SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS shared
+      FROM posting a JOIN posting b ON a.s = b.s AND a.src < b.src
+      GROUP BY 1, 2
+    )
+    SELECT p.src_a, p.src_b, p.shared, sa.n AS n_a, sb.n AS n_b,
+           CAST(p.shared AS DOUBLE)
+             / CAST(sa.n + sb.n - p.shared AS DOUBLE) AS jaccard
+    FROM pairs p
+    JOIN sizes sa ON sa.src = p.src_a
+    JOIN sizes sb ON sb.src = p.src_b
+    """,
+    tags=("pipeline", "corpus"),
+    doc="Pairwise source-overlap governance matrix: distinct-3-shingle "
+    "Jaccard between every source pair — surfaces mirrored feeds whose "
+    "shared content is spread across non-identical docs (invisible to "
+    "doc-level dedup). The corpus collapses FIRST to distinct "
+    "(shingle, source) postings, so pair expansion is bounded per "
+    "shingle by C(|sources|, 2) — constant for real corpora — never by "
+    "document count; integer aggregates, one double division "
+    "(operators/corpus.py:source_overlap_matrix)",
+)
+def corpus_source_overlap(spark, sf_dir):
+    from chapterhouseqe_spark.operators.corpus import source_overlap_matrix
+
+    return source_overlap_matrix(t(spark, sf_dir, "documents"))
