@@ -873,6 +873,49 @@ def near_dedup_keep(
     )
 
 
+def near_dedup_keep_best(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    quality: Column,
+    threshold: float = 0.5,
+    **minhash_kwargs,
+) -> DataFrame:
+    """Near-dedup keeping the HIGHEST-QUALITY representative of each
+    cluster (RefinedWeb/FineWeb keeper rule) instead of
+    :func:`near_dedup_keep`'s smallest id.
+
+    Same pair generation (MinHash-banded, exact-verified) and
+    connected components; the survivor is the per-component argmax of
+    (``quality`` DESC, id ASC) — the id tiebreak makes the choice
+    deterministic when the banded quality heuristic ties, which it
+    frequently does. Quality comparisons are portable because
+    ``quality_score`` computes identical doubles on both engines (its
+    own graded query proves that).
+
+    Returns survivors with ``quality`` and ``cluster_size`` attached
+    (unique docs are their own cluster of 1). The argmax window
+    partitions by component — bounded by the largest near-dup cluster,
+    the same bound connected_components already carries.
+    """
+    pairs = minhash_lsh_pairs(df, text_col, id_col, threshold, **minhash_kwargs)
+    ids = df.select(F.col(id_col).alias("id"))
+    comp = connected_components(pairs, ids)
+    scored = df.withColumn("quality", quality).join(
+        comp.withColumnRenamed("id", id_col), id_col
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality").desc(), F.col(id_col)
+    )
+    cw = Window.partitionBy("component")
+    return (
+        scored.withColumn("cluster_size", F.count(F.lit(1)).over(cw))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "component")
+    )
+
+
 def contamination_overlap(
     train: DataFrame,
     eval_df: DataFrame,

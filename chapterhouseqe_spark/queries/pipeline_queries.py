@@ -5437,3 +5437,93 @@ def corpus_source_overlap(spark, sf_dir):
     from chapterhouseqe_spark.operators.corpus import source_overlap_matrix
 
     return source_overlap_matrix(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_keep_best_quality",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+            FROM toks) z
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    dup_pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM dup_pairs
+      UNION SELECT id_b, id_a FROM dup_pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a
+    ),
+    q AS (
+      SELECT doc_id,
+        (CASE WHEN CAST(LENGTH(text) AS DOUBLE) >= 100
+                   AND CAST(LENGTH(text) AS DOUBLE) <= 10000 THEN 1.0
+              WHEN CAST(LENGTH(text) AS DOUBLE) >= 20 THEN 0.5
+              ELSE 0.0 END) * 0.4
+        + (CASE WHEN LENGTH(text) > 0
+                THEN CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                       AS DOUBLE) / CAST(LENGTH(text) AS DOUBLE)
+                ELSE 0.0 END) * 0.3
+        + (CASE WHEN (CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0
+                      THEN CAST(len(list_filter(
+                             string_split_regex(lower(trim(text)), '\s+'),
+                             x -> x IN ('the','a','of','and','is'))) AS DOUBLE)
+                           / CAST(len(string_split_regex(trim(text), '\s+'))
+                               AS DOUBLE)
+                      ELSE 0.0 END) >= 0.05 THEN 1.0
+                WHEN (CASE WHEN len(string_split_regex(trim(text), '\s+')) > 0
+                      THEN CAST(len(list_filter(
+                             string_split_regex(lower(trim(text)), '\s+'),
+                             x -> x IN ('the','a','of','and','is'))) AS DOUBLE)
+                           / CAST(len(string_split_regex(trim(text), '\s+'))
+                               AS DOUBLE)
+                      ELSE 0.0 END) > 0 THEN 0.5
+                ELSE 0.0 END) * 0.3 AS quality
+      FROM documents
+    )
+    SELECT d.doc_id, d.lang, d.n_chars, q.quality,
+           CAST(1 + (SELECT COUNT(*) FROM reach r WHERE r.a = d.doc_id)
+             AS BIGINT) AS cluster_size
+    FROM documents d JOIN q ON q.doc_id = d.doc_id
+    WHERE NOT EXISTS (
+      SELECT 1 FROM reach r JOIN q q2 ON q2.doc_id = r.b
+      WHERE r.a = d.doc_id
+        AND (q2.quality > q.quality
+             OR (q2.quality = q.quality AND r.b < d.doc_id))
+    )
+    """,
+    tags=("pipeline", "dedup"),
+    doc="Near-dedup keeping the HIGHEST-QUALITY doc per cluster "
+    "(RefinedWeb/FineWeb keeper rule) instead of the smallest id: "
+    "minhash pairs -> connected components -> per-component argmax of "
+    "(quality DESC, id ASC), with cluster_size attached. Oracle replays "
+    "the exact-jaccard transitive closure and the same argmax via "
+    "NOT EXISTS over reachable better docs "
+    "(operators/dedup.py:near_dedup_keep_best)",
+)
+def dedup_keep_best_quality(spark, sf_dir):
+    from chapterhouseqe_spark.functions.text import quality_score
+    from chapterhouseqe_spark.operators.dedup import near_dedup_keep_best
+
+    d = t(spark, sf_dir, "documents")
+    return near_dedup_keep_best(
+        d, "text", "doc_id", quality_score(F.col("text")), threshold=0.5
+    ).select("doc_id", "lang", "n_chars", "quality", "cluster_size")
