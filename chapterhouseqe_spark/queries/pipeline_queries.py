@@ -5527,3 +5527,65 @@ def dedup_keep_best_quality(spark, sf_dir):
     return near_dedup_keep_best(
         d, "text", "doc_id", quality_score(F.col("text")), threshold=0.5
     ).select("doc_id", "lang", "n_chars", "quality", "cluster_size")
+
+
+_DUP_GRAPH_EDGES_SQL = r"""
+  WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+  ),
+  sh AS (
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+    FROM (SELECT doc_id, w,
+                 unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+          FROM toks) z
+  ),
+  sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+  inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  )
+  SELECT id_a AS src, id_b AS dst FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.3
+"""
+
+
+@query(
+    "graph_kcore_dup_families",
+    oracle=None,  # replaced below with the unrolled-peel replay
+    tags=("pipeline", "graph", "dedup", "iterative"),
+    doc="k-core peel (k=2, 3 synchronized rounds — Seidman 1983 / "
+    "Batagelj-Zaversnik) over the exact-jaccard>=0.3 near-dup graph: "
+    "survivors are TEMPLATE FAMILIES (docs that are near-dups of >=2 "
+    "other core members), which chain-shaped serial edits never reach "
+    "— a curation signal cluster size alone can't give. Fixed-round "
+    "peel so the oracle replays every round as unrolled CTEs; peeling "
+    "is monotone and converges in 1 round at all test scales, so "
+    "rounds 2-3 are provably no-ops (fixed-round == fixpoint) "
+    "(operators/graph.py:kcore_survivors)",
+)
+def graph_kcore_dup_families(spark, sf_dir):
+    from chapterhouseqe_spark.operators.dedup import ngram_jaccard_pairs
+    from chapterhouseqe_spark.operators.graph import kcore_survivors
+
+    pairs = ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        threshold=0.3,
+        prefix_filter=True,  # lossless SSJoin prefixes: same exact pair
+        # set, sf1-proven memory shape (the direct path's full inverted
+        # index ran out of execution memory at 50k docs under kcore's
+        # additional persisted state)
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    return kcore_survivors(pairs, k=2, n_rounds=3)
+
+
+from chapterhouseqe_spark.operators.graph import kcore_oracle_sql as _kc_oracle
+
+_QUERIES["graph_kcore_dup_families"] = _dc.replace(
+    _QUERIES["graph_kcore_dup_families"],
+    oracle=_kc_oracle(_DUP_GRAPH_EDGES_SQL, k=2, n_rounds=3),
+)

@@ -321,3 +321,30 @@ def test_char_diversity_matches_python_model(spark, sf_dir):
         g = got[row.doc_id]
         assert (g.n_chars, g.n_distinct, g.ic_num) == (n, len(cnt), ic_num)
         assert g.coincidence == ic_num / (n * (n - 1))
+
+
+def test_kcore_matches_python_peel(spark):
+    import collections
+
+    from chapterhouseqe_spark.operators.graph import kcore_survivors
+
+    # two 4-cliques bridged by a chain, plus a pendant path
+    cliques = [(a, b) for grp in ([0, 1, 2, 3], [10, 11, 12, 13])
+               for a in grp for b in grp if a < b]
+    chain = [(3, 20), (20, 21), (21, 10), (30, 31), (31, 32)]
+    edges = cliques + chain
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for k in (2, 3):
+        got = {(r.id, r.deg) for r in kcore_survivors(df, k=k, n_rounds=6).collect()}
+        adj = collections.defaultdict(set)
+        for u, v in edges:
+            adj[u].add(v); adj[v].add(u)
+        alive = set(adj)
+        while True:
+            drop = {n for n in alive
+                    if sum(1 for m in adj[n] if m in alive) < k}
+            if not drop:
+                break
+            alive -= drop
+        want = {(n, sum(1 for m in adj[n] if m in alive)) for n in alive}
+        assert got == want, (k, got, want)
