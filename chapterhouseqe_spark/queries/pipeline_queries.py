@@ -5589,3 +5589,108 @@ _QUERIES["graph_kcore_dup_families"] = _dc.replace(
     _QUERIES["graph_kcore_dup_families"],
     oracle=_kc_oracle(_DUP_GRAPH_EDGES_SQL, k=2, n_rounds=3),
 )
+
+
+@query(
+    "pipeline_split_leakage_audit",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+            FROM toks) z
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.3
+    ),
+    ranked AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                         doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n_lang
+      FROM documents
+    ),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN rn <= CAST(floor(0.9 * n_lang) AS BIGINT) THEN 'train'
+                  WHEN rn <= CAST(floor(0.95 * n_lang) AS BIGINT) THEN 'val'
+                  ELSE 'test' END AS split
+      FROM ranked
+    )
+    SELECT least(sa.split, sb.split) AS split_lo,
+           greatest(sa.split, sb.split) AS split_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs p
+    JOIN sp sa ON sa.doc_id = p.id_a
+    JOIN sp sb ON sb.doc_id = p.id_b
+    GROUP BY 1, 2
+    """,
+    tags=("pipeline", "sampling", "dedup"),
+    doc="Train/val/test LEAKAGE audit: near-dup pairs (exact "
+    "jaccard>=0.3) bucketed by which splits their endpoints landed in "
+    "under the stratified md5 split — cross-split rows are eval "
+    "contamination that random splitting provably creates (a near-dup "
+    "pair straddles train/test with prob ~2·0.9·0.05 per pair). The "
+    "fix in production is cluster-aware splitting (assign whole "
+    "near-dup clusters to one split); this query is the detector that "
+    "says whether you need it. Pair generation reuses the lossless "
+    "prefix-filtered jaccard; split labels join onto pair endpoints "
+    "(two broadcast-sized label joins at bench scale, hash joins at "
+    "corpus scale)",
+)
+def pipeline_split_leakage_audit(spark, sf_dir):
+    from chapterhouseqe_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    wn = Window.partitionBy("lang")
+    sp = docs.select(
+        "doc_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n_lang"),
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("rn") <= F.floor(0.9 * F.col("n_lang")).cast("bigint"),
+            F.lit("train"),
+        )
+        .when(
+            F.col("rn") <= F.floor(0.95 * F.col("n_lang")).cast("bigint"),
+            F.lit("val"),
+        )
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.3, prefix_filter=True
+    ).select("id_a", "id_b")
+    return (
+        pairs.join(
+            sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa")),
+            "id_a",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb")),
+            "id_b",
+        )
+        .groupBy(
+            F.least("sa", "sb").alias("split_lo"),
+            F.greatest("sa", "sb").alias("split_hi"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
