@@ -5694,3 +5694,94 @@ def pipeline_split_leakage_audit(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@query(
+    "pipeline_cluster_aware_split",
+    oracle=r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+            FROM toks) z
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    dup_pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.3
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM dup_pairs
+      UNION SELECT id_b, id_a FROM dup_pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a
+    ),
+    comp AS (
+      SELECT d.doc_id,
+             least(d.doc_id,
+                   coalesce((SELECT MIN(r.b) FROM reach r
+                             WHERE r.a = d.doc_id), d.doc_id)) AS component
+      FROM documents d
+    ),
+    labeled AS (
+      SELECT doc_id, component,
+             CASE WHEN ('0x' || substr(md5(CAST(component AS VARCHAR)),
+                        1, 15))::BIGINT % 100 < 90 THEN 'train'
+                  WHEN ('0x' || substr(md5(CAST(component AS VARCHAR)),
+                        1, 15))::BIGINT % 100 < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM comp
+    )
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT component) AS BIGINT) AS n_clusters
+    FROM labeled GROUP BY split
+    """,
+    tags=("pipeline", "sampling", "dedup"),
+    doc="CLUSTER-AWARE train/val/test split — the fix "
+    "pipeline_split_leakage_audit motivates: near-dup clusters "
+    "(exact-jaccard>=0.3 connected components) are assigned WHOLE to "
+    "one split by an md5 bucket of the cluster's canonical id, so "
+    "cross-split near-dup leakage is ZERO BY CONSTRUCTION (pinned in "
+    "tests) at the cost of statistical (not exact) 90/5/5 proportions "
+    "— the standard trade eval-hygiene pipelines accept. Unique docs "
+    "are their own cluster, so they still hash-distribute "
+    "proportionally",
+)
+def pipeline_cluster_aware_split(spark, sf_dir):
+    from chapterhouseqe_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+    from chapterhouseqe_spark.queries.registry import md5_int
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.3, prefix_filter=True
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs, docs.select(F.col("doc_id").alias("id")))
+    bucket = F.pmod(md5_int(F.col("component").cast("string")), F.lit(100))
+    labeled = comp.select(
+        "id",
+        "component",
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    return labeled.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("component").alias("n_clusters"),
+    )

@@ -348,3 +348,38 @@ def test_kcore_matches_python_peel(spark):
             alive -= drop
         want = {(n, sum(1 for m in adj[n] if m in alive)) for n in alive}
         assert got == want, (k, got, want)
+
+
+def test_cluster_aware_split_zero_leakage(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from chapterhouseqe_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+    from chapterhouseqe_spark.queries.registry import md5_int
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.3, prefix_filter=True
+    ).select("id_a", "id_b")
+    comp = connected_components(
+        pairs, docs.select(F.col("doc_id").alias("id"))
+    )
+    bucket = F.pmod(md5_int(F.col("component").cast("string")), F.lit(100))
+    lab = comp.select(
+        "id",
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    leaked = (
+        pairs.join(lab.withColumnRenamed("id", "id_a")
+                      .withColumnRenamed("split", "sa"), "id_a")
+        .join(lab.withColumnRenamed("id", "id_b")
+                 .withColumnRenamed("split", "sb"), "id_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert leaked == 0  # whole-cluster assignment: zero by construction
