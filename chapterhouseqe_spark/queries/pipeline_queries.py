@@ -5785,3 +5785,64 @@ def pipeline_cluster_aware_split(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("component").alias("n_clusters"),
     )
+
+
+@query(
+    "embedding_drift_audit",
+    oracle=r"""
+    WITH base AS (
+      SELECT e.vec_id, t.i - 1 AS dim,
+             CAST(e.embedding[t.i] AS DOUBLE) AS val
+      FROM embeddings e, range(1, 65) t(i)
+    ),
+    drifted AS (
+      SELECT vec_id, dim,
+             val + (CASE WHEN dim < 4 THEN 0.25 ELSE 0.0 END) AS val
+      FROM base
+    ),
+    pa AS (SELECT dim, quantile_cont(val, 0.5) AS p50_base
+           FROM base GROUP BY dim),
+    pb AS (SELECT dim, quantile_cont(val, 0.5) AS p50_new
+           FROM drifted GROUP BY dim)
+    SELECT CAST(pa.dim AS INT) AS dim, pa.p50_base, pb.p50_new,
+           pb.p50_new - pa.p50_base AS p50_shift,
+           abs(pb.p50_new - pa.p50_base) > 0.1 AS drifted
+    FROM pa JOIN pb ON pa.dim = pb.dim
+    """,
+    tags=("pipeline", "similarity", "quality"),
+    doc="Embedding DRIFT audit between two snapshots (the MLOps "
+    "feature-drift gate before an ANN index rebuild or model retrain): "
+    "per-dimension MEDIAN shift — medians interpolate bit-identical "
+    "doubles (the percentile_stats-proven portable path), avoiding "
+    "cross-row float-sum order entirely, unlike a mean-shift detector. "
+    "The second snapshot is a deterministic +0.25 shift on dims 0-3 "
+    "standing in for a re-embedded corpus; exactly those 4 dims trip "
+    "the drifted flag. One posexplode + per-dim exact percentile per "
+    "side; 64 output rows regardless of corpus size",
+)
+def embedding_drift_audit(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select("vec_id", "dim", F.col("v").cast("double").alias("val"))
+    drifted = base.select(
+        "vec_id",
+        "dim",
+        (
+            F.col("val")
+            + F.when(F.col("dim") < 4, F.lit(0.25)).otherwise(F.lit(0.0))
+        ).alias("val"),
+    )
+    pa = base.groupBy("dim").agg(F.expr("percentile(val, 0.5)").alias("p50_base"))
+    pb = drifted.groupBy("dim").agg(F.expr("percentile(val, 0.5)").alias("p50_new"))
+    return (
+        pa.join(pb, "dim")
+        .select(
+            "dim",
+            "p50_base",
+            "p50_new",
+            (F.col("p50_new") - F.col("p50_base")).alias("p50_shift"),
+            (F.abs(F.col("p50_new") - F.col("p50_base")) > 0.1).alias("drifted"),
+        )
+    )
