@@ -873,6 +873,75 @@ def near_dedup_keep(
     )
 
 
+def cdc_chunk_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 8,
+    mask_mod: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (CDC) dedup census — the
+    storage-dedup primitive (LBFS/rsync/restic lineage): cut each
+    document at positions where the rolling window hash ≡ 0 (mod
+    ``mask_mod``), so chunk boundaries are ANCHORED TO CONTENT, not
+    offsets — an insertion shifts one chunk instead of re-aligning
+    every fixed-size block downstream. Shared passages across docs
+    then collapse to identical chunks regardless of where they sit.
+
+    The window hash is the repo's replayable md5 idiom (md5 of the
+    ``window``-char substring, top 60 bits as BIGINT) rather than a
+    Rabin polynomial — same boundary statistics (expected chunk length
+    ≈ ``mask_mod``), bit-identical in DuckDB. Boundary discovery is
+    per-row JVM HOF work: ONE substr+md5 per position — O(len) per
+    row, the safe HOF shape (contrast the O(distinct·len)
+    with_char_diversity trap). Returns a single corpus-census row:
+    total chunks, distinct chunks, duplicate-chunk count, and the
+    bytes a chunk-store would save (Σ (copies−1)·len).
+
+    100 TB shape: chunking never shuffles; the only exchanges are the
+    map-side-combinable (hash, len) groupBy and the final 1-row
+    aggregate. At real scale the chunk STRING would be replaced by its
+    hash before the explode leaves the scan stage — done here too
+    (only md5(chunk) and length survive the projection).
+    """
+    b = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_t"),
+        F.length(text_col).cast("int").alias("_n"),
+    ).filter(F.col("_n") >= 1)
+    bd = b.withColumn(
+        "_bounds",
+        F.expr(
+            f"""concat(array(1),
+               filter(sequence(2, greatest(_n - {window - 1}, 1)),
+                      i -> pmod(cast(conv(substr(md5(substr(_t, i, {window})),
+                                          1, 15), 16, 10) as bigint),
+                                {mask_mod}) = 0),
+               array(_n + 1))"""
+        ),
+    )
+    chunks = bd.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_bounds) - 1), "
+                "j -> substr(_t, element_at(_bounds, j), "
+                "element_at(_bounds, j + 1) - element_at(_bounds, j)))"
+            )
+        ).alias("chunk")
+    )
+    grp = (
+        chunks.select(F.md5("chunk").alias("h"), F.length("chunk").alias("l"))
+        .groupBy("h", "l")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return grp.agg(
+        F.sum("c").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.expr("IF(c > 1, c - 1, 0)")).alias("n_dup_chunks"),
+        F.sum(F.expr("IF(c > 1, (c - 1) * l, 0)")).alias("dup_bytes"),
+    )
+
+
 def near_dedup_keep_best(
     df: DataFrame,
     text_col: str,

@@ -5846,3 +5846,55 @@ def embedding_drift_audit(spark, sf_dir):
             (F.abs(F.col("p50_new") - F.col("p50_base")) > 0.1).alias("drifted"),
         )
     )
+
+
+@query(
+    "dedup_cdc_chunks",
+    oracle=r"""
+    WITH b AS (
+      SELECT doc_id, text AS t, CAST(length(text) AS INT) AS n
+      FROM documents WHERE length(text) >= 1
+    ),
+    bd AS (
+      SELECT doc_id, t, n,
+        list_concat(list_concat(
+          [1::BIGINT],
+          list_transform(
+            list_filter(range(2, greatest(n - 7, 1) + 1),
+              i -> ('0x' || substr(md5(substr(t, i, 8)), 1, 15))::BIGINT
+                   % 64 = 0),
+            x -> x::BIGINT)),
+          [(n + 1)::BIGINT]) AS bounds
+      FROM b
+    ),
+    chunks AS (
+      SELECT substr(t, bounds[g.j], bounds[g.j + 1] - bounds[g.j]) AS chunk
+      FROM bd, unnest(generate_series(1, len(bounds) - 1)) AS g(j)
+    ),
+    grp AS (
+      SELECT md5(chunk) AS h, length(chunk) AS l, COUNT(*) AS c
+      FROM chunks GROUP BY 1, 2
+    )
+    SELECT CAST(SUM(c) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           CAST(SUM(CASE WHEN c > 1 THEN (c - 1) * l ELSE 0 END) AS BIGINT)
+             AS dup_bytes
+    FROM grp
+    """,
+    tags=("pipeline", "dedup"),
+    doc="Content-defined chunking dedup census (LBFS/rsync/restic "
+    "primitive): cut docs where the 8-char window's md5 = 0 mod 64, so "
+    "boundaries anchor to CONTENT — an insertion shifts one chunk "
+    "instead of re-aligning every fixed block; shared passages "
+    "collapse to identical chunks wherever they sit. Reports total/"
+    "distinct/duplicate chunks and the bytes a chunk-store would save. "
+    "O(len) md5 probes per row (the safe HOF shape), zero shuffles "
+    "before the combinable (hash,len) groupBy; matches an independent "
+    "Python chunker exactly (operators/dedup.py:cdc_chunk_stats)",
+)
+def dedup_cdc_chunks(spark, sf_dir):
+    from chapterhouseqe_spark.operators.dedup import cdc_chunk_stats
+
+    return cdc_chunk_stats(t(spark, sf_dir, "documents"), "text", "doc_id")

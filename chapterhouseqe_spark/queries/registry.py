@@ -166,9 +166,9 @@ def _ensure_registered() -> None:
 # r9 window plan, computed (not hand-tallied — the r7 verdict's item 7
 # showed hand counts drift) as registry MINUS the union of green rows
 # in CORRECTNESS_r01..r07 MINUS this window's 50 names: tier (a) = the
-# 56 round-8 additions, alphabetical (asof_join_nearest,
+# 57 round-8 additions, alphabetical (asof_join_nearest,
 # audit_join_skew, corpus_novelty_curve, corpus_source_overlap,
-# dedup_cluster_size_hist, dedup_keep_best_quality,
+# dedup_cdc_chunks, dedup_cluster_size_hist, dedup_keep_best_quality,
 # dedup_minhash_error_audit,
 # dedup_ngram_containment, dedup_simhash_radius,
 # dedup_ngram_jaccard_prefix, docs_bm25_self_retrieval, docs_bm25_topk,

@@ -383,3 +383,32 @@ def test_cluster_aware_split_zero_leakage(spark, sf_dir):
         .count()
     )
     assert leaked == 0  # whole-cluster assignment: zero by construction
+
+
+def test_cdc_chunks_matches_python_model(spark, sf_dir):
+    import collections
+    import hashlib
+
+    from chapterhouseqe_spark.operators.dedup import cdc_chunk_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    row = cdc_chunk_stats(docs, "text", "doc_id").collect()[0]
+    cnt = collections.Counter()
+    for r in docs.select("text").collect():
+        t, n = r.text, len(r.text)
+        bounds = [1] + [
+            i for i in range(2, max(n - 7, 1) + 1)
+            if int(hashlib.md5(t[i - 1:i + 7].encode()).hexdigest()[:15], 16)
+            % 64 == 0
+        ] + [n + 1]
+        for j in range(len(bounds) - 1):
+            cnt[t[bounds[j] - 1: bounds[j + 1] - 1]] += 1
+    assert row.n_chunks == sum(cnt.values())
+    assert row.n_distinct == len(cnt)
+    assert row.n_dup_chunks == sum(c - 1 for c in cnt.values() if c > 1)
+    assert row.dup_bytes == sum(
+        (c - 1) * len(k) for k, c in cnt.items() if c > 1
+    )
+    # CDC shift-invariance: prepending one char must not re-align
+    # distant chunks — the dup census stays within one chunk per doc
+    assert row.n_dup_chunks > 0  # non-degenerate corpus
