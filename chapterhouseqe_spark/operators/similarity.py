@@ -238,16 +238,7 @@ def lsh_bucket_candidates(
     standard recall-for-boundedness trade. ``None`` disables.
     """
     planes = _hyperplanes(dim, n_planes, seed)
-    sig = None
-    for j, p in enumerate(planes):
-        plane = F.array(*[F.lit(v) for v in p])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bit = F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig + bit
+    sig = _signature(vec_col, planes)
     bucketed = ensure_parallelism(emb).select(F.col(id_col).alias("id"), sig.alias("bucket"))
     if max_bucket is not None:
         # bucketed feeds the size pass + both join sides — persist so the
@@ -280,6 +271,92 @@ def lsh_bucket_candidates(
         a.join(b, ["bucket", "salt"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "bucket")
+    )
+
+
+def _signature(vec_col: str, planes: list[list[float]]):
+    """n-bit hyperplane signature column (bit j = sign of dot with
+    plane j) — the shared primitive of the LSH tiers."""
+    sig = None
+    for j, p in enumerate(planes):
+        plane = F.array(*[F.lit(v) for v in p])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = bit if sig is None else sig + bit
+    return sig
+
+
+def lsh_multiprobe_topk(
+    emb: DataFrame,
+    n_probe_ids: int = 8,
+    n_planes: int = 8,
+    k: int = 3,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """MULTI-PROBE LSH top-k (Lv et al. 2007): each query probes its
+    own signature bucket PLUS the ``n_planes`` single-bit-flip
+    neighbors — the buckets a near neighbor most likely fell into when
+    one hyperplane's sign disagreed. Recall rises toward brute force
+    without adding hash tables (the classic memory-for-probes trade:
+    L tables → 1 table × L probes).
+
+    Candidates are exact-cosine reranked; output is (probe_id, id_b,
+    sim), top-``k`` per probe with the (sim DESC, id_b) tiebreak — the
+    same contract as the other ANN tiers, so the recall harness
+    compares them directly.
+
+    100 TB shape: one signature pass over the corpus (persisted — it
+    feeds the candidate join), a (n_planes+1)-row explode per PROBE
+    (probes are few), one hash join on the bucket key, and a per-probe
+    top-k window bounded by that probe's candidate count (≈ (n_planes+1)
+    · corpus/2^n_planes rows). No cartesian anywhere; hot buckets
+    inherit the corpus-side distribution, so pair the probe join with
+    the salting guard of :func:`lsh_bucket_candidates` if the corpus
+    is degenerate.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    sig = _signature(vec_col, planes)
+    corpus = (
+        ensure_parallelism(emb)
+        .select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("eb"),
+            sig.cast("int").alias("bucket"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    probes = emb.filter(F.col(id_col) < n_probe_ids).select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("ea"),
+        sig.cast("int").alias("psig"),
+    )
+    probed = probes.select(
+        "probe_id",
+        "ea",
+        F.explode(
+            F.expr(
+                f"concat(array(psig), transform(sequence(0, {n_planes - 1}), "
+                "j -> cast(psig ^ shiftleft(1, j) as int)))"
+            )
+        ).alias("bucket"),
+    )
+    cand = probed.join(corpus, "bucket").filter(
+        F.col("id_b") != F.col("probe_id")
+    )
+    sim = cosine(F.col("ea"), F.col("eb"))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.col("id_b"))
+    return (
+        cand.select("probe_id", "id_b", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", "id_b", "sim")
     )
 
 

@@ -5898,3 +5898,71 @@ def dedup_cdc_chunks(spark, sf_dir):
     from chapterhouseqe_spark.operators.dedup import cdc_chunk_stats
 
     return cdc_chunk_stats(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "embedding_ann_multiprobe_topk",
+    oracle=f"""
+    WITH sigs AS (
+      SELECT e.vec_id, e.embedding,
+             CAST(SUM(CASE WHEN list_reduce(
+                 list_transform(generate_series(1, len(e.embedding)),
+                                i -> CAST(e.embedding[i] AS DOUBLE) * pl.p[i]),
+                 (acc, x) -> acc + x) > 0
+               THEN (CAST(1 AS BIGINT) << pl.j) ELSE 0 END) AS INTEGER) AS bucket
+      FROM embeddings e, (VALUES
+      {_lsh_planes_values()}
+      ) pl(j, p)
+      GROUP BY e.vec_id, e.embedding
+    ),
+    probe_buckets AS (
+      SELECT vec_id AS probe_id, embedding AS ea, bucket AS pb
+      FROM sigs WHERE vec_id < 8
+    ),
+    probed AS (
+      SELECT probe_id, ea, pb AS bucket FROM probe_buckets
+      UNION ALL
+      SELECT probe_id, ea,
+             CAST(xor(CAST(pb AS BIGINT), CAST(1 AS BIGINT) << g.j) AS INTEGER)
+      FROM probe_buckets, generate_series(0, 7) AS g(j)
+    ),
+    cand AS (
+      SELECT p.probe_id, p.ea, s.vec_id AS id_b, s.embedding AS eb
+      FROM probed p JOIN sigs s ON s.bucket = p.bucket
+      WHERE s.vec_id != p.probe_id
+    ),
+    dots AS (
+      SELECT probe_id, id_b,
+             list_reduce(
+               list_transform(generate_series(1, len(ea)),
+                              i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)),
+               (acc, x) -> acc + x) AS dot
+      FROM cand
+    ),
+    {_COSINE_NORMS_CTE}
+    SELECT probe_id, id_b, sim FROM (
+      SELECT d.probe_id, d.id_b, d.dot / (na.nrm * nb.nrm) AS sim,
+             ROW_NUMBER() OVER (PARTITION BY d.probe_id
+                                ORDER BY d.dot / (na.nrm * nb.nrm) DESC,
+                                         d.id_b) AS rn
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.probe_id
+      JOIN norms nb ON nb.vec_id = d.id_b
+    ) x WHERE rn <= 3
+    """,
+    tags=("pipeline", "similarity"),
+    doc="MULTI-PROBE LSH top-3 (Lv et al. 2007): each probe (vec_id<8) "
+    "searches its own signature bucket PLUS the 8 single-bit-flip "
+    "neighbor buckets — the buckets a near neighbor lands in when one "
+    "hyperplane's sign disagreed — then exact-cosine reranks. Recall "
+    "rises toward brute force without more hash tables (L tables -> "
+    "1 table x L probes, the memory-for-probes trade); the recall "
+    "harness compares it against the exact tier directly. Oracle "
+    "embeds the seed-42 planes as literals and replays buckets, bit "
+    "flips, and the rerank exactly "
+    "(operators/similarity.py:lsh_multiprobe_topk)",
+)
+def embedding_ann_multiprobe_topk(spark, sf_dir):
+    from chapterhouseqe_spark.operators.similarity import lsh_multiprobe_topk
+
+    return lsh_multiprobe_topk(t(spark, sf_dir, "embeddings"))

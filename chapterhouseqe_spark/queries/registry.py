@@ -166,12 +166,13 @@ def _ensure_registered() -> None:
 # r9 window plan, computed (not hand-tallied — the r7 verdict's item 7
 # showed hand counts drift) as registry MINUS the union of green rows
 # in CORRECTNESS_r01..r07 MINUS this window's 50 names: tier (a) = the
-# 57 round-8 additions, alphabetical (asof_join_nearest,
+# 58 round-8 additions, alphabetical (asof_join_nearest,
 # audit_join_skew, corpus_novelty_curve, corpus_source_overlap,
 # dedup_cdc_chunks, dedup_cluster_size_hist, dedup_keep_best_quality,
 # dedup_minhash_error_audit,
 # dedup_ngram_containment, dedup_simhash_radius,
 # dedup_ngram_jaccard_prefix, docs_bm25_self_retrieval, docs_bm25_topk,
+# embedding_ann_multiprobe_topk,
 # embedding_drift_audit, embedding_gram_matrix, embedding_hard_negatives,
 # embedding_ivf_sq_prebuilt_topk, embedding_matryoshka_overlap,
 # graph_kcore_dup_families,

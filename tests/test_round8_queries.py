@@ -412,3 +412,57 @@ def test_cdc_chunks_matches_python_model(spark, sf_dir):
     # CDC shift-invariance: prepending one char must not re-align
     # distant chunks — the dup census stays within one chunk per doc
     assert row.n_dup_chunks > 0  # non-degenerate corpus
+
+
+def test_multiprobe_recall_dominates_single_bucket(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from chapterhouseqe_spark.operators.similarity import (
+        _hyperplanes,
+        _signature,
+        cosine,
+        lsh_multiprobe_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # exact top-3 ground truth for probes vec_id < 8
+    probes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("ea")
+    )
+    allv = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("sim"), F.col("id_b")
+    )
+    exact = {
+        (r.probe_id, r.id_b)
+        for r in probes.crossJoin(allv)
+        .filter(F.col("id_b") != F.col("probe_id"))
+        .select("probe_id", "id_b", cosine(F.col("ea"), F.col("eb")).alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .collect()
+    }
+    multi = {
+        (r.probe_id, r.id_b)
+        for r in lsh_multiprobe_topk(emb).collect()
+    }
+    # single-bucket variant: same rerank but candidates share the exact bucket
+    planes = _hyperplanes(64, 8, 42)
+    sig = _signature("embedding", planes)
+    corpus = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), sig.cast("int").alias("bucket"))
+    p1 = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("ea"), sig.cast("int").alias("bucket"))
+    single = {
+        (r.probe_id, r.id_b)
+        for r in p1.join(corpus, "bucket")
+        .filter(F.col("id_b") != F.col("probe_id"))
+        .select("probe_id", "id_b", cosine(F.col("ea"), F.col("eb")).alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .collect()
+    }
+    r_multi = len(multi & exact) / len(exact)
+    r_single = len(single & exact) / len(exact)
+    assert r_multi >= r_single  # probing neighbor buckets never hurts
+    assert len(multi) >= len(single)
