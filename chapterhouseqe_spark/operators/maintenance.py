@@ -155,6 +155,77 @@ def write_partitioned(
     out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def write_partition_evolution(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    generation_pred,
+) -> None:
+    """Two-generation table demonstrating PARTITION EVOLUTION
+    (Iceberg's partition-spec change, v1→v2): rows failing
+    ``generation_pred`` are written UNPARTITIONED under ``gen0/`` (the
+    table's historical layout); rows passing it are hive-partitioned
+    under ``gen1/`` (the evolved spec). A ``_LAYOUTS.json`` manifest
+    records each generation's spec, exactly the role Iceberg's
+    metadata tree plays — readers must NOT assume one physical layout
+    per table.
+
+    Real tables evolve specs when query patterns shift (e.g. daily →
+    hourly partitioning); rewriting history is prohibitively expensive
+    at 100 TB, so old files stay in the old layout and pruning becomes
+    PER-GENERATION — see :func:`read_partition_evolution`.
+    """
+    import json
+    import os
+
+    df.filter(~generation_pred).write.mode("overwrite").parquet(
+        os.path.join(path, "gen0")
+    )
+    write_partitioned(
+        df.filter(generation_pred), os.path.join(path, "gen1"), partition_cols
+    )
+    spec = {
+        "generations": [
+            {"dir": "gen0", "partitioned_by": []},
+            {"dir": "gen1", "partitioned_by": partition_cols},
+        ]
+    }
+    tmp = os.path.join(path, "_LAYOUTS.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(spec, fh)
+    os.replace(tmp, os.path.join(path, "_LAYOUTS.json"))
+
+
+def read_partition_evolution(spark, path: str) -> DataFrame:
+    """Union read across layout generations recorded in
+    ``_LAYOUTS.json``. Each generation is opened with ITS OWN layout,
+    so a filter on an evolved partition column prunes directories in
+    the partitioned generations (planning-time, zero I/O for
+    non-matching values) and degrades to a row filter in the
+    pre-evolution generation — the best each layout permits, which is
+    exactly Iceberg's contract after a spec change. Schemas must be
+    union-compatible; hive partition columns come back typed by
+    discovery, so they are cast to the unpartitioned generation's
+    column type before the union."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_LAYOUTS.json")) as fh:
+        spec = json.load(fh)
+    out = None
+    base_schema = None
+    for gen in spec["generations"]:
+        df = spark.read.parquet(os.path.join(path, gen["dir"]))
+        if base_schema is None:
+            base_schema = {f.name: f.dataType for f in df.schema.fields}
+            cols = [f.name for f in df.schema.fields]
+        df = df.select(
+            *[F.col(c).cast(base_schema[c]) for c in cols]
+        )
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
 def rollup_state(
     df: DataFrame,
     keys: list[str],

@@ -886,3 +886,63 @@ def ivm_join_delta(spark, sf_dir):
         F.col("n"),
         F.col("sum_o_totalprice").cast("double").alias("revenue"),
     )
+
+
+def _evolved_orders_dir(spark, sf_dir) -> str:
+    """Deterministic one-time two-generation copy of orders: even keys
+    unpartitioned (gen0, pre-evolution), odd keys hive-partitioned by
+    o_orderpriority (gen1, the evolved spec). Fingerprint-keyed like
+    _partitioned_orders_dir."""
+    import os
+
+    from chapterhouseqe_spark.operators.maintenance import (
+        write_partition_evolution,
+    )
+    from chapterhouseqe_spark.queries.core_sql import _source_fingerprint
+
+    key = _source_fingerprint(sf_dir, "orders")
+    out = f"/tmp/chqe_partitioned/{key}/orders_evolution"
+    if not os.path.exists(os.path.join(out, "_LAYOUTS.json")):
+        write_partition_evolution(
+            t(spark, sf_dir, "orders"),
+            out,
+            ["o_orderpriority"],
+            F.col("o_orderkey") % 2 == 1,
+        )
+    return out
+
+
+@query(
+    "partition_evolution_scan",
+    oracle=f"""
+    SELECT CAST(o_orderkey % 2 AS BIGINT) AS generation,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           {o_dsum('o_totalprice')} AS total_price
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY 1
+    """,
+    tags=("maintenance", "layout"),
+    doc="PARTITION EVOLUTION scan (Iceberg spec-change contract): one "
+    "logical table whose gen0 files predate partitioning and whose "
+    "gen1 files are hive-partitioned by o_orderpriority; a filter on "
+    "the evolved column prunes gen1 DIRECTORIES at planning time "
+    "(pinned: PartitionFilters on the gen1 scan) and degrades to a "
+    "row filter on gen0 — the best each layout permits, with neither "
+    "generation rewritten "
+    "(operators/maintenance.py:write_partition_evolution/"
+    "read_partition_evolution)",
+)
+def partition_evolution_scan(spark, sf_dir):
+    from chapterhouseqe_spark.operators.maintenance import (
+        read_partition_evolution,
+    )
+
+    path = _evolved_orders_dir(spark, sf_dir)
+    scan = read_partition_evolution(spark, path).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return scan.groupBy((F.col("o_orderkey") % 2).alias("generation")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum(F.col("o_totalprice")).alias("total_price"),
+    )

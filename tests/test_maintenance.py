@@ -741,3 +741,28 @@ def test_join_view_delta_sign_algebra(spark):
     assert {k: v for k, v in dv.items() if v} == {
         k: v for k, v in want.items() if v
     }
+
+
+def test_partition_evolution_prunes_evolved_generation(spark, tmp_path):
+    from chapterhouseqe_spark.operators.maintenance import (
+        read_partition_evolution,
+        write_partition_evolution,
+    )
+
+    df = spark.createDataFrame(
+        [(i, ["x", "y", "z"][i % 3], i * 10) for i in range(90)],
+        "id long, cat string, v long",
+    )
+    path = str(tmp_path / "evo")
+    write_partition_evolution(df, path, ["cat"], F.col("id") % 2 == 1)
+    scan = read_partition_evolution(spark, path).filter(F.col("cat") == "y")
+    assert scan.count() == 30  # both generations contribute
+    # every gen1 file read sits under cat=y (directory pruning); gen0
+    # files are layout-blind and row-filtered instead
+    files = [r[0] for r in scan.select(F.input_file_name()).distinct().collect()]
+    g1 = [f for f in files if "/gen1/" in f]
+    assert g1 and all("cat=y" in f for f in g1)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cat" in plan
+    # union must carry one schema: evolved partition col cast back
+    assert dict(scan.dtypes)["cat"] == "string"
