@@ -226,6 +226,67 @@ def read_partition_evolution(spark, path: str) -> DataFrame:
     return out
 
 
+def add_delete_file(keys_df: DataFrame, table_path: str) -> int:
+    """MERGE-ON-READ delete (the Iceberg v2 / Delta deletion-vector
+    pattern, key-based variant): record deleted KEYS as a new file
+    under ``_DELETES/`` instead of rewriting any data file. A delete
+    of k rows costs O(k) I/O instead of a rewrite of every touched
+    file — at 100 TB with GDPR-scale trickle deletes, copy-on-write
+    (:func:`merge_upsert`) is unaffordable per delete; MOR defers the
+    cost to reads until :func:`compact_deletes` amortizes it.
+
+    Returns the sequence number of the delete file written. Delete
+    files accumulate; readers union all of them (idempotent —
+    re-deleting a key is a no-op by anti-join semantics).
+    """
+    import os
+
+    ddir = os.path.join(table_path, "_DELETES")
+    os.makedirs(ddir, exist_ok=True)
+    seq = len([d for d in os.listdir(ddir) if d.startswith("del-")])
+    keys_df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(ddir, f"del-{seq:05d}")
+    )
+    return seq
+
+
+def read_with_deletes(spark, table_path: str, key_col: str) -> DataFrame:
+    """Merge-on-read scan: base files anti-joined against the union of
+    accumulated delete files. The anti-join is the per-read cost MOR
+    trades for O(k) deletes — broadcast-sized for trickle deletes, a
+    keyed shuffle once the delete set grows (exactly when
+    :func:`compact_deletes` should run)."""
+    import glob as _glob
+    import os
+
+    base = spark.read.parquet(os.path.join(table_path, "base"))
+    dels = sorted(_glob.glob(os.path.join(table_path, "_DELETES", "del-*")))
+    if not dels:
+        return base
+    keys = spark.read.parquet(*dels).select(key_col).distinct()
+    return base.join(keys, key_col, "left_anti")
+
+
+def compact_deletes(spark, table_path: str, key_col: str) -> None:
+    """Materialize accumulated deletes into a rewritten base (the
+    copy-on-write step, run when the read-side anti-join cost exceeds
+    one rewrite). Readers see identical rows before and after — pinned
+    in tests. Crash-safe in the snapshot sense: the new base is staged
+    beside the old one and swapped last."""
+    import os
+    import shutil
+
+    merged = read_with_deletes(spark, table_path, key_col)
+    staged = os.path.join(table_path, "base.staged")
+    merged.write.mode("overwrite").parquet(staged)
+    old = os.path.join(table_path, "base")
+    shutil.rmtree(old)
+    os.replace(staged, old)
+    ddir = os.path.join(table_path, "_DELETES")
+    if os.path.isdir(ddir):
+        shutil.rmtree(ddir)
+
+
 def rollup_state(
     df: DataFrame,
     keys: list[str],

@@ -946,3 +946,62 @@ def partition_evolution_scan(spark, sf_dir):
         F.count(F.lit(1)).alias("cnt"),
         dsum(F.col("o_totalprice")).alias("total_price"),
     )
+
+
+def _mor_orders_dir(spark, sf_dir) -> str:
+    """Deterministic one-time merge-on-read orders table: full base +
+    two accumulated delete files (o_orderkey % 97 == 0, then % 89 == 0)
+    — two files so the reader provably unions delete generations."""
+    import os
+
+    from chapterhouseqe_spark.operators.maintenance import add_delete_file
+    from chapterhouseqe_spark.queries.core_sql import _source_fingerprint
+
+    key = _source_fingerprint(sf_dir, "orders")
+    out = f"/tmp/chqe_partitioned/{key}/orders_mor"
+    if not os.path.exists(os.path.join(out, "base", "_SUCCESS")):
+        orders = t(spark, sf_dir, "orders")
+        orders.write.mode("overwrite").parquet(os.path.join(out, "base"))
+        for mod in (97, 89):
+            add_delete_file(
+                orders.filter(F.col("o_orderkey") % mod == 0).select(
+                    "o_orderkey"
+                ),
+                out,
+            )
+    return out
+
+
+@query(
+    "merge_on_read_deletes",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           {o_dsum('o_totalprice')} AS total_price
+    FROM orders
+    WHERE o_orderkey % 97 != 0 AND o_orderkey % 89 != 0
+    GROUP BY o_orderstatus
+    """,
+    tags=("maintenance",),
+    doc="MERGE-ON-READ deletes (Iceberg v2 / Delta deletion-vector "
+    "pattern, key-based): deletes land as O(k) files under _DELETES/ "
+    "— no data file rewritten — and the scan anti-joins the union of "
+    "accumulated delete generations (two here, %97 then %89, proving "
+    "generations compose). compact_deletes materializes them when the "
+    "read-side cost outgrows one rewrite; read-equivalence before/"
+    "after compaction is pinned in tests "
+    "(operators/maintenance.py:add_delete_file/read_with_deletes/"
+    "compact_deletes)",
+)
+def merge_on_read_deletes(spark, sf_dir):
+    from chapterhouseqe_spark.operators.maintenance import read_with_deletes
+
+    path = _mor_orders_dir(spark, sf_dir)
+    return (
+        read_with_deletes(spark, path, "o_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )

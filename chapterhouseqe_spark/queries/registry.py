@@ -166,7 +166,7 @@ def _ensure_registered() -> None:
 # r9 window plan, computed (not hand-tallied — the r7 verdict's item 7
 # showed hand counts drift) as registry MINUS the union of green rows
 # in CORRECTNESS_r01..r07 MINUS this window's 50 names: tier (a) = the
-# 59 round-8 additions, alphabetical (asof_join_nearest,
+# 60 round-8 additions, alphabetical (asof_join_nearest,
 # audit_join_skew, corpus_novelty_curve, corpus_source_overlap,
 # dedup_cdc_chunks, dedup_cluster_size_hist, dedup_keep_best_quality,
 # dedup_minhash_error_audit,
@@ -181,7 +181,8 @@ def _ensure_registered() -> None:
 # events_forward_fill, events_holt_backtest, events_holt_forecast,
 # events_pit_features, events_power_user_share,
 # events_seasonality_profile, hll_sliding_union, ivm_join_delta,
-# join_fuzzy_part_names, multimodal_image_patches, orders_abc_pareto,
+# join_fuzzy_part_names, merge_on_read_deletes,
+# multimodal_image_patches, orders_abc_pareto,
 # orders_basket_pairs, orders_cohort_ltv, orders_new_vs_returning,
 # orders_rfm_segments, partition_evolution_scan,
 # pipeline_byte_balanced_shards,

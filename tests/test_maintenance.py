@@ -766,3 +766,35 @@ def test_partition_evolution_prunes_evolved_generation(spark, tmp_path):
     assert "PartitionFilters" in plan and "cat" in plan
     # union must carry one schema: evolved partition col cast back
     assert dict(scan.dtypes)["cat"] == "string"
+
+
+def test_merge_on_read_deletes_and_compaction_equivalence(spark, tmp_path):
+    import os
+
+    from chapterhouseqe_spark.operators.maintenance import (
+        add_delete_file,
+        compact_deletes,
+        read_with_deletes,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i * 100) for i in range(50)], "k long, v long"
+    )
+    path = str(tmp_path / "mor")
+    df.write.parquet(os.path.join(path, "base"))
+    add_delete_file(df.filter(F.col("k") % 5 == 0).select("k"), path)
+    add_delete_file(df.filter(F.col("k") % 7 == 0).select("k"), path)
+    # re-delete an already-deleted key: idempotent
+    add_delete_file(spark.createDataFrame([(0,)], "k long"), path)
+    mor = {(r.k, r.v) for r in read_with_deletes(spark, path, "k").collect()}
+    want = {(i, i * 100) for i in range(50) if i % 5 and i % 7}
+    assert mor == want
+    compact_deletes(spark, path, "k")
+    assert not os.path.isdir(os.path.join(path, "_DELETES"))
+    after = {(r.k, r.v) for r in read_with_deletes(spark, path, "k").collect()}
+    assert after == want  # read-equivalence across compaction
+    # deletes keep working on the compacted base
+    add_delete_file(spark.createDataFrame([(1,)], "k long"), path)
+    assert {r.k for r in read_with_deletes(spark, path, "k").collect()} == {
+        i for i in range(50) if i % 5 and i % 7 and i != 1
+    }
