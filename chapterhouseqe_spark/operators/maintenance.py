@@ -399,6 +399,58 @@ def join_view_delta(
     )
 
 
+def write_audit_publish(
+    spark,
+    df: DataFrame,
+    table_path: str,
+    gates,
+    pointer_store=None,
+):
+    """WRITE-AUDIT-PUBLISH (the Iceberg WAP / staging-branch workflow):
+    materialize the candidate data FIRST, run audit gates against the
+    materialized copy, and only then publish it as the next snapshot
+    version — a failing gate leaves the committed table untouched and
+    the staged data on disk for debugging (never half-published).
+
+    ``gates`` is a list of (name, fn) where ``fn(staged_df) -> (value,
+    threshold_desc, ok)``. Returns ``(report_rows, version_or_None)``:
+    one report row per gate plus the publish outcome. Auditing the
+    MATERIALIZED copy (not the logical plan) is the point — the gates
+    see exactly the bytes a reader would, including any
+    nondeterminism the write froze.
+
+    100 TB shape: the candidate is written once (the same write a
+    direct publish would do); gates are aggregates over it; publish is
+    :func:`write_snapshot`'s pointer swap (CAS-backed via
+    ``pointer_store`` on object stores). Abort costs zero rewrites.
+    """
+    import os
+    import uuid
+
+    staged_dir = f"{table_path}/_wap-{uuid.uuid4().hex}"
+    df.write.mode("errorifexists").parquet(staged_dir)
+    staged = spark.read.parquet(staged_dir)
+    report = []
+    all_ok = True
+    for name, fn in gates:
+        value, threshold_desc, ok = fn(staged)
+        report.append((name, float(value), threshold_desc, bool(ok)))
+        all_ok = all_ok and ok
+    version = None
+    if all_ok:
+        version = write_snapshot(staged, table_path, pointer_store)
+        # staged copy served its purpose; the published version is the
+        # canonical bytes (write_snapshot re-wrote them into v=<n>)
+        import shutil
+
+        shutil.rmtree(staged_dir)
+    else:
+        # leave staged_dir for debugging; rename so operators can find
+        # every failed audit in one namespace
+        os.rename(staged_dir, f"{table_path}/_audit_failed-{uuid.uuid4().hex}")
+    return report, version
+
+
 def write_snapshot(df: DataFrame, table_path: str, pointer_store=None) -> int:
     """Append a new immutable table VERSION (time travel from vanilla
     parquet — the Delta/Iceberg snapshot core without a txn log

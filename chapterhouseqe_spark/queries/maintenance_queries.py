@@ -1005,3 +1005,76 @@ def merge_on_read_deletes(spark, sf_dir):
             dsum(F.col("o_totalprice")).alias("total_price"),
         )
     )
+
+
+@query(
+    "write_audit_publish_gates",
+    oracle="""
+    SELECT 'row_count' AS gate, CAST(COUNT(*) AS DOUBLE) AS value,
+           COUNT(*) >= 1 AS passed, TRUE AS published FROM orders
+    UNION ALL
+    SELECT 'null_custkey',
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE),
+           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0, TRUE
+    FROM orders
+    UNION ALL
+    SELECT 'negative_total',
+           CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS DOUBLE),
+           SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) = 0, TRUE
+    FROM orders
+    """,
+    tags=("maintenance",),
+    doc="WRITE-AUDIT-PUBLISH (Iceberg WAP workflow): the candidate "
+    "table is MATERIALIZED first, audit gates run against the staged "
+    "bytes a reader would actually see, and only a fully-green report "
+    "publishes via the snapshot pointer swap — a failing gate aborts "
+    "with the committed table untouched and the staged copy preserved "
+    "under _audit_failed-* for debugging (abort path + pointer "
+    "immutability pinned in tests). Graded result is the gate report "
+    "for a clean publish of orders "
+    "(operators/maintenance.py:write_audit_publish)",
+)
+def write_audit_publish_gates(spark, sf_dir):
+    import tempfile
+
+    from chapterhouseqe_spark.operators.maintenance import (
+        write_audit_publish,
+    )
+
+    orders = t(spark, sf_dir, "orders")
+    gates = [
+        (
+            "row_count",
+            lambda d: (d.count(), ">= 1", d.count() >= 1),
+        ),
+        (
+            "null_custkey",
+            lambda d: (
+                d.filter(F.col("o_custkey").isNull()).count(),
+                "== 0",
+                d.filter(F.col("o_custkey").isNull()).count() == 0,
+            ),
+        ),
+        (
+            "negative_total",
+            lambda d: (
+                d.filter(F.col("o_totalprice") < 0).count(),
+                "== 0",
+                d.filter(F.col("o_totalprice") < 0).count() == 0,
+            ),
+        ),
+    ]
+    table = tempfile.mkdtemp(prefix="chqe_wap_")
+    try:
+        report, version = write_audit_publish(spark, orders, table, gates)
+    finally:
+        # the report is plain local data — the published copy is only
+        # needed by real consumers, not by this graded result
+        import shutil
+
+        shutil.rmtree(table, ignore_errors=True)
+    published = version is not None
+    return spark.createDataFrame(
+        [(g, v, ok, published) for (g, v, _thr, ok) in report],
+        "gate string, value double, passed boolean, published boolean",
+    )

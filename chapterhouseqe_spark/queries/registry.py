@@ -166,7 +166,7 @@ def _ensure_registered() -> None:
 # r9 window plan, computed (not hand-tallied — the r7 verdict's item 7
 # showed hand counts drift) as registry MINUS the union of green rows
 # in CORRECTNESS_r01..r07 MINUS this window's 50 names: tier (a) = the
-# 60 round-8 additions, alphabetical (asof_join_nearest,
+# 61 round-8 additions, alphabetical (asof_join_nearest,
 # audit_join_skew, corpus_novelty_curve, corpus_source_overlap,
 # dedup_cdc_chunks, dedup_cluster_size_hist, dedup_keep_best_quality,
 # dedup_minhash_error_audit,
@@ -193,7 +193,7 @@ def _ensure_registered() -> None:
 # stream_interval_join, events_linear_trend, events_type_correlation,
 # events_markov_prediction_eval, multimodal_phash_dedup,
 # text_char_coincidence_filter, text_hash_classifier_score,
-# text_ngram_diversity, text_zipf_coverage,
+# text_ngram_diversity, text_zipf_coverage, write_audit_publish_gates,
 # docs_hybrid_rrf_retrieval — all oracle-green locally
 # at three scales, most also at sf1); the remaining slots per the standing rotation
 # rules: regrades of r9-changed implementations first (the prefix-

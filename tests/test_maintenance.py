@@ -798,3 +798,32 @@ def test_merge_on_read_deletes_and_compaction_equivalence(spark, tmp_path):
     assert {r.k for r in read_with_deletes(spark, path, "k").collect()} == {
         i for i in range(50) if i % 5 and i % 7 and i != 1
     }
+
+
+def test_write_audit_publish_abort_leaves_table_untouched(spark, tmp_path):
+    import os
+
+    from chapterhouseqe_spark.operators.maintenance import (
+        read_snapshot,
+        write_audit_publish,
+        write_snapshot,
+    )
+
+    table = str(tmp_path / "wap")
+    good = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    v1 = write_snapshot(good, table)
+    bad = spark.createDataFrame([(3, None)], "k long, v long")
+    gates = [
+        ("no_null_v", lambda d: (
+            d.filter(F.col("v").isNull()).count(), "== 0",
+            d.filter(F.col("v").isNull()).count() == 0)),
+    ]
+    report, version = write_audit_publish(spark, bad, table, gates)
+    assert version is None and not report[0][3]  # aborted, gate failed
+    # committed pointer unchanged; latest read still serves v1 rows
+    assert {r.k for r in read_snapshot(spark, table).collect()} == {1, 2}
+    # staged copy preserved for debugging
+    assert any(d.startswith("_audit_failed-") for d in os.listdir(table))
+    # a green candidate publishes as the next version
+    report2, v2 = write_audit_publish(spark, good, table, gates)
+    assert v2 == v1 + 1 and report2[0][3]
