@@ -1078,3 +1078,97 @@ def write_audit_publish_gates(spark, sf_dir):
         [(g, v, ok, published) for (g, v, _thr, ok) in report],
         "gate string, value double, passed boolean, published boolean",
     )
+
+
+@query(
+    "audit_replica_merkle_diff",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(o_totalprice * 100 AS BIGINT) AS cents
+      FROM orders
+    ),
+    replica AS (
+      SELECT k,
+             CASE WHEN k % 301 = 0 THEN cents + 1 ELSE cents END AS cents
+      FROM base
+    ),
+    ha AS (
+      SELECT ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT % 256
+               AS bucket,
+             COUNT(*) AS cnt,
+             bit_xor(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+               CAST(cents AS VARCHAR)), 1, 15))::BIGINT) AS xh
+      FROM base GROUP BY 1
+    ),
+    hb AS (
+      SELECT ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 15))::BIGINT % 256
+               AS bucket,
+             COUNT(*) AS cnt,
+             bit_xor(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' ||
+               CAST(cents AS VARCHAR)), 1, 15))::BIGINT) AS xh
+      FROM replica GROUP BY 1
+    )
+    SELECT CAST(a.bucket AS BIGINT) AS bucket,
+           CAST(a.cnt AS BIGINT) AS cnt_base,
+           CAST(b.cnt AS BIGINT) AS cnt_replica
+    FROM ha a JOIN hb b ON a.bucket = b.bucket
+    WHERE a.xh != b.xh OR a.cnt != b.cnt
+    """,
+    tags=("maintenance", "audit"),
+    doc="Merkle-style replica ANTI-ENTROPY diff (the Cassandra/Dynamo "
+    "repair primitive): each replica collapses to 256 key-hash "
+    "buckets of (count, XOR-fold of row hashes) — commutative, "
+    "order-insensitive, overflow-free under ANSI mode — and only "
+    "divergent buckets need row-level comparison, so repairing a "
+    "100 TB replica pair costs two scans + a 256-row exchange, never "
+    "a full-table join. The replica carries a deterministic "
+    "perturbation (cents+1 where key%301==0); exactly those keys' "
+    "buckets surface. Row hash covers key and cents as canonical "
+    "strings (decimals -> integer cents to dodge decimal-formatting "
+    "divergence)",
+)
+def audit_replica_merkle_diff(spark, sf_dir):
+    from chapterhouseqe_spark.queries.registry import md5_int
+
+    base = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    replica = base.select(
+        "k",
+        F.when(F.col("k") % 301 == 0, F.col("cents") + 1)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+
+    def digest(df):
+        bucket = F.pmod(md5_int(F.col("k").cast("string")), F.lit(256))
+        rowh = md5_int(
+            F.concat_ws(
+                "|", F.col("k").cast("string"), F.col("cents").cast("string")
+            )
+        )
+        return (
+            df.select(bucket.alias("bucket"), rowh.alias("rh"))
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.expr("bit_xor(rh)").alias("xh"),
+            )
+        )
+
+    a = digest(base)
+    b = digest(replica)
+    return (
+        a.alias("a")
+        .join(b.alias("b"), "bucket")
+        .filter(
+            (F.col("a.xh") != F.col("b.xh")) | (F.col("a.cnt") != F.col("b.cnt"))
+        )
+        .select(
+            "bucket",
+            F.col("a.cnt").alias("cnt_base"),
+            F.col("b.cnt").alias("cnt_replica"),
+        )
+    )
