@@ -390,3 +390,74 @@ def source_overlap_matrix(
             ).alias("jaccard"),
         )
     )
+
+
+def source_novelty(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    k: int = 3,
+) -> DataFrame:
+    """Per-SOURCE novelty attribution — "which feeds still contribute
+    new content, which only re-serve what another feed already gave
+    us?" — the per-feed version of :func:`novelty_curve` and the
+    keep-crawling / drop-feed decision input.
+
+    A k-shingle is credited to the source of the doc where it FIRST
+    appears (min ``id_col`` over its occurrences — ingestion order, the
+    same attribution rule the tranche curve uses, so numbers agree
+    across the two reports). Returns per source: docs, total distinct
+    shingles the source contains, the shingles it was FIRST to
+    contribute, and the first-rate (one double division; everything
+    else exact BIGINTs). A mirror feed shows total ≫ first.
+
+    100 TB shape: one explode + groupBy(shingle) shuffle carrying
+    (first doc id, source-of-first via min_by), one distinct posting
+    pass for per-source totals, then a sources-sized join — no
+    corpus-sized join anywhere.
+    """
+    from chapterhouseqe_spark.operators.dedup import (
+        ensure_parallelism,
+        word_shingles,
+    )
+
+    posting = (
+        ensure_parallelism(docs)
+        .filter(F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= k)
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(source_col).alias("src"),
+            F.explode(word_shingles(F.col(text_col), k)).alias("s"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    first = posting.groupBy("s").agg(
+        F.expr("min_by(src, id)").alias("first_src")
+    )
+    first_per_src = first.groupBy(F.col("first_src").alias("src")).agg(
+        F.count(F.lit(1)).alias("first_shingles")
+    )
+    totals = (
+        posting.select("src", "s")
+        .distinct()
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("total_shingles"))
+    )
+    docs_per = docs.groupBy(F.col(source_col).alias("src")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return (
+        docs_per.join(totals, "src", "left")
+        .join(first_per_src, "src", "left")
+        .select(
+            "src",
+            "n_docs",
+            F.coalesce("total_shingles", F.lit(0)).alias("total_shingles"),
+            F.coalesce("first_shingles", F.lit(0)).alias("first_shingles"),
+            (
+                F.coalesce("first_shingles", F.lit(0)).cast("double")
+                / F.coalesce("total_shingles", F.lit(1)).cast("double")
+            ).alias("first_rate"),
+        )
+    )

@@ -5966,3 +5966,57 @@ def embedding_ann_multiprobe_topk(spark, sf_dir):
     from chapterhouseqe_spark.operators.similarity import lsh_multiprobe_topk
 
     return lsh_multiprobe_topk(t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "corpus_source_novelty",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    posting AS (
+      SELECT DISTINCT doc_id, source,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM (SELECT doc_id, source, w,
+                   unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+            FROM toks) z
+    ),
+    first AS (
+      SELECT s, min_by(source, doc_id) AS first_src
+      FROM posting GROUP BY s
+    ),
+    fps AS (
+      SELECT first_src AS src, CAST(COUNT(*) AS BIGINT) AS first_shingles
+      FROM first GROUP BY 1
+    ),
+    totals AS (
+      SELECT source AS src, CAST(COUNT(*) AS BIGINT) AS total_shingles
+      FROM (SELECT DISTINCT source, s FROM posting) GROUP BY 1
+    ),
+    dp AS (
+      SELECT source AS src, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1
+    )
+    SELECT dp.src, dp.n_docs,
+           COALESCE(t.total_shingles, 0) AS total_shingles,
+           COALESCE(f.first_shingles, 0) AS first_shingles,
+           CAST(COALESCE(f.first_shingles, 0) AS DOUBLE)
+             / CAST(COALESCE(t.total_shingles, 1) AS DOUBLE) AS first_rate
+    FROM dp
+    LEFT JOIN totals t ON t.src = dp.src
+    LEFT JOIN fps f ON f.src = dp.src
+    """,
+    tags=("pipeline", "corpus"),
+    doc="Per-SOURCE novelty attribution (the keep-crawling/drop-feed "
+    "decision input): each 3-shingle is credited to the source of the "
+    "doc where it FIRST appears (min doc_id — the same ingestion-order "
+    "attribution the tranche curve uses, so the two reports agree). "
+    "Mirror feeds show total_shingles >> first_shingles. One "
+    "groupBy(shingle) min_by shuffle + one distinct posting pass; no "
+    "corpus-sized join (operators/corpus.py:source_novelty)",
+)
+def corpus_source_novelty(spark, sf_dir):
+    from chapterhouseqe_spark.operators.corpus import source_novelty
+
+    return source_novelty(t(spark, sf_dir, "documents"))

@@ -166,9 +166,9 @@ def _ensure_registered() -> None:
 # r9 window plan, computed (not hand-tallied — the r7 verdict's item 7
 # showed hand counts drift) as registry MINUS the union of green rows
 # in CORRECTNESS_r01..r07 MINUS this window's 50 names: tier (a) = the
-# 62 round-8 additions, alphabetical (asof_join_nearest,
+# 63 round-8 additions, alphabetical (asof_join_nearest,
 # audit_join_skew, audit_replica_merkle_diff,
-# corpus_novelty_curve, corpus_source_overlap,
+# corpus_novelty_curve, corpus_source_novelty, corpus_source_overlap,
 # dedup_cdc_chunks, dedup_cluster_size_hist, dedup_keep_best_quality,
 # dedup_minhash_error_audit,
 # dedup_ngram_containment, dedup_simhash_radius,
