@@ -1242,3 +1242,98 @@ def ivf_sq_topk(
         .filter(F.col("rnk") <= k)
         .select("probe_id", "id_b", "score_q", "rnk")
     )
+
+
+def mmr_diversified_topk(
+    emb: DataFrame,
+    n_probe_ids: int = 4,
+    n_cand: int = 10,
+    k: int = 5,
+    lam: float = 0.75,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein 1998) — the retrieval-diversity primitive RAG rerankers
+    use: greedily pick the candidate maximizing
+    ``λ·sim(q,c) − (1−λ)·max_{s∈selected} sim(c,s)``, so near-duplicate
+    results can't crowd the cut even when they dominate raw similarity.
+
+    Fixed-round formulation (k unrolled greedy rounds over the
+    n_cand-candidate pool) so a SQL oracle replays every selection —
+    the kmeans/pagerank/kcore unrolling technique applied to greedy
+    subset selection. λ defaults to 0.75 (an EXACT binary fraction, as
+    is 1−λ = 0.25) so the mmr score is two exact-constant multiplies
+    and one subtract over the bit-portable cosine folds — identical
+    doubles in both engines, tiebroken by id.
+
+    100 TB shape: the candidate pool per probe is n_cand rows (here
+    from the exact tier; swap in any ANN tier — multiprobe, IVF+SQ —
+    for corpus-scale candidate generation), so the k rounds and the
+    n_cand² pairwise-sim frame are probe-bounded work, independent of
+    corpus size after candidate generation.
+    """
+    probes = emb.filter(F.col(id_col) < n_probe_ids).select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("ea")
+    )
+    allv = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("eb")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("simq"), F.col("id_b"))
+    cand = (
+        probes.crossJoin(allv)
+        .filter(F.col("id_b") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "id_b",
+            "eb",
+            cosine(F.col("ea"), F.col("eb")).alias("simq"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_cand)
+        .drop("rn")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cc = (
+        cand.alias("x")
+        .join(cand.alias("y"), "probe_id")
+        .filter(F.col("x.id_b") != F.col("y.id_b"))
+        .select(
+            "probe_id",
+            F.col("x.id_b").alias("ca"),
+            F.col("y.id_b").alias("cb"),
+            cosine(F.col("x.eb"), F.col("y.eb")).alias("sim_cc"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sel = None
+    remaining = cand.select("probe_id", "id_b", "simq")
+    for r in range(1, k + 1):
+        if sel is None:
+            scored = remaining.withColumn("mmr", F.col("simq") * F.lit(lam))
+        else:
+            mx = (
+                cc.join(
+                    sel.select("probe_id", F.col("id_b").alias("cb")),
+                    ["probe_id", "cb"],
+                )
+                .groupBy("probe_id", F.col("ca").alias("id_b"))
+                .agg(F.max("sim_cc").alias("maxsel"))
+            )
+            scored = remaining.join(mx, ["probe_id", "id_b"], "left").withColumn(
+                "mmr",
+                F.col("simq") * F.lit(lam)
+                - F.coalesce(F.col("maxsel"), F.lit(0.0)) * F.lit(1.0 - lam),
+            )
+        ww = Window.partitionBy("probe_id").orderBy(F.desc("mmr"), F.col("id_b"))
+        pick = (
+            scored.withColumn("rr", F.row_number().over(ww))
+            .filter(F.col("rr") == 1)
+            .select("probe_id", "id_b", "simq")
+            .withColumn("rank", F.lit(r))
+        )
+        sel = pick if sel is None else sel.unionByName(pick)
+        remaining = remaining.join(
+            pick.select("probe_id", "id_b"), ["probe_id", "id_b"], "left_anti"
+        )
+    return sel.select("probe_id", "rank", "id_b", "simq")

@@ -6020,3 +6020,111 @@ def corpus_source_novelty(spark, sf_dir):
     from chapterhouseqe_spark.operators.corpus import source_novelty
 
     return source_novelty(t(spark, sf_dir, "documents"))
+
+
+def _mmr_oracle_sql(n_probe: int = 4, n_cand: int = 10, k: int = 5) -> str:
+    """Unrolled-greedy MMR replay (kmeans/pagerank/kcore technique):
+    one pick CTE per round; λ=0.75 and 1−λ=0.25 are exact binary
+    fractions so the mmr score is bit-portable."""
+    head = f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS probe_id, b.vec_id AS id_b,
+             a.embedding AS ea, b.embedding AS eb
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < {n_probe} AND b.vec_id != a.vec_id
+    ),
+    dots AS (
+      SELECT probe_id, id_b,
+             list_reduce(
+               list_transform(generate_series(1, len(ea)),
+                              i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)),
+               (acc, x) -> acc + x) AS dot
+      FROM pairs
+    ),
+    {_COSINE_NORMS_CTE},
+    simqs AS (
+      SELECT d.probe_id, d.id_b, d.dot / (na.nrm * nb.nrm) AS simq
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.probe_id
+      JOIN norms nb ON nb.vec_id = d.id_b
+    ),
+    cand AS (
+      SELECT probe_id, id_b, simq FROM (
+        SELECT probe_id, id_b, simq,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY simq DESC, id_b) AS rn
+        FROM simqs
+      ) WHERE rn <= {n_cand}
+    ),
+    cc AS (
+      SELECT x.probe_id, x.id_b AS ca, y.id_b AS cb,
+             list_reduce(
+               list_transform(generate_series(1, len(e1.embedding)),
+                 i -> CAST(e1.embedding[i] AS DOUBLE)
+                      * CAST(e2.embedding[i] AS DOUBLE)),
+               (acc, v) -> acc + v) / (n1.nrm * n2.nrm) AS sim_cc
+      FROM cand x
+      JOIN cand y ON x.probe_id = y.probe_id AND x.id_b != y.id_b
+      JOIN embeddings e1 ON e1.vec_id = x.id_b
+      JOIN embeddings e2 ON e2.vec_id = y.id_b
+      JOIN norms n1 ON n1.vec_id = x.id_b
+      JOIN norms n2 ON n2.vec_id = y.id_b
+    ),
+    pick1 AS (
+      SELECT probe_id, id_b, simq, 1 AS rank FROM (
+        SELECT probe_id, id_b, simq,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY simq * 0.75 DESC, id_b) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    ),
+    sel1 AS (SELECT probe_id, id_b FROM pick1)"""
+    parts = [head]
+    for r in range(2, k + 1):
+        parts.append(f""",
+    mx{r} AS (
+      SELECT c.probe_id, c.ca AS id_b, MAX(c.sim_cc) AS maxsel
+      FROM cc c JOIN sel{r - 1} s
+        ON s.probe_id = c.probe_id AND s.id_b = c.cb
+      GROUP BY 1, 2
+    ),
+    pick{r} AS (
+      SELECT probe_id, id_b, simq, {r} AS rank FROM (
+        SELECT c.probe_id, c.id_b, c.simq,
+               ROW_NUMBER() OVER (PARTITION BY c.probe_id
+                 ORDER BY c.simq * 0.75 - COALESCE(m.maxsel, 0.0) * 0.25 DESC,
+                          c.id_b) AS rn
+        FROM cand c
+        LEFT JOIN mx{r} m ON m.probe_id = c.probe_id AND m.id_b = c.id_b
+        WHERE NOT EXISTS (SELECT 1 FROM sel{r - 1} s
+                          WHERE s.probe_id = c.probe_id
+                            AND s.id_b = c.id_b)
+      ) WHERE rn = 1
+    ),
+    sel{r} AS (SELECT probe_id, id_b FROM sel{r - 1}
+               UNION ALL SELECT probe_id, id_b FROM pick{r})""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT probe_id, rank, id_b, simq FROM pick{r}" for r in range(1, k + 1)
+    )
+    return "".join(parts) + "\n    " + union
+
+
+@query(
+    "embedding_mmr_topk",
+    oracle=_mmr_oracle_sql(),
+    tags=("pipeline", "similarity", "retrieval"),
+    doc="Maximal Marginal Relevance diversified top-5 (Carbonell & "
+    "Goldstein 1998) from a 10-candidate pool per probe (vec_id<4): "
+    "greedy picks maximize 0.75*sim(q,c) - 0.25*max sim(c, selected), "
+    "so near-duplicate results cannot crowd the cut — the RAG reranker "
+    "diversity stage. Fixed-round greedy so the oracle replays every "
+    "selection as unrolled CTEs; lambda and 1-lambda are exact binary "
+    "fractions over the bit-portable cosine folds. Candidate pool here "
+    "is the exact tier; at corpus scale swap in any ANN tier — rounds "
+    "are pool-bounded, independent of corpus size "
+    "(operators/similarity.py:mmr_diversified_topk)",
+)
+def embedding_mmr_topk(spark, sf_dir):
+    from chapterhouseqe_spark.operators.similarity import mmr_diversified_topk
+
+    return mmr_diversified_topk(t(spark, sf_dir, "embeddings"))

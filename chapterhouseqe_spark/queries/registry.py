@@ -166,7 +166,7 @@ def _ensure_registered() -> None:
 # r9 window plan, computed (not hand-tallied — the r7 verdict's item 7
 # showed hand counts drift) as registry MINUS the union of green rows
 # in CORRECTNESS_r01..r07 MINUS this window's 50 names: tier (a) = the
-# 63 round-8 additions, alphabetical (asof_join_nearest,
+# 64 round-8 additions, alphabetical (asof_join_nearest,
 # audit_join_skew, audit_replica_merkle_diff,
 # corpus_novelty_curve, corpus_source_novelty, corpus_source_overlap,
 # dedup_cdc_chunks, dedup_cluster_size_hist, dedup_keep_best_quality,
@@ -176,6 +176,7 @@ def _ensure_registered() -> None:
 # embedding_ann_multiprobe_topk,
 # embedding_drift_audit, embedding_gram_matrix, embedding_hard_negatives,
 # embedding_ivf_sq_prebuilt_topk, embedding_matryoshka_overlap,
+# embedding_mmr_topk,
 # graph_kcore_dup_families,
 # events_attribution_last_touch, events_cusum_changepoints,
 # events_debounce, events_ewma_anomaly, events_ewma_hourly,

@@ -466,3 +466,53 @@ def test_multiprobe_recall_dominates_single_bucket(spark, sf_dir):
     r_single = len(single & exact) / len(exact)
     assert r_multi >= r_single  # probing neighbor buckets never hurts
     assert len(multi) >= len(single)
+
+
+def test_mmr_matches_python_greedy(spark, sf_dir):
+    import math
+
+    from chapterhouseqe_spark.operators.similarity import (
+        mmr_diversified_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = [
+        (r.probe_id, r.rank, r.id_b)
+        for r in mmr_diversified_topk(emb).collect()
+    ]
+    vecs = {r.vec_id: r.embedding for r in emb.collect()}
+
+    def cos(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+        na = 0.0
+        nb = 0.0
+        for x in a:
+            na += float(x) * float(x)
+        for y in b:
+            nb += float(y) * float(y)
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    want = []
+    for p in range(4):
+        sims = sorted(
+            ((cos(vecs[p], v), -i) for i, v in vecs.items() if i != p),
+            reverse=True,
+        )
+        cand = [(-ni, s) for s, ni in sims[:10]]
+        selected = []
+        pool = dict(cand)
+        for rank in range(1, 6):
+            best = None
+            for cid, simq in sorted(pool.items()):
+                pen = max(
+                    (cos(vecs[cid], vecs[s]) for s in selected), default=0.0
+                )
+                mmr = simq * 0.75 - pen * 0.25
+                if best is None or mmr > best[0]:
+                    best = (mmr, cid)
+            selected.append(best[1])
+            del pool[best[1]]
+            want.append((p, rank, best[1]))
+    assert sorted(got) == sorted(want)
