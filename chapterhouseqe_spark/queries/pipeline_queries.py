@@ -6128,3 +6128,57 @@ def embedding_mmr_topk(spark, sf_dir):
     from chapterhouseqe_spark.operators.similarity import mmr_diversified_topk
 
     return mmr_diversified_topk(t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "dedup_threshold_sensitivity",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+            FROM toks) z
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jac
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.2
+    )
+    SELECT CAST(floor(jac * 20) AS INT) AS bucket_20th,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM j GROUP BY 1
+    """,
+    tags=("pipeline", "dedup"),
+    doc="Dedup threshold-sensitivity histogram: exact-jaccard pair "
+    "counts in 0.05-wide buckets from 0.2 up — the tuning diagnostic "
+    "that shows where the duplicate mass sits before committing to a "
+    "threshold (a cliff just below your cutoff means the choice is "
+    "load-bearing; a flat valley means it isn't). Bucketing is "
+    "floor(jac*20) on the bit-portable jaccard double — integer "
+    "output, one inverted-index shuffle, same skeleton as the pairing "
+    "family",
+)
+def dedup_threshold_sensitivity(spark, sf_dir):
+    from chapterhouseqe_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        threshold=0.2,
+        prefix_filter=True,
+    )
+    return pairs.groupBy(
+        F.floor(F.col("jaccard") * 20).cast("int").alias("bucket_20th")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
