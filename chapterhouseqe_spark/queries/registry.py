@@ -131,133 +131,104 @@ def _ensure_registered() -> None:
 
 # Grading priority. The driver's correctness gate grades a 50-entry
 # prefix of the registry, so dict order decides which queries get
-# driver-oracle evidence. Round-8 window (executes round-7 verdict item
-# 1 — grade every zero-driver-evidence query):
-# (a) all 26 round-7 additions, which sat after the r7 window by the
-#     rotation rule ("the r6 verdict explicitly prioritized the stale
-#     cohort"); each is oracle-green locally at sf0.001/0.01/0.1 and
-#     8 were independently re-verified by the r7 judge, but driver
-#     rows are the standard.
-# (b) 4 regrades of queries whose IMPLEMENTATION changed in r7 after
-#     (or without) their last driver row: embedding_cosine_topk and
-#     embedding_sq_topk gained the size-adaptive two-stage salted
-#     top-k; manifest_pruned_scan and manifest_bloom_scan now read a
-#     distributed-built manifest.
-# (c) 7 per-family canaries for families not already covered by (a)
-#     or (b), chosen as each family's STALEST row: orc_scan (scan,
-#     r5), range_join_windows (join, r4), grouping_sets_mix (agg,
-#     r4), set_except_intersect_all (sets, r6),
-#     correlated_agg_subquery (subquery, r6), udaf_grouped_median
-#     (udf, r6), stream_source_replay_agg (streaming, r6). The other
-#     families ride the window: dedup → dedup_substring_passages,
-#     similarity → embedding_ivf_sq_topk, text → text_gopher_rules,
-#     maintenance → analyze_table_stats, layout →
-#     manifest_pruned_scan, sources → multimodal_audio_chunks,
-#     corpus-prep → pipeline_epoch_shuffle, window →
-#     events_windowed_topk.
-# (d) 13 backfill slots for the stalest remaining rows (all last
-#     graded r4): dedup_exact, embedding_ivf_topk, text_stats,
-#     text_lang_id, tpch_q6/q18/q19, multimodal_decode_features,
-#     events_tumbling_window, pipeline_contamination_check,
-#     json_extract_props, ref_qualified_wildcard,
-#     window_time_range_avg.
-# Queries ADDED in round 8 intentionally sit after the window (the
-# same rotation rule) and are first in line for the r9 window.
-# r9 window plan, computed (not hand-tallied — the r7 verdict's item 7
-# showed hand counts drift) as registry MINUS the union of green rows
-# in CORRECTNESS_r01..r07 MINUS this window's 50 names: tier (a) = the
-# 64 round-8 additions, alphabetical (asof_join_nearest,
-# audit_join_skew, audit_replica_merkle_diff,
-# corpus_novelty_curve, corpus_source_novelty, corpus_source_overlap,
-# dedup_cdc_chunks, dedup_cluster_size_hist, dedup_keep_best_quality,
-# dedup_minhash_error_audit,
-# dedup_ngram_containment, dedup_simhash_radius,
-# dedup_ngram_jaccard_prefix, docs_bm25_self_retrieval, docs_bm25_topk,
-# embedding_ann_multiprobe_topk,
-# embedding_drift_audit, embedding_gram_matrix, embedding_hard_negatives,
-# embedding_ivf_sq_prebuilt_topk, embedding_matryoshka_overlap,
-# embedding_mmr_topk,
-# graph_kcore_dup_families,
-# events_attribution_last_touch, events_cusum_changepoints,
-# events_debounce, events_ewma_anomaly, events_ewma_hourly,
-# events_forward_fill, events_holt_backtest, events_holt_forecast,
-# events_pit_features, events_power_user_share,
-# events_seasonality_profile, hll_sliding_union, ivm_join_delta,
-# join_fuzzy_part_names, merge_on_read_deletes,
-# multimodal_image_patches, orders_abc_pareto,
-# orders_basket_pairs, orders_cohort_ltv, orders_new_vs_returning,
-# orders_rfm_segments, partition_evolution_scan,
-# pipeline_byte_balanced_shards,
-# pipeline_cluster_aware_split,
-# pipeline_source_quota, pipeline_split_leakage_audit,
-# pipeline_stratified_split,
-# scan_schema_evolution, stats_weighted_median, stats_winsorize,
-# stream_interval_join, events_linear_trend, events_type_correlation,
-# events_markov_prediction_eval, multimodal_phash_dedup,
-# text_char_coincidence_filter, text_hash_classifier_score,
-# text_ngram_diversity, text_zipf_coverage, write_audit_publish_gates,
-# docs_hybrid_rrf_retrieval — all oracle-green locally
-# at three scales, most also at sf1); the remaining slots per the standing rotation
-# rules: regrades of r9-changed implementations first (the prefix-
-# filter jaccard rewrite shares dedup_ngram_jaccard's row — already
-# tier (a) via its own query), then per-family canaries for families
-# tier (a) leaves uncovered (scan, subquery, sets, udf, maintenance),
-# then the stalest remaining rows.
+# driver-oracle evidence. Round-9 window (executes round-8 verdict item
+# 1 — drain the zero-driver-evidence backlog): the registry entered r9
+# with 65 queries having zero driver rows (all 65 r8 additions,
+# computed as registry MINUS the union of green rows in
+# CORRECTNESS_r01..r08 — judge-verified count, including
+# dedup_threshold_sensitivity which the r8 plan comment omitted).
+# 65 > 50, so per the verdict: ALL 50 slots are tier (a) — r8
+# additions — prioritizing one representative per new operator family
+# (recurrence: events_ewma_hourly/events_cusum_changepoints/
+# events_holt_backtest; retrieval: docs_bm25_topk/
+# docs_bm25_self_retrieval/docs_hybrid_rrf_retrieval; splits:
+# pipeline_stratified_split/pipeline_cluster_aware_split/
+# pipeline_split_leakage_audit; k-core: graph_kcore_dup_families;
+# phash: multimodal_phash_dedup; CDC: dedup_cdc_chunks; merkle:
+# audit_replica_merkle_diff; WAP: write_audit_publish_gates). The 15
+# spillover names — each with a same-family sibling in this window —
+# form the EXPLICIT r10 TIER below. Two standing per-family canaries
+# (sets: set_except_intersect_all; subquery: correlated_agg_subquery)
+# are displaced for exactly this round: both were graded green in the
+# r8 window (the freshest rows in the registry), and the verdict's
+# instruction is to fill all 50 slots from tier (a). They return as
+# canaries in r10.
+#
+# r10 window plan (computed by tools/coverage_counts.py — run it at
+# round close; it asserts this list matches the live zero-evidence
+# set): tier (a) = the 15 r9 spillover names, in window order:
+#   stats_winsorize, orders_new_vs_returning, orders_cohort_ltv,
+#   orders_basket_pairs, dedup_ngram_containment, dedup_simhash_radius,
+#   dedup_cluster_size_hist, embedding_gram_matrix,
+#   embedding_matryoshka_overlap, corpus_novelty_curve,
+#   events_ewma_anomaly, events_holt_forecast, events_linear_trend,
+#   events_type_correlation, events_seasonality_profile
+# plus every query ADDED in round 9 (capped at ~10 per the verdict so
+# the backlog clears completely); then the two displaced canaries
+# (set_except_intersect_all, correlated_agg_subquery) and per-family
+# canaries for any family tier (a) leaves uncovered; remaining slots
+# backfill the stalest rows (the r5-graded cohort is next-stalest).
 GRADE_ORDER: tuple[str, ...] = (
-    # (a) the 26 zero-driver-evidence r7 additions, registration order
-    "ref_manifest_pruned_query",
-    "stats_iqr_outliers",
-    "timeseries_mom_growth",
-    "orders_fulfillment_latency",
-    "analyze_table_stats",
-    "audit_referential_integrity",
-    "embedding_ivf_sq_topk",
-    "bpe_train_loop",
-    "dedup_substring_passages",
-    "pipeline_temperature_weights",
-    "pipeline_epoch_shuffle",
-    "bpe_encode_corpus_stats",
-    "text_bigram_quality",
-    "pipeline_quality_lang_filter",
-    "text_gopher_rules",
-    "multimodal_audio_chunks",
-    "hll_set_algebra",
-    "graph_triangle_count",
-    "dedup_substring_rewrite",
-    "dedup_sparse_tf_cosine",
-    "embedding_norm_audit",
-    "corpus_composition_report",
-    "events_windowed_topk",
-    "events_anomaly_zscore",
-    "events_transition_matrix",
-    "events_dau_stickiness",
-    # (b) regrades of r7-changed implementations
-    "embedding_cosine_topk",
-    "embedding_sq_topk",
-    "manifest_pruned_scan",
-    "manifest_bloom_scan",
-    # (c) per-family canaries (stalest row per uncovered family)
-    "orc_scan",
-    "range_join_windows",
-    "grouping_sets_mix",
-    "set_except_intersect_all",
-    "correlated_agg_subquery",
-    "udaf_grouped_median",
-    "stream_source_replay_agg",
-    # (d) backfill: the stalest remaining rows (last graded r4)
-    "dedup_exact",
-    "embedding_ivf_topk",
-    "text_stats",
-    "text_lang_id",
-    "tpch_q6_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive",
-    "multimodal_decode_features",
-    "events_tumbling_window",
-    "pipeline_contamination_check",
-    "json_extract_props",
-    "ref_qualified_wildcard",
-    "window_time_range_avg",
+    # --- joins (new r8 join shapes: fuzzy q-gram, as-of, interval) ---
+    "join_fuzzy_part_names",
+    "asof_join_nearest",
+    "stream_interval_join",
+    "audit_join_skew",
+    # --- scan / layout / maintenance (WAP, merkle, MoR, IVM) ---
+    "scan_schema_evolution",
+    "partition_evolution_scan",
+    "merge_on_read_deletes",
+    "write_audit_publish_gates",
+    "audit_replica_merkle_diff",
+    "ivm_join_delta",
+    # --- agg / window / orders analytics ---
+    "stats_weighted_median",
+    "orders_abc_pareto",
+    "orders_rfm_segments",
+    "events_attribution_last_touch",
+    "events_pit_features",
+    "events_power_user_share",
+    # --- dedup (CDC chunking, keep-best, threshold audit, prefix) ---
+    "dedup_cdc_chunks",
+    "dedup_keep_best_quality",
+    "dedup_threshold_sensitivity",
+    "dedup_minhash_error_audit",
+    "dedup_ngram_jaccard_prefix",
+    "multimodal_phash_dedup",
+    "graph_kcore_dup_families",
+    # --- similarity / ANN (MMR, multiprobe, prebuilt serving) ---
+    "embedding_mmr_topk",
+    "embedding_ann_multiprobe_topk",
+    "embedding_ivf_sq_prebuilt_topk",
+    "embedding_hard_negatives",
+    "embedding_drift_audit",
+    # --- retrieval (BM25, self-retrieval eval, hybrid RRF) ---
+    "docs_bm25_topk",
+    "docs_bm25_self_retrieval",
+    "docs_hybrid_rrf_retrieval",
+    # --- text quality ---
+    "text_hash_classifier_score",
+    "text_ngram_diversity",
+    "text_zipf_coverage",
+    "text_char_coincidence_filter",
+    # --- corpus prep / splits / sharding ---
+    "pipeline_stratified_split",
+    "pipeline_cluster_aware_split",
+    "pipeline_split_leakage_audit",
+    "pipeline_source_quota",
+    "pipeline_byte_balanced_shards",
+    "corpus_source_overlap",
+    "corpus_source_novelty",
+    # --- multimodal / sketches ---
+    "multimodal_image_patches",
+    "hll_sliding_union",
+    # --- streaming / recurrence (pandas-seam stateful folds) ---
+    "events_debounce",
+    "events_forward_fill",
+    "events_ewma_hourly",
+    "events_cusum_changepoints",
+    "events_holt_backtest",
+    "events_markov_prediction_eval",
 )
 
 
