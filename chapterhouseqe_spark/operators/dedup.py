@@ -352,13 +352,25 @@ def ngram_jaccard_pairs(
     shuffle; the prefix form pays it only over prefix postings.
 
     ``max_shingle_freq`` remains the lossy 100 TB backstop: shingles
-    shared by more than N docs are dropped from the index BEFORE prefix
-    selection (prefix lengths then derive from the filtered set sizes),
+    shared by more than N docs are dropped from the inverted index,
     bounding an adversarial corpus where a hot shingle is every doc's
-    rarest. Candidates are then pairs sharing a non-hot prefix shingle
-    — a subset of the old non-hot-shingle candidates. Pass ``None`` for
-    the fully exact answer. Verified Jaccard always uses the FULL
-    shingle sets, so surviving pairs are exact either way.
+    rarest. Under ``prefix_filter`` the ordering of the two steps
+    matters (r8 ADVICE): prefix lengths and ranks are computed from the
+    FULL shingle sets FIRST, and hot shingles are removed from the
+    resulting prefix postings AFTER. Because every hot shingle has
+    ``df > cap >= df`` of every non-hot shingle, hot shingles sort
+    strictly last in the rarest-first order, so the order-minimal
+    element of A∩B is non-hot whenever the pair shares ANY non-hot
+    shingle — and the prefix guarantee (w.r.t. the full sets) places
+    that element in both prefixes. The recall contract is therefore
+    IDENTICAL to the direct path's at the same cap: only pairs whose
+    entire overlap is hot shingles are missed. (Deriving prefixes from
+    the filtered sets — the old behavior — was strictly lossier: a pair
+    whose qualifying overlap was carried largely by hot shingles could
+    shorten below the guarantee.) Pass ``None`` for the fully exact
+    answer — REQUIRED wherever the result is compared against an exact
+    oracle. Verified Jaccard always uses the FULL shingle sets, so
+    surviving pairs are exact either way.
 
     Default OFF — measured A/B (PLANS.md round-8 prefix-filter probe):
     the direct pair-count path wins when posting lists are short or
@@ -374,6 +386,7 @@ def ngram_jaccard_pairs(
     """
     sh = with_shingles(df, text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
     posting = sh.select("id", F.explode("shingles").alias("s"))
+    hot = None
     if max_shingle_freq is not None:
         # stop-shingle set is small (only over-cap postings) → broadcast
         # anti-join, lazy — costs one aggregation over the cached shingle
@@ -391,8 +404,11 @@ def ngram_jaccard_pairs(
                 hot.count(),
                 max_shingle_freq,
             )
-        posting = posting.join(F.broadcast(hot), "s", "left_anti")
     if prefix_filter:
+        # Prefix lengths/ranks derive from the FULL posting (hot
+        # shingles still present); hot removal happens on the selected
+        # prefixes below. Hot shingles have strictly the largest df so
+        # they sort last — see the docstring's recall-contract proof.
         freq = posting.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
         w = Window.partitionBy("id")
         ranked = (
@@ -405,6 +421,8 @@ def ngram_jaccard_pairs(
         # exactly the threshold; under-shooting only lengthens it.
         alpha = F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9))
         posting = ranked.filter(F.col("rn") <= F.col("n") - alpha + 1).select("id", "s")
+    if hot is not None:
+        posting = posting.join(F.broadcast(hot), "s", "left_anti")
     a = posting.select(F.col("id").alias("id_a"), "s")
     b = posting.select(F.col("id").alias("id_b"), "s")
     if prefix_filter:

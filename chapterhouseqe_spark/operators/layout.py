@@ -652,8 +652,13 @@ def write_manifest_blooms(
             entry["bloom"] = by_file[entry["file"]]
             for c in columns:
                 agg[c] |= int(entry["bloom"][c], 16)
-        with open(spath, "w") as fh:
+        # atomic tmp-write + replace, matching _MANIFEST_INDEX.json's
+        # discipline (r8 ADVICE: in-place rewrite corrupts the shard on
+        # a mid-write crash).
+        stmp = spath + ".tmp"
+        with open(stmp, "w") as fh:
             _json.dump(shard, fh)
+        os.replace(stmp, spath)
         srow["bloom"] = {c: format(agg[c], "x") for c in columns}
         n += len(shard["files"])
     index["bloom_params"] = {"m_bits": m_bits, "n_hashes": n_hashes}

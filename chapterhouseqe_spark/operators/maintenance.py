@@ -259,7 +259,16 @@ def read_with_deletes(spark, table_path: str, key_col: str) -> DataFrame:
     import glob as _glob
     import os
 
-    base = spark.read.parquet(os.path.join(table_path, "base"))
+    bdir = os.path.join(table_path, "base")
+    if not os.path.isdir(bdir):
+        # Crash-recovery fallback (r8 ADVICE): compact_deletes renames
+        # the old base aside before promoting base.staged; a crash in
+        # that window leaves the fully-written staged dir as the only
+        # complete base.
+        staged = os.path.join(table_path, "base.staged")
+        if os.path.isdir(staged):
+            bdir = staged
+    base = spark.read.parquet(bdir)
     dels = sorted(_glob.glob(os.path.join(table_path, "_DELETES", "del-*")))
     if not dels:
         return base
@@ -272,19 +281,29 @@ def compact_deletes(spark, table_path: str, key_col: str) -> None:
     copy-on-write step, run when the read-side anti-join cost exceeds
     one rewrite). Readers see identical rows before and after — pinned
     in tests. Crash-safe in the snapshot sense: the new base is staged
-    beside the old one and swapped last."""
+    beside the old one, the old base is renamed ASIDE (never deleted
+    before its replacement is promoted — r8 ADVICE: rmtree-then-replace
+    left a window with no base at all), the staged dir is promoted, and
+    only then are the aside copy and the delete files removed. A crash
+    at any point leaves either the old base or a complete staged base;
+    :func:`read_with_deletes` falls back to ``base.staged`` when
+    ``base`` is missing, and re-applying the surviving delete files is
+    idempotent by anti-join semantics."""
     import os
     import shutil
+    import uuid
 
     merged = read_with_deletes(spark, table_path, key_col)
     staged = os.path.join(table_path, "base.staged")
     merged.write.mode("overwrite").parquet(staged)
     old = os.path.join(table_path, "base")
-    shutil.rmtree(old)
+    aside = os.path.join(table_path, f"base.old-{uuid.uuid4().hex}")
+    os.rename(old, aside)
     os.replace(staged, old)
     ddir = os.path.join(table_path, "_DELETES")
     if os.path.isdir(ddir):
         shutil.rmtree(ddir)
+    shutil.rmtree(aside)
 
 
 def rollup_state(

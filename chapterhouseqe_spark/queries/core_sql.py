@@ -3236,9 +3236,14 @@ def events_attribution_last_touch(spark, sf_dir):
         .over(w)
         .alias("touch_ts"),
     )
-    within = F.timestamp_diff("SECOND", F.col("touch_ts"), F.col("ts")) <= (
-        7 * 86400
-    )
+    # Full-precision comparison (r8 ADVICE): event timestamps carry
+    # microseconds, and the oracle compares the exact interval
+    # (ts - touch_ts <= INTERVAL 7 DAY). timestamp_diff('SECOND')
+    # truncates sub-second parts, flipping purchases whose last touch
+    # is between exactly 7d and 7d+1s earlier; the direct interval
+    # comparison matches the oracle's semantics bit-for-bit (and works
+    # on TIMESTAMP_NTZ, which unix_micros rejects).
+    within = F.col("touch_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")
     return (
         marked.filter(F.col("event_type") == "purchase")
         .select(

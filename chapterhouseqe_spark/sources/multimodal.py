@@ -263,7 +263,11 @@ def patch_grid(
     n = F.length(F.col("payload"))
     n_rows = F.ceil(n.cast("double") / F.lit(float(row_bytes))).cast("int")
     n_prow = F.ceil(n_rows.cast("double") / F.lit(float(patch))).cast("int")
-    n_pcol = row_bytes // patch
+    # max(..., 1): when row_bytes < patch the grid still has ONE ragged
+    # column (r8 ADVICE — an unguarded 0 made sequence(0, -1) DESCEND,
+    # emitting spurious patch_col=-1 rows with negative offsets; the
+    # sibling n_prow was already guarded).
+    n_pcol = max(row_bytes // patch, 1)
     pr = F.explode(F.sequence(F.lit(0), F.greatest(n_prow - 1, F.lit(0))))
     pc = F.explode(F.sequence(F.lit(0), F.lit(n_pcol - 1)))
     patch_bytes = F.concat(
