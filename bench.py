@@ -331,22 +331,39 @@ def main() -> None:
         "w",
     ) as f:
         f.write(full + "\n")
-    compact = json.dumps(
-        {
-            "metric": "headline_total_runtime",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "extended_total": round(sum(extended.values()), 3),
-            "core_total": round(sum(core.values()), 3),
-            "n_extended": len(extended),
-            "n_core": len(core),
-            "sf1_total": round(sum(sf1.values()), 3) if sf1 else None,
-            "sf1_n_skipped": len(sf1_skipped),
-            "detail": "bench_last.json",
-            "sf": sf,
-        }
-    )
+    # Per-query sf1 map in the driver-visible tail (r8 verdict item 3:
+    # sf1_total alone hid single-query sf1 regressions from the
+    # BENCH_r{N}.json artifact chain). The full 27-entry map fits the
+    # ~2000-char tail budget alongside the headline map only barely,
+    # so degrade gracefully: emit the full map if the compact line
+    # stays under 1900 chars, else the top-10 slowest slice (the
+    # queries whose regressions matter most), labeled as such.
+    def _compact(sf1_map: dict[str, float], label: str) -> str:
+        return json.dumps(
+            {
+                "metric": "headline_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "extended_total": round(sum(extended.values()), 3),
+                "core_total": round(sum(core.values()), 3),
+                "n_extended": len(extended),
+                "n_core": len(core),
+                "sf1_total": round(sum(sf1.values()), 3) if sf1 else None,
+                "sf1_queries": sf1_map,
+                "sf1_slice": label,
+                "sf1_n_skipped": len(sf1_skipped),
+                "detail": "bench_last.json",
+                "sf": sf,
+            }
+        )
+
+    compact = _compact(sf1, "full")
+    if len(compact) > 1900:
+        top10 = dict(
+            sorted(sf1.items(), key=lambda kv: kv[1], reverse=True)[:10]
+        )
+        compact = _compact(top10, "top10_slowest")
     print(compact, flush=True)
     print(compact, file=sys.stderr, flush=True)
 
