@@ -231,6 +231,35 @@ GRADE_ORDER: tuple[str, ...] = (
     "events_markov_prediction_eval",
 )
 
+# Explicit next-round grading tier (r8 verdict items 1 + 4): every
+# registered query with zero driver evidence must appear either in
+# GRADE_ORDER (graded this round) or here (first in line next round) —
+# asserted by tools/coverage_counts.py and
+# tests/test_queries_arrays.py, so a late-session addition can never
+# silently fall out of the evidence pipeline again (the r8 plan
+# comment omitted dedup_threshold_sensitivity exactly that way).
+# Queries ADDED in round 9 append themselves here at registration
+# review time; the r9 cap is ~10 additions so r10 clears the backlog.
+NEXT_WINDOW_PLAN: tuple[str, ...] = (
+    # the 15 r9 spillover names (each has a same-family sibling in the
+    # r9 window):
+    "stats_winsorize",
+    "orders_new_vs_returning",
+    "orders_cohort_ltv",
+    "orders_basket_pairs",
+    "dedup_ngram_containment",
+    "dedup_simhash_radius",
+    "dedup_cluster_size_hist",
+    "embedding_gram_matrix",
+    "embedding_matryoshka_overlap",
+    "corpus_novelty_curve",
+    "events_ewma_anomaly",
+    "events_holt_forecast",
+    "events_linear_trend",
+    "events_type_correlation",
+    "events_seasonality_profile",
+)
+
 
 def _ordered() -> dict[str, Query]:
     _ensure_registered()

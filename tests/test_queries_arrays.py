@@ -123,6 +123,35 @@ def test_graded_prefix_invariants():
     assert not out, f"families without an in-window representative: {out}"
 
 
+def test_evidence_pipeline_invariant():
+    """Every zero-driver-evidence query must be in GRADE_ORDER (graded
+    this round) or NEXT_WINDOW_PLAN (explicit next-round tier) — the
+    structural fix for three rounds of hand-tallied plan drift (r8
+    verdict item 4: the r8 plan comment silently omitted
+    dedup_threshold_sensitivity). Shares its logic with
+    tools/coverage_counts.py so the round-close tool and the suite can
+    never disagree."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "coverage_counts",
+        os.path.join(
+            os.path.dirname(os.path.dirname(__file__)),
+            "tools",
+            "coverage_counts.py",
+        ),
+    )
+    cc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cc)
+    c = cc.compute()
+    assert not c["plan_names_not_registered"], c["plan_names_not_registered"]
+    assert not c["unplanned_zero_evidence"], (
+        "zero-evidence queries in neither GRADE_ORDER nor "
+        f"NEXT_WINDOW_PLAN: {c['unplanned_zero_evidence']}"
+    )
+
+
 def test_bench_tiers_cover_registry_exactly_once():
     """Every registered query is timed in exactly one bench tier —
     the r6 verdict found 84 queries invisible to regression detection;
