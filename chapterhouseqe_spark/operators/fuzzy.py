@@ -36,6 +36,7 @@ def qgram_levenshtein_join(
     q: int = 3,
     min_shared: int = 2,
     max_dist: int = 3,
+    max_gram_freq: int | None = 10_000,
 ) -> DataFrame:
     """Self fuzzy-join of the DISTINCT values of ``text_col``.
 
@@ -44,6 +45,20 @@ def qgram_levenshtein_join(
     and lev = exact edit distance (<= ``max_dist``). Deterministic —
     both engines implement plain Levenshtein, so the verify predicate
     is bit-portable.
+
+    ``max_gram_freq`` is the stop-gram cap (r8 verdict item 5,
+    mirroring ``dedup.py``'s stop-shingle cap): a q-gram carried by
+    more than N distinct names (``"the"``, ``"ing"`` on a 100M-name
+    entity table) is dropped from the blocking index BEFORE the
+    self-join, because its posting list alone contributes C(df, 2)
+    candidate rows — the one term that breaks the candidates→verify
+    decomposition at scale. RECALL CONTRACT (same as the shingle
+    family's): ``n_shared`` then counts only non-hot shared grams, so
+    a pair whose shared grams are all (or mostly) stop-grams falls
+    below ``min_shared`` and is unfindable — exactly the pairs whose
+    evidence is the least distinctive. Pass ``None`` for the exact
+    count — REQUIRED wherever the result is compared against an exact
+    oracle.
     """
     names = df.select(F.col(text_col).alias("name")).distinct().filter(
         F.length("name") >= q
@@ -57,6 +72,16 @@ def qgram_levenshtein_join(
         )
     )
     grams = names.select("name", gram.alias("g"))
+    if max_gram_freq is not None:
+        # stop-gram set is tiny (only over-cap grams) → broadcast
+        # anti-join, computed lazily inside the main job.
+        hot = (
+            grams.groupBy("g")
+            .count()
+            .filter(F.col("count") > max_gram_freq)
+            .select("g")
+        )
+        grams = grams.join(F.broadcast(hot), "g", "left_anti")
     a = grams.select(F.col("name").alias("name_a"), "g")
     b = grams.select(F.col("name").alias("name_b"), "g")
     cand = (

@@ -710,3 +710,43 @@ def test_qgram_join_predicates_and_known_pair(spark, tmp_path):
     got = {(r["name_a"], r["name_b"]) for r in rows}
     assert ("economy anodized steel", "economy anodizes steel") in got
     assert not any("zzz" in p for pair in got for p in pair)
+
+
+def test_qgram_join_stop_gram_cap(spark):
+    """The max_gram_freq cap drops over-cap grams from blocking: a
+    pair whose shared grams are ALL hot becomes unfindable (documented
+    recall contract), while a pair sharing rare grams still surfaces
+    with n_shared counting only the non-hot ones."""
+    from chapterhouseqe_spark.operators.fuzzy import qgram_levenshtein_join
+
+    # "commonxy " prefix grams appear in all 6 names (df=6 > cap=3);
+    # the shared "tail" grams span all 4 tail names (df=4 > cap=3);
+    # the planted near-pair also shares df=2 suffix grams.
+    names = [f"commonxy tail{i:02d}" for i in range(4)] + [
+        "commonxy qrststu",
+        "commonxy qrstsu",  # 1 edit from the line above
+    ]
+    pair = ("commonxy qrststu", "commonxy qrstsu")  # name_a < name_b
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    capped = qgram_levenshtein_join(
+        df, "name", q=3, min_shared=2, max_dist=2, max_gram_freq=3
+    ).collect()
+    got = {(r["name_a"], r["name_b"]) for r in capped}
+    # the near-pair survives on its rare suffix grams alone...
+    assert pair in got
+    # ...and its n_shared excludes the hot prefix grams
+    uncapped = qgram_levenshtein_join(
+        df, "name", q=3, min_shared=2, max_dist=2, max_gram_freq=None
+    ).collect()
+    n_capped = {r["n_shared"] for r in capped
+                if (r["name_a"], r["name_b"]) == pair}
+    n_full = {r["n_shared"] for r in uncapped
+              if (r["name_a"], r["name_b"]) == pair}
+    assert n_capped and n_full and max(n_capped) < max(n_full)
+    # tail pairs share ONLY hot grams -> unfindable under the cap,
+    # present without it
+    tails = {(a, b) for (a, b) in
+             {(r["name_a"], r["name_b"]) for r in uncapped}
+             if "tail" in a and "tail" in b}
+    assert tails  # uncapped finds them (lev 1-2 on the digits)
+    assert not any("tail" in a and "tail" in b for (a, b) in got)
