@@ -258,6 +258,8 @@ NEXT_WINDOW_PLAN: tuple[str, ...] = (
     "events_linear_trend",
     "events_type_correlation",
     "events_seasonality_profile",
+    # round-9 additions (zero driver evidence until the r10 window):
+    "stream_ewma_replay",
 )
 
 

@@ -261,6 +261,99 @@ def stream_source_replay_agg(spark, sf_dir):
 
 
 @query(
+    "stream_ewma_replay",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT i AS event_id,
+             'l' || CAST(i % 5 AS VARCHAR) AS event_type,
+             (i * 37 % 1000) / 10.0 AS value,
+             ROW_NUMBER() OVER (PARTITION BY i % 5 ORDER BY i) AS rn
+      FROM generate_series(0, 119) g(i)
+    ),
+    r AS (
+      SELECT event_type, event_id, value, rn, value AS ewma
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT n.event_type, n.event_id, n.value, n.rn,
+             0.25 * n.value + 0.75 * r.ewma
+      FROM r JOIN base n
+        ON n.event_type = r.event_type AND n.rn = r.rn + 1
+    )
+    SELECT event_type, CAST(event_id AS BIGINT) AS event_id, value, ewma
+    FROM r
+    """,
+    tags=("streaming", "stateful", "source", "extension"),
+    doc="stateful streaming recurrence end-to-end (r8 verdict item 6): "
+    "streaming.recurrence.streaming_ewma (applyInPandasWithState — "
+    "per-key level carried ACROSS micro-batches) driven through 4 real "
+    "30-row micro-batches of the replayable Python Data Source "
+    "(sources/synthetic.py), so the graded rows include state that "
+    "survived 3 micro-batch boundaries. The oracle replays the "
+    "identical per-key fold as a recursive CTE over the source's "
+    "deterministic row function; alpha=0.25 is an exact binary "
+    "fraction, so every step is the same two mults + one add in both "
+    "engines — bit-identical doubles out. The batch twin "
+    "(operators/temporal.ewma_series) is graded as events_ewma_hourly; "
+    "tests/test_streaming.py pins stream==batch cross-batch equality",
+)
+def stream_ewma_replay(spark, sf_dir):
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    from chapterhouseqe_spark.sources.synthetic import register_synthetic_source
+    from chapterhouseqe_spark.streaming.recurrence import streaming_ewma
+
+    register_synthetic_source(spark)
+    stream = (
+        spark.readStream.format("chqe_synthetic")
+        .option("batch_rows", 30)
+        .option("max_rows", 120)
+        .load()
+        .select(
+            F.col("label").alias("event_type"),
+            F.timestamp_seconds(F.col("id")).alias("ts"),
+            F.col("id").alias("event_id"),
+            "value",
+        )
+    )
+    folded = streaming_ewma(stream, alpha=0.25)
+    name = f"stream_ewma_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="chqe_ewma_ckpt_")
+    q = (
+        folded.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table(name).count() >= 120:
+                break
+            time.sleep(0.25)
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    got = spark.table(name).count()
+    if got < 120:
+        # A stalled stream must fail loudly, not return partial rows
+        # the oracle would grade as a wrong answer.
+        raise RuntimeError(
+            f"stream_ewma_replay: stream produced {got}/120 rows "
+            "before the 120s deadline — infra stall, not a query bug"
+        )
+    return spark.table(name).select(
+        "event_type",
+        F.col("event_id").cast("bigint").alias("event_id"),
+        "value",
+        "ewma",
+    )
+
+
+@query(
     "events_cohort_retention",
     oracle="""
     WITH firsts AS (
