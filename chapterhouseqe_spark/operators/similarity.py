@@ -1292,8 +1292,22 @@ def mmr_diversified_topk(
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= n_cand)
         .drop("rn")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    return mmr_from_candidates(cand, k=k, lam=lam)
+
+
+def mmr_from_candidates(
+    cand: DataFrame,
+    k: int = 5,
+    lam: float = 0.75,
+) -> DataFrame:
+    """The MMR greedy rounds over an ALREADY-GENERATED candidate pool
+    ``(probe_id, id_b, eb, simq)`` — the composition seam
+    :func:`mmr_diversified_topk` documents: candidate generation is
+    swappable (exact tier, multiprobe LSH, IVF+SQ...), the k unrolled
+    rounds and the n_cand² pairwise-sim frame are pool-bounded either
+    way. Returns (probe_id, rank, id_b, simq)."""
+    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
     cc = (
         cand.alias("x")
         .join(cand.alias("y"), "probe_id")

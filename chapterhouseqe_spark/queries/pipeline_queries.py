@@ -6034,11 +6034,11 @@ def corpus_source_novelty(spark, sf_dir):
     return source_novelty(t(spark, sf_dir, "documents"))
 
 
-def _mmr_oracle_sql(n_probe: int = 4, n_cand: int = 10, k: int = 5) -> str:
-    """Unrolled-greedy MMR replay (kmeans/pagerank/kcore technique):
-    one pick CTE per round; λ=0.75 and 1−λ=0.25 are exact binary
-    fractions so the mmr score is bit-portable."""
-    head = f"""
+def _mmr_exact_head_sql(n_probe: int = 4, n_cand: int = 10) -> str:
+    """Exact-tier candidate CTEs for the MMR oracle: brute-force
+    cosine per probe, top-n_cand. Ends with ``cand(probe_id, id_b,
+    simq)``; defines ``norms`` for the shared tail."""
+    return f"""
     WITH pairs AS (
       SELECT a.vec_id AS probe_id, b.vec_id AS id_b,
              a.embedding AS ea, b.embedding AS eb
@@ -6067,7 +6067,80 @@ def _mmr_oracle_sql(n_probe: int = 4, n_cand: int = 10, k: int = 5) -> str:
                                   ORDER BY simq DESC, id_b) AS rn
         FROM simqs
       ) WHERE rn <= {n_cand}
+    )"""
+
+
+def _mmr_ann_head_sql(n_probe: int = 4, n_cand: int = 10,
+                      n_planes: int = 8) -> str:
+    """Multiprobe-LSH candidate CTEs for the MMR oracle — the replayed
+    candidate generation from embedding_ann_multiprobe_topk's oracle
+    (seed-42 planes as literals, own bucket + single-bit flips, exact
+    cosine rerank to top-n_cand). Same contract as
+    :func:`_mmr_exact_head_sql`."""
+    return f"""
+    WITH sigs AS (
+      SELECT e.vec_id, e.embedding,
+             CAST(SUM(CASE WHEN list_reduce(
+                 list_transform(generate_series(1, len(e.embedding)),
+                                i -> CAST(e.embedding[i] AS DOUBLE) * pl.p[i]),
+                 (acc, x) -> acc + x) > 0
+               THEN (CAST(1 AS BIGINT) << pl.j) ELSE 0 END) AS INTEGER) AS bucket
+      FROM embeddings e, (VALUES
+      {_lsh_planes_values()}
+      ) pl(j, p)
+      GROUP BY e.vec_id, e.embedding
     ),
+    probe_buckets AS (
+      SELECT vec_id AS probe_id, embedding AS ea, bucket AS pb
+      FROM sigs WHERE vec_id < {n_probe}
+    ),
+    probed AS (
+      SELECT probe_id, ea, pb AS bucket FROM probe_buckets
+      UNION ALL
+      SELECT probe_id, ea,
+             CAST(xor(CAST(pb AS BIGINT), CAST(1 AS BIGINT) << g.j) AS INTEGER)
+      FROM probe_buckets, generate_series(0, {n_planes - 1}) AS g(j)
+    ),
+    hits AS (
+      SELECT p.probe_id, p.ea, s.vec_id AS id_b, s.embedding AS eb
+      FROM probed p JOIN sigs s ON s.bucket = p.bucket
+      WHERE s.vec_id != p.probe_id
+    ),
+    dots AS (
+      SELECT probe_id, id_b,
+             list_reduce(
+               list_transform(generate_series(1, len(ea)),
+                              i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)),
+               (acc, x) -> acc + x) AS dot
+      FROM hits
+    ),
+    {_COSINE_NORMS_CTE},
+    simqs AS (
+      SELECT d.probe_id, d.id_b, d.dot / (na.nrm * nb.nrm) AS simq
+      FROM dots d
+      JOIN norms na ON na.vec_id = d.probe_id
+      JOIN norms nb ON nb.vec_id = d.id_b
+    ),
+    cand AS (
+      SELECT probe_id, id_b, simq FROM (
+        SELECT probe_id, id_b, simq,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY simq DESC, id_b) AS rn
+        FROM simqs
+      ) WHERE rn <= {n_cand}
+    )"""
+
+
+def _mmr_oracle_sql(n_probe: int = 4, n_cand: int = 10, k: int = 5,
+                    head: str | None = None) -> str:
+    """Unrolled-greedy MMR replay (kmeans/pagerank/kcore technique):
+    one pick CTE per round; λ=0.75 and 1−λ=0.25 are exact binary
+    fractions so the mmr score is bit-portable. ``head`` supplies the
+    candidate-generation CTEs (default: exact tier) — it must end with
+    ``cand(probe_id, id_b, simq)`` and define ``norms``, mirroring the
+    operator seam (similarity.mmr_from_candidates)."""
+    head = head if head is not None else _mmr_exact_head_sql(n_probe, n_cand)
+    head = head + """,
     cc AS (
       SELECT x.probe_id, x.id_b AS ca, y.id_b AS cb,
              list_reduce(
@@ -6140,6 +6213,42 @@ def embedding_mmr_topk(spark, sf_dir):
     from chapterhouseqe_spark.operators.similarity import mmr_diversified_topk
 
     return mmr_diversified_topk(t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "embedding_mmr_ann_topk",
+    oracle=_mmr_oracle_sql(head=_mmr_ann_head_sql(n_probe=4, n_cand=10)),
+    tags=("pipeline", "similarity", "retrieval"),
+    doc="MMR diversified top-5 over MULTIPROBE-LSH candidates (r8 "
+    "verdict item 7) — the end-to-end proof of the documented 'swap "
+    "in any ANN tier' seam: candidate generation is "
+    "lsh_multiprobe_topk (own bucket + 8 single-bit-flip probes, "
+    "exact-cosine rerank to 10 per probe, graded separately as "
+    "embedding_ann_multiprobe_topk), selection is the identical "
+    "pool-bounded greedy (mmr_from_candidates) graded as "
+    "embedding_mmr_topk. The oracle composes the SAME two replayed "
+    "pieces: seed-42 plane literals -> bucket probes -> top-10, then "
+    "the unrolled pick CTEs. The candidate pool re-attaches vectors "
+    "via one broadcast join of the 40-row pool against the corpus — "
+    "no corpus crossJoin anywhere "
+    "(operators/similarity.py:mmr_from_candidates)",
+)
+def embedding_mmr_ann_topk(spark, sf_dir):
+    from chapterhouseqe_spark.operators.similarity import (
+        lsh_multiprobe_topk,
+        mmr_from_candidates,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    ann = lsh_multiprobe_topk(emb, n_probe_ids=4, k=10)
+    cand = (
+        emb.select(
+            F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+        )
+        .join(F.broadcast(ann), "id_b")
+        .select("probe_id", "id_b", "eb", F.col("sim").alias("simq"))
+    )
+    return mmr_from_candidates(cand, k=5)
 
 
 @query(

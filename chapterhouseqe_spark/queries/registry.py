@@ -260,6 +260,7 @@ NEXT_WINDOW_PLAN: tuple[str, ...] = (
     "events_seasonality_profile",
     # round-9 additions (zero driver evidence until the r10 window):
     "stream_ewma_replay",
+    "embedding_mmr_ann_topk",
 )
 
 
