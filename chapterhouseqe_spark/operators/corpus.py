@@ -130,6 +130,81 @@ def pack_sequences(
     )
 
 
+def pack_sequences_nosplit(
+    df: DataFrame,
+    key_col: str,
+    size_col: str,
+    id_col: str = "doc_id",
+    capacity: int = 2048,
+) -> DataFrame:
+    """Bin-pack documents into fixed-capacity sequences WITHOUT
+    splitting any document — the doc-integrity counterpart to
+    :func:`pack_sequences`' concat-and-chop (chop maximizes fill but
+    cuts documents mid-stream; no-split keeps attention windows clean
+    at the cost of tail padding — both are standard pretraining modes).
+
+    Next-fit discipline per ``key_col`` group (deterministic doc_id
+    order): a document opens a new sequence iff the current one cannot
+    hold it; an over-capacity document occupies a sequence alone. The
+    fold (fill, seq_idx) is a genuine sequential recurrence — leftover
+    capacity RESETS at each overflow, so no window cumsum expresses it
+    (contrast pack_sequences, whose chop rule is a pure prefix sum) —
+    so it runs in the honest seam: ONE shuffle on the key, then each
+    group folds inside its own Arrow batch (``applyInPandas``),
+    parallel across keys exactly like the recurrence family
+    (operators/temporal.py). Integer state only — bit-portable against
+    a recursive-CTE oracle by construction.
+
+    Output: ``key_col``, ``id_col``, ``n_tokens``, ``seq_idx`` (0-based
+    per key), ``offset`` (fill before this doc).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.StringType()),
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("seq_idx", T.LongType()),
+            T.StructField("offset", T.LongType()),
+        ]
+    )
+    cap = int(capacity)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        fill = 0
+        seq = 0
+        seqs, offs = [], []
+        first = True
+        for n in pdf["__n"].tolist():
+            if not first and fill + n > cap:
+                seq += 1
+                fill = 0
+            first = False
+            offs.append(fill)
+            seqs.append(seq)
+            fill += n
+        return pd.DataFrame(
+            {
+                key_col: pdf[key_col],
+                id_col: pdf[id_col],
+                "n_tokens": pdf["__n"],
+                "seq_idx": seqs,
+                "offset": offs,
+            }
+        )
+
+    return (
+        df.select(
+            key_col, id_col, F.col(size_col).cast("long").alias("__n")
+        )
+        .groupBy(key_col)
+        .applyInPandas(fold, out_schema)
+    )
+
+
 def sample_per_key(
     df: DataFrame,
     keys: list[str],

@@ -1309,6 +1309,125 @@ def pipeline_pack_sequences(spark, sf_dir):
 
 
 @query(
+    "pipeline_pack_nosplit",
+    oracle=r"""
+    WITH RECURSIVE sized AS (
+      SELECT source, doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    r AS (
+      SELECT source, doc_id, n, rn,
+             CAST(0 AS BIGINT) AS seq_idx,
+             CAST(0 AS BIGINT) AS off,
+             n AS fill
+      FROM sized WHERE rn = 1
+      UNION ALL
+      SELECT s.source, s.doc_id, s.n, s.rn,
+             CASE WHEN r.fill + s.n > 2048 THEN r.seq_idx + 1
+                  ELSE r.seq_idx END,
+             CASE WHEN r.fill + s.n > 2048 THEN CAST(0 AS BIGINT)
+                  ELSE r.fill END,
+             CASE WHEN r.fill + s.n > 2048 THEN s.n
+                  ELSE r.fill + s.n END
+      FROM r JOIN sized s ON s.source = r.source AND s.rn = r.rn + 1
+    )
+    SELECT source, doc_id, n AS n_tokens, seq_idx, off AS offset FROM r
+    """,
+    tags=("pipeline", "packing", "corpus", "stateful"),
+    doc="NO-SPLIT sequence packing (next-fit per source, 2048-token "
+    "capacity) — the doc-integrity counterpart to "
+    "pipeline_pack_sequences' concat-and-chop: a doc opens a new "
+    "sequence iff the current one cannot hold it, over-capacity docs "
+    "sit alone. Leftover capacity RESETS at each overflow, so the fold "
+    "is a true sequential recurrence (no window cumsum expresses it); "
+    "it runs in the honest seam — one shuffle on source, each group "
+    "folds inside its own Arrow batch, parallel across sources like "
+    "the recurrence family. Integer state only, so the recursive-CTE "
+    "oracle replays it bit-exactly "
+    "(operators/corpus.py:pack_sequences_nosplit)",
+)
+def pipeline_pack_nosplit(spark, sf_dir):
+    from chapterhouseqe_spark.functions.text import token_count
+    from chapterhouseqe_spark.operators.corpus import pack_sequences_nosplit
+
+    d = t(spark, sf_dir, "documents").select(
+        "source", "doc_id", token_count(F.col("text")).alias("tok")
+    )
+    return pack_sequences_nosplit(
+        d, "source", "tok", id_col="doc_id", capacity=2048
+    )
+
+
+@query(
+    "text_dup_ngram_fraction",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+            FROM toks) z
+    ),
+    per_gram AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+             AS dup_occurrences,
+           CAST(MAX(c) AS BIGINT) AS top_bigram_count,
+           CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(c) AS DOUBLE) AS dup_frac,
+           CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(c) AS DOUBLE) <= 0.2 AS keep
+    FROM per_gram
+    GROUP BY doc_id
+    """,
+    tags=("pipeline", "text", "quality"),
+    doc="duplicate word-bigram fraction per document — the Gopher "
+    "repetition-removal rule (Rae et al. 2021 App. A.2: drop docs "
+    "whose duplicate-n-gram fraction exceeds a threshold) missing "
+    "from text_gopher_rules' battery, plus the top-bigram count "
+    "(degenerate-loop detector). One explode + one (doc, gram)-keyed "
+    "count + one doc-keyed agg — linear, shuffle keyed by (doc_id, "
+    "gram) so a repetitive doc skews only its own group; ratios are "
+    "one division of exact integer counts, bit-portable "
+    "(functions/text.py token conventions)",
+)
+def text_dup_ngram_fraction(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    # guard: F.sequence(1, 0) DESCENDS in Spark (the patch_grid ADVICE
+    # trap), so a 1-token doc must yield an EMPTY gram array — explode
+    # then drops it, matching DuckDB's empty generate_series(1, 0).
+    gram_arr = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = d.select("doc_id", F.explode(gram_arr).alias("g"))
+    per_gram = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    dup = F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(F.lit(0)))
+    tot = F.sum("c")
+    return per_gram.groupBy("doc_id").agg(
+        tot.cast("bigint").alias("n_bigrams"),
+        dup.cast("bigint").alias("dup_occurrences"),
+        F.max("c").cast("bigint").alias("top_bigram_count"),
+        (dup.cast("double") / tot.cast("double")).alias("dup_frac"),
+        ((dup.cast("double") / tot.cast("double")) <= 0.2).alias("keep"),
+    )
+
+
+@query(
     "pipeline_sample_per_key",
     oracle="""
     SELECT doc_id, lang FROM (

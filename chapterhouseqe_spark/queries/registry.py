@@ -261,6 +261,8 @@ NEXT_WINDOW_PLAN: tuple[str, ...] = (
     # round-9 additions (zero driver evidence until the r10 window):
     "stream_ewma_replay",
     "embedding_mmr_ann_topk",
+    "pipeline_pack_nosplit",
+    "text_dup_ngram_fraction",
 )
 
 
