@@ -270,6 +270,13 @@ def patch_grid(
     n_pcol = max(row_bytes // patch, 1)
     pr = F.explode(F.sequence(F.lit(0), F.greatest(n_prow - 1, F.lit(0))))
     pc = F.explode(F.sequence(F.lit(0), F.lit(n_pcol - 1)))
+    # per-row slice width: min(patch, row_bytes). When the raster is
+    # narrower than a patch, taking `patch` bytes would run past the
+    # row end INTO THE NEXT RASTER ROW (double-counting bytes the next
+    # patch row also reads — caught by the r9 guard test); for
+    # row_bytes >= patch the floor-divided column grid never overruns,
+    # so the min is a no-op there.
+    row_slice = min(patch, row_bytes)
     patch_bytes = F.concat(
         *[
             F.col("payload").substr(
@@ -278,7 +285,7 @@ def patch_grid(
                     + F.col("patch_col") * patch
                     + 1
                 ).cast("int"),
-                F.lit(patch),
+                F.lit(row_slice),
             )
             for r in range(patch)
         ]

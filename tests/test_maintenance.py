@@ -853,6 +853,40 @@ def test_merge_on_read_deletes_and_compaction_equivalence(spark, tmp_path):
     }
 
 
+def test_compact_deletes_crash_window_recovery(spark, tmp_path):
+    """The r8 ADVICE crash window: a crash between moving the old base
+    aside and promoting base.staged must leave readers a complete
+    table — read_with_deletes falls back to base.staged, and
+    re-applying the surviving delete files is a no-op by anti-join
+    idempotence."""
+    import os
+    import shutil
+
+    from chapterhouseqe_spark.operators.maintenance import (
+        add_delete_file,
+        read_with_deletes,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i * 100) for i in range(30)], "k long, v long"
+    )
+    path = str(tmp_path / "mor")
+    df.write.parquet(os.path.join(path, "base"))
+    add_delete_file(df.filter(F.col("k") % 3 == 0).select("k"), path)
+    want = {(i, i * 100) for i in range(30) if i % 3}
+
+    # simulate the crash state compact_deletes can now leave: staged
+    # base fully written (deletes already merged), old base renamed
+    # aside, pointer swap never happened, delete files still present.
+    merged = read_with_deletes(spark, path, "k")
+    merged.write.parquet(os.path.join(path, "base.staged"))
+    os.rename(os.path.join(path, "base"), os.path.join(path, "base.old-x"))
+
+    got = {(r.k, r.v) for r in read_with_deletes(spark, path, "k").collect()}
+    assert got == want  # fallback read + idempotent re-apply
+    shutil.rmtree(os.path.join(path, "base.old-x"))
+
+
 def test_write_audit_publish_abort_leaves_table_untouched(spark, tmp_path):
     import os
 

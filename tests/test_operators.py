@@ -153,6 +153,26 @@ def test_lsh_buckets_recall_planted_pairs(vectors):
     assert (0, 1) in cand and (2, 3) in cand
 
 
+def test_patch_grid_narrow_raster_guard(spark):
+    """row_bytes < patch (r8 ADVICE): the grid must have exactly ONE
+    ragged column — the unguarded form emitted a DESCENDING
+    sequence(0, -1), i.e. spurious patch_col=-1 rows with negative
+    substring offsets."""
+    from chapterhouseqe_spark.sources.multimodal import (
+        attach_binary_payload,
+        patch_grid,
+    )
+
+    df = spark.createDataFrame([(1, "abcdefgh")], "doc_id long, text string")
+    mm = attach_binary_payload(df).select("doc_id", "payload")
+    rows = patch_grid(mm, row_bytes=4, patch=8).collect()
+    assert rows, "narrow raster must still produce patches"
+    assert all(r["patch_col"] == 0 for r in rows)
+    assert all(r["patch_len"] >= 0 for r in rows)
+    # all payload bytes are covered exactly once across the column
+    assert sum(r["patch_len"] for r in rows) == 8
+
+
 def test_multimodal_roundtrip(spark):
     df = spark.createDataFrame([(7, "AbcXyz")], "doc_id long, text string")
     mm = attach_binary_payload(df)
