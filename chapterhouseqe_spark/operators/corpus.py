@@ -161,10 +161,13 @@ def pack_sequences_nosplit(
     import pandas as pd
     from pyspark.sql import types as T
 
+    # key/id dtypes pass through from the input (r9 ADVICE: hardcoding
+    # StringType/LongType broke any caller with e.g. an int key or a
+    # string id at Arrow conversion despite the generic API).
     out_schema = T.StructType(
         [
-            T.StructField(key_col, T.StringType()),
-            T.StructField(id_col, T.LongType()),
+            T.StructField(key_col, df.schema[key_col].dataType),
+            T.StructField(id_col, df.schema[id_col].dataType),
             T.StructField("n_tokens", T.LongType()),
             T.StructField("seq_idx", T.LongType()),
             T.StructField("offset", T.LongType()),

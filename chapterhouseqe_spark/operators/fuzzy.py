@@ -36,7 +36,7 @@ def qgram_levenshtein_join(
     q: int = 3,
     min_shared: int = 2,
     max_dist: int = 3,
-    max_gram_freq: int | None = 10_000,
+    max_gram_freq: int | None = None,
 ) -> DataFrame:
     """Self fuzzy-join of the DISTINCT values of ``text_col``.
 
@@ -56,9 +56,15 @@ def qgram_levenshtein_join(
     family's): ``n_shared`` then counts only non-hot shared grams, so
     a pair whose shared grams are all (or mostly) stop-grams falls
     below ``min_shared`` and is unfindable — exactly the pairs whose
-    evidence is the least distinctive. Pass ``None`` for the exact
-    count — REQUIRED wherever the result is compared against an exact
-    oracle.
+    evidence is the least distinctive. The default is ``None`` (exact
+    — required wherever the result is compared against an exact
+    oracle); scale-sensitive call sites opt into a cap explicitly,
+    mirroring how ``ngram_jaccard_pairs`` callers pass
+    ``max_shingle_freq`` (r9 ADVICE: a capped default silently
+    changes recall for callers that do not opt out). The probed
+    feasibility boundary: uncapped 2,000 names = 887s vs capped
+    50,000 names = 452s (PLANS.md, r9) — at entity-table scale the
+    cap is mandatory, so pass ~10_000 there.
     """
     names = df.select(F.col(text_col).alias("name")).distinct().filter(
         F.length("name") >= q

@@ -276,23 +276,57 @@ def read_with_deletes(spark, table_path: str, key_col: str) -> DataFrame:
     return base.join(keys, key_col, "left_anti")
 
 
+def recover_base(table_path: str) -> None:
+    """Complete a crashed :func:`compact_deletes` (r9 ADVICE, both
+    findings). Two recovery duties, in order:
+
+    1. If ``base`` is missing but a fully-written ``base.staged``
+       exists (crash in the rename→replace window), PROMOTE the staged
+       dir to ``base`` via ``os.replace``. Without this, a re-run of
+       compact_deletes would read the staged dir through the
+       read_with_deletes fallback and then try to overwrite that same
+       path (Spark refuses to overwrite a path it is reading), and the
+       ``os.rename`` of the missing base would fail — readers were
+       safe, but compaction could not self-heal.
+    2. Once a valid ``base`` exists, SWEEP stale ``base.old-<uuid>``
+       aside copies (crash after promotion but before the final
+       rmtree) — otherwise repeated crashes accumulate full table
+       copies on disk forever.
+    """
+    import glob as _glob
+    import os
+    import shutil
+
+    base = os.path.join(table_path, "base")
+    staged = os.path.join(table_path, "base.staged")
+    if not os.path.isdir(base) and os.path.isdir(staged):
+        os.replace(staged, base)
+    if os.path.isdir(base):
+        for aside in _glob.glob(os.path.join(table_path, "base.old-*")):
+            shutil.rmtree(aside, ignore_errors=True)
+
+
 def compact_deletes(spark, table_path: str, key_col: str) -> None:
     """Materialize accumulated deletes into a rewritten base (the
     copy-on-write step, run when the read-side anti-join cost exceeds
     one rewrite). Readers see identical rows before and after — pinned
-    in tests. Crash-safe in the snapshot sense: the new base is staged
-    beside the old one, the old base is renamed ASIDE (never deleted
-    before its replacement is promoted — r8 ADVICE: rmtree-then-replace
-    left a window with no base at all), the staged dir is promoted, and
-    only then are the aside copy and the delete files removed. A crash
-    at any point leaves either the old base or a complete staged base;
-    :func:`read_with_deletes` falls back to ``base.staged`` when
-    ``base`` is missing, and re-applying the surviving delete files is
-    idempotent by anti-join semantics."""
+    in tests. Crash-safe in the snapshot sense: a prior crashed
+    compaction is first COMPLETED by :func:`recover_base` (promote an
+    orphaned ``base.staged``, sweep ``base.old-*`` leftovers), then the
+    new base is staged beside the old one, the old base is renamed
+    ASIDE (never deleted before its replacement is promoted — r8
+    ADVICE: rmtree-then-replace left a window with no base at all),
+    the staged dir is promoted, and only then are the aside copy and
+    the delete files removed. A crash at any point leaves either the
+    old base or a complete staged base; :func:`read_with_deletes`
+    falls back to ``base.staged`` when ``base`` is missing, and
+    re-applying the surviving delete files is idempotent by anti-join
+    semantics."""
     import os
     import shutil
     import uuid
 
+    recover_base(table_path)
     merged = read_with_deletes(spark, table_path, key_col)
     staged = os.path.join(table_path, "base.staged")
     merged.write.mode("overwrite").parquet(staged)

@@ -1280,8 +1280,10 @@ def mmr_diversified_topk(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("eb")
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("simq"), F.col("id_b"))
+    # probe side is n_probe_ids rows by construction — broadcast so the
+    # labeled exact tier can never plan a shuffle cross (r9 verdict 6)
     cand = (
-        probes.crossJoin(allv)
+        F.broadcast(probes).crossJoin(allv)
         .filter(F.col("id_b") != F.col("probe_id"))
         .select(
             "probe_id",

@@ -887,6 +887,45 @@ def test_compact_deletes_crash_window_recovery(spark, tmp_path):
     shutil.rmtree(os.path.join(path, "base.old-x"))
 
 
+def test_compact_deletes_self_heals_crash_window(spark, tmp_path):
+    """r9 ADVICE pair: (1) re-running compact_deletes from inside its
+    own rename→replace crash window must COMPLETE the crashed
+    compaction (promote the orphaned base.staged) rather than read
+    base.staged through the fallback and then try to overwrite that
+    same path; (2) aside copies (base.old-*) leaked by a crash after
+    promotion are swept once a valid base exists."""
+    import os
+
+    from chapterhouseqe_spark.operators.maintenance import (
+        add_delete_file,
+        compact_deletes,
+        read_with_deletes,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i * 100) for i in range(30)], "k long, v long"
+    )
+    path = str(tmp_path / "mor")
+    df.write.parquet(os.path.join(path, "base"))
+    add_delete_file(df.filter(F.col("k") % 3 == 0).select("k"), path)
+    want = {(i, i * 100) for i in range(30) if i % 3}
+
+    # crash state: staged written, old base moved aside, swap missed
+    merged = read_with_deletes(spark, path, "k")
+    merged.write.parquet(os.path.join(path, "base.staged"))
+    os.rename(os.path.join(path, "base"), os.path.join(path, "base.old-x"))
+
+    compact_deletes(spark, path, "k")  # self-heals, then compacts
+    assert os.path.isdir(os.path.join(path, "base"))
+    assert not os.path.isdir(os.path.join(path, "base.staged"))
+    assert not os.path.isdir(os.path.join(path, "_DELETES"))
+    # every aside copy swept — the crashed one AND this run's own
+    leaked = [d for d in os.listdir(path) if d.startswith("base.old-")]
+    assert leaked == []
+    got = {(r.k, r.v) for r in read_with_deletes(spark, path, "k").collect()}
+    assert got == want
+
+
 def test_write_audit_publish_abort_leaves_table_untouched(spark, tmp_path):
     import os
 

@@ -57,6 +57,25 @@ def test_pack_nosplit_matches_python_fold(spark):
             assert out[doc_id] == expect, (src, doc_id)
 
 
+def test_pack_nosplit_generic_key_id_types(spark):
+    """r9 ADVICE: the output schema derives key/id dtypes from the
+    input instead of hardcoding string/long — an int key and a string
+    id must round-trip through the Arrow seam unchanged."""
+    from chapterhouseqe_spark.operators.corpus import pack_sequences_nosplit
+
+    df = spark.createDataFrame(
+        [(7, "d1", 900), (7, "d2", 1500), (8, "d3", 100)],
+        "bucket int, doc string, n long",
+    )
+    out = pack_sequences_nosplit(
+        df, "bucket", "n", id_col="doc", capacity=2048
+    )
+    assert dict(out.dtypes)["bucket"] == "int"
+    assert dict(out.dtypes)["doc"] == "string"
+    got = {r["doc"]: (r["bucket"], r["seq_idx"]) for r in out.collect()}
+    assert got == {"d1": (7, 0), "d2": (7, 1), "d3": (8, 0)}
+
+
 def test_pack_nosplit_capacity_invariant(spark):
     """Conservation law over real data: within every (source, seq),
     offsets are consistent cumulative fills, and no sequence exceeds
