@@ -131,104 +131,105 @@ def _ensure_registered() -> None:
 
 # Grading priority. The driver's correctness gate grades a 50-entry
 # prefix of the registry, so dict order decides which queries get
-# driver-oracle evidence. Round-9 window (executes round-8 verdict item
-# 1 — drain the zero-driver-evidence backlog): the registry entered r9
-# with 65 queries having zero driver rows (all 65 r8 additions,
-# computed as registry MINUS the union of green rows in
-# CORRECTNESS_r01..r08 — judge-verified count, including
-# dedup_threshold_sensitivity which the r8 plan comment omitted).
-# 65 > 50, so per the verdict: ALL 50 slots are tier (a) — r8
-# additions — prioritizing one representative per new operator family
-# (recurrence: events_ewma_hourly/events_cusum_changepoints/
-# events_holt_backtest; retrieval: docs_bm25_topk/
-# docs_bm25_self_retrieval/docs_hybrid_rrf_retrieval; splits:
-# pipeline_stratified_split/pipeline_cluster_aware_split/
-# pipeline_split_leakage_audit; k-core: graph_kcore_dup_families;
-# phash: multimodal_phash_dedup; CDC: dedup_cdc_chunks; merkle:
-# audit_replica_merkle_diff; WAP: write_audit_publish_gates). The 15
-# spillover names — each with a same-family sibling in this window —
-# form the EXPLICIT r10 TIER below. Two standing per-family canaries
-# (sets: set_except_intersect_all; subquery: correlated_agg_subquery)
-# are displaced for exactly this round: both were graded green in the
-# r8 window (the freshest rows in the registry), and the verdict's
-# instruction is to fill all 50 slots from tier (a). They return as
-# canaries in r10.
+# driver-oracle evidence. Round-10 window (executes the r9 verdict,
+# items 1 + 4 — the composition the verdict prescribes verbatim):
 #
-# r10 window plan (computed by tools/coverage_counts.py — run it at
-# round close; it asserts this list matches the live zero-evidence
-# set): tier (a) = the 15 r9 spillover names, in window order:
-#   stats_winsorize, orders_new_vs_returning, orders_cohort_ltv,
-#   orders_basket_pairs, dedup_ngram_containment, dedup_simhash_radius,
-#   dedup_cluster_size_hist, embedding_gram_matrix,
-#   embedding_matryoshka_overlap, corpus_novelty_curve,
-#   events_ewma_anomaly, events_holt_forecast, events_linear_trend,
-#   events_type_correlation, events_seasonality_profile
-# plus every query ADDED in round 9 (capped at ~10 per the verdict so
-# the backlog clears completely); then the two displaced canaries
-# (set_except_intersect_all, correlated_agg_subquery) and per-family
-# canaries for any family tier (a) leaves uncovered; remaining slots
-# backfill the stalest rows (the r5-graded cohort is next-stalest).
+#   tier (a) — ALL 19 zero-driver-evidence queries (the r9
+#   NEXT_WINDOW_PLAN: 15 r9-spillover names + the 4 capped r9
+#   additions). 19 < 50, so for the first time the window clears the
+#   entire backlog and the registry reaches 264/264 driver-green
+#   union.
+#
+#   tier (b) — the two canaries displaced in r9 exactly one round
+#   (sets: set_except_intersect_all; subquery:
+#   correlated_agg_subquery), returning as promised in the r9 plan.
+#
+#   tier (c) — the four bench headliners the verdict pins by name
+#   (item 4): dedup_minhash_lsh, embedding_ann_lsh, text_lang_id,
+#   multimodal_decode_features — their implementations have gained
+#   adaptive paths since they were last driver-graded.
+#
+#   tier (d) — per-family canaries for families tiers (a)-(c) leave
+#   uncovered, chosen stalest-first: scan (ref_scan_filter_project,
+#   r6 — also the BASELINE flagship analog), join (salted_skew_join,
+#   r5), maintenance (scd2_user_event_history, r5), layout
+#   (partition_pruned_scan, r5), retrieval (docs_bm25_topk — the
+#   family's 3 rows are all r9-fresh; one stays as the standing
+#   canary), window (events_sliding_window, r4).
+#
+#   tier (e) — stalest backfill: 19 of the 26 remaining r4-graded
+#   rows (the oldest cohort in the registry, 6 rounds stale),
+#   prioritizing the LLM-pipeline cores the verdict names (dedup,
+#   text, embedding, multimodal, pipeline, events) and the 4 stale
+#   TPC-H rows over generic scalar-function rows. The 7 r4 rows left
+#   out (date_arithmetic, array_split_ops, pivot_returnflag,
+#   explode_word_count, time_rollup_multi, embedding_centroids,
+#   approx_sketches_within_bounds) are next-stalest for r11 — all
+#   carry green r4 driver rows and are replayed against their oracles
+#   every pytest run, so nothing is evidence-free.
+#
+# tools/coverage_counts.py asserts tier (a) matches the live
+# zero-evidence set; run it at round close and after every addition.
 GRADE_ORDER: tuple[str, ...] = (
-    # --- joins (new r8 join shapes: fuzzy q-gram, as-of, interval) ---
-    "join_fuzzy_part_names",
-    "asof_join_nearest",
-    "stream_interval_join",
-    "audit_join_skew",
-    # --- scan / layout / maintenance (WAP, merkle, MoR, IVM) ---
-    "scan_schema_evolution",
-    "partition_evolution_scan",
-    "merge_on_read_deletes",
-    "write_audit_publish_gates",
-    "audit_replica_merkle_diff",
-    "ivm_join_delta",
-    # --- agg / window / orders analytics ---
-    "stats_weighted_median",
-    "orders_abc_pareto",
-    "orders_rfm_segments",
-    "events_attribution_last_touch",
-    "events_pit_features",
-    "events_power_user_share",
-    # --- dedup (CDC chunking, keep-best, threshold audit, prefix) ---
-    "dedup_cdc_chunks",
-    "dedup_keep_best_quality",
-    "dedup_threshold_sensitivity",
-    "dedup_minhash_error_audit",
-    "dedup_ngram_jaccard_prefix",
-    "multimodal_phash_dedup",
-    "graph_kcore_dup_families",
-    # --- similarity / ANN (MMR, multiprobe, prebuilt serving) ---
-    "embedding_mmr_topk",
-    "embedding_ann_multiprobe_topk",
-    "embedding_ivf_sq_prebuilt_topk",
-    "embedding_hard_negatives",
-    "embedding_drift_audit",
-    # --- retrieval (BM25, self-retrieval eval, hybrid RRF) ---
+    # --- tier (a): agg / orders analytics (r9 spillover) ---
+    "stats_winsorize",
+    "orders_new_vs_returning",
+    "orders_cohort_ltv",
+    "orders_basket_pairs",
+    # --- tier (a): dedup ---
+    "dedup_ngram_containment",
+    "dedup_simhash_radius",
+    "dedup_cluster_size_hist",
+    # --- tier (a): similarity ---
+    "embedding_gram_matrix",
+    "embedding_matryoshka_overlap",
+    "embedding_mmr_ann_topk",
+    # --- tier (a): corpus prep / text ---
+    "corpus_novelty_curve",
+    "pipeline_pack_nosplit",
+    "text_dup_ngram_fraction",
+    # --- tier (a): streaming / recurrence ---
+    "stream_ewma_replay",
+    "events_ewma_anomaly",
+    "events_holt_forecast",
+    "events_linear_trend",
+    "events_type_correlation",
+    "events_seasonality_profile",
+    # --- tier (b): displaced canaries returning ---
+    "set_except_intersect_all",
+    "correlated_agg_subquery",
+    # --- tier (c): pinned bench headliners (r9 verdict item 4) ---
+    "dedup_minhash_lsh",
+    "embedding_ann_lsh",
+    "text_lang_id",
+    "multimodal_decode_features",
+    # --- tier (d): per-family canaries, stalest-first ---
+    "ref_scan_filter_project",
+    "salted_skew_join",
+    "scd2_user_event_history",
+    "partition_pruned_scan",
     "docs_bm25_topk",
-    "docs_bm25_self_retrieval",
-    "docs_hybrid_rrf_retrieval",
-    # --- text quality ---
-    "text_hash_classifier_score",
-    "text_ngram_diversity",
-    "text_zipf_coverage",
-    "text_char_coincidence_filter",
-    # --- corpus prep / splits / sharding ---
-    "pipeline_stratified_split",
-    "pipeline_cluster_aware_split",
-    "pipeline_split_leakage_audit",
-    "pipeline_source_quota",
-    "pipeline_byte_balanced_shards",
-    "corpus_source_overlap",
-    "corpus_source_novelty",
-    # --- multimodal / sketches ---
-    "multimodal_image_patches",
-    "hll_sliding_union",
-    # --- streaming / recurrence (pandas-seam stateful folds) ---
-    "events_debounce",
-    "events_forward_fill",
-    "events_ewma_hourly",
-    "events_cusum_changepoints",
-    "events_holt_backtest",
-    "events_markov_prediction_eval",
+    "events_sliding_window",
+    # --- tier (e): stalest r4 cohort backfill ---
+    "tpch_q14_promo_revenue",
+    "tpch_q10_returned_items",
+    "tpch_q12_priority_class",
+    "tpch_q4_order_priority",
+    "text_token_counts",
+    "text_quality_score",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "embedding_cosine_pairs",
+    "dedup_embedding_cosine",
+    "multimodal_binary_meta",
+    "dedup_keep_canonical",
+    "dedup_keep_first_window",
+    "text_tfidf_top_terms",
+    "text_top_bigrams",
+    "pipeline_clean_corpus",
+    "events_user_activity",
+    "events_enriched_rollup",
+    "events_click_to_purchase",
 )
 
 # Explicit next-round grading tier (r8 verdict items 1 + 4): every
@@ -238,31 +239,11 @@ GRADE_ORDER: tuple[str, ...] = (
 # tests/test_queries_arrays.py, so a late-session addition can never
 # silently fall out of the evidence pipeline again (the r8 plan
 # comment omitted dedup_threshold_sensitivity exactly that way).
-# Queries ADDED in round 9 append themselves here at registration
-# review time; the r9 cap is ~10 additions so r10 clears the backlog.
+# Entering r10 this list is exactly the r10 additions (cap ~10 per the
+# r9 verdict): each new query appends itself here at registration.
 NEXT_WINDOW_PLAN: tuple[str, ...] = (
-    # the 15 r9 spillover names (each has a same-family sibling in the
-    # r9 window):
-    "stats_winsorize",
-    "orders_new_vs_returning",
-    "orders_cohort_ltv",
-    "orders_basket_pairs",
-    "dedup_ngram_containment",
-    "dedup_simhash_radius",
-    "dedup_cluster_size_hist",
-    "embedding_gram_matrix",
-    "embedding_matryoshka_overlap",
-    "corpus_novelty_curve",
-    "events_ewma_anomaly",
-    "events_holt_forecast",
-    "events_linear_trend",
-    "events_type_correlation",
-    "events_seasonality_profile",
-    # round-9 additions (zero driver evidence until the r10 window):
-    "stream_ewma_replay",
-    "embedding_mmr_ann_topk",
-    "pipeline_pack_nosplit",
-    "text_dup_ngram_fraction",
+    # round-10 additions append themselves here at registration time
+    # (none yet at rotation time; cap ~10 per the r9 verdict).
 )
 
 

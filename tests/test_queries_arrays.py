@@ -92,35 +92,66 @@ def test_graded_prefix_invariants():
     assert not no_oracle, f"graded without oracle: {no_oracle}"
 
     # One representative per family stays in-window across rotations.
-    # r9 rotation (the window drains the 65-query zero-driver-evidence
-    # backlog per the r8 verdict, item 1 — all 50 slots are r8
-    # additions): thirteen families are represented by a tier-(a)
-    # member; the "udf" family is honestly covered by the recurrence
-    # queries (events_holt_backtest runs the per-key applyInPandas
-    # fold — the pandas-UDF machinery IS the feature under test). Two
-    # canaries (sets: set_except_intersect_all, subquery:
-    # correlated_agg_subquery) are displaced for exactly this round:
-    # both carry green r8 driver rows — the freshest in the registry —
-    # and the verdict's instruction is to fill all 50 slots from tier
-    # (a). Both return in the r10 window (registry.py plan comment).
+    # r10 rotation (r9 verdict items 1+4: clear the 19-query backlog,
+    # re-seat the displaced sets/subquery canaries, pin the four bench
+    # headliners, backfill the stalest r4 cohort): the "udf" family is
+    # honestly covered by the recurrence tier (events_holt_forecast
+    # runs the per-key applyInPandas fold — the pandas-UDF machinery
+    # IS the feature under test) plus pipeline_pack_nosplit's Arrow
+    # seam; "sets"/"subquery" canaries return per the r9 plan comment.
     families = {
-        "scan": "scan_schema_evolution",
-        "join": "asof_join_nearest",
-        "agg": "stats_weighted_median",
-        "window": "events_attribution_last_touch",
-        "udf": "events_holt_backtest",
-        "dedup": "dedup_cdc_chunks",
-        "similarity": "embedding_mmr_topk",
+        "scan": "ref_scan_filter_project",
+        "join": "salted_skew_join",
+        "agg": "stats_winsorize",
+        "window": "events_sliding_window",
+        "udf": "events_holt_forecast",
+        "dedup": "dedup_minhash_lsh",
+        "similarity": "embedding_ann_lsh",
         "retrieval": "docs_bm25_topk",
-        "text": "text_hash_classifier_score",
-        "streaming": "events_debounce",
-        "maintenance": "write_audit_publish_gates",
-        "layout": "partition_evolution_scan",
-        "sources": "multimodal_image_patches",
-        "corpus-prep": "pipeline_byte_balanced_shards",
+        "text": "text_lang_id",
+        "streaming": "stream_ewma_replay",
+        "maintenance": "scd2_user_event_history",
+        "layout": "partition_pruned_scan",
+        "sources": "multimodal_decode_features",
+        "corpus-prep": "corpus_novelty_curve",
+        "sets": "set_except_intersect_all",
+        "subquery": "correlated_agg_subquery",
     }
     out = [f"{fam}:{n}" for fam, n in families.items() if n not in first50]
     assert not out, f"families without an in-window representative: {out}"
+
+
+def test_sf1_regression_gate():
+    """r9 verdict item 2: the per-query sf1 map must be compared
+    round-over-round — any >1.5x mover needs an explicit PLANS.md
+    waiver (``sf1-regression-ok: <name> — <reason>``) documenting the
+    A/B that explains it. Skips until two map-bearing bench outputs
+    exist (the map first landed in BENCH_r09)."""
+    import importlib.util
+    import os
+
+    import pytest
+
+    spec = importlib.util.spec_from_file_location(
+        "sf1_regression_gate",
+        os.path.join(
+            os.path.dirname(os.path.dirname(__file__)),
+            "tools",
+            "sf1_regression_gate.py",
+        ),
+    )
+    g = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(g)
+    srcs = g.candidate_sources()
+    if len(srcs) < 2:
+        pytest.skip("fewer than two sf1 maps recorded yet")
+    (_, prev), (_, cur) = srcs[-2:]
+    movers = g.diff_maps(prev, cur)
+    bad = [m for m in movers if m[0] not in g.waivers()]
+    assert not bad, (
+        f"unwaived sf1 regressions {bad}: run an isolated A/B, record "
+        "it in PLANS.md, and add an sf1-regression-ok waiver line"
+    )
 
 
 def test_evidence_pipeline_invariant():

@@ -1,0 +1,185 @@
+"""Round-over-round per-query sf1 regression gate (r9 verdict item 2).
+
+Since r9 the bench tail carries the FULL per-query sf1 map
+(``BENCH_r{N}.json -> parsed.sf1_queries``), but nothing compared it
+round-over-round — a single query going super-linear at sf1 needed a
+human to notice. This gate diffs the newest sf1 map against the
+previous round's and FAILS on any query that got more than
+``THRESHOLD``x slower (at the slower end of an absolute ``FLOOR_SEC``
+— sub-second entries live in the shared machine's noise band; the r9
+A/B triage showed sub-second timings flip direction between sessions)
+unless PLANS.md carries an explicit waiver line::
+
+    sf1-regression-ok: <query_name> — <reason / PLANS.md section>
+
+Waivers are per-name and deliberate: the gate's job is to force a
+PLANS.md entry (an A/B or an explanation) for every real mover, the
+same discipline the r8→r9 headline-shift triage followed.
+
+Map sources accepted, newest-first preference:
+
+- ``bench_last.json`` (written by every ``bench.py`` run — the
+  round-close path: current run vs the previous round's artifact)
+- ``BENCH_r{N}.json`` driver artifacts (``parsed.sf1_queries``; r8 and
+  earlier predate the map and are skipped)
+
+When a map is a ``top10_slowest`` slice the comparison covers the key
+intersection only (still the queries whose regressions matter most).
+
+Usage:
+    python tools/sf1_regression_gate.py              # newest vs previous
+    python tools/sf1_regression_gate.py PREV CUR     # explicit pair
+    python tools/sf1_regression_gate.py --record     # also append the
+                                                     # diff to PLANS.md
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+THRESHOLD = 1.5
+FLOOR_SEC = 0.5
+
+
+def extract_sf1(path: str) -> dict[str, float] | None:
+    """Pull the per-query sf1 map out of any bench output shape."""
+    with open(path) as fh:
+        d = json.load(fh)
+    if isinstance(d.get("parsed"), dict):  # driver BENCH_r{N}.json
+        d = d["parsed"]
+    m = d.get("sf1_queries") or d.get("sf1")
+    return dict(m) if m else None
+
+
+def candidate_sources() -> list[tuple[str, dict[str, float]]]:
+    """All map-bearing sources, oldest -> newest. bench_last.json is
+    newest iff it is mtime-newer than every artifact (a fresh
+    round-close run); a stale bench_last from a prior round sorts by
+    its own mtime and naturally dedups against that round's artifact."""
+    paths = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    last = os.path.join(REPO, "bench_last.json")
+    if os.path.exists(last):
+        paths = sorted(paths + [last], key=os.path.getmtime)
+    out = []
+    for p in paths:
+        try:
+            m = extract_sf1(p)
+        except (json.JSONDecodeError, OSError):
+            continue
+        if m:
+            # identical map to the previous source (artifact recorded
+            # from the same run as bench_last) adds no signal
+            if out and out[-1][1] == m:
+                continue
+            out.append((p, m))
+    return out
+
+
+def waivers() -> set[str]:
+    names: set[str] = set()
+    plans = os.path.join(REPO, "PLANS.md")
+    if not os.path.exists(plans):
+        return names
+    for line in open(plans):
+        if "sf1-regression-ok:" in line:
+            frag = line.split("sf1-regression-ok:", 1)[1].strip()
+            if frag:
+                names.add(frag.split()[0].strip(":,"))
+    return names
+
+
+def diff_maps(
+    prev: dict[str, float], cur: dict[str, float]
+) -> list[tuple[str, float, float, float]]:
+    movers = []
+    for name, t in cur.items():
+        p = prev.get(name)
+        if p is None or p <= 0:
+            continue
+        if t > FLOOR_SEC and t / p > THRESHOLD:
+            movers.append((name, p, t, round(t / p, 2)))
+    return sorted(movers, key=lambda x: -x[3])
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("pair", nargs="*", help="explicit PREV CUR json paths")
+    ap.add_argument(
+        "--record",
+        action="store_true",
+        help="append the diff summary to PLANS.md",
+    )
+    args = ap.parse_args()
+
+    if args.pair:
+        if len(args.pair) != 2:
+            print("need exactly two paths (PREV CUR)", file=sys.stderr)
+            return 2
+        srcs = [(p, extract_sf1(p)) for p in args.pair]
+        if any(m is None for _, m in srcs):
+            print("no sf1 map in one of the inputs", file=sys.stderr)
+            return 2
+    else:
+        srcs = candidate_sources()[-2:]
+        if len(srcs) < 2:
+            print("sf1-gate: fewer than two sf1 maps exist — nothing to diff")
+            return 0
+
+    (prev_path, prev), (cur_path, cur) = srcs
+    movers = diff_maps(prev, cur)
+    waived = waivers()
+    bad = [m for m in movers if m[0] not in waived]
+    shared = set(prev) & set(cur)
+    imp = sorted(
+        ((n, prev[n], cur[n]) for n in shared if prev[n] > 0.0),
+        key=lambda x: x[2] / x[1],
+    )[:3]
+
+    print(
+        f"sf1-gate: {os.path.basename(prev_path)} -> "
+        f"{os.path.basename(cur_path)}  ({len(shared)} shared queries, "
+        f"threshold {THRESHOLD}x above {FLOOR_SEC}s)"
+    )
+    for name, p, t, r in movers:
+        tag = "WAIVED" if name in waived else "FAIL"
+        print(f"  {tag}: {name}  {p:.3f}s -> {t:.3f}s  ({r}x)")
+    if not movers:
+        print("  no movers above threshold")
+    if imp:
+        best = ", ".join(f"{n} {p:.2f}->{t:.2f}s" for n, p, t in imp)
+        print(f"  fastest-improving: {best}")
+
+    if args.record:
+        with open(os.path.join(REPO, "PLANS.md"), "a") as fh:
+            fh.write(
+                f"\n- sf1-gate {os.path.basename(prev_path)} -> "
+                f"{os.path.basename(cur_path)}: "
+                + (
+                    "; ".join(
+                        f"{n} {p:.2f}s->{t:.2f}s ({r}x)"
+                        for n, p, t, r in movers
+                    )
+                    if movers
+                    else "no movers above threshold"
+                )
+                + "\n"
+            )
+
+    if bad:
+        print(
+            "sf1-gate FAILED: add a PLANS.md A/B entry and an explicit\n"
+            "'sf1-regression-ok: <name> — <reason>' waiver for each "
+            "genuine mover",
+            file=sys.stderr,
+        )
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
