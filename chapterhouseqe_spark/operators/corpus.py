@@ -539,3 +539,187 @@ def source_novelty(
             ).alias("first_rate"),
         )
     )
+
+
+def _ilog2(col: Column) -> Column:
+    """floor(log2(n)) for a positive integer column, EXACTLY: the
+    length of the binary string representation minus one. Float
+    ``log2``/``ln`` diverge at 1 ulp between JVM and DuckDB libm
+    (PLANS.md oracle-portability rules), but the binary string of an
+    integer is the same everywhere (DuckDB twin: ``length(bin(n))-1``).
+    """
+    return F.length(F.conv(col.cast("string"), 10, 2)) - F.lit(1)
+
+
+def dsir_hashed_features(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 4096,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
+    """Hashed n-gram features (DSIR, Xie et al. 2023 §3): each
+    document's unigrams AND bigrams map to ``n_buckets`` buckets via
+    the md5 hashing trick — the same constant-size no-vocabulary
+    featurization as the hashing-trick classifier
+    (``functions/text.py``), extended with bigrams exactly as the
+    paper specifies. Output: one row per token occurrence,
+    ``(id, *passthrough, b)`` with ``b`` in ``[0, n_buckets)``.
+    ``passthrough`` carries per-doc flags (e.g. the DSIR target
+    marker) through the explode so downstream never joins the token
+    stream back to the documents — that join would shuffle the whole
+    stream on the doc key for a boolean.
+
+    100 TB shape: pure map-side — tokenize once, one ``zip_with`` for
+    bigrams (null-padded tail filtered), one explode; no shuffle, no
+    Python. Bucket counts downstream aggregate to a ``n_buckets``-row
+    frame however large the corpus.
+    """
+    from chapterhouseqe_spark.queries.registry import md5_int
+
+    ts = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    unis = F.filter(ts, lambda w: w != F.lit(""))
+    # bigrams: token i paired with token i+1; zip_with pads the tail
+    # with null and concat(null) propagates, so one filter drops it —
+    # identical semantics to the DuckDB twin's list_zip + `||`.
+    bis = F.filter(
+        F.zip_with(
+            ts,
+            F.slice(ts, 2, F.greatest(F.size(ts) - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        lambda w: w.isNotNull(),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in passthrough],
+        F.explode(F.concat(unis, bis)).alias("w"),
+    ).select(
+        "id",
+        *passthrough,
+        F.pmod(md5_int(F.col("w")), F.lit(n_buckets)).alias("b"),
+    )
+
+
+def dsir_importance_resample(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_col: str,
+    k: int = 25,
+    n_buckets: int = 4096,
+    clamp: int = 30,
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023): select raw-corpus documents whose hashed-n-gram
+    profile looks like a TARGET distribution, by (1) fitting two
+    bag-of-hashed-ngrams unigram models — target ``p`` from the rows
+    where ``target_col`` is true, proposal ``q`` from the full corpus
+    — (2) scoring every document with the log likelihood ratio
+    ``log p(doc)/q(doc)``, and (3) sampling by importance weight
+    through the existing :func:`weighted_priority_sample` seam.
+
+    Bit-portability (the graded contract): the per-bucket log ratio is
+    quantized to INTEGER base-2 logs — ``S = Σ_tokens [ilog2(ct_b+1) −
+    ilog2(cq_b+1) + ilog2(Q+B) − ilog2(T+B)]`` with Laplace-smoothed
+    bucket counts ``ct/cq`` and token totals ``T/Q`` — because a sum
+    of libm ``ln`` terms diverges at 1 ulp between engines while
+    ``floor(log2(int))`` is exact in both (:func:`_ilog2`). ``S`` is
+    clamped to ``±clamp`` and the importance weight is ``2^S``, built
+    by integer bit-shift and therefore EXACT as a double; the
+    resulting priority ``u48 / 2^S`` is a single exponent-shifting
+    IEEE division of exact values — bit-identical everywhere. The
+    quantization is honest about resolution: weights live in power-of-
+    two bands, which only coarsens DSIR's own noise floor (its hash
+    binning and unigram independence assumptions are far blunter than
+    a 2x weight band).
+
+    Output: ``(id_col, s_quant, weight, priority)`` for the ``k``
+    selected documents, deterministic across runs and engines.
+
+    100 TB shape: one map-side featurization (``dsir_hashed_features``
+    with the target flag passed THROUGH the explode — never a join of
+    the token stream back to the documents), ONE bucket-keyed
+    aggregation producing the ``n_buckets``-row model (both models in
+    the same pass — counting target and proposal separately would
+    double the shuffle) which collapses to the driver and broadcasts
+    back onto the token stream as log-ratio literals; one doc-keyed
+    aggregation; then top-k is TakeOrderedAndProject inside
+    :func:`weighted_priority_sample` — never a global sort. Plan
+    census: 2 scans, 2 exchanges, 0 shuffle joins. ``s_quant`` in the
+    k-row output derives from the exact power-of-two weight rather
+    than a second pass over the scoring lineage. The model is
+    constant-size regardless of corpus size, exactly like the paper's.
+    """
+    fb = dsir_hashed_features(
+        df, text_col, id_col, n_buckets, passthrough=(target_col,)
+    )
+    # MODEL PASS — one bucket-keyed aggregation computes both unigram
+    # models (proposal count = all rows, target count = target rows),
+    # then the <= n_buckets-row result collapses to the driver (the
+    # dim-bounded-collect pattern: DSIR's model is constant-size by
+    # construction, exactly like the paper's, so this is a few KB at
+    # any corpus size). Folding the totals and integer log2s in Python
+    # keeps the whole model to ONE exchange — leaving it distributed
+    # cost a second scan of the corpus plus a single-partition totals
+    # exchange (measured: 3 scans / 6 exchanges vs 2 / 2).
+    cnt_rows = (
+        fb.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("cq"),
+            F.sum(F.col(target_col).cast("long")).alias("ct"),
+        )
+        .collect()
+    )
+    q_tot = sum(r["cq"] for r in cnt_rows)
+    t_tot = sum(r["ct"] or 0 for r in cnt_rows)
+    # (n).bit_length()-1 == floor(log2(n)) exactly, same as _ilog2
+    norm = (q_tot + n_buckets).bit_length() - (t_tot + n_buckets).bit_length()
+    lb = df.sparkSession.createDataFrame(
+        [
+            (
+                r["b"],
+                ((r["ct"] or 0) + 1).bit_length()
+                - (r["cq"] + 1).bit_length()
+                + norm,
+            )
+            for r in cnt_rows
+        ],
+        "b long, l long",
+    )
+    s = (
+        fb.join(F.broadcast(lb), "b")
+        .groupBy("id")
+        .agg(
+            F.greatest(
+                F.lit(-clamp), F.least(F.lit(clamp), F.sum("l"))
+            )
+            .cast("long")
+            .alias("s_quant")
+        )
+    )
+    # 2^S via integer bit-shift (exact; F.pow would round-trip through
+    # libm). F.shiftleft only takes a literal bit count, so SQL expr:
+    weight = F.expr(
+        "CASE WHEN s_quant >= 0 THEN "
+        "  CAST(shiftleft(CAST(1 AS BIGINT), CAST(s_quant AS INT))"
+        "       AS DOUBLE) "
+        "ELSE 1.0 / "
+        "  CAST(shiftleft(CAST(1 AS BIGINT), CAST(-s_quant AS INT))"
+        "       AS DOUBLE) END"
+    )
+    picked = weighted_priority_sample(
+        s.select("id", weight.alias("weight")), "weight", "id", k=k
+    )
+    # weight is an exact power of two, so the quantized log-ratio is
+    # recoverable without touching the scoring lineage again
+    s_back = F.when(
+        F.col("weight") >= 1.0,
+        _ilog2(F.col("weight").cast("long")),
+    ).otherwise(-_ilog2((F.lit(1.0) / F.col("weight")).cast("long")))
+    return picked.select(
+        F.col("id").alias(id_col),
+        s_back.cast("long").alias("s_quant"),
+        "weight",
+        "priority",
+    )

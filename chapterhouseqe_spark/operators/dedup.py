@@ -322,6 +322,29 @@ def minhash_lsh_pairs(
     )
 
 
+def hot_shingle_mass_ratio(
+    posting: DataFrame, n_docs: int, hot_frac: float = 0.05
+) -> float:
+    """Fraction of the direct path's quadratic pairing cost ``Σ c_s²``
+    carried by HOT shingles (document frequency above
+    ``hot_frac * n_docs``) — the statistic that actually predicts when
+    prefix filtering beats the direct inverted-index join (see
+    :func:`ngram_jaccard_pairs` ``prefix_filter="auto"``). One small
+    aggregation over the (cached) posting frame; doubles are fine here
+    because the ratio steers a dispatch decision, not a result.
+    """
+    cutoff = max(2.0, hot_frac * n_docs)
+    dfreq = posting.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
+    sq = F.col("df_s").cast("double") * F.col("df_s").cast("double")
+    row = dfreq.agg(
+        F.sum(sq).alias("tot"),
+        F.sum(F.when(F.col("df_s") > cutoff, sq).otherwise(0.0)).alias(
+            "hot"
+        ),
+    ).first()
+    return 0.0 if not row or not row["tot"] else row["hot"] / row["tot"]
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -329,7 +352,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     k: int = 3,
     max_shingle_freq: int | None = 10_000,
-    prefix_filter: bool = False,
+    prefix_filter: bool | str = False,
 ) -> DataFrame:
     """EXACT n-gram Jaccard pairs via an inverted index on shingles,
     optionally PREFIX-FILTERED.
@@ -383,6 +406,29 @@ def ngram_jaccard_pairs(
     40-token header: 7.9s vs 50.1s, gap growing with n²). Turn it ON
     when you need the EXACT answer on a corpus whose hot shingles you
     cannot afford to (lossily) cap.
+
+    ``prefix_filter="auto"`` (r9 verdict item 3) dispatches on the
+    statistic that actually predicts the winner. The r10 crossover
+    probe (PLANS.md round-10) REFUTED the size hypothesis: on the
+    uniform closed-vocab corpus family, direct wins at every measured
+    size — 27.3s vs 209.9s at 50k docs, and at 150k docs direct
+    completes in 135.3s while prefix DIES of shuffle-spill ENOSPC
+    (its candidate-pair ``distinct`` is dense: with near-uniform
+    document frequencies, prefixes prune ~30% of postings but every
+    doc pair still shares some indexed shingle). What flips the
+    winner is DF SKEW, not corpus size: when hot shingles carry the
+    bulk of the ``Σ c_s²`` pairing mass, they fall out of rarest-
+    first prefixes and the prefix path wins at ANY size (the r8 12k
+    boilerplate corpus, and the r10 150k one where the direct path is
+    infeasible outright). So ``auto`` computes
+    :func:`hot_shingle_mass_ratio` — the fraction of ``Σ c_s²``
+    carried by shingles with df above 5% of the corpus, measured on
+    the same index the direct path would pair on (after any lossy
+    cap, which removes hot shingles by itself) — and picks prefix
+    when that ratio reaches 0.5. One small aggregation over the
+    cached shingle frame; both branches return the identical exact
+    pair set, so the dispatch can only change the plan, never the
+    answer (pinned by ``test_prefix_filter_auto_dispatch``).
     """
     sh = with_shingles(df, text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
     posting = sh.select("id", F.explode("shingles").alias("s"))
@@ -404,6 +450,25 @@ def ngram_jaccard_pairs(
                 hot.count(),
                 max_shingle_freq,
             )
+    if prefix_filter == "auto":
+        # Dispatch on the statistic that predicts the winner (see the
+        # docstring's measured A/Bs): the share of the direct path's
+        # Σc_s² pairing cost carried by hot shingles, computed over
+        # the index the direct path would actually pair on (i.e. after
+        # the lossy cap, which removes hot shingles by itself).
+        idx = (
+            posting.join(F.broadcast(hot), "s", "left_anti")
+            if hot is not None
+            else posting
+        )
+        ratio = hot_shingle_mass_ratio(idx, sh.count())
+        prefix_filter = ratio >= 0.5
+        logger.info(
+            "ngram_jaccard_pairs auto dispatch: hot-shingle mass ratio "
+            "%.3f -> %s",
+            ratio,
+            "prefix" if prefix_filter else "direct",
+        )
     if prefix_filter:
         # Prefix lengths/ranks derive from the FULL posting (hot
         # shingles still present); hot removal happens on the selected

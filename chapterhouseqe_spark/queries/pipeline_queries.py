@@ -6423,3 +6423,114 @@ def dedup_threshold_sensitivity(spark, sf_dir):
     return pairs.groupBy(
         F.floor(F.col("jaccard") * 20).cast("int").alias("bucket_20th")
     ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@query(
+    "pipeline_dsir_resample",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         w -> w <> '') AS ts
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, lang,
+             unnest(list_concat(
+               ts,
+               list_filter(
+                 list_transform(list_zip(ts, ts[2:]),
+                                p -> p[1] || ' ' || p[2]),
+                 w -> w IS NOT NULL)
+             )) AS w
+      FROM tok
+    ),
+    fb AS (
+      SELECT doc_id, lang, ({o_md5_int('w')}) % 4096 AS b FROM feat
+    ),
+    cnt AS (
+      SELECT b,
+             CAST(COUNT(*) AS BIGINT) AS cq,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS ct
+      FROM fb GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(SUM(cq) AS BIGINT) AS q_tot,
+             CAST(SUM(ct) AS BIGINT) AS t_tot
+      FROM cnt
+    ),
+    lb AS (
+      SELECT b,
+             (length(bin(ct + 1)) - 1) - (length(bin(cq + 1)) - 1)
+             + (length(bin(q_tot + 4096)) - 1)
+             - (length(bin(t_tot + 4096)) - 1) AS l
+      FROM cnt, tot
+    ),
+    s AS (
+      SELECT fb.doc_id,
+             CAST(GREATEST(-30, LEAST(30, SUM(l))) AS BIGINT) AS s_quant
+      FROM fb JOIN lb USING (b)
+      GROUP BY fb.doc_id
+    ),
+    wt AS (
+      SELECT doc_id, s_quant,
+             CASE WHEN s_quant >= 0
+                  THEN CAST((1::BIGINT << s_quant) AS DOUBLE)
+                  ELSE 1.0 / CAST((1::BIGINT << (-s_quant)) AS DOUBLE)
+             END AS weight
+      FROM s
+    )
+    SELECT doc_id, s_quant, weight,
+           CAST(('0x' || substr(md5('w:' || CAST(doc_id AS VARCHAR)),
+                                1, 12))::BIGINT AS DOUBLE) / weight
+             AS priority
+    FROM wt
+    WHERE weight > 0
+    ORDER BY priority, doc_id
+    LIMIT 25
+    """,
+    tags=("pipeline", "corpus-prep", "sampling"),
+    doc="DSIR importance resampling (Xie et al. 2023): hashed "
+    "unigram+bigram features (4,096 md5 buckets), target model = "
+    "lang='en' docs, proposal = full corpus; per-doc importance = "
+    "integer-quantized base-2 log likelihood ratio (floor-log2 of "
+    "Laplace-smoothed bucket counts — exact in both engines where a "
+    "sum of libm ln terms is not), clamped to ±30; selection via the "
+    "weighted_priority_sample seam with weight 2^S, whose u48/2^S "
+    "priority is a single exponent-shift IEEE division of exact "
+    "values (operators/corpus.py:dsir_importance_resample)",
+)
+def pipeline_dsir_resample(spark, sf_dir):
+    from chapterhouseqe_spark.operators.corpus import (
+        dsir_importance_resample,
+    )
+
+    docs = t(spark, sf_dir, "documents").withColumn(
+        "is_target", F.col("lang") == F.lit("en")
+    )
+    return dsir_importance_resample(
+        docs, "text", "doc_id", "is_target", k=25
+    )
+
+
+@query(
+    "dedup_ngram_jaccard_auto",
+    oracle=_SHINGLE_CTE.format(tau=0.4),
+    tags=("pipeline", "dedup"),
+    doc="the size-adaptive dispatch (r9 verdict item 3) graded "
+    "end-to-end: prefix_filter='auto' measures the hot-shingle mass "
+    "ratio of the corpus (near zero on the uniform documents table -> "
+    "direct path; >=0.5 on boilerplate corpora -> lossless prefix "
+    "path) and must return the identical exact pair set either way "
+    "(operators/dedup.py:hot_shingle_mass_ratio)",
+)
+def dedup_ngram_jaccard_auto(spark, sf_dir):
+    return ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        threshold=0.4,
+        prefix_filter="auto",
+        max_shingle_freq=None,  # graded vs an exact oracle
+    )

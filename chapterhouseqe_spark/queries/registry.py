@@ -242,8 +242,10 @@ GRADE_ORDER: tuple[str, ...] = (
 # Entering r10 this list is exactly the r10 additions (cap ~10 per the
 # r9 verdict): each new query appends itself here at registration.
 NEXT_WINDOW_PLAN: tuple[str, ...] = (
-    # round-10 additions append themselves here at registration time
-    # (none yet at rotation time; cap ~10 per the r9 verdict).
+    # round-10 additions (zero driver evidence until the r11 window;
+    # cap ~10 per the r9 verdict):
+    "pipeline_dsir_resample",
+    "dedup_ngram_jaccard_auto",
 )
 
 

@@ -106,6 +106,70 @@ def test_prefix_filter_is_lossless(docs, spark):
     assert as_set(d2) == as_set(p2) and d2.count() > 0
 
 
+def test_prefix_filter_auto_dispatch(spark):
+    """prefix_filter='auto' keys on hot-shingle mass (r9 verdict item
+    3): a diverse corpus dispatches to the direct path, a boilerplate
+    corpus (most of the Σc_s² pairing cost in header shingles)
+    dispatches to prefix — and both return the exact answer either
+    way, so the dispatch can never change results, only plans."""
+    from pyspark.sql import functions as F
+
+    from chapterhouseqe_spark.operators.dedup import (
+        hot_shingle_mass_ratio,
+        with_shingles,
+    )
+
+    def ratio(df):
+        sh = with_shingles(df, "text", "doc_id")
+        posting = sh.select("id", F.explode("shingles").alias("s"))
+        return hot_shingle_mass_ratio(posting, df.count())
+
+    as_set = lambda df: {
+        (r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()
+    }
+    # diverse open-vocab corpus (df=1 for almost every shingle, one
+    # planted dup pair at df=2 <= the cutoff): nothing hot -> direct
+    diverse_rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(12))) for i in range(49)
+    ]
+    diverse_rows.append((49, diverse_rows[0][1]))  # exact-dup partner
+    diverse = spark.createDataFrame(
+        diverse_rows, "doc_id long, text string"
+    )
+    assert ratio(diverse) < 0.5
+    auto = ngram_jaccard_pairs(
+        diverse, "text", "doc_id", threshold=0.5, prefix_filter="auto"
+    )
+    exact = ngram_jaccard_pairs(diverse, "text", "doc_id", threshold=0.5)
+    assert as_set(auto) == as_set(exact) and auto.count() > 0
+
+    # boilerplate corpus: a shared 30-token header carries nearly all
+    # of the quadratic pairing mass -> prefix
+    header = " ".join(f"boiler{i}" for i in range(30))
+    boiler = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(header + " body"),
+            (F.col("id") % 4).cast("string"),
+            F.lit(" tail"),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    assert ratio(boiler) >= 0.5
+    auto2 = ngram_jaccard_pairs(
+        boiler,
+        "text",
+        "doc_id",
+        threshold=0.5,
+        max_shingle_freq=None,
+        prefix_filter="auto",
+    )
+    exact2 = ngram_jaccard_pairs(
+        boiler, "text", "doc_id", threshold=0.5, max_shingle_freq=None
+    )
+    assert as_set(auto2) == as_set(exact2) and auto2.count() > 0
+
+
 def test_prefix_filter_respects_stop_shingle_cap(docs):
     # hot-shingle capping composes with prefix selection: with an
     # aggressive cap only the exact-dup pair survives, same as direct

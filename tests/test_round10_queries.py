@@ -1,0 +1,106 @@
+"""Round-10 additions: DSIR importance resampling.
+
+The graded query (`pipeline_dsir_resample`) is replayed against its
+DuckDB oracle by tests/test_queries_oracle.py like every registry
+entry; these tests pin the operator-level semantics the oracle can't
+see failing in isolation.
+"""
+
+from pyspark.sql import functions as F
+
+
+def test_dsir_features_unigrams_plus_bigrams(spark):
+    """n tokens yield n unigram + (n-1) bigram feature rows, buckets
+    in [0, 4096), and the passthrough column survives the explode."""
+    from chapterhouseqe_spark.operators.corpus import dsir_hashed_features
+
+    df = spark.createDataFrame(
+        [(1, "a b c", True), (2, "solo", False), (3, "  x   y  ", False)],
+        "doc_id long, text string, t boolean",
+    )
+    rows = dsir_hashed_features(
+        df, "text", "doc_id", passthrough=("t",)
+    ).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["id"], []).append(r)
+        assert 0 <= r["b"] < 4096
+    assert len(per_doc[1]) == 3 + 2  # a,b,c + "a b","b c"
+    assert len(per_doc[2]) == 1  # one token, no bigram
+    assert len(per_doc[3]) == 2 + 1  # multi-space split stays clean
+    assert all(r["t"] for r in per_doc[1])
+    assert not any(r["t"] for r in per_doc[2])
+
+
+def test_dsir_resample_prefers_target_like_docs(spark):
+    """DSIR semantics on a corpus with two disjoint vocabularies:
+    docs written in the target vocabulary score a strictly higher
+    quantized log-likelihood ratio than docs written in the other,
+    weight is exactly 2^s_quant, and the selection is deterministic."""
+    from chapterhouseqe_spark.operators.corpus import (
+        dsir_importance_resample,
+    )
+
+    a_words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    b_words = ["omega", "sigma", "kappa", "lambda", "theta"]
+
+    def doc(words, i):
+        return " ".join(words[(i + j) % len(words)] for j in range(12))
+
+    rows = []
+    for i in range(10):  # target sample: vocabulary A
+        rows.append((i, doc(a_words, i), True))
+    for i in range(10, 20):  # raw A-like docs, not marked target
+        rows.append((i, doc(a_words, i), False))
+    for i in range(20, 30):  # raw off-target docs, vocabulary B
+        rows.append((i, doc(b_words, i), False))
+    df = spark.createDataFrame(rows, "doc_id long, text string, t boolean")
+
+    out = dsir_importance_resample(df, "text", "doc_id", "t", k=30)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert len(got) == 30  # k >= n keeps every doc, scored
+
+    a_scores = [got[i]["s_quant"] for i in range(20)]
+    b_scores = [got[i]["s_quant"] for i in range(20, 30)]
+    assert min(a_scores) > max(b_scores)
+
+    for r in got.values():
+        s = r["s_quant"]
+        assert -30 <= s <= 30
+        expect = float(2**s) if s >= 0 else 1.0 / float(2**-s)
+        assert r["weight"] == expect  # exact power of two, no rounding
+
+    again = {r["doc_id"]: r for r in out.collect()}
+    assert {k: (v["s_quant"], v["priority"]) for k, v in got.items()} == {
+        k: (v["s_quant"], v["priority"]) for k, v in again.items()
+    }
+
+
+def test_dsir_selection_skews_toward_target(spark):
+    """With k < n, the resampled set over-represents target-like docs
+    relative to their share of the corpus (the whole point of DSIR):
+    A-like docs are 1/3 of the pool but dominate the selection."""
+    from chapterhouseqe_spark.operators.corpus import (
+        dsir_importance_resample,
+    )
+
+    a_words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    b_words = ["omega", "sigma", "kappa", "lambda", "theta"]
+    rows = []
+    for i in range(10):
+        rows.append((i, " ".join(a_words * 3), True))
+    for i in range(10, 20):
+        rows.append((i, " ".join(a_words * 3), False))
+    for i in range(20, 60):
+        rows.append((i, " ".join(b_words * 3), False))
+    df = spark.createDataFrame(rows, "doc_id long, text string, t boolean")
+
+    picked = {
+        r["doc_id"]
+        for r in dsir_importance_resample(
+            df, "text", "doc_id", "t", k=12
+        ).collect()
+    }
+    assert len(picked) == 12
+    n_a = sum(1 for d in picked if d < 20)
+    assert n_a >= 10  # 20/60 of the pool, but nearly all of the pick
