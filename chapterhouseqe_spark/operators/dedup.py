@@ -415,7 +415,11 @@ def ngram_jaccard_pairs(
     completes in 135.3s while prefix DIES of shuffle-spill ENOSPC
     (its candidate-pair ``distinct`` is dense: with near-uniform
     document frequencies, prefixes prune ~30% of postings but every
-    doc pair still shares some indexed shingle). What flips the
+    doc pair still shares some indexed shingle); at 500k BOTH die
+    (direct OOMs a 24g heap) — on dense-df corpora exactness itself
+    is quadratic and the lossy cap / MinHash is the only scale path.
+    On the skewed corpus the prefix path stays LINEAR-ish: 21.2s at
+    150k, 50.8s at 500k, where direct is infeasible at both sizes. What flips the
     winner is DF SKEW, not corpus size: when hot shingles carry the
     bulk of the ``Σ c_s²`` pairing mass, they fall out of rarest-
     first prefixes and the prefix path wins at ANY size (the r8 12k

@@ -170,6 +170,15 @@ def _ensure_registered() -> None:
 #
 # tools/coverage_counts.py asserts tier (a) matches the live
 # zero-evidence set; run it at round close and after every addition.
+#
+# r11 window sketch (write the final plan after the r10 artifact
+# lands): tier (a) = NEXT_WINDOW_PLAN below (the r10 additions);
+# then the 7 r4 rows tier (e) left out this round (date_arithmetic,
+# array_split_ops, pivot_returnflag, explode_word_count,
+# time_rollup_multi, embedding_centroids,
+# approx_sketches_within_bounds — the stalest remaining evidence);
+# then the r5 cohort (32 rows, 6 rounds stale by r11) under the
+# standing family-canary rules.
 GRADE_ORDER: tuple[str, ...] = (
     # --- tier (a): agg / orders analytics (r9 spillover) ---
     "stats_winsorize",
