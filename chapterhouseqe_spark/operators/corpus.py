@@ -723,3 +723,119 @@ def dsir_importance_resample(
         "weight",
         "priority",
     )
+
+
+def source_divergence_matrix(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    source_col: str,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Pairwise TOTAL-VARIATION distance between the per-source
+    hashed-n-gram token distributions — the drift diagnostic behind
+    data-mixing decisions (two sources with TV ≈ 0 are redundant; a
+    source far from every other is the diversity it claims to be).
+    Uses the same hashed unigram+bigram featurization as DSIR
+    (:func:`dsir_hashed_features`), so the "distribution" is the
+    constant-size bucket histogram, not an unbounded vocabulary.
+
+    Bit-portability: TV = L1/2 over normalized histograms involves
+    per-bucket divisions, whose SUM is order-dependent in floats. The
+    cross-multiplied integer form avoids all of it::
+
+        L1_scaled(a,b) = Σ_i |ct_a(i)·T_b − ct_b(i)·T_a|
+        tv = L1_scaled / (2·T_a·T_b)     (ONE double division)
+
+    with the missing-bucket terms folded algebraically: the inner
+    join covers buckets present in BOTH sources, and the a-only /
+    b-only remainders are ``(T_a − S_a)·T_b`` and ``(T_b − S_b)·T_a``
+    where ``S`` sums the shared-bucket counts — so no outer join is
+    ever needed. Everything before the single division is exact
+    BIGINT in both engines. (Magnitude note: products are bounded by
+    ``T_a·T_b``; BIGINT holds to ~3e9 tokens per source — beyond
+    that, downsample counts per-mille before crossing.)
+
+    Output: one row per unordered source pair (src_a < src_b):
+    ``(src_a, src_b, l1_scaled, tv)``.
+
+    100 TB shape: one map-side featurization, ONE (source, bucket)
+    aggregation (|sources|·n_buckets rows — KB-scale however large
+    the corpus), then all pairing happens on that collapsed frame
+    (broadcast self-join + a |pairs|-row aggregate). The corpus is
+    scanned once.
+    """
+    fb = dsir_hashed_features(
+        df, text_col, id_col, n_buckets, passthrough=(source_col,)
+    )
+    hist = (
+        fb.groupBy(F.col(source_col).alias("src"), "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tot = hist.groupBy("src").agg(F.sum("c").cast("long").alias("t"))
+    a = (
+        hist.join(F.broadcast(tot), "src")
+        .select(
+            F.col("src").alias("src_a"),
+            "b",
+            F.col("c").alias("ca"),
+            F.col("t").alias("ta"),
+        )
+    )
+    bb = (
+        hist.join(F.broadcast(tot), "src")
+        .select(
+            F.col("src").alias("src_b"),
+            "b",
+            F.col("c").alias("cb"),
+            F.col("t").alias("tb"),
+        )
+    )
+    shared = (
+        a.join(bb, "b")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(
+                F.abs(F.col("ca") * F.col("tb") - F.col("cb") * F.col("ta"))
+            )
+            .cast("long")
+            .alias("sum_abs"),
+            F.sum("ca").cast("long").alias("sa"),
+            F.sum("cb").cast("long").alias("sb"),
+        )
+    )
+    # every unordered pair appears, even with zero shared buckets
+    # (TV = 1 — exactly the pairs a drift diagnostic must surface):
+    # pair the |sources|-row totals frame and left-join the shared
+    # stats, zero-filled.
+    all_pairs = (
+        tot.select(F.col("src").alias("src_a"), F.col("t").alias("ta"))
+        .join(
+            F.broadcast(
+                tot.select(
+                    F.col("src").alias("src_b"), F.col("t").alias("tb")
+                )
+            ),
+            F.col("src_a") < F.col("src_b"),
+        )
+        .join(shared, ["src_a", "src_b"], "left")
+        .fillna(0, subset=["sum_abs", "sa", "sb"])
+    )
+    l1 = (
+        F.col("sum_abs")
+        + (F.col("ta") - F.col("sa")) * F.col("tb")
+        + (F.col("tb") - F.col("sb")) * F.col("ta")
+    ).cast("long")
+    return all_pairs.select(
+        "src_a",
+        "src_b",
+        l1.alias("l1_scaled"),
+        (
+            l1.cast("double")
+            / (F.lit(2).cast("long") * F.col("ta") * F.col("tb")).cast(
+                "double"
+            )
+        ).alias("tv"),
+    )

@@ -6534,3 +6534,77 @@ def dedup_ngram_jaccard_auto(spark, sf_dir):
         prefix_filter="auto",
         max_shingle_freq=None,  # graded vs an exact oracle
     )
+
+
+@query(
+    "corpus_source_divergence",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         w -> w <> '') AS ts
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, source,
+             unnest(list_concat(
+               ts,
+               list_filter(
+                 list_transform(list_zip(ts, ts[2:]),
+                                p -> p[1] || ' ' || p[2]),
+                 w -> w IS NOT NULL)
+             )) AS w
+      FROM tok
+    ),
+    hist AS (
+      SELECT source AS src, ({o_md5_int('w')}) % 4096 AS b,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM feat GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT src, CAST(SUM(c) AS BIGINT) AS t FROM hist GROUP BY src
+    ),
+    shared AS (
+      SELECT a.src AS src_a, bb.src AS src_b,
+             CAST(SUM(ABS(a.c * tb.t - bb.c * ta.t)) AS BIGINT) AS sum_abs,
+             CAST(SUM(a.c) AS BIGINT) AS sa,
+             CAST(SUM(bb.c) AS BIGINT) AS sb
+      FROM hist a
+      JOIN hist bb ON a.b = bb.b AND a.src < bb.src
+      JOIN tot ta ON ta.src = a.src
+      JOIN tot tb ON tb.src = bb.src
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT ta.src AS src_a, tb.src AS src_b, ta.t AS ta, tb.t AS tb,
+             COALESCE(s.sum_abs, 0) AS sum_abs,
+             COALESCE(s.sa, 0) AS sa,
+             COALESCE(s.sb, 0) AS sb
+      FROM tot ta
+      JOIN tot tb ON ta.src < tb.src
+      LEFT JOIN shared s ON s.src_a = ta.src AND s.src_b = tb.src
+    )
+    SELECT src_a, src_b,
+           CAST(sum_abs + (ta - sa) * tb + (tb - sb) * ta AS BIGINT)
+             AS l1_scaled,
+           CAST(CAST(sum_abs + (ta - sa) * tb + (tb - sb) * ta AS BIGINT)
+                AS DOUBLE)
+             / CAST(2 * ta * tb AS DOUBLE) AS tv
+    FROM pairs
+    """,
+    tags=("pipeline", "corpus-prep"),
+    doc="pairwise total-variation distance between per-source hashed "
+    "unigram+bigram distributions (the data-mixing drift diagnostic: "
+    "TV ~ 0 means redundant sources) — cross-multiplied integer L1 "
+    "with the missing-bucket terms folded algebraically, so the only "
+    "float op is one final division "
+    "(operators/corpus.py:source_divergence_matrix)",
+)
+def corpus_source_divergence(spark, sf_dir):
+    from chapterhouseqe_spark.operators.corpus import (
+        source_divergence_matrix,
+    )
+
+    return source_divergence_matrix(
+        t(spark, sf_dir, "documents"), "text", "doc_id", "source"
+    )

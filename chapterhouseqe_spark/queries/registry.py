@@ -255,6 +255,7 @@ NEXT_WINDOW_PLAN: tuple[str, ...] = (
     # cap ~10 per the r9 verdict):
     "pipeline_dsir_resample",
     "dedup_ngram_jaccard_auto",
+    "corpus_source_divergence",
 )
 
 

@@ -104,3 +104,54 @@ def test_dsir_selection_skews_toward_target(spark):
     assert len(picked) == 12
     n_a = sum(1 for d in picked if d < 20)
     assert n_a >= 10  # 20/60 of the pool, but nearly all of the pick
+
+
+def test_source_divergence_known_values(spark):
+    """TV distance pins: identical per-source distributions -> 0,
+    disjoint vocabularies -> 1, and a mixed pair matches a Python
+    brute force over the same md5 bucketization."""
+    import hashlib
+
+    from chapterhouseqe_spark.operators.corpus import (
+        source_divergence_matrix,
+    )
+
+    rows = [
+        (0, "alpha beta gamma", "s_id1"),
+        (1, "alpha beta gamma", "s_id2"),  # identical multiset to s_id1
+        (2, "omega sigma kappa", "s_dis"),  # disjoint from s_id1
+        (3, "alpha beta omega", "s_mix"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        (r["src_a"], r["src_b"]): r
+        for r in source_divergence_matrix(
+            df, "text", "doc_id", "source"
+        ).collect()
+    }
+
+    assert out[("s_id1", "s_id2")]["tv"] == 0.0
+    assert out[("s_dis", "s_id1")]["tv"] == 1.0
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % 4096
+
+    def feats(text):
+        ts = text.split()
+        return [bucket(w) for w in ts] + [
+            bucket(f"{a} {b}") for a, b in zip(ts, ts[1:])
+        ]
+
+    from collections import Counter
+
+    ca, cb = Counter(feats(rows[0][1])), Counter(feats(rows[3][1]))
+    ta, tb = sum(ca.values()), sum(cb.values())
+    l1 = sum(
+        abs(ca.get(b, 0) * tb - cb.get(b, 0) * ta)
+        for b in set(ca) | set(cb)
+    )
+    got = out[("s_id1", "s_mix")]
+    assert got["l1_scaled"] == l1
+    assert got["tv"] == l1 / (2 * ta * tb)
+    for r in out.values():
+        assert 0.0 <= r["tv"] <= 1.0
