@@ -6608,3 +6608,117 @@ def corpus_source_divergence(spark, sf_dir):
     return source_divergence_matrix(
         t(spark, sf_dir, "documents"), "text", "doc_id", "source"
     )
+
+
+@query(
+    "pipeline_filter_funnel",
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id, lang, md5(text) AS fp,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      FROM documents
+    ),
+    per_word AS (
+      SELECT doc_id, lang, fp, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM words WHERE w <> '' GROUP BY 1, 2, 3, 4
+    ),
+    per_doc AS (
+      SELECT doc_id, lang, fp,
+             CAST(SUM(c) AS BIGINT) AS wc,
+             CAST(MAX(c) AS BIGINT) AS maxc
+      FROM per_word GROUP BY 1, 2, 3
+    ),
+    staged AS (
+      SELECT doc_id, fp,
+             CASE WHEN wc < 10 OR wc > 5000 THEN 1
+                  WHEN lang <> 'en' THEN 2
+                  WHEN 5 * maxc >= wc THEN 3
+                  ELSE 0 END AS stage
+      FROM per_doc
+    ),
+    pass123 AS (SELECT doc_id, fp FROM staged WHERE stage = 0),
+    firsts AS (
+      SELECT fp, MIN(doc_id) AS keeper FROM pass123 GROUP BY fp
+    ),
+    final AS (
+      SELECT p.doc_id,
+             CASE WHEN p.doc_id <> f.keeper THEN 4 ELSE 0 END AS stage
+      FROM pass123 p JOIN firsts f ON p.fp = f.fp
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM staged) AS n_scored,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM staged WHERE stage = 1)
+        AS failed_length,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM staged WHERE stage = 2)
+        AS failed_lang,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM staged WHERE stage = 3)
+        AS failed_repetition,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM final WHERE stage = 4)
+        AS failed_dup,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM final WHERE stage = 0)
+        AS kept
+    """,
+    tags=("pipeline", "text", "quality"),
+    doc="filter-funnel yield report — the per-stage attrition audit "
+    "every production corpus pipeline publishes: docs fail at their "
+    "FIRST violated stage (length bounds -> language -> repetition "
+    "via max-single-word frequency, compared as the integer predicate "
+    "5*maxc >= wc so no division enters the graded values -> exact "
+    "dedup keep-first among docs that survived the earlier stages, "
+    "the real pipeline order). One (doc,word) count, one doc rollup, "
+    "one fingerprint-keyed keep-first join; all counts BIGINT",
+)
+def pipeline_filter_funnel(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("fp"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("w"),
+    ).filter(F.col("w") != "")
+    per_doc = (
+        docs.groupBy("doc_id", "lang", "fp", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "lang", "fp")
+        .agg(
+            F.sum("c").cast("long").alias("wc"),
+            F.max("c").cast("long").alias("maxc"),
+        )
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    # staged feeds BOTH the early-stage rollup and the dedup branch —
+    # persist the narrow (doc, fp, stage) frame so the token-count
+    # lineage runs once (unpersisted plan measured 2 scans / 11
+    # exchanges; shared it is 1 scan / 6, two of them the single-row
+    # report collapses).
+    staged = per_doc.select(
+        "doc_id",
+        "fp",
+        F.when((F.col("wc") < 10) | (F.col("wc") > 5000), 1)
+        .when(F.col("lang") != "en", 2)
+        .when(F.lit(5) * F.col("maxc") >= F.col("wc"), 3)
+        .otherwise(0)
+        .alias("stage"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    pass123 = staged.filter(F.col("stage") == 0).select("doc_id", "fp")
+    firsts = pass123.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    final = pass123.join(firsts, "fp").select(
+        F.when(F.col("doc_id") != F.col("keeper"), 4)
+        .otherwise(0)
+        .alias("stage")
+    )
+    early = staged.agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum((F.col("stage") == 1).cast("long")).alias("failed_length"),
+        F.sum((F.col("stage") == 2).cast("long")).alias("failed_lang"),
+        F.sum((F.col("stage") == 3).cast("long")).alias(
+            "failed_repetition"
+        ),
+    )
+    late = final.agg(
+        F.sum((F.col("stage") == 4).cast("long")).alias("failed_dup"),
+        F.sum((F.col("stage") == 0).cast("long")).alias("kept"),
+    )
+    return early.crossJoin(late)

@@ -256,6 +256,7 @@ NEXT_WINDOW_PLAN: tuple[str, ...] = (
     "pipeline_dsir_resample",
     "dedup_ngram_jaccard_auto",
     "corpus_source_divergence",
+    "pipeline_filter_funnel",
 )
 
 

@@ -155,3 +155,48 @@ def test_source_divergence_known_values(spark):
     assert got["tv"] == l1 / (2 * ta * tb)
     for r in out.values():
         assert 0.0 <= r["tv"] <= 1.0
+
+
+def test_filter_funnel_accounting(spark):
+    """The funnel is a partition of the scored docs: every doc lands
+    in exactly one bucket, dedup only sees stage-1-3 survivors, and a
+    crafted corpus hits every bucket with known counts."""
+    from chapterhouseqe_spark.queries.pipeline_queries import (
+        pipeline_filter_funnel,
+    )
+    import os
+    import tempfile
+
+    rows = [
+        # 12 good en words, unique -> kept
+        (0, " ".join(f"k{j}" for j in range(12)), "en"),
+        # short (9 words) -> failed_length even though lang != en
+        (1, " ".join(f"s{j}" for j in range(9)), "de"),
+        # 12 words, de -> failed_lang
+        (2, " ".join(f"d{j}" for j in range(12)), "de"),
+        # 15 words but one word 3x (5*3 >= 15) -> failed_repetition
+        (3, "rep rep rep " + " ".join(f"r{j}" for j in range(12)), "en"),
+        # exact copy of doc 0 -> failed_dup (keep-first keeps 0)
+        (4, " ".join(f"k{j}" for j in range(12)), "en"),
+        # dup of doc 2's text but en: text fp matches doc 2, yet doc 2
+        # failed lang so never reached dedup -> this one is kept
+        (5, " ".join(f"d{j}" for j in range(12)), "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    d = tempfile.mkdtemp()
+    df.write.parquet(os.path.join(d, "documents.parquet"))
+    r = pipeline_filter_funnel(spark, d).collect()[0]
+    assert r["n_scored"] == 6
+    assert r["failed_length"] == 1
+    assert r["failed_lang"] == 1
+    assert r["failed_repetition"] == 1
+    assert r["failed_dup"] == 1
+    assert r["kept"] == 2
+    assert (
+        r["failed_length"]
+        + r["failed_lang"]
+        + r["failed_repetition"]
+        + r["failed_dup"]
+        + r["kept"]
+        == r["n_scored"]
+    )
