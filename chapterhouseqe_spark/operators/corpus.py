@@ -49,6 +49,79 @@ def chunk_documents(
     )
 
 
+def chunk_token_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 64,
+    stride: int = 32,
+) -> DataFrame:
+    """Split documents into fixed-TOKEN windows with configurable
+    stride — the RAG/serving-side chunker (r10 verdict item 5), the
+    token-unit sibling of the character-unit :func:`chunk_documents`.
+
+    Tokenization is the engine-wide whitespace discipline
+    (``functions/text.py``: ``split(trim(text), '\\s+')``), evaluated
+    ONCE per row into a select boundary so the window slices never
+    re-tokenize (the CollapseProject per-element rescan trap,
+    PLANS.md round-8). Chunk ``i`` covers tokens
+    ``[i*stride, i*stride + size)``; the chunk count is
+    ``1 + ceil((n_tokens - size) / stride)`` (integer form, no float
+    ceil), so the last window always reaches the end of the document
+    and no window starts past it.
+
+    Output per chunk: the id column, ``chunk_idx`` (0-based, stable),
+    ``tok_start``, ``n_tokens`` (= size except the final partial
+    window), ``char_start`` — the chunk's character offset in the
+    single-space-NORMALIZED text (tokens joined by one space; offsets
+    into raw text would be ill-defined under run-length whitespace) —
+    and ``chunk_text`` (the normalized window).
+
+    100 TB shape: a pure narrow projection + explode inside the scan
+    stage — ZERO shuffles, no UDF; Spark parallelism is by document.
+    Cost note: ``char_start``/``chunk_text`` each slice-and-join a
+    token prefix per chunk, so a document costs
+    O(n_tokens²/stride) bytes of memcpy — negligible for web-page
+    docs (≤10⁴ tokens), and for book-length inputs raise ``stride``
+    or chunk a pre-split page table instead.
+    """
+    if stride <= 0 or stride > size:
+        raise ValueError("need 0 < stride <= size (windows must cover)")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    d = df.select(F.col(id_col), toks.alias("_tk"))
+    n = F.size(F.col("_tk"))
+    nc = (
+        F.when(n <= size, F.lit(1))
+        .otherwise(
+            F.lit(1) + F.floor((n - size + (stride - 1)) / F.lit(stride))
+        )
+        .cast("int")
+    )
+    ch = d.select(
+        id_col,
+        "_tk",
+        F.explode(F.sequence(F.lit(0), nc - F.lit(1))).alias("chunk_idx"),
+    )
+    ts = F.col("chunk_idx") * F.lit(stride)
+    nn = F.size(F.col("_tk"))
+    return ch.select(
+        id_col,
+        "chunk_idx",
+        ts.cast("bigint").alias("tok_start"),
+        F.least(F.lit(size), nn - ts).cast("bigint").alias("n_tokens"),
+        F.when(ts == 0, F.lit(0))
+        .otherwise(
+            F.length(F.array_join(F.slice(F.col("_tk"), F.lit(1), ts), " "))
+            + F.lit(1)
+        )
+        .cast("bigint")
+        .alias("char_start"),
+        F.array_join(
+            F.slice(F.col("_tk"), ts + F.lit(1), F.lit(size)), " "
+        ).alias("chunk_text"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     token_col: str,
@@ -725,6 +798,20 @@ def dsir_importance_resample(
     )
 
 
+def _check_l1_bound(max_t: int) -> None:
+    """Fail loudly before ``l1_scaled = Σ|ca·Tb − cb·Ta|`` (bounded by
+    ``2·Ta·Tb``) can silently wrap BIGINT — Spark's non-ANSI long SUM
+    does not error on overflow. Holds while ``max(T)² ≤ 2^62``, i.e.
+    ~2.1e9 hashed tokens in the largest source."""
+    if max_t * max_t > 2**62:
+        raise ValueError(
+            "source_divergence_matrix: largest source has "
+            f"{max_t:,} hashed tokens; l1_scaled (bounded by 2*Ta*Tb) "
+            "would overflow BIGINT past ~2.1e9 tokens/source. "
+            "Downsample counts (e.g. per-mille) before crossing."
+        )
+
+
 def source_divergence_matrix(
     df: DataFrame,
     text_col: str,
@@ -752,9 +839,13 @@ def source_divergence_matrix(
     b-only remainders are ``(T_a − S_a)·T_b`` and ``(T_b − S_b)·T_a``
     where ``S`` sums the shared-bucket counts — so no outer join is
     ever needed. Everything before the single division is exact
-    BIGINT in both engines. (Magnitude note: products are bounded by
-    ``T_a·T_b``; BIGINT holds to ~3e9 tokens per source — beyond
-    that, downsample counts per-mille before crossing.)
+    BIGINT in both engines. (Magnitude note: ``l1_scaled`` is bounded
+    by ``2·T_a·T_b``, so BIGINT holds only to ~2e9 tokens per source
+    for near-disjoint pairs — ``2·(2.1e9)² ≈ 9.0e18 < 2^63``. Spark's
+    non-ANSI long SUM wraps SILENTLY past that, so the operator
+    fails loudly instead: a pre-pass asserts ``max(T)² ≤ 2^62`` and
+    raises with the fix — downsample counts per-mille before
+    crossing.)
 
     Output: one row per unordered source pair (src_a < src_b):
     ``(src_a, src_b, l1_scaled, tv)``.
@@ -774,6 +865,11 @@ def source_divergence_matrix(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     tot = hist.groupBy("src").agg(F.sum("c").cast("long").alias("t"))
+    # Overflow guard (see magnitude note): l1_scaled ≤ 2·Ta·Tb must
+    # fit BIGINT or Spark's non-ANSI long SUM wraps silently. The
+    # totals frame is |sources| rows, so this pre-pass is one tiny
+    # job over the already-persisted histogram.
+    _check_l1_bound(tot.agg(F.max("t")).first()[0] or 0)
     a = (
         hist.join(F.broadcast(tot), "src")
         .select(

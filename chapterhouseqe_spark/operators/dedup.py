@@ -345,6 +345,16 @@ def hot_shingle_mass_ratio(
     return 0.0 if not row or not row["tot"] else row["hot"] / row["tot"]
 
 
+# The pairing-row budget the r10 crossover probe calibrated (PLANS.md
+# "Round 10: ngram-jaccard crossover probe"): the direct path's hash
+# aggregate over Σc_s² ≈ 2.4e9 pairing rows (150k closed-vocab docs)
+# OOMs the standard 6g heap and needs 24g to finish at all; the prefix
+# path's dense candidate re-verify fills 79 GB of shuffle disk at the
+# same size. 1e9 sits safely below both failure modes while clearing
+# every feasible corpus the probe measured (50k uniform ≈ 2.7e8).
+NGRAM_PAIR_ROW_BUDGET = 1_000_000_000
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -353,6 +363,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     max_shingle_freq: int | None = 10_000,
     prefix_filter: bool | str = False,
+    max_pair_rows: int | None = NGRAM_PAIR_ROW_BUDGET,
 ) -> DataFrame:
     """EXACT n-gram Jaccard pairs via an inverted index on shingles,
     optionally PREFIX-FILTERED.
@@ -433,6 +444,15 @@ def ngram_jaccard_pairs(
     cached shingle frame; both branches return the identical exact
     pair set, so the dispatch can only change the plan, never the
     answer (pinned by ``test_prefix_filter_auto_dispatch``).
+
+    ``max_pair_rows`` (r10 verdict item 3) is the fail-fast at the
+    exactness boundary the probe located: before pairing, one cheap
+    count-shuffle computes the exact pairing-row count Σc_s² over the
+    posting the chosen branch pairs on, and raises a ValueError naming
+    the remediations (``max_shingle_freq``, ``minhash_lsh_pairs``)
+    when it exceeds the budget — instead of a dead executor an hour
+    into a 100 TB run. Default :data:`NGRAM_PAIR_ROW_BUDGET` (1e9);
+    ``None`` waives the check for oversized-heap probe runs.
     """
     sh = with_shingles(df, text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
     posting = sh.select("id", F.explode("shingles").alias("s"))
@@ -492,6 +512,37 @@ def ngram_jaccard_pairs(
         posting = ranked.filter(F.col("rn") <= F.col("n") - alpha + 1).select("id", "s")
     if hot is not None:
         posting = posting.join(F.broadcast(hot), "s", "left_anti")
+    # Fail-fast at the exactness boundary (r10 verdict item 3): the
+    # r10 probe proved both exact paths die past ~150k closed-vocab
+    # docs — the direct path's pairing aggregate by heap, the prefix
+    # path's candidate re-verify by shuffle disk — and a caller used
+    # to discover that as a dead executor an hour in. Σc_s² over the
+    # posting each branch actually pairs on (post-prefix, post-cap) is
+    # the exact pairing-row count, and it is one cheap count-shuffle
+    # over the already-cached shingle frame, so raise HERE, in
+    # seconds, with the remediations spelled out. Pass None to waive
+    # (e.g. a probe run with a 24g heap).
+    if max_pair_rows is not None:
+        pair_rows = (
+            posting.groupBy("s")
+            .agg(F.count(F.lit(1)).cast("double").alias("c"))
+            .agg(F.sum(F.col("c") * F.col("c")).alias("pr"))
+            .first()["pr"]
+            or 0.0
+        )
+        if pair_rows > max_pair_rows:
+            path = "prefix" if prefix_filter else "direct"
+            raise ValueError(
+                f"ngram_jaccard_pairs: the {path} path would "
+                f"materialize ~{pair_rows:.3g} pairing rows, over the "
+                f"max_pair_rows budget of {max_pair_rows:,} (the r10 "
+                "probe's measured infeasibility boundary for EXACT "
+                "pairwise similarity on this engine's standard heap). "
+                "Remediations: cap hot shingles with max_shingle_freq "
+                "(lossy, documented recall contract) or switch to "
+                "banded minhash_lsh_pairs; pass max_pair_rows=None "
+                "only for probe runs with an oversized heap."
+            )
     a = posting.select(F.col("id").alias("id_a"), "s")
     b = posting.select(F.col("id").alias("id_b"), "s")
     if prefix_filter:

@@ -117,19 +117,44 @@ def cosine_topk(
     )
 
 
+# cosine_pairs refuses frames above this bound unless force=True:
+# 50k vectors is ~1.25e9 scored pairs — the last size where the O(n²)
+# crossJoin finishes in minutes on a 32-core node; past it the scan is
+# hours-to-never and the caller meant to use the ANN family.
+COSINE_PAIRS_MAX_ROWS = 50_000
+
+
 def cosine_pairs(
     emb: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    force: bool = False,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold — exact quadratic baseline.
 
-    VERIFICATION BASELINE ONLY — O(n²) crossJoin; do not point at a
-    corpus beyond ~10⁵ vectors. The scale paths are the graded ANN
-    family (``lsh_bucket_candidates``/``ivf_topk``/``pq_topk``/
-    ``sq_topk``) and LSH+connected-components dedup.
+    VERIFICATION BASELINE ONLY — O(n²) crossJoin. Refuses frames above
+    :data:`COSINE_PAIRS_MAX_ROWS` (50k rows ≈ 1.25e9 scored pairs)
+    with a ValueError unless ``force=True`` (r10 verdict item 4,
+    mirroring ``ngram_jaccard_pairs``' fail-fast): the count is one
+    metadata-cheap action, and failing in seconds beats a
+    week-long cross-join a caller aimed at a real corpus by mistake.
+    The scale paths are the graded ANN family
+    (``lsh_bucket_candidates``/``ivf_topk``/``pq_topk``/``sq_topk``)
+    and LSH+connected-components dedup.
     """
+    if not force:
+        n = emb.count()
+        if n > COSINE_PAIRS_MAX_ROWS:
+            raise ValueError(
+                f"cosine_pairs: {n:,} vectors is ~{n * (n - 1) // 2:.3g} "
+                "scored pairs through an O(n²) crossJoin — this "
+                "operator is the exact verification BASELINE, bounded "
+                f"at {COSINE_PAIRS_MAX_ROWS:,} rows. Use the ANN "
+                "family (lsh_bucket_candidates / ivf_topk / pq_topk) "
+                "for real corpora, or pass force=True for a deliberate "
+                "oversized audit run."
+            )
     a = ensure_parallelism(emb).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("ea"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("eb"))
     return (

@@ -14,7 +14,7 @@ Each operator documents its own 100 TB scaling shape in its module.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 from chapterhouseqe_spark.functions.text import (
@@ -6709,16 +6709,21 @@ def pipeline_filter_funnel(spark, sf_dir):
         .otherwise(0)
         .alias("stage")
     )
+    # coalesce(…, 0): SUM over an empty frame is NULL in Spark while
+    # the oracle's COUNT(*) subqueries return 0 — degenerate corpora
+    # (zero docs, or zero survivors of stages 1-3 for the late frame)
+    # must grade identically.
+    def _n(c: Column, name: str) -> Column:
+        return F.coalesce(F.sum(c.cast("long")), F.lit(0)).alias(name)
+
     early = staged.agg(
         F.count(F.lit(1)).alias("n_scored"),
-        F.sum((F.col("stage") == 1).cast("long")).alias("failed_length"),
-        F.sum((F.col("stage") == 2).cast("long")).alias("failed_lang"),
-        F.sum((F.col("stage") == 3).cast("long")).alias(
-            "failed_repetition"
-        ),
+        _n(F.col("stage") == 1, "failed_length"),
+        _n(F.col("stage") == 2, "failed_lang"),
+        _n(F.col("stage") == 3, "failed_repetition"),
     )
     late = final.agg(
-        F.sum((F.col("stage") == 4).cast("long")).alias("failed_dup"),
-        F.sum((F.col("stage") == 0).cast("long")).alias("kept"),
+        _n(F.col("stage") == 4, "failed_dup"),
+        _n(F.col("stage") == 0, "kept"),
     )
     return early.crossJoin(late)

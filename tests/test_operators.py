@@ -106,6 +106,33 @@ def test_prefix_filter_is_lossless(docs, spark):
     assert as_set(d2) == as_set(p2) and d2.count() > 0
 
 
+def test_ngram_jaccard_pair_budget_guard(docs):
+    """r10 verdict item 3: the exactness boundary fails FAST. Σc_s²
+    (the exact pairing-row count over the posting the chosen branch
+    pairs on) is computed before pairing and raises with the
+    remediations named, on BOTH branches; at-or-under budget and
+    max_pair_rows=None run unchanged."""
+    import pytest
+
+    with pytest.raises(ValueError, match="max_shingle_freq"):
+        ngram_jaccard_pairs(docs, "text", "doc_id", max_pair_rows=1)
+    with pytest.raises(ValueError, match="minhash_lsh_pairs"):
+        ngram_jaccard_pairs(
+            docs, "text", "doc_id", max_pair_rows=1, prefix_filter=True
+        )
+    as_set = lambda df: {
+        (r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()
+    }
+    base = as_set(ngram_jaccard_pairs(docs, "text", "doc_id"))
+    assert base == as_set(
+        ngram_jaccard_pairs(docs, "text", "doc_id", max_pair_rows=None)
+    )
+    # a generous explicit budget admits the small corpus
+    assert base == as_set(
+        ngram_jaccard_pairs(docs, "text", "doc_id", max_pair_rows=10**6)
+    )
+
+
 def test_prefix_filter_auto_dispatch(spark):
     """prefix_filter='auto' keys on hot-shingle mass (r9 verdict item
     3): a diverse corpus dispatches to the direct path, a boilerplate
@@ -209,6 +236,29 @@ def test_cosine_topk_finds_neighbors(vectors):
 def test_cosine_pairs_threshold(vectors):
     got = {(r["id_a"], r["id_b"]) for r in cosine_pairs(vectors, 0.9).collect()}
     assert got == {(0, 1), (2, 3)}
+
+
+def test_cosine_pairs_row_count_guard(vectors, monkeypatch):
+    """r10 verdict item 4: the O(n²) baseline refuses frames above the
+    documented bound unless force=True — failing in seconds beats a
+    week-long crossJoin aimed at a real corpus by mistake."""
+    import pytest
+
+    from chapterhouseqe_spark.operators import similarity as sim
+
+    # shrink the bound instead of building 50k rows
+    monkeypatch.setattr(sim, "COSINE_PAIRS_MAX_ROWS", 2)
+    with pytest.raises(ValueError, match="verification BASELINE"):
+        sim.cosine_pairs(vectors, 0.9)
+    # force=True keeps the operator available as the audit baseline
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in sim.cosine_pairs(vectors, 0.9, force=True).collect()
+    }
+    assert got == {(0, 1), (2, 3)}
+    # at-or-under the bound (the fixture has 5 vectors) runs unforced
+    monkeypatch.setattr(sim, "COSINE_PAIRS_MAX_ROWS", 5)
+    assert sim.cosine_pairs(vectors, 0.9).count() == 2
 
 
 def test_lsh_buckets_recall_planted_pairs(vectors):

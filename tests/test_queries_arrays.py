@@ -121,6 +121,96 @@ def test_graded_prefix_invariants():
     assert not out, f"families without an in-window representative: {out}"
 
 
+def test_sf1_gate_orders_artifacts_by_round_not_mtime(tmp_path):
+    """r10 ADVICE: git checkouts do not preserve mtimes, so a fresh
+    clone can leave BENCH_r09.json mtime-newer than BENCH_r10.json and
+    a stale untracked bench_last.json newest of all. Artifacts must
+    order by the round number in the filename; bench_last.json only
+    participates when mtime-newer than the newest artifact."""
+    import importlib.util
+    import json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "sf1_regression_gate",
+        os.path.join(
+            os.path.dirname(os.path.dirname(__file__)),
+            "tools",
+            "sf1_regression_gate.py",
+        ),
+    )
+    g = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(g)
+
+    def write(name, sf1, mtime):
+        p = tmp_path / name
+        p.write_text(json.dumps({"sf1_queries": sf1}))
+        os.utime(p, (mtime, mtime))
+        return str(p)
+
+    # adversarial mtimes: r9 newest, r10 oldest, bench_last stale
+    # in-between (the exact post-clone hazard the advice describes)
+    write("BENCH_r09.json", {"q": 1.0}, 3000)
+    write("BENCH_r10.json", {"q": 2.0}, 1000)
+    write("bench_last.json", {"q": 9.0}, 2000)
+    g.REPO = str(tmp_path)
+    srcs = g.candidate_sources()
+    names = [os.path.basename(p) for p, _ in srcs]
+    assert names == ["BENCH_r09.json", "BENCH_r10.json"], names
+
+    # a genuinely fresh bench_last (mtime-newer than every artifact)
+    # still lands newest — the round-close path
+    write("bench_last.json", {"q": 9.0}, 5000)
+    names = [os.path.basename(p) for p, _ in g.candidate_sources()]
+    assert names[-1] == "bench_last.json", names
+
+
+def test_bench_merge_medians_and_gate_unpacks_pairs(tmp_path):
+    """r10 verdict item 2: the bench artifact is a per-query MEDIAN of
+    N isolated passes plus a SPREAD (max−min); the sf1 gate consumes
+    the medians, unpacking r11 [median, spread] pairs while staying
+    compatible with r9/r10 flat floats."""
+    import importlib.util
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(__file__))
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(root, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    med, spread = bench._merge(
+        [
+            {"a": 1.0, "b": 10.0},
+            {"a": 3.0, "b": 11.0, "c": 5.0},  # c skipped in passes 1+3
+            {"a": 2.0, "b": 42.7},  # the r10 page-cache outlier shape
+        ]
+    )
+    assert med == {"a": 2.0, "b": 11.0, "c": 5.0}
+    assert spread == {"a": 2.0, "b": 32.7, "c": 0.0}
+
+    gspec = importlib.util.spec_from_file_location(
+        "sf1_regression_gate",
+        os.path.join(root, "tools", "sf1_regression_gate.py"),
+    )
+    g = importlib.util.module_from_spec(gspec)
+    gspec.loader.exec_module(g)
+    pairs = tmp_path / "pairs.json"
+    pairs.write_text(
+        json.dumps({"sf1_queries": {"a": [2.0, 0.3], "b": 11.0}})
+    )
+    assert g.extract_sf1(str(pairs)) == {"a": 2.0, "b": 11.0}
+    # driver-artifact shape (parsed wrapper) with pair values
+    wrapped = tmp_path / "BENCH_r99.json"
+    wrapped.write_text(
+        json.dumps({"parsed": {"sf1_queries": {"a": [4.0, 1.0]}}})
+    )
+    assert g.extract_sf1(str(wrapped)) == {"a": 4.0}
+
+
 def test_sf1_regression_gate():
     """r9 verdict item 2: the per-query sf1 map must be compared
     round-over-round — any >1.5x mover needs an explicit PLANS.md

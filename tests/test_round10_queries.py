@@ -200,3 +200,57 @@ def test_filter_funnel_accounting(spark):
         + r["kept"]
         == r["n_scored"]
     )
+
+
+def test_filter_funnel_degenerate_inputs(spark):
+    """r10 ADVICE: when zero docs survive stages 1-3 the late frame is
+    empty and Spark's SUM yields NULL while the oracle's COUNT(*)
+    subqueries yield 0 — both the all-filtered and the zero-doc corpus
+    must report integer zeros, not NULLs."""
+    from chapterhouseqe_spark.queries.pipeline_queries import (
+        pipeline_filter_funnel,
+    )
+    import os
+    import tempfile
+
+    # every doc fails an early stage -> late frame empty
+    rows = [
+        (0, "too short", "en"),
+        (1, " ".join(f"d{j}" for j in range(12)), "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    d = tempfile.mkdtemp()
+    df.write.parquet(os.path.join(d, "documents.parquet"))
+    r = pipeline_filter_funnel(spark, d).collect()[0]
+    assert r["failed_dup"] == 0 and r["kept"] == 0
+    assert r["n_scored"] == 2 and r["failed_length"] == 1
+
+    # zero-doc corpus -> every counter is 0, none NULL
+    d2 = tempfile.mkdtemp()
+    df.limit(0).write.parquet(os.path.join(d2, "documents.parquet"))
+    r0 = pipeline_filter_funnel(spark, d2).collect()[0]
+    assert all(
+        r0[c] == 0
+        for c in (
+            "n_scored",
+            "failed_length",
+            "failed_lang",
+            "failed_repetition",
+            "failed_dup",
+            "kept",
+        )
+    ), r0.asDict()
+
+
+def test_source_divergence_overflow_guard():
+    """r10 ADVICE: l1_scaled ≤ 2·Ta·Tb exceeds int64 once both sources
+    pass ~2.1e9 hashed tokens; the guard must fail loudly at the
+    documented bound instead of letting the long SUM wrap silently."""
+    import pytest
+
+    from chapterhouseqe_spark.operators.corpus import _check_l1_bound
+
+    _check_l1_bound(0)
+    _check_l1_bound(2**31)  # 2.1e9: (2^31)^2 == 2^62 is exactly legal
+    with pytest.raises(ValueError, match="overflow BIGINT"):
+        _check_l1_bound(2**31 + 1)

@@ -47,24 +47,49 @@ FLOOR_SEC = 0.5
 
 
 def extract_sf1(path: str) -> dict[str, float] | None:
-    """Pull the per-query sf1 map out of any bench output shape."""
+    """Pull the per-query sf1 map out of any bench output shape.
+
+    Values are MEDIANS: r11+ artifacts carry ``[median, spread]``
+    pairs (bench.py median-of-N isolated passes — r10 verdict item 2);
+    r9/r10 artifacts carry flat single-pass floats. The gate diffs the
+    medians so a page-cache-band outlier session can no longer read as
+    a regression."""
     with open(path) as fh:
         d = json.load(fh)
     if isinstance(d.get("parsed"), dict):  # driver BENCH_r{N}.json
         d = d["parsed"]
     m = d.get("sf1_queries") or d.get("sf1")
-    return dict(m) if m else None
+    if not m:
+        return None
+    return {
+        n: float(v[0]) if isinstance(v, (list, tuple)) else float(v)
+        for n, v in m.items()
+    }
+
+
+def _round_num(path: str) -> int:
+    base = os.path.basename(path)
+    try:
+        return int(base.split("_r")[1].split(".")[0])
+    except (IndexError, ValueError):
+        return -1
 
 
 def candidate_sources() -> list[tuple[str, dict[str, float]]]:
-    """All map-bearing sources, oldest -> newest. bench_last.json is
-    newest iff it is mtime-newer than every artifact (a fresh
-    round-close run); a stale bench_last from a prior round sorts by
-    its own mtime and naturally dedups against that round's artifact."""
-    paths = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    """All map-bearing sources, oldest -> newest. Artifacts order by
+    the ROUND NUMBER in the filename (mtimes don't survive git
+    checkouts, so mtime order can invert after a fresh clone);
+    bench_last.json is appended as newest only when it is
+    mtime-newer than the newest artifact (a fresh round-close run) —
+    a stale bench_last from a prior round is skipped, its round's
+    artifact already carries that map."""
+    paths = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")), key=_round_num)
     last = os.path.join(REPO, "bench_last.json")
-    if os.path.exists(last):
-        paths = sorted(paths + [last], key=os.path.getmtime)
+    if os.path.exists(last) and (
+        not paths
+        or os.path.getmtime(last) > max(os.path.getmtime(p) for p in paths)
+    ):
+        paths = paths + [last]
     out = []
     for p in paths:
         try:
