@@ -232,6 +232,52 @@ def pii_count(text: Column, kind: str) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0))).cast("long")
 
 
+# URL canonicalization (r10 verdict item 6). ONE shared regex set —
+# the oracle SQL and any future canonical-key consumer must use these
+# exact patterns, so they live as named constants, not inline strings.
+URL_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+# tracking params every production crawler strips: Google/Facebook
+# click ids, utm_* campaign tags, bare ref
+URL_TRACKING_RE = r"(utm_[A-Za-z0-9_]+|ref|fbclid|gclid)=[^&#]*"
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of a URL for dedup keys: lowercase scheme+host,
+    strip the scheme's DEFAULT port (``:80`` only under http, ``:443``
+    only under https — ``http://h:443`` is a real nonstandard port and
+    survives), drop the fragment, remove tracking query params
+    (:data:`URL_TRACKING_RE`), then tidy dangling ``?``/``&``.
+
+    Pure built-in regexp chain inside the scan stage — no UDF, no
+    shuffle; the patterns avoid backreferences and lookaround so the
+    same expressions run verbatim in DuckDB's RE2 (with the ``'g'``
+    flag, since DuckDB's regexp_replace is first-match by default
+    where Spark's is global). Path/query case is preserved — only
+    scheme and host are case-insensitive per RFC 3986 §6.2.2.1.
+    """
+    u = F.trim(url)
+    scheme = F.lower(F.regexp_extract(u, URL_SCHEME_RE, 1))
+    rest = F.regexp_replace(u, URL_SCHEME_RE, "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
+    host = (
+        F.when(
+            scheme == "https", F.regexp_replace(hostport, r":443$", "")
+        )
+        .when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .otherwise(hostport)
+    )
+    tail = F.substring(rest, F.length(hostport) + F.lit(1), F.lit(2**30))
+    tail = F.regexp_replace(tail, r"#.*$", "")
+    # three-step tracking strip (global): non-first params with their
+    # '&'; a first param followed by a survivor (keep the '?'); a
+    # lone/last first param (drop the '?')
+    tail = F.regexp_replace(tail, r"&" + URL_TRACKING_RE, "")
+    tail = F.regexp_replace(tail, r"\?" + URL_TRACKING_RE + r"&", "?")
+    tail = F.regexp_replace(tail, r"\?" + URL_TRACKING_RE + r"$", "")
+    tail = F.regexp_replace(tail, r"[?&]$", "")
+    return F.concat(scheme, F.lit("://"), host, tail)
+
+
 # ------------------------------------------------------------------ BPE
 
 

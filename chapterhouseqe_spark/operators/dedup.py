@@ -1123,6 +1123,47 @@ def near_dedup_keep_best(
     )
 
 
+def url_canonical_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    quality: Column | None = None,
+) -> DataFrame:
+    """Keep the best document per CANONICAL URL (r10 verdict item 6) —
+    the crawl-side dedup stage that runs before any content dedup:
+    the same page arrives under scheme/host case variants, default
+    ports, fragments, and tracking-param decorations, and those
+    collapse under :func:`~chapterhouseqe_spark.functions.text.
+    canonicalize_url` long before shingling is worth paying for.
+
+    Keeper rule mirrors :func:`near_dedup_keep_best` (RefinedWeb-style
+    keep-best): per canonical URL, argmax of (``quality`` DESC, id
+    ASC); with no quality column, smallest id (the
+    ``dedup_keep_canonical`` rule). Survivors carry every input column
+    plus ``canonical_url`` and ``n_variants``.
+
+    100 TB shape: one narrow regexp projection inside the scan stage,
+    then ONE hash exchange on the canonical key (the window). Skew
+    bound = the hottest URL's variant count — crawl frontier dedup
+    keeps that small by construction; a pathological hot URL is
+    exactly the row group you want funneled to one task anyway.
+    """
+    from chapterhouseqe_spark.functions.text import canonicalize_url
+
+    out = df.withColumn("canonical_url", canonicalize_url(F.col(url_col)))
+    order = ([quality.desc()] if quality is not None else []) + [
+        F.col(id_col)
+    ]
+    w = Window.partitionBy("canonical_url").orderBy(*order)
+    cw = Window.partitionBy("canonical_url")
+    return (
+        out.withColumn("n_variants", F.count(F.lit(1)).over(cw))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def contamination_overlap(
     train: DataFrame,
     eval_df: DataFrame,

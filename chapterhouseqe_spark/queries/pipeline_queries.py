@@ -6727,3 +6727,148 @@ def pipeline_filter_funnel(spark, sf_dir):
         _n(F.col("stage") == 0, "kept"),
     )
     return early.crossJoin(late)
+
+
+@query(
+    "pipeline_chunk_token_windows",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ), n AS (
+      SELECT doc_id, w, len(w) AS n,
+        CASE WHEN len(w) <= 32 THEN 1
+             ELSE 1 + (len(w) - 32 + 23) // 24 END AS nc
+      FROM tk
+    ), ex AS (
+      SELECT doc_id, w, n, unnest(generate_series(0, nc - 1)) AS i
+      FROM n
+    )
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+      CAST(i * 24 AS BIGINT) AS tok_start,
+      CAST(LEAST(32, n - i * 24) AS BIGINT) AS n_tokens,
+      CAST(CASE WHEN i = 0 THEN 0
+           ELSE LENGTH(array_to_string(w[1 : CAST(i * 24 AS INT)], ' '))
+                + 1 END AS BIGINT) AS char_start,
+      md5(array_to_string(
+        w[CAST(i * 24 + 1 AS INT) : CAST(i * 24 + 32 AS INT)], ' '
+      )) AS chunk_md5
+    FROM ex
+    """,
+    tags=("pipeline", "chunking"),
+    doc="fixed-TOKEN-window chunking with stride (size=32, stride=24) — "
+    "the RAG/serving-side chunker: stable (doc_id, chunk_idx), token "
+    "offsets, char offsets into the normalized text, md5-pinned chunk "
+    "bytes; pure narrow explode, zero shuffles "
+    "(operators/corpus.py:chunk_token_windows)",
+)
+def pipeline_chunk_token_windows(spark, sf_dir):
+    from chapterhouseqe_spark.operators.corpus import chunk_token_windows
+
+    d = t(spark, sf_dir, "documents")
+    ch = chunk_token_windows(d, "text", "doc_id", size=32, stride=24)
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        "tok_start",
+        "n_tokens",
+        "char_start",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+@query(
+    "dedup_url_canonical",
+    oracle=r"""
+    WITH u AS (
+      SELECT doc_id, n_chars,
+        (CASE WHEN doc_id % 4 = 0 THEN 'HTTPS'
+              WHEN doc_id % 4 = 1 THEN 'https' ELSE 'http' END)
+        || '://'
+        || (CASE WHEN doc_id % 2 = 0 THEN 'Docs.Example'
+                 ELSE 'docs.example' END) || '.com'
+        || (CASE WHEN doc_id % 4 = 1 THEN ':443'
+                 WHEN doc_id % 4 = 2 THEN ':80' ELSE '' END)
+        || '/p/' || CAST(doc_id % 200 AS VARCHAR)
+        || (CASE WHEN doc_id % 3 = 0
+                 THEN '?utm_source=feed&utm_medium=rss'
+                 WHEN doc_id % 3 = 1 THEN '?ref=home&q=1' ELSE '' END)
+        || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_chars, url,
+        lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+          AS scheme,
+        regexp_replace(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', '') AS rest
+      FROM u
+    ), h AS (
+      SELECT *, lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS hostport
+      FROM c
+    ), t AS (
+      SELECT doc_id, n_chars, url, scheme,
+        CASE WHEN scheme = 'https'
+               THEN regexp_replace(hostport, ':443$', '')
+             WHEN scheme = 'http'
+               THEN regexp_replace(hostport, ':80$', '')
+             ELSE hostport END AS host,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(substr(rest, length(hostport) + 1),
+                               '#.*$', ''),
+                '&(utm_[A-Za-z0-9_]+|ref|fbclid|gclid)=[^&#]*', '', 'g'),
+              '\?(utm_[A-Za-z0-9_]+|ref|fbclid|gclid)=[^&#]*&', '?', 'g'),
+            '\?(utm_[A-Za-z0-9_]+|ref|fbclid|gclid)=[^&#]*$', '', 'g'),
+          '[?&]$', '', 'g') AS tail
+      FROM h
+    ), k AS (
+      SELECT doc_id, n_chars, url,
+             scheme || '://' || host || tail AS canonical_url
+      FROM t
+    )
+    SELECT doc_id, url, canonical_url, n_chars, n_variants FROM (
+      SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY canonical_url
+                           ORDER BY n_chars DESC, doc_id) AS rn,
+        COUNT(*) OVER (PARTITION BY canonical_url) AS n_variants
+      FROM k) z
+    WHERE rn = 1
+    """,
+    tags=("pipeline", "dedup", "url"),
+    doc="URL/host canonicalization dedup (r10 verdict item 6): "
+    "deterministic synthetic URLs (case/port/tracking/fragment "
+    "variants driven by doc_id arithmetic) -> canonicalize_url "
+    "(shared regex set, functions/text.py) -> keep-best per "
+    "canonical key (n_chars DESC, doc_id) — one narrow regexp "
+    "projection + ONE hash exchange on the canonical key "
+    "(operators/dedup.py:url_canonical_dedup)",
+)
+def dedup_url_canonical(spark, sf_dir):
+    from chapterhouseqe_spark.operators.dedup import url_canonical_dedup
+
+    d = t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    url = F.concat(
+        F.when(k % 4 == 0, F.lit("HTTPS"))
+        .when(k % 4 == 1, F.lit("https"))
+        .otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(k % 2 == 0, F.lit("Docs.Example")).otherwise(
+            F.lit("docs.example")
+        ),
+        F.lit(".com"),
+        F.when(k % 4 == 1, F.lit(":443"))
+        .when(k % 4 == 2, F.lit(":80"))
+        .otherwise(F.lit("")),
+        F.lit("/p/"),
+        (k % 200).cast("string"),
+        F.when(k % 3 == 0, F.lit("?utm_source=feed&utm_medium=rss"))
+        .when(k % 3 == 1, F.lit("?ref=home&q=1"))
+        .otherwise(F.lit("")),
+        F.when(k % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    withurl = d.select("doc_id", "n_chars", url.alias("url"))
+    return url_canonical_dedup(
+        withurl, "url", "doc_id", quality=F.col("n_chars")
+    ).select("doc_id", "url", "canonical_url", "n_chars", "n_variants")

@@ -131,114 +131,110 @@ def _ensure_registered() -> None:
 
 # Grading priority. The driver's correctness gate grades a 50-entry
 # prefix of the registry, so dict order decides which queries get
-# driver-oracle evidence. Round-10 window (executes the r9 verdict,
-# items 1 + 4 — the composition the verdict prescribes verbatim):
+# driver-oracle evidence. Round-11 window (executes the r10 verdict,
+# item 1 — grade the 4 NEXT_WINDOW_PLAN queries, spend the rest on
+# the stalest driver evidence, one canary per family):
 #
-#   tier (a) — ALL 19 zero-driver-evidence queries (the r9
-#   NEXT_WINDOW_PLAN: 15 r9-spillover names + the 4 capped r9
-#   additions). 19 < 50, so for the first time the window clears the
-#   entire backlog and the registry reaches 264/264 driver-green
-#   union.
+#   tier (a) — ALL 4 zero-driver-evidence queries (the r10
+#   NEXT_WINDOW_PLAN: DSIR, jaccard-auto, source divergence, filter
+#   funnel). filter_funnel and source_divergence also changed
+#   implementation this round (degenerate-input coalesce; BIGINT
+#   overflow guard), so their grades double as regrades.
 #
-#   tier (b) — the two canaries displaced in r9 exactly one round
-#   (sets: set_except_intersect_all; subquery:
-#   correlated_agg_subquery), returning as promised in the r9 plan.
+#   tier (b) — the one r10-graded query whose GRADED PATH gained code
+#   this round: dedup_ngram_jaccard now computes the Σc_s²
+#   pairing-row budget guard before pairing (r10 verdict item 3) —
+#   the guard is results-neutral by design, and this row proves it
+#   where it counts. (embedding_cosine_pairs/dedup_embedding_cosine
+#   gained the analogous count()-only guard; both r10-green, both
+#   replayed against their oracles every pytest run — regrading all
+#   three would cost canary slots for a results-neutral pre-check.)
 #
-#   tier (c) — the four bench headliners the verdict pins by name
-#   (item 4): dedup_minhash_lsh, embedding_ann_lsh, text_lang_id,
-#   multimodal_decode_features — their implementations have gained
-#   adaptive paths since they were last driver-graded.
-#
-#   tier (d) — per-family canaries for families tiers (a)-(c) leave
-#   uncovered, chosen stalest-first: scan (ref_scan_filter_project,
-#   r6 — also the BASELINE flagship analog), join (salted_skew_join,
-#   r5), maintenance (scd2_user_event_history, r5), layout
-#   (partition_pruned_scan, r5), retrieval (docs_bm25_topk — the
-#   family's 3 rows are all r9-fresh; one stays as the standing
-#   canary), window (events_sliding_window, r4).
-#
-#   tier (e) — stalest backfill: 19 of the 26 remaining r4-graded
-#   rows (the oldest cohort in the registry, 6 rounds stale),
-#   prioritizing the LLM-pipeline cores the verdict names (dedup,
-#   text, embedding, multimodal, pipeline, events) and the 4 stale
-#   TPC-H rows over generic scalar-function rows. The 7 r4 rows left
-#   out (date_arithmetic, array_split_ops, pivot_returnflag,
+#   tier (c) — the 7 remaining r4-graded rows (7 rounds stale, the
+#   oldest evidence in the registry), promised by the r10 plan:
+#   date_arithmetic, array_split_ops, pivot_returnflag,
 #   explode_word_count, time_rollup_multi, embedding_centroids,
-#   approx_sketches_within_bounds) are next-stalest for r11 — all
-#   carry green r4 driver rows and are replayed against their oracles
-#   every pytest run, so nothing is evidence-free.
+#   approx_sketches_within_bounds.
+#
+#   tier (d) — the FULL r5 cohort (28 rows, 6 rounds stale): the 12
+#   stale TPC-H shapes, the PQ/IVF ANN tier, the r5 pipeline ops,
+#   array/map/struct function rows, join_full_outer +
+#   bucketed_colocated_join, heavy_hitters_freq.
+#
+#   tier (e) — per-family canaries for families (a)-(d) leave
+#   uncovered, stalest-first: sources (custom_datasource_scan, r6),
+#   subquery (recursive_cte_hierarchy, r6), maintenance
+#   (snapshot_cdc_diff, r6), window (window_rank_family, r6), scan
+#   (csv_scan, r7), sets (set_union_all, r7), streaming
+#   (stream_dedup_watermark, r7), layout (zorder_layout_scan, r7),
+#   udf (udaf_grouped_median, r8), retrieval
+#   (docs_bm25_self_retrieval, r9 — the family's stalest row;
+#   docs_bm25_topk was the r10 standing canary).
 #
 # tools/coverage_counts.py asserts tier (a) matches the live
 # zero-evidence set; run it at round close and after every addition.
 #
-# r11 window sketch (write the final plan after the r10 artifact
-# lands): tier (a) = NEXT_WINDOW_PLAN below (the r10 additions);
-# then the 7 r4 rows tier (e) left out this round (date_arithmetic,
-# array_split_ops, pivot_returnflag, explode_word_count,
-# time_rollup_multi, embedding_centroids,
-# approx_sketches_within_bounds — the stalest remaining evidence);
-# then the r5 cohort (32 rows, 6 rounds stale by r11) under the
-# standing family-canary rules.
+# r12 window sketch (write the final plan after the r11 artifact
+# lands): tier (a) = NEXT_WINDOW_PLAN below (the r11 additions);
+# then the r6 cohort (36 rows minus the 4 graded here as tier-(e)
+# canaries — 6 rounds stale by r12) under the standing family-canary
+# rules; csv/json/orc + set/stream r7 rows fill remaining slots.
 GRADE_ORDER: tuple[str, ...] = (
-    # --- tier (a): agg / orders analytics (r9 spillover) ---
-    "stats_winsorize",
-    "orders_new_vs_returning",
-    "orders_cohort_ltv",
-    "orders_basket_pairs",
-    # --- tier (a): dedup ---
-    "dedup_ngram_containment",
-    "dedup_simhash_radius",
-    "dedup_cluster_size_hist",
-    # --- tier (a): similarity ---
-    "embedding_gram_matrix",
-    "embedding_matryoshka_overlap",
-    "embedding_mmr_ann_topk",
-    # --- tier (a): corpus prep / text ---
-    "corpus_novelty_curve",
-    "pipeline_pack_nosplit",
-    "text_dup_ngram_fraction",
-    # --- tier (a): streaming / recurrence ---
-    "stream_ewma_replay",
-    "events_ewma_anomaly",
-    "events_holt_forecast",
-    "events_linear_trend",
-    "events_type_correlation",
-    "events_seasonality_profile",
-    # --- tier (b): displaced canaries returning ---
-    "set_except_intersect_all",
-    "correlated_agg_subquery",
-    # --- tier (c): pinned bench headliners (r9 verdict item 4) ---
-    "dedup_minhash_lsh",
-    "embedding_ann_lsh",
-    "text_lang_id",
-    "multimodal_decode_features",
-    # --- tier (d): per-family canaries, stalest-first ---
-    "ref_scan_filter_project",
-    "salted_skew_join",
-    "scd2_user_event_history",
-    "partition_pruned_scan",
-    "docs_bm25_topk",
-    "events_sliding_window",
-    # --- tier (e): stalest r4 cohort backfill ---
-    "tpch_q14_promo_revenue",
-    "tpch_q10_returned_items",
-    "tpch_q12_priority_class",
-    "tpch_q4_order_priority",
-    "text_token_counts",
-    "text_quality_score",
+    # --- tier (a): the r10 additions (zero driver evidence) ---
+    "pipeline_dsir_resample",
+    "dedup_ngram_jaccard_auto",
+    "corpus_source_divergence",
+    "pipeline_filter_funnel",
+    # --- tier (b): graded-path changed this round ---
     "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "embedding_cosine_pairs",
-    "dedup_embedding_cosine",
-    "multimodal_binary_meta",
-    "dedup_keep_canonical",
-    "dedup_keep_first_window",
-    "text_tfidf_top_terms",
-    "text_top_bigrams",
-    "pipeline_clean_corpus",
-    "events_user_activity",
-    "events_enriched_rollup",
-    "events_click_to_purchase",
+    # --- tier (c): the last r4-graded rows (stalest evidence) ---
+    "date_arithmetic",
+    "array_split_ops",
+    "pivot_returnflag",
+    "explode_word_count",
+    "time_rollup_multi",
+    "embedding_centroids",
+    "approx_sketches_within_bounds",
+    # --- tier (d): the full r5 cohort ---
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_nation_year_profit",
+    "tpch_q11_important_stock",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_count",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q20_excess_supplier",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_global_sales_opportunity",
+    "array_higher_order",
+    "map_ops",
+    "struct_ops",
+    "join_full_outer",
+    "bucketed_colocated_join",
+    "heavy_hitters_freq",
+    "embedding_ivf_topk_approx",
+    "embedding_ivfpq_topk",
+    "embedding_pq_topk",
+    "text_fingerprint",
+    "text_repetition_score",
+    "pipeline_doc_chunks",
+    "pipeline_hash_split",
+    "pipeline_pii_redact",
+    "pipeline_sample_per_key",
+    "pipeline_stratified_sample",
+    # --- tier (e): per-family canaries, stalest-first ---
+    "custom_datasource_scan",
+    "recursive_cte_hierarchy",
+    "snapshot_cdc_diff",
+    "window_rank_family",
+    "csv_scan",
+    "set_union_all",
+    "stream_dedup_watermark",
+    "zorder_layout_scan",
+    "udaf_grouped_median",
+    "docs_bm25_self_retrieval",
 )
 
 # Explicit next-round grading tier (r8 verdict items 1 + 4): every
@@ -251,12 +247,10 @@ GRADE_ORDER: tuple[str, ...] = (
 # Entering r10 this list is exactly the r10 additions (cap ~10 per the
 # r9 verdict): each new query appends itself here at registration.
 NEXT_WINDOW_PLAN: tuple[str, ...] = (
-    # round-10 additions (zero driver evidence until the r11 window;
-    # cap ~10 per the r9 verdict):
-    "pipeline_dsir_resample",
-    "dedup_ngram_jaccard_auto",
-    "corpus_source_divergence",
-    "pipeline_filter_funnel",
+    # round-11 additions (zero driver evidence until the r12 window;
+    # cap ~6 per the r10 verdict):
+    "pipeline_chunk_token_windows",
+    "dedup_url_canonical",
 )
 
 

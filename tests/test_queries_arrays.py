@@ -92,30 +92,31 @@ def test_graded_prefix_invariants():
     assert not no_oracle, f"graded without oracle: {no_oracle}"
 
     # One representative per family stays in-window across rotations.
-    # r10 rotation (r9 verdict items 1+4: clear the 19-query backlog,
-    # re-seat the displaced sets/subquery canaries, pin the four bench
-    # headliners, backfill the stalest r4 cohort): the "udf" family is
-    # honestly covered by the recurrence tier (events_holt_forecast
-    # runs the per-key applyInPandas fold — the pandas-UDF machinery
-    # IS the feature under test) plus pipeline_pack_nosplit's Arrow
-    # seam; "sets"/"subquery" canaries return per the r9 plan comment.
+    # r11 rotation (r10 verdict item 1: grade the 4 NEXT_WINDOW_PLAN
+    # queries, then the stalest cohorts — the 7 r4 leftovers + the
+    # full 28-row r5 cohort — plus per-family canaries stalest-first):
+    # most family reps fall out of the stale cohorts themselves (join/
+    # agg/similarity/text from r5, dedup from the regraded budget-guard
+    # path); tier (e) fills the families those cohorts miss with r6-r9
+    # rows. "udf" is udaf_grouped_median (the pandas-UDAF seam);
+    # "corpus-prep" is the freshly graded source-divergence addition.
     families = {
-        "scan": "ref_scan_filter_project",
-        "join": "salted_skew_join",
-        "agg": "stats_winsorize",
-        "window": "events_sliding_window",
-        "udf": "events_holt_forecast",
-        "dedup": "dedup_minhash_lsh",
-        "similarity": "embedding_ann_lsh",
-        "retrieval": "docs_bm25_topk",
-        "text": "text_lang_id",
-        "streaming": "stream_ewma_replay",
-        "maintenance": "scd2_user_event_history",
-        "layout": "partition_pruned_scan",
-        "sources": "multimodal_decode_features",
-        "corpus-prep": "corpus_novelty_curve",
-        "sets": "set_except_intersect_all",
-        "subquery": "correlated_agg_subquery",
+        "scan": "csv_scan",
+        "join": "join_full_outer",
+        "agg": "heavy_hitters_freq",
+        "window": "window_rank_family",
+        "udf": "udaf_grouped_median",
+        "dedup": "dedup_ngram_jaccard",
+        "similarity": "embedding_pq_topk",
+        "retrieval": "docs_bm25_self_retrieval",
+        "text": "text_fingerprint",
+        "streaming": "stream_dedup_watermark",
+        "maintenance": "snapshot_cdc_diff",
+        "layout": "zorder_layout_scan",
+        "sources": "custom_datasource_scan",
+        "corpus-prep": "corpus_source_divergence",
+        "sets": "set_union_all",
+        "subquery": "recursive_cte_hierarchy",
     }
     out = [f"{fam}:{n}" for fam, n in families.items() if n not in first50]
     assert not out, f"families without an in-window representative: {out}"

@@ -1,0 +1,126 @@
+"""Round-11 additions: token-window chunking and URL canonical dedup.
+
+The graded queries (`pipeline_chunk_token_windows`,
+`dedup_url_canonical`) are replayed against their DuckDB oracles by
+tests/test_queries_oracle.py like every registry entry; these tests
+pin the operator-level semantics the oracle can't see failing in
+isolation.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_chunk_token_windows_coverage_and_offsets(spark):
+    """Windows of `size` tokens every `stride` tokens: the union of
+    windows covers every token exactly, the final window may be
+    partial but always reaches the end, and char_start indexes the
+    single-space-normalized text."""
+    from chapterhouseqe_spark.operators.corpus import chunk_token_windows
+
+    text = "a bb ccc dddd e ff ggg hh i jj kk"  # 11 tokens
+    df = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    rows = sorted(
+        chunk_token_windows(df, size=4, stride=3).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # nc = 1 + ceil((11-4)/3) = 1 + 3 = 4
+    assert [r["chunk_idx"] for r in rows] == [0, 1, 2, 3]
+    assert [r["tok_start"] for r in rows] == [0, 3, 6, 9]
+    assert [r["n_tokens"] for r in rows] == [4, 4, 4, 2]
+    toks = text.split()
+    norm = " ".join(toks)
+    for r in rows:
+        expected = " ".join(toks[r["tok_start"] : r["tok_start"] + 4])
+        assert r["chunk_text"] == expected
+        # char_start points at the chunk inside the normalized text
+        assert norm[r["char_start"] : r["char_start"] + len(expected)] == (
+            expected
+        )
+    # last window reaches the document end
+    assert rows[-1]["tok_start"] + rows[-1]["n_tokens"] == len(toks)
+
+
+def test_chunk_token_windows_edge_cases(spark):
+    from chapterhouseqe_spark.operators.corpus import chunk_token_windows
+
+    df = spark.createDataFrame(
+        [(0, "one two"), (1, ""), (2, "  x   y  ")],
+        "doc_id long, text string",
+    )
+    rows = chunk_token_windows(df, size=4, stride=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # short doc: one whole-doc chunk
+    assert len(by_doc[0]) == 1 and by_doc[0][0]["n_tokens"] == 2
+    # empty text tokenizes to [''] (the engine-wide split discipline)
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk_text"] == ""
+    # run-length whitespace normalizes away
+    assert by_doc[2][0]["chunk_text"] == "x y"
+
+    with pytest.raises(ValueError, match="stride"):
+        chunk_token_windows(df, size=4, stride=5)
+    with pytest.raises(ValueError, match="stride"):
+        chunk_token_windows(df, size=4, stride=0)
+
+
+def test_canonicalize_url_cases(spark):
+    """The shared regex set: lowercase scheme+host, default ports only
+    under their own scheme, fragments gone, tracking params stripped
+    wherever they sit in the query string, survivors intact."""
+    from chapterhouseqe_spark.functions.text import canonicalize_url
+
+    cases = {
+        "HTTPS://Docs.Example.COM:443/Path?utm_source=a&utm_medium=b#f":
+            "https://docs.example.com/Path",
+        "http://site.org:80/a?ref=hp&q=1&utm_campaign=x":
+            "http://site.org/a?q=1",
+        # :443 is NOT the default port for http — it survives
+        "http://site.org:443/a": "http://site.org:443/a",
+        "https://x.y/?fbclid=abc": "https://x.y/",
+        "https://x.y/p?gclid=1&keep=2&utm_a=3": "https://x.y/p?keep=2",
+        "ftp://Weird.Host:21/file": "ftp://weird.host:21/file",
+        "https://a.b/p?keep=1#frag": "https://a.b/p?keep=1",
+    }
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(cases)], "i long, url string"
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", canonicalize_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    for i, (u, want) in enumerate(cases.items()):
+        assert got[i] == want, f"{u}: {got[i]} != {want}"
+
+
+def test_url_canonical_dedup_keeps_best(spark):
+    """Keep-best per canonical key: highest quality wins, id breaks
+    ties, n_variants counts the collapsed group."""
+    from chapterhouseqe_spark.operators.dedup import url_canonical_dedup
+
+    rows = [
+        (1, "https://A.b/p?utm_x=1", 10),
+        (2, "HTTPS://a.B/p#frag", 30),  # same canonical, best quality
+        (3, "https://a.b/p", 30),  # quality tie -> smaller id wins
+        (4, "https://a.b/q", 5),  # its own group
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, q long")
+    out = {
+        r["doc_id"]: r
+        for r in url_canonical_dedup(
+            df, "url", "doc_id", quality=F.col("q")
+        ).collect()
+    }
+    assert set(out) == {2, 4}
+    assert out[2]["n_variants"] == 3
+    assert out[2]["canonical_url"] == "https://a.b/p"
+    assert out[4]["n_variants"] == 1
+    # no-quality form: smallest id per canonical key
+    out2 = {
+        r["doc_id"]
+        for r in url_canonical_dedup(df, "url", "doc_id").collect()
+    }
+    assert out2 == {1, 4}
