@@ -935,3 +935,169 @@ def source_divergence_matrix(
             )
         ).alias("tv"),
     )
+
+
+def token_coverage_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    ks: tuple[int, ...] = (1, 2, 4, 8, 16, 32),
+) -> DataFrame:
+    """Vocabulary coverage curve: for each candidate vocab size ``k``,
+    the fraction of the corpus's total token mass covered by the ``k``
+    most frequent tokens — the statistic behind tokenizer vocab-size
+    planning (where the coverage curve flattens is where additional
+    vocab entries stop paying for their embedding rows; everything
+    past the knee lands in OOV/byte-fallback).
+
+    Ranking discipline: global token rank comes from the same
+    two-phase shape as :func:`pack_sequences` — range-repartition the
+    aggregated (token, count) frame on the rank order, per-partition
+    row_number (a window WITH a partition key, fully parallel), then
+    add broadcast per-partition row-count offsets. No partitionless
+    window ever touches the vocabulary frame, so the operator holds at
+    a 10⁸-type vocabulary where ``Window.orderBy(count)`` would funnel
+    every row through one task. Ties break (count DESC, token ASC) —
+    deterministic in both engines.
+
+    Output: one row per k — ``(k, covered_tokens, total_tokens,
+    coverage)``; coverage is the ONE double division.
+
+    100 TB shape: one scan, one (token) hash aggregation, one range
+    exchange over the COLLAPSED vocab frame (KB-to-GB however large
+    the corpus), a broadcast offsets join, and a single-row
+    conditional-sum aggregate reshaped to long form map-side.
+    """
+    toks = F.explode(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    ).alias("tok")
+    freq = df.select(toks).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ranged = (
+        freq.repartitionByRange(F.col("c").desc(), F.col("tok"))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    # both branches (per-partition ranks + partition row counts) must
+    # see the same physical partitioning — same localCheckpoint
+    # rationale as pack_sequences
+    ranged = ranged.localCheckpoint(eager=False)
+    in_part = Window.partitionBy("__pid").orderBy(
+        F.col("c").desc(), F.col("tok")
+    )
+    local = ranged.withColumn("__lr", F.row_number().over(in_part))
+    totals = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    offsets = (
+        totals.alias("a")
+        .join(
+            totals.select(
+                F.col("__pid").alias("__opid"), F.col("__n").alias("__on")
+            ).alias("b"),
+            F.col("__opid") < F.col("a.__pid"),
+            "left",
+        )
+        .groupBy(F.col("a.__pid").alias("__pid"))
+        .agg(F.coalesce(F.sum("__on"), F.lit(0)).alias("__off"))
+    )
+    ranked = local.join(F.broadcast(offsets), "__pid").withColumn(
+        "r", F.col("__lr") + F.col("__off")
+    )
+    aggs = [F.sum("c").cast("long").alias("__tot")] + [
+        F.coalesce(F.sum(F.when(F.col("r") <= k, F.col("c"))), F.lit(0))
+        .cast("long")
+        .alias(f"__k{k}")
+        for k in ks
+    ]
+    row = ranked.agg(*aggs)
+    pairs: list[Column] = []
+    for k in ks:
+        pairs += [F.lit(k).cast("bigint"), F.col(f"__k{k}")]
+    return (
+        row.select(
+            F.col("__tot"),
+            F.explode(F.create_map(*pairs)).alias("k", "covered_tokens"),
+        )
+        .select(
+            "k",
+            "covered_tokens",
+            F.col("__tot").alias("total_tokens"),
+            (
+                F.col("covered_tokens").cast("double")
+                / F.col("__tot").cast("double")
+            ).alias("coverage"),
+        )
+    )
+
+
+def context_overflow_report(
+    df: DataFrame,
+    text_col: str = "text",
+    contexts: tuple[int, ...] = (16, 32, 64, 128),
+) -> DataFrame:
+    """Context-window overflow report: for each candidate context
+    length, how many documents exceed it and how much token mass a
+    hard truncation at that length would discard — the
+    context-length-planning twin of :func:`token_coverage_curve`
+    (what chunking/packing budgets cost in practice is exactly this
+    truncated mass).
+
+    Output: one row per context — ``(ctx, docs_over, truncated_tokens,
+    total_docs, total_tokens, truncated_share)``; the share is the ONE
+    double division.
+
+    100 TB shape: ONE scan, a single conditional-sum aggregate (one
+    exchange to a single row), reshaped to long form map-side — the
+    whole report is a map-combine regardless of corpus size.
+    """
+    n = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    d = df.select(n.alias("__n"))
+    aggs = [
+        F.count(F.lit(1)).alias("__docs"),
+        F.sum("__n").cast("long").alias("__tot"),
+    ]
+    for c in contexts:
+        aggs += [
+            F.coalesce(
+                F.sum(F.when(F.col("__n") > c, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"__o{c}"),
+            F.coalesce(
+                F.sum(F.greatest(F.col("__n") - F.lit(c), F.lit(0))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"__t{c}"),
+        ]
+    row = d.agg(*aggs)
+    # long-form reshape via ONE explode on the single agg row — a
+    # unionAll of per-context selects would re-instantiate the
+    # aggregation per leg and re-scan the corpus |contexts| times
+    # (measured: 4 scans / 4 exchanges vs 1 / 1 here)
+    legs = F.array(
+        *[
+            F.struct(
+                F.lit(c).cast("bigint").alias("ctx"),
+                F.col(f"__o{c}").alias("docs_over"),
+                F.col(f"__t{c}").alias("truncated_tokens"),
+            )
+            for c in contexts
+        ]
+    )
+    return (
+        row.select(
+            F.col("__docs"),
+            F.col("__tot"),
+            F.explode(legs).alias("leg"),
+        )
+        .select(
+            F.col("leg.ctx").alias("ctx"),
+            F.col("leg.docs_over").alias("docs_over"),
+            F.col("leg.truncated_tokens").alias("truncated_tokens"),
+            F.col("__docs").alias("total_docs"),
+            F.col("__tot").alias("total_tokens"),
+            (
+                F.col("leg.truncated_tokens").cast("double")
+                / F.col("__tot").cast("double")
+            ).alias("truncated_share"),
+        )
+    )

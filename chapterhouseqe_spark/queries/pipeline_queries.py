@@ -6872,3 +6872,75 @@ def dedup_url_canonical(spark, sf_dir):
     return url_canonical_dedup(
         withurl, "url", "doc_id", quality=F.col("n_chars")
     ).select("doc_id", "url", "canonical_url", "n_chars", "n_variants")
+
+
+@query(
+    "text_vocab_coverage_curve",
+    oracle=r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+      FROM documents
+    ), freq AS (
+      SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+    ), ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS r FROM freq
+    ), tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS t FROM freq
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+      CAST(COALESCE((SELECT SUM(c) FROM ranked WHERE r <= k), 0)
+           AS BIGINT) AS covered_tokens,
+      t AS total_tokens,
+      CAST(COALESCE((SELECT SUM(c) FROM ranked WHERE r <= k), 0)
+           AS DOUBLE) / CAST(t AS DOUBLE) AS coverage
+    FROM (VALUES (1), (2), (4), (8), (16), (32)) ks(k), tot
+    """,
+    tags=("pipeline", "text", "corpus-prep"),
+    doc="vocabulary coverage curve (tokenizer vocab-size planning): "
+    "token mass covered by the top-k most frequent tokens, k in "
+    "1..32 — global rank via the pack_sequences two-phase shape "
+    "(range exchange over the COLLAPSED vocab frame + broadcast "
+    "offsets, no partitionless window), one conditional-sum agg "
+    "(operators/corpus.py:token_coverage_curve)",
+)
+def text_vocab_coverage_curve(spark, sf_dir):
+    from chapterhouseqe_spark.operators.corpus import token_coverage_curve
+
+    d = t(spark, sf_dir, "documents")
+    return token_coverage_curve(d, "text")
+
+
+@query(
+    "pipeline_context_overflow",
+    oracle=r"""
+    WITH n AS (
+      SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             AS n
+      FROM documents
+    ), agg AS (
+      SELECT COUNT(*) AS total_docs, CAST(SUM(n) AS BIGINT) AS total_tokens
+      FROM n
+    )
+    SELECT CAST(c AS BIGINT) AS ctx,
+      CAST((SELECT COUNT(*) FROM n WHERE n > c) AS BIGINT) AS docs_over,
+      CAST(COALESCE((SELECT SUM(n - c) FROM n WHERE n > c), 0)
+           AS BIGINT) AS truncated_tokens,
+      total_docs, total_tokens,
+      CAST(COALESCE((SELECT SUM(n - c) FROM n WHERE n > c), 0)
+           AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS truncated_share
+    FROM (VALUES (16), (32), (64), (128)) cs(c), agg
+    """,
+    tags=("pipeline", "text"),
+    doc="context-window overflow report (context-length planning): per "
+    "candidate context 16/32/64/128, docs exceeding it and the token "
+    "mass a hard truncation would discard — ONE conditional-sum "
+    "aggregate over a single scan, reshaped map-side "
+    "(operators/corpus.py:context_overflow_report)",
+)
+def pipeline_context_overflow(spark, sf_dir):
+    from chapterhouseqe_spark.operators.corpus import (
+        context_overflow_report,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    return context_overflow_report(d, "text")

@@ -251,6 +251,8 @@ NEXT_WINDOW_PLAN: tuple[str, ...] = (
     # cap ~6 per the r10 verdict):
     "pipeline_chunk_token_windows",
     "dedup_url_canonical",
+    "text_vocab_coverage_curve",
+    "pipeline_context_overflow",
 )
 
 

@@ -1,8 +1,10 @@
-"""Round-11 additions: token-window chunking and URL canonical dedup.
+"""Round-11 additions: token-window chunking, URL canonical dedup,
+vocab coverage curve, context-overflow report.
 
 The graded queries (`pipeline_chunk_token_windows`,
-`dedup_url_canonical`) are replayed against their DuckDB oracles by
-tests/test_queries_oracle.py like every registry entry; these tests
+`dedup_url_canonical`, `text_vocab_coverage_curve`,
+`pipeline_context_overflow`) are replayed against their DuckDB oracles
+by tests/test_queries_oracle.py like every registry entry; these tests
 pin the operator-level semantics the oracle can't see failing in
 isolation.
 """
@@ -124,3 +126,53 @@ def test_url_canonical_dedup_keeps_best(spark):
         for r in url_canonical_dedup(df, "url", "doc_id").collect()
     }
     assert out2 == {1, 4}
+
+
+def test_token_coverage_curve_known_freqs(spark):
+    """Known frequency profile: 'a'x3 'b'x2 'c'x1 — coverage must walk
+    3/6, 5/6 then saturate at 1.0 once k reaches the vocab size, and
+    the two-phase global rank must agree with the naive order."""
+    from chapterhouseqe_spark.operators.corpus import token_coverage_curve
+
+    df = spark.createDataFrame(
+        [(0, "a a a b"), (1, "b c")], "doc_id long, text string"
+    )
+    rows = {
+        r["k"]: r
+        for r in token_coverage_curve(df, "text", ks=(1, 2, 3, 8)).collect()
+    }
+    assert rows[1]["covered_tokens"] == 3
+    assert rows[2]["covered_tokens"] == 5
+    assert rows[3]["covered_tokens"] == 6
+    assert rows[8]["covered_tokens"] == 6  # k past vocab saturates
+    assert all(r["total_tokens"] == 6 for r in rows.values())
+    assert rows[8]["coverage"] == 1.0
+    assert rows[1]["coverage"] == 0.5
+
+
+def test_context_overflow_report_known_lengths(spark):
+    """Doc lengths 2/20/40/200 against contexts 16/32/64/128: the
+    overflow counts and truncated masses are hand-checkable."""
+    from chapterhouseqe_spark.operators.corpus import (
+        context_overflow_report,
+    )
+
+    def doc(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    df = spark.createDataFrame(
+        [(i, doc(n)) for i, n in enumerate((2, 20, 40, 200))],
+        "doc_id long, text string",
+    )
+    rows = {r["ctx"]: r for r in context_overflow_report(df).collect()}
+    assert rows[16]["docs_over"] == 3
+    assert rows[16]["truncated_tokens"] == (20 - 16) + (40 - 16) + (200 - 16)
+    assert rows[32]["docs_over"] == 2
+    assert rows[32]["truncated_tokens"] == 8 + 168
+    assert rows[64]["docs_over"] == 1
+    assert rows[64]["truncated_tokens"] == 136
+    assert rows[128]["docs_over"] == 1
+    assert rows[128]["truncated_tokens"] == 72
+    assert all(r["total_docs"] == 4 for r in rows.values())
+    assert all(r["total_tokens"] == 262 for r in rows.values())
+    assert abs(rows[16]["truncated_share"] - 212 / 262) < 1e-12
