@@ -1101,3 +1101,108 @@ def context_overflow_report(
             ).alias("truncated_share"),
         )
     )
+
+
+def token_budget_plan(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    budget_multiple: int = 2,
+    cap_epochs: int = 4,
+) -> DataFrame:
+    """Token-budget epoch planner: turn per-source token mass into an
+    executable sampling plan — how many tokens (and therefore epochs)
+    of each source a training run should draw to hit a total token
+    budget under a sqrt-temperature mixture, with a repeat-exposure
+    cap.
+
+    This is the planning table between the mixture-weight reports
+    (``pipeline_mixing_weights`` / ``pipeline_temperature_weights``,
+    which only DESCRIBE the corpus) and the samplers
+    (``dsir_importance_resample`` / ``weighted_priority_sample``,
+    which need a per-source quota to execute): the standard
+    "epochs-per-source" table from LLM data-mixture work (upsample
+    low-resource sources by temperature, cap repeat exposure so no
+    source is memorized).
+
+    Per source ``s`` with available token mass ``A_s``:
+
+    - ``weight_num_s = floor(sqrt(A_s))`` — the tau = 0.5 temperature
+      weight in EXACT integers. IEEE-754 ``sqrt`` is correctly
+      rounded, so both engines floor the identical double; the
+      (rare) boundary case where ``sqrt(k*k - 1)`` rounds up to ``k``
+      is taken identically on both sides — the contract is
+      bit-portability, not mathematical isqrt.
+    - ``target_s = floor(B * w_s / W)`` where ``W = sum(w)`` and
+      ``B = budget_multiple * sum(A)``, computed by the div-mod split
+      ``w*(B div W) + (w*(B mod W)) div W`` — algebraically the exact
+      floor (write ``B = q*W + r``), with every intermediate bounded
+      by ``w * W`` instead of ``w * B``, so int64 holds to ~1e15-token
+      corpora (w <= 3.2e7, W <= |sources|*w) where the naive product
+      overflows at ~2.4e12.
+    - ``actual_s = least(target_s, cap_epochs * A_s)`` — the epoch
+      cap; ``deficit_s = target_s - actual_s`` is the mass the
+      mixture wants but the cap refuses (re-plan or accept a smaller
+      effective budget).
+    - ``epochs_needed = target_s / A_s`` — ONE double division of
+      exact bigints (exact-input rounding, deterministic).
+
+    100 TB shape: one scan (tokenize-once map-side count), one hash
+    exchange on the source key, and a single-row totals frame that
+    BROADCASTS — the plan is |sources| rows regardless of corpus
+    size. No window, no Python.
+    """
+    n = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    avail = (
+        df.select(F.col(source_col).alias("source"), n.alias("__n"))
+        .groupBy("source")
+        .agg(F.sum("__n").cast("long").alias("avail_tokens"))
+    )
+    s = avail.select(
+        "source",
+        "avail_tokens",
+        F.floor(F.sqrt(F.col("avail_tokens").cast("double")))
+        .cast("long")
+        .alias("weight_num"),
+    )
+    tot = s.agg(
+        F.sum("weight_num").cast("long").alias("__den"),
+        (F.lit(budget_multiple) * F.sum("avail_tokens"))
+        .cast("long")
+        .alias("__budget"),
+    )
+    target = F.expr(
+        "weight_num * (__budget div __den)"
+        " + (weight_num * (__budget % __den)) div __den"
+    )
+    capped = F.least(
+        F.col("target_tokens"), F.lit(cap_epochs) * F.col("avail_tokens")
+    )
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "avail_tokens",
+            "weight_num",
+            (
+                F.col("weight_num").cast("double")
+                / F.col("__den").cast("double")
+            ).alias("mix_weight"),
+            target.cast("long").alias("target_tokens"),
+        )
+        .select(
+            "source",
+            "avail_tokens",
+            "weight_num",
+            "mix_weight",
+            "target_tokens",
+            (
+                F.col("target_tokens").cast("double")
+                / F.col("avail_tokens").cast("double")
+            ).alias("epochs_needed"),
+            capped.cast("long").alias("actual_tokens"),
+            (F.col("target_tokens") - capped).cast("long").alias(
+                "deficit_tokens"
+            ),
+        )
+    )

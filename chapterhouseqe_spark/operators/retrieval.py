@@ -59,14 +59,23 @@ def term_frequencies(
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
 
-def bm25_scores(tf: DataFrame, queries: DataFrame) -> DataFrame:
+def bm25_scores(
+    tf: DataFrame, queries: DataFrame, weight_col: str | None = None
+) -> DataFrame:
     """(query_id, doc_id, score) for every candidate doc sharing >= 1
-    term with the query — the scoring core shared by :func:`bm25_topk`
-    and :func:`bm25_self_retrieval`.
+    term with the query — the scoring core shared by :func:`bm25_topk`,
+    :func:`bm25_self_retrieval` and :func:`rm3_expansion_retrieval`.
 
     score(q, d) = sum over q's terms t present in d of
         idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
     with idf(t) = (2N - 2df + 1) / (2df + 1)  — exact-integer rational.
+
+    With ``weight_col`` set, ``queries`` carries a per-(query, term)
+    double weight and each term's contribution becomes
+    ``qw * (idf * tf_norm)`` — the weighted-query form RM3 expansion
+    needs. The multiply wraps the UNCHANGED unweighted product (one
+    extra rounding step, same written order both engines), so the
+    default path is bit-identical to before.
     """
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     # the ONLY single-partition exchange carries this 1-row frame
@@ -79,29 +88,28 @@ def bm25_scores(tf: DataFrame, queries: DataFrame) -> DataFrame:
     # posting-bounded candidates FIRST (query terms broadcast against
     # the index), so the dl join keys on candidates — AQE broadcasts
     # dl at small scale and shuffle-joins it at corpus scale.
+    sc = (
+        (2 * F.col("n") - 2 * F.col("df") + 1).cast("double")
+        / (2 * F.col("df") + 1)
+    ) * (
+        (F.col("tf") * F.lit(BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(BM25_K1)
+            * (
+                F.lit(1.0 - BM25_B)
+                + F.lit(BM25_B) * (F.col("dl") / F.col("avgdl"))
+            )
+        )
+    )
+    if weight_col is not None:
+        sc = F.col(weight_col) * sc
     scored = (
         tf.join(F.broadcast(queries), "term")
         .join(F.broadcast(df.join(F.broadcast(queries.select("term").distinct()), "term")), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "sc",
-            (
-                (2 * F.col("n") - 2 * F.col("df") + 1).cast("double")
-                / (2 * F.col("df") + 1)
-            )
-            * (
-                (F.col("tf") * F.lit(BM25_K1 + 1.0))
-                / (
-                    F.col("tf")
-                    + F.lit(BM25_K1)
-                    * (
-                        F.lit(1.0 - BM25_B)
-                        + F.lit(BM25_B) * (F.col("dl") / F.col("avgdl"))
-                    )
-                )
-            ),
-        )
+        .withColumn("sc", sc)
     )
     # ordered left fold, NOT SUM: accumulation order is part of the
     # result contract (see module docstring)
@@ -184,13 +192,7 @@ def hybrid_rrf_retrieval(
     from chapterhouseqe_spark.operators.similarity import cosine_topk
 
     tf = term_frequencies(docs, text_col, id_col)
-    wt = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("term"))
-    probes = (
-        tf.filter(F.col("doc_id") % probe_mod == probe_rem)
-        .withColumn("tr", F.row_number().over(wt))
-        .filter(F.col("tr") <= n_terms)
-        .select(F.col("doc_id").alias("query_id"), "term")
-    )
+    probes = probe_term_queries(tf, probe_mod, probe_rem, n_terms)
     lex_scores = bm25_scores(tf, F.broadcast(probes)).filter(
         F.col("query_id") != F.col("doc_id")
     )
@@ -257,13 +259,7 @@ def bm25_self_retrieval(
     candidates instead of a per-query global sort.
     """
     tf = term_frequencies(docs, text_col, id_col)
-    w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("term"))
-    probes = (
-        tf.filter(F.col("doc_id") % probe_mod == probe_rem)
-        .withColumn("tr", F.row_number().over(w))
-        .filter(F.col("tr") <= n_terms)
-        .select(F.col("doc_id").alias("query_id"), "term")
-    )
+    probes = probe_term_queries(tf, probe_mod, probe_rem, n_terms)
     scores = bm25_scores(tf, F.broadcast(probes))
     self_rows = scores.filter(F.col("query_id") == F.col("doc_id")).select(
         "query_id",
@@ -285,5 +281,135 @@ def bm25_self_retrieval(
             F.col("query_id").alias("probe_id"),
             (F.coalesce(F.col("n_better"), F.lit(0)) + 1).alias("rank"),
             (F.lit(1.0) / (F.coalesce(F.col("n_better"), F.lit(0)) + 1)).alias("rr"),
+        )
+    )
+
+
+def probe_term_queries(
+    tf: DataFrame, probe_mod: int, probe_rem: int, n_terms: int
+) -> DataFrame:
+    """The deterministic self-probe query set shared by the retrieval
+    evals: docs with ``doc_id % probe_mod == probe_rem`` become
+    queries made of their own ``n_terms`` highest-tf terms (ties by
+    term asc). Returns (query_id, term)."""
+    w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("term"))
+    return (
+        tf.filter(F.col("doc_id") % probe_mod == probe_rem)
+        .withColumn("tr", F.row_number().over(w))
+        .filter(F.col("tr") <= n_terms)
+        .select(F.col("doc_id").alias("query_id"), "term")
+    )
+
+
+# RM3 interpolation weights. Independent literals, NOT lam / 1 - lam:
+# float(1.0 - 0.6) != float(0.4), and the oracle writes the literal —
+# deriving one from the other would diverge in the last ulp.
+RM3_LAM_ORIG = 0.6
+RM3_LAM_EXP = 0.4
+
+
+def rm3_expansion_retrieval(
+    docs: DataFrame,
+    probe_mod: int = 173,
+    probe_rem: int = 7,
+    n_terms: int = 3,
+    k_fb: int = 5,
+    n_exp: int = 5,
+    k_out: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RM3 pseudo-relevance-feedback retrieval: first-pass BM25 picks
+    ``k_fb`` feedback docs per query, a relevance model over those
+    docs nominates ``n_exp`` expansion terms, and a weighted
+    second-pass BM25 ranks the corpus under the interpolated query —
+    the classic query-expansion stack (Lavrenko & Croft 2001; the
+    RM3 interpolation from Abdul-Jaleel et al., TREC 2004).
+
+    Term nomination weight (RM1 core, made engine-portable):
+
+        w(t) = sum over feedback docs d of
+                   (tf_td / dl_d) * (1 / (RRF_K + rank_d))
+
+    — P(t|d) times a RANK-based doc prior instead of the usual
+    normalized-score prior: a score-sum normalization would be an
+    order-dependent float reduction, while ranks are integers and
+    each contribution is two exact divisions and one product. The
+    per-term sum folds in doc_id order (ordered left fold, module
+    contract). Final query: original terms at weight 0.6, expansion
+    terms at ``0.4 * w(t)`` (additive when a term is both), scored by
+    the weighted :func:`bm25_scores`.
+
+    Scale shape: both passes are posting-bounded (the query set —
+    probes first, then probes + 5 expansion terms each — always
+    BROADCASTS); the relevance model only touches the k_fb feedback
+    docs' term rows, a |probes| * k_fb * dl-bounded frame. The probe
+    doc is excluded from feedback, candidates, and output.
+
+    Returns (probe_id, doc_id, score, rank), rank 1..k_out per probe
+    by (score DESC, doc_id).
+    """
+    tf = term_frequencies(docs, text_col, id_col)
+    probes = probe_term_queries(tf, probe_mod, probe_rem, n_terms)
+    first = bm25_scores(tf, F.broadcast(probes)).filter(
+        F.col("query_id") != F.col("doc_id")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    fb = (
+        first.withColumn("fb_rank", F.row_number().over(wq))
+        .filter(F.col("fb_rank") <= k_fb)
+        .select("query_id", "doc_id", "fb_rank")
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    contrib = (
+        F.col("tf").cast("double") / F.col("dl")
+    ) * (F.lit(1.0) / (F.lit(RRF_K) + F.col("fb_rank")))
+    wexp = (
+        fb.join(tf, "doc_id")
+        .join(dl, "doc_id")
+        .withColumn("c", contrib)
+        .groupBy("query_id", "term")
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("doc_id", "c"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            ).alias("w")
+        )
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("w").desc(), F.col("term")
+    )
+    expq = (
+        wexp.withColumn("er", F.row_number().over(we))
+        .filter(F.col("er") <= n_exp)
+        .select(
+            "query_id",
+            "term",
+            (F.lit(RM3_LAM_EXP) * F.col("w")).alias("eqw"),
+        )
+    )
+    qterms = (
+        probes.withColumn("oqw", F.lit(RM3_LAM_ORIG))
+        .join(expq, ["query_id", "term"], "full_outer")
+        .select(
+            "query_id",
+            "term",
+            (
+                F.coalesce(F.col("oqw"), F.lit(0.0))
+                + F.coalesce(F.col("eqw"), F.lit(0.0))
+            ).alias("qw"),
+        )
+    )
+    second = bm25_scores(tf, F.broadcast(qterms), weight_col="qw").filter(
+        F.col("query_id") != F.col("doc_id")
+    )
+    return (
+        second.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= k_out)
+        .select(
+            F.col("query_id").alias("probe_id"), "doc_id", "score", "rank"
         )
     )

@@ -6944,3 +6944,149 @@ def pipeline_context_overflow(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return context_overflow_report(d, "text")
+
+
+@query(
+    "pipeline_token_budget_plan",
+    oracle=r"""
+    WITH n AS (
+      SELECT source,
+        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+      FROM documents
+    ), a AS (
+      SELECT source, CAST(SUM(n) AS BIGINT) AS avail FROM n GROUP BY source
+    ), s AS (
+      SELECT source, avail,
+        CAST(FLOOR(SQRT(CAST(avail AS DOUBLE))) AS BIGINT) AS sq
+      FROM a
+    ), tot AS (
+      SELECT CAST(SUM(sq) AS BIGINT) AS den,
+             CAST(2 * SUM(avail) AS BIGINT) AS budget
+      FROM s
+    ), p AS (
+      SELECT source, avail, sq, den,
+        sq * (budget // den) + (sq * (budget % den)) // den AS target
+      FROM s CROSS JOIN tot
+    )
+    SELECT source,
+      avail AS avail_tokens,
+      sq AS weight_num,
+      CAST(sq AS DOUBLE) / CAST(den AS DOUBLE) AS mix_weight,
+      CAST(target AS BIGINT) AS target_tokens,
+      CAST(target AS DOUBLE) / CAST(avail AS DOUBLE) AS epochs_needed,
+      CAST(LEAST(target, 4 * avail) AS BIGINT) AS actual_tokens,
+      CAST(target - LEAST(target, 4 * avail) AS BIGINT) AS deficit_tokens
+    FROM p
+    """,
+    tags=("pipeline", "mixing", "planning"),
+    doc="token-budget epoch planner: per-source token mass -> "
+    "sqrt-temperature weights (floor(sqrt) in exact integers) -> "
+    "target tokens under a 2x-corpus budget via the exact div-mod "
+    "split (every intermediate < 2^63 to ~1e15-token corpora) -> "
+    "epoch-capped actuals + deficit. The executable plan between the "
+    "mixture-weight REPORTS and the samplers; one source-keyed "
+    "exchange + a broadcast single-row totals frame "
+    "(operators/corpus.py:token_budget_plan)",
+)
+def pipeline_token_budget_plan(spark, sf_dir):
+    from chapterhouseqe_spark.operators.corpus import token_budget_plan
+
+    d = t(spark, sf_dir, "documents")
+    return token_budget_plan(d, "text", "source", budget_multiple=2, cap_epochs=4)
+
+
+@query(
+    "docs_rm3_expansion_retrieval",
+    oracle=f"""
+    WITH {_HYBRID_LEX_CTES},
+    fb AS (
+      SELECT query_id, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id
+             ) AS fb_rank
+      FROM agg WHERE query_id <> doc_id
+      QUALIFY fb_rank <= 5
+    ),
+    wexp AS (
+      SELECT f.query_id, tf.term,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE), list(
+                 (CAST(tf.tf AS DOUBLE) / dl.dl)
+                 * (CAST(1.0 AS DOUBLE) / (60 + f.fb_rank))
+                 ORDER BY tf.doc_id)),
+               (a, b) -> a + b
+             ) AS w
+      FROM fb f
+      JOIN tf ON tf.doc_id = f.doc_id
+      JOIN dl ON dl.doc_id = f.doc_id
+      GROUP BY 1, 2
+    ),
+    expq AS (
+      SELECT query_id, term, CAST(0.4 AS DOUBLE) * w AS eqw FROM (
+        SELECT query_id, term, w,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY w DESC, term
+               ) AS er
+        FROM wexp
+      ) WHERE er <= 5
+    ),
+    qterms AS (
+      SELECT COALESCE(o.query_id, e.query_id) AS query_id,
+             COALESCE(o.term, e.term) AS term,
+             (CASE WHEN o.term IS NOT NULL THEN CAST(0.6 AS DOUBLE)
+                   ELSE CAST(0.0 AS DOUBLE) END)
+             + COALESCE(e.eqw, CAST(0.0 AS DOUBLE)) AS qw
+      FROM probes o FULL OUTER JOIN expq e
+        ON o.query_id = e.query_id AND o.term = e.term
+    ),
+    scored2 AS (
+      SELECT q.query_id, tf.doc_id, q.term,
+             q.qw * ((CAST(2 * s.n - 2 * dfreq.df + 1 AS DOUBLE)
+                      / (2 * dfreq.df + 1))
+             * ((tf.tf * CAST(2.2 AS DOUBLE))
+                / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / s.avgdl))))) AS sc
+      FROM qterms q
+      JOIN tf ON tf.term = q.term
+      JOIN dfreq ON dfreq.term = q.term
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    ),
+    agg2 AS (
+      SELECT query_id, doc_id,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE), list(sc ORDER BY term)),
+               (a, b) -> a + b
+             ) AS score
+      FROM scored2 GROUP BY 1, 2
+    )
+    SELECT query_id AS probe_id, doc_id, score,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id
+           ) AS rank
+    FROM agg2 WHERE query_id <> doc_id
+    QUALIFY rank <= 10
+    """,
+    tags=("pipeline", "text", "retrieval"),
+    doc="RM3 pseudo-relevance-feedback retrieval (Lavrenko & Croft "
+    "2001 / Abdul-Jaleel 2004): first-pass BM25 -> top-5 feedback "
+    "docs -> relevance-model term weights (P(t|d) x a rank-based doc "
+    "prior — integers + exact divisions, no order-dependent score "
+    "normalization) -> top-5 expansion terms at 0.4*w with originals "
+    "at 0.6 -> weighted second-pass BM25. Both passes posting-bounded "
+    "with broadcast query sets; per-term sums are ordered left folds "
+    "(operators/retrieval.py:rm3_expansion_retrieval)",
+)
+def docs_rm3_expansion_retrieval(spark, sf_dir):
+    from chapterhouseqe_spark.operators.retrieval import (
+        rm3_expansion_retrieval,
+    )
+
+    return rm3_expansion_retrieval(
+        t(spark, sf_dir, "documents"),
+        probe_mod=173,
+        probe_rem=7,
+        n_terms=3,
+        k_fb=5,
+        n_exp=5,
+        k_out=10,
+    )

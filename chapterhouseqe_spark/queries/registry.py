@@ -253,6 +253,8 @@ NEXT_WINDOW_PLAN: tuple[str, ...] = (
     "dedup_url_canonical",
     "text_vocab_coverage_curve",
     "pipeline_context_overflow",
+    "pipeline_token_budget_plan",
+    "docs_rm3_expansion_retrieval",
 )
 
 

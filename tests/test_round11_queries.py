@@ -176,3 +176,66 @@ def test_context_overflow_report_known_lengths(spark):
     assert all(r["total_docs"] == 4 for r in rows.values())
     assert all(r["total_tokens"] == 262 for r in rows.values())
     assert abs(rows[16]["truncated_share"] - 212 / 262) < 1e-12
+
+
+def test_token_budget_plan_exact_arithmetic(spark):
+    """Two sources with hand-computable masses: the div-mod split is
+    the exact floor(B*sq/den), and the epoch cap produces the deficit
+    on the upsampled small source only."""
+    from chapterhouseqe_spark.operators.corpus import token_budget_plan
+
+    def doc(src, i, n):
+        return (src, " ".join(f"t{src}{i}x{j}" for j in range(n)))
+
+    rows = [doc("big", i, 100) for i in range(100)]  # 10_000 tokens
+    rows += [doc("small", i, 10) for i in range(10)]  # 100 tokens
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {r["source"]: r for r in token_budget_plan(df).collect()}
+    big, small = out["big"], out["small"]
+    assert big["avail_tokens"] == 10_000 and small["avail_tokens"] == 100
+    assert big["weight_num"] == 100 and small["weight_num"] == 10
+    den, budget = 110, 2 * 10_100
+    assert big["target_tokens"] == (budget * 100) // den  # 18363
+    assert small["target_tokens"] == (budget * 10) // den  # 1836
+    # cap binds only on the upsampled small source (4 epochs = 400)
+    assert big["actual_tokens"] == big["target_tokens"]
+    assert big["deficit_tokens"] == 0
+    assert small["actual_tokens"] == 400
+    assert small["deficit_tokens"] == small["target_tokens"] - 400
+    assert small["epochs_needed"] == small["target_tokens"] / 100
+    assert abs(big["mix_weight"] - 100 / 110) < 1e-15
+
+
+def test_rm3_expansion_retrieves_zero_overlap_doc(spark):
+    """The signature RM3 behavior: a doc sharing NO term with the
+    original query is retrieved through expansion terms mined from
+    the feedback docs — first-pass BM25 structurally cannot see it."""
+    from chapterhouseqe_spark.operators.retrieval import (
+        bm25_topk,
+        probe_term_queries,
+        rm3_expansion_retrieval,
+        term_frequencies,
+    )
+
+    docs = [
+        # probe (7 % 173 == 7): query terms alpha/beta/gamma
+        (7, "alpha alpha beta beta gamma"),
+        # feedback docs: match the query AND carry 'delta'
+        (1, "alpha beta delta delta"),
+        (2, "alpha gamma delta delta"),
+        (3, "beta gamma delta"),
+        # the target: ONLY expansion-reachable
+        (4, "delta delta delta delta"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    first = bm25_topk(
+        df, probe_term_queries(term_frequencies(df), 173, 7, 3), k=10
+    )
+    first_ids = {r["doc_id"] for r in first.collect()}
+    assert 4 not in first_ids  # no shared term with the raw query
+    out = rm3_expansion_retrieval(df, k_fb=3, n_exp=2, k_out=10).collect()
+    ids = {r["doc_id"] for r in out}
+    assert 4 in ids  # reached via the mined 'delta' expansion term
+    assert 7 not in ids  # probe doc excluded from its own results
+    ranks = sorted(r["rank"] for r in out)
+    assert ranks == list(range(1, len(ranks) + 1))
