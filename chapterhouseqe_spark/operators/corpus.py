@@ -1103,6 +1103,22 @@ def context_overflow_report(
     )
 
 
+def _check_budget_bound(mx: int, den: int) -> None:
+    """Fail loudly before the div-mod split's largest intermediate
+    ``w * (B mod W) <= max(w) * W`` can silently wrap BIGINT —
+    Spark's non-ANSI long arithmetic does not error on overflow.
+    Holds while ``max(w) * W <= 2^62``, i.e. ~1e15 total tokens at
+    realistic source-count/skew mixes."""
+    if mx * den > 2**62:
+        raise ValueError(
+            "token_budget_plan: max(weight_num) * sum(weight_num) = "
+            f"{mx:,} * {den:,} exceeds 2^62 — the div-mod split's "
+            "intermediates would overflow int64 (corpus past ~1e15 "
+            "tokens). Pre-scale avail_tokens (e.g. count in units of "
+            "1k tokens) before planning."
+        )
+
+
 def token_budget_plan(
     df: DataFrame,
     text_col: str = "text",
@@ -1147,8 +1163,16 @@ def token_budget_plan(
     - ``epochs_needed = target_s / A_s`` — ONE double division of
       exact bigints (exact-input rounding, deterministic).
 
+    Overflow fails LOUDLY, not silently (the ``source_divergence``
+    rule): the per-source frame is persisted anyway, so a bounded
+    pre-pass asserts ``max(w) * W <= 2^62`` — the bound on the
+    div-mod split's largest intermediate ``w * (B mod W)`` — and
+    raises with the corpus size named instead of letting Spark's
+    non-ANSI long arithmetic wrap into a wrong plan.
+
     100 TB shape: one scan (tokenize-once map-side count), one hash
-    exchange on the source key, and a single-row totals frame that
+    exchange on the source key (persisted: the overflow pre-pass and
+    the totals both reuse it), and a single-row totals frame that
     BROADCASTS — the plan is |sources| rows regardless of corpus
     size. No window, no Python.
     """
@@ -1164,7 +1188,13 @@ def token_budget_plan(
         F.floor(F.sqrt(F.col("avail_tokens").cast("double")))
         .cast("long")
         .alias("weight_num"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    bound = s.agg(
+        F.max("weight_num").alias("mx"),
+        F.sum("weight_num").cast("long").alias("den"),
+    ).first()
+    if bound is not None and bound["mx"] is not None:
+        _check_budget_bound(bound["mx"], bound["den"])
     tot = s.agg(
         F.sum("weight_num").cast("long").alias("__den"),
         (F.lit(budget_multiple) * F.sum("avail_tokens"))

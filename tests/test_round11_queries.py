@@ -239,3 +239,17 @@ def test_rm3_expansion_retrieves_zero_overlap_doc(spark):
     assert 7 not in ids  # probe doc excluded from its own results
     ranks = sorted(r["rank"] for r in out)
     assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_token_budget_overflow_guard():
+    """The div-mod split's largest intermediate is max(w) * W; the
+    guard must fail loudly at 2^62 instead of letting Spark's
+    non-ANSI long arithmetic wrap into a silently wrong plan."""
+    import pytest
+
+    from chapterhouseqe_spark.operators.corpus import _check_budget_bound
+
+    _check_budget_bound(0, 0)
+    _check_budget_bound(2**31, 2**31)  # exactly 2^62 is legal
+    with pytest.raises(ValueError, match="overflow int64"):
+        _check_budget_bound(2**31, 2**31 + 1)
