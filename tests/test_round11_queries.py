@@ -1,12 +1,14 @@
 """Round-11 additions: token-window chunking, URL canonical dedup,
-vocab coverage curve, context-overflow report.
+vocab coverage curve, context-overflow report, token-budget epoch
+planner, RM3 query-expansion retrieval.
 
 The graded queries (`pipeline_chunk_token_windows`,
 `dedup_url_canonical`, `text_vocab_coverage_curve`,
-`pipeline_context_overflow`) are replayed against their DuckDB oracles
-by tests/test_queries_oracle.py like every registry entry; these tests
-pin the operator-level semantics the oracle can't see failing in
-isolation.
+`pipeline_context_overflow`, `pipeline_token_budget_plan`,
+`docs_rm3_expansion_retrieval`) are replayed against their DuckDB
+oracles by tests/test_queries_oracle.py like every registry entry;
+these tests pin the operator-level semantics the oracle can't see
+failing in isolation.
 """
 
 import pytest
