@@ -402,3 +402,178 @@ def test_sparse_tf_cosine_finds_clones_and_caps_stop_terms(spark):
         ).collect()
     }
     assert frac_pairs == {(0, 1), (2, 3)}
+
+
+@st.composite
+def source_corpus(draw):
+    n = draw(st.integers(2, 14))
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs = []
+    for i in range(n):
+        toks = draw(
+            st.lists(st.sampled_from(vocab), min_size=1, max_size=6)
+        )
+        src = f"s{draw(st.integers(0, 2))}"
+        docs.append((src, " ".join(toks)))
+    return docs
+
+
+@given(source_corpus())
+@settings(**SMALL)
+def test_token_budget_plan_matches_integer_model(spark, docs):
+    """Full-table replay against a pure-Python big-int model: the
+    div-mod split must equal floor(B*w/W) exactly, and every derived
+    column follows from the same integer arithmetic."""
+    import math
+
+    from chapterhouseqe_spark.operators.corpus import token_budget_plan
+
+    df = spark.createDataFrame(docs, "source string, text string")
+    got = {r["source"]: r for r in token_budget_plan(df).collect()}
+
+    avail: dict[str, int] = {}
+    for src, text in docs:
+        avail[src] = avail.get(src, 0) + len(text.split())
+    sq = {s: int(math.floor(math.sqrt(float(a)))) for s, a in avail.items()}
+    den = sum(sq.values())
+    budget = 2 * sum(avail.values())
+    assert set(got) == set(avail)
+    for s_ in avail:
+        target = (budget * sq[s_]) // den  # exact big-int floor
+        actual = min(target, 4 * avail[s_])
+        r = got[s_]
+        assert r["avail_tokens"] == avail[s_]
+        assert r["weight_num"] == sq[s_]
+        assert r["target_tokens"] == target
+        assert r["actual_tokens"] == actual
+        assert r["deficit_tokens"] == target - actual
+        assert r["mix_weight"] == sq[s_] / den
+        assert r["epochs_needed"] == target / avail[s_]
+
+
+@st.composite
+def rm3_corpus(draw):
+    n = draw(st.integers(4, 10))
+    vocab = ["red", "green", "blue", "gold", "gray"]
+    return [
+        (
+            i,
+            " ".join(
+                draw(st.lists(st.sampled_from(vocab), min_size=1, max_size=7))
+            ),
+        )
+        for i in range(n)
+    ]
+
+
+@given(rm3_corpus())
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_rm3_matches_float_replay_model(spark, docs):
+    """Exact-equality replay of the full RM3 stack in pure Python —
+    same IEEE op sequence, same ordered folds, same tie-breaks — so
+    any accumulation-order drift in the Spark plan fails loudly."""
+    from chapterhouseqe_spark.operators.retrieval import (
+        RM3_LAM_EXP,
+        RM3_LAM_ORIG,
+        RRF_K,
+        rm3_expansion_retrieval,
+    )
+
+    MOD, REM, NT, KFB, NEXP, KOUT = 3, 1, 3, 2, 2, 4
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (
+            (r["probe_id"], r["doc_id"], r["score"], r["rank"])
+            for r in rm3_expansion_retrieval(
+                df, probe_mod=MOD, probe_rem=REM, n_terms=NT,
+                k_fb=KFB, n_exp=NEXP, k_out=KOUT,
+            ).collect()
+        )
+    )
+
+    # ---- pure-Python model (same op order) ----
+    tf: dict[tuple[int, str], int] = {}
+    for i, text in docs:
+        for w in text.lower().strip().split():
+            tf[(i, w)] = tf.get((i, w), 0) + 1
+    dl: dict[int, int] = {}
+    dfreq: dict[str, int] = {}
+    for (i, w), c in tf.items():
+        dl[i] = dl.get(i, 0) + c
+        dfreq[w] = dfreq.get(w, 0) + 1
+    n_docs = len(dl)
+    avgdl = float(sum(dl.values())) / n_docs
+
+    def term_score(t, d):
+        c = tf[(d, t)]
+        idf = float(2 * n_docs - 2 * dfreq[t] + 1) / (2 * dfreq[t] + 1)
+        return idf * ((c * 2.2) / (c + 1.2 * (0.25 + 0.75 * (dl[d] / avgdl))))
+
+    def scores(qterms):  # qterms: {qid: {term: qw or None}}
+        out = {}
+        for qid, terms in qterms.items():
+            cand: dict[int, list] = {}
+            for t, qw in terms.items():
+                for d in dl:
+                    if (d, t) in tf:
+                        sc = term_score(t, d)
+                        if qw is not None:
+                            sc = qw * sc
+                        cand.setdefault(d, []).append((t, sc))
+            for d, pairs in cand.items():
+                if d == qid:
+                    continue
+                acc = 0.0
+                for _, sc in sorted(pairs):
+                    acc = acc + sc
+                out[(qid, d)] = acc
+        return out
+
+    probes = {}
+    for d in dl:
+        if d % MOD == REM:
+            tops = sorted(
+                ((w, c) for (i, w), c in tf.items() if i == d),
+                key=lambda x: (-x[1], x[0]),
+            )[:NT]
+            probes[d] = {w: None for w, _ in tops}
+    first = scores(probes)
+    exp_terms: dict[int, dict[str, float]] = {}
+    for qid in probes:
+        fb = sorted(
+            ((d, s) for (q, d), s in first.items() if q == qid),
+            key=lambda x: (-x[1], x[0]),
+        )[:KFB]
+        w: dict[str, list] = {}
+        for rank, (d, _) in enumerate(fb, start=1):
+            for (i, t), c in tf.items():
+                if i == d:
+                    contrib = (c / dl[d]) * (1.0 / (RRF_K + rank))
+                    w.setdefault(t, []).append((d, contrib))
+        wagg = {}
+        for t, pairs in w.items():
+            acc = 0.0
+            for _, c in sorted(pairs):
+                acc = acc + c
+            wagg[t] = acc
+        top = sorted(wagg.items(), key=lambda x: (-x[1], x[0]))[:NEXP]
+        exp_terms[qid] = {t: RM3_LAM_EXP * v for t, v in top}
+    qterms = {}
+    for qid in probes:
+        merged = {}
+        for t in set(probes[qid]) | set(exp_terms[qid]):
+            merged[t] = (RM3_LAM_ORIG if t in probes[qid] else 0.0) + (
+                exp_terms[qid].get(t, 0.0)
+            )
+        qterms[qid] = merged
+    second = scores(qterms)
+    want = []
+    for qid in probes:
+        ranked = sorted(
+            ((d, s) for (q, d), s in second.items() if q == qid),
+            key=lambda x: (-x[1], x[0]),
+        )[:KOUT]
+        for rank, (d, s) in enumerate(ranked, start=1):
+            want.append((qid, d, s, rank))
+    assert got == sorted(want)
