@@ -1103,19 +1103,33 @@ def context_overflow_report(
     )
 
 
-def _check_budget_bound(mx: int, den: int) -> None:
-    """Fail loudly before the div-mod split's largest intermediate
-    ``w * (B mod W) <= max(w) * W`` can silently wrap BIGINT —
-    Spark's non-ANSI long arithmetic does not error on overflow.
-    Holds while ``max(w) * W <= 2^62``, i.e. ~1e15 total tokens at
-    realistic source-count/skew mixes."""
-    if mx * den > 2**62:
+def _check_budget_bound(mx: int, den: int, budget_multiple: int) -> None:
+    """Fail loudly before ANY of the plan's long intermediates can
+    silently wrap BIGINT — Spark's non-ANSI long arithmetic does not
+    error on overflow. ``budget_multiple * (mx + 2) * den`` bounds
+    all three (ADVICE r11: the original guard only covered the
+    second div-mod term and ignored the multiplier):
+
+    - the budget ``B = m * sum(A)`` itself: each source's
+      ``A_s <= (w_s+1)^2 - 1 = w_s^2 + 2*w_s``, so
+      ``sum(A) <= (mx + 2) * W`` and ``B <= m * (mx + 2) * W``;
+    - the first split term ``w * (B div W) <= mx * m * (mx + 2)``
+      — ``<= m * (mx + 2) * W`` since ``mx <= W``;
+    - the second split term ``w * (B mod W) < mx * W``.
+
+    Holds to ~1e15 total tokens at ``budget_multiple=2`` and
+    realistic source-count/skew mixes; a large user-passed multiple
+    now tightens the bound instead of slipping past it."""
+    if budget_multiple * (mx + 2) * den > 2**62:
         raise ValueError(
-            "token_budget_plan: max(weight_num) * sum(weight_num) = "
-            f"{mx:,} * {den:,} exceeds 2^62 — the div-mod split's "
-            "intermediates would overflow int64 (corpus past ~1e15 "
-            "tokens). Pre-scale avail_tokens (e.g. count in units of "
-            "1k tokens) before planning."
+            "token_budget_plan: budget_multiple * (max(weight_num)+2) "
+            f"* sum(weight_num) = {budget_multiple:,} * {mx + 2:,} * "
+            f"{den:,} exceeds 2^62 — the budget or the div-mod "
+            "split's intermediates would overflow int64 (corpus past "
+            "~1e15 tokens at budget_multiple=2, proportionally less "
+            "at larger multiples). Pre-scale avail_tokens (e.g. "
+            "count in units of 1k tokens) or lower budget_multiple "
+            "before planning."
         )
 
 
@@ -1165,8 +1179,9 @@ def token_budget_plan(
 
     Overflow fails LOUDLY, not silently (the ``source_divergence``
     rule): the per-source frame is persisted anyway, so a bounded
-    pre-pass asserts ``max(w) * W <= 2^62`` — the bound on the
-    div-mod split's largest intermediate ``w * (B mod W)`` — and
+    pre-pass asserts ``budget_multiple * (max(w) + 2) * W <= 2^62``
+    — a single bound covering the budget ``B`` itself and BOTH
+    div-mod intermediates (see :func:`_check_budget_bound`) — and
     raises with the corpus size named instead of letting Spark's
     non-ANSI long arithmetic wrap into a wrong plan.
 
@@ -1194,7 +1209,7 @@ def token_budget_plan(
         F.sum("weight_num").cast("long").alias("den"),
     ).first()
     if bound is not None and bound["mx"] is not None:
-        _check_budget_bound(bound["mx"], bound["den"])
+        _check_budget_bound(bound["mx"], bound["den"], budget_multiple)
     tot = s.agg(
         F.sum("weight_num").cast("long").alias("__den"),
         (F.lit(budget_multiple) * F.sum("avail_tokens"))

@@ -41,6 +41,20 @@ from pyspark.sql import functions as F
 BM25_K1 = 1.2
 BM25_B = 0.75
 
+# Fail-fast budget for the scoring pass's candidate frame (r11 verdict
+# item 3). The r11 scale probe proved the |probes| x |corpus| blowup:
+# holding probe_mod fixed while the corpus grows 1x -> 10x took the
+# self-probe family 94.5s -> 639.2s, because every probe's candidate
+# set is posting-bounded but the NUMBER of probes grows with the
+# corpus. The candidate-row count is exactly
+# sum over terms t of df(t) * |probe queries containing t|, one cheap
+# aggregation over the (already persisted) tf frame — so raise HERE,
+# in seconds, instead of a dead executor deep into a 100 TB run. At
+# the default budget the candidate frame is ~24 GB of (term, query_id,
+# doc_id, tf) rows — past what the standard-heap exact scoring pass
+# survives. Pass ``max_candidate_rows=None`` to waive for probe runs.
+RETRIEVAL_CANDIDATE_ROW_BUDGET = int(1e9)
+
 
 def term_frequencies(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -60,11 +74,22 @@ def term_frequencies(
 
 
 def bm25_scores(
-    tf: DataFrame, queries: DataFrame, weight_col: str | None = None
+    tf: DataFrame,
+    queries: DataFrame,
+    weight_col: str | None = None,
+    max_candidate_rows: int | None = RETRIEVAL_CANDIDATE_ROW_BUDGET,
 ) -> DataFrame:
     """(query_id, doc_id, score) for every candidate doc sharing >= 1
     term with the query — the scoring core shared by :func:`bm25_topk`,
     :func:`bm25_self_retrieval` and :func:`rm3_expansion_retrieval`.
+
+    ``max_candidate_rows`` is the candidate-mass fail-fast (r11
+    verdict item 3; see :data:`RETRIEVAL_CANDIDATE_ROW_BUDGET`):
+    before scoring, one aggregation over the persisted tf frame
+    pre-counts the exact candidate-frame size
+    ``sum_t df(t) * |queries containing t|`` and raises a ValueError
+    naming the remediations when it exceeds the budget. The guard is
+    results-neutral — it only counts, never filters.
 
     score(q, d) = sum over q's terms t present in d of
         idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
@@ -84,6 +109,37 @@ def bm25_scores(
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    if max_candidate_rows is not None:
+        # exact candidate-row pre-count: df(t) * qcount(t) summed over
+        # the probe terms only — the query side is human-sized and
+        # broadcasts, so this is one small agg + one broadcast join
+        # against the persisted tf-derived df frame, never a second
+        # corpus scan. doubles (not longs): the count can legitimately
+        # overflow int64 in the pathological case the guard exists for.
+        qcount = queries.groupBy("term").agg(
+            F.count(F.lit(1)).cast("double").alias("qc")
+        )
+        cand_rows = (
+            df.join(F.broadcast(qcount), "term")
+            .agg(F.sum(F.col("df").cast("double") * F.col("qc")).alias("cr"))
+            .first()["cr"]
+            or 0.0
+        )
+        if cand_rows > max_candidate_rows:
+            raise ValueError(
+                "bm25_scores: the scoring pass would materialize "
+                f"~{cand_rows:.3g} candidate rows (sum_t df(t) * "
+                "qcount(t)), over the max_candidate_rows budget of "
+                f"{max_candidate_rows:,}. The r11 scale probe measured "
+                "this blowup on the self-probe evals: probe count "
+                "grows with the corpus when probe_mod is held fixed "
+                "(1x->10x corpus took 94.5s->639.2s). Remediations: "
+                "raise probe_mod (fewer probes), lower n_terms, or "
+                "drop stop-terms from the query set before scoring; "
+                "pass max_candidate_rows=None only for probe runs "
+                "with an oversized heap."
+            )
 
     # posting-bounded candidates FIRST (query terms broadcast against
     # the index), so the dl join keys on candidates — AQE broadcasts
@@ -128,6 +184,7 @@ def bm25_topk(
     k: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_candidate_rows: int | None = RETRIEVAL_CANDIDATE_ROW_BUDGET,
 ) -> DataFrame:
     """Top-``k`` docs per query under BM25 scoring (rational idf).
 
@@ -135,7 +192,11 @@ def bm25_topk(
     query term, already lowercased. Returns (query_id, doc_id, score,
     rank) with rank 1..k per query ordered by (score DESC, doc_id).
     """
-    agg = bm25_scores(term_frequencies(docs, text_col, id_col), queries)
+    agg = bm25_scores(
+        term_frequencies(docs, text_col, id_col),
+        queries,
+        max_candidate_rows=max_candidate_rows,
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
     return (
         agg.select("query_id", "doc_id", "score", F.row_number().over(w).alias("rank"))
@@ -158,6 +219,7 @@ def hybrid_rrf_retrieval(
     id_col: str = "doc_id",
     emb_id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_candidate_rows: int | None = RETRIEVAL_CANDIDATE_ROW_BUDGET,
 ) -> DataFrame:
     """Hybrid lexical+dense retrieval fused by Reciprocal Rank Fusion.
 
@@ -193,7 +255,9 @@ def hybrid_rrf_retrieval(
 
     tf = term_frequencies(docs, text_col, id_col)
     probes = probe_term_queries(tf, probe_mod, probe_rem, n_terms)
-    lex_scores = bm25_scores(tf, F.broadcast(probes)).filter(
+    lex_scores = bm25_scores(
+        tf, F.broadcast(probes), max_candidate_rows=max_candidate_rows
+    ).filter(
         F.col("query_id") != F.col("doc_id")
     )
     wl = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
@@ -242,6 +306,7 @@ def bm25_self_retrieval(
     n_terms: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_candidate_rows: int | None = RETRIEVAL_CANDIDATE_ROW_BUDGET,
 ) -> DataFrame:
     """Retrieval-quality eval by self-retrieval: probe docs (a
     deterministic ``doc_id % probe_mod == probe_rem`` sample) are
@@ -260,7 +325,9 @@ def bm25_self_retrieval(
     """
     tf = term_frequencies(docs, text_col, id_col)
     probes = probe_term_queries(tf, probe_mod, probe_rem, n_terms)
-    scores = bm25_scores(tf, F.broadcast(probes))
+    scores = bm25_scores(
+        tf, F.broadcast(probes), max_candidate_rows=max_candidate_rows
+    )
     self_rows = scores.filter(F.col("query_id") == F.col("doc_id")).select(
         "query_id",
         F.col("score").alias("self_score"),
@@ -318,6 +385,7 @@ def rm3_expansion_retrieval(
     k_out: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_candidate_rows: int | None = RETRIEVAL_CANDIDATE_ROW_BUDGET,
 ) -> DataFrame:
     """RM3 pseudo-relevance-feedback retrieval: first-pass BM25 picks
     ``k_fb`` feedback docs per query, a relevance model over those
@@ -351,7 +419,9 @@ def rm3_expansion_retrieval(
     """
     tf = term_frequencies(docs, text_col, id_col)
     probes = probe_term_queries(tf, probe_mod, probe_rem, n_terms)
-    first = bm25_scores(tf, F.broadcast(probes)).filter(
+    first = bm25_scores(
+        tf, F.broadcast(probes), max_candidate_rows=max_candidate_rows
+    ).filter(
         F.col("query_id") != F.col("doc_id")
     )
     wq = Window.partitionBy("query_id").orderBy(
@@ -403,7 +473,12 @@ def rm3_expansion_retrieval(
             ).alias("qw"),
         )
     )
-    second = bm25_scores(tf, F.broadcast(qterms), weight_col="qw").filter(
+    second = bm25_scores(
+        tf,
+        F.broadcast(qterms),
+        weight_col="qw",
+        max_candidate_rows=max_candidate_rows,
+    ).filter(
         F.col("query_id") != F.col("doc_id")
     )
     return (

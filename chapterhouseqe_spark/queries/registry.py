@@ -131,110 +131,106 @@ def _ensure_registered() -> None:
 
 # Grading priority. The driver's correctness gate grades a 50-entry
 # prefix of the registry, so dict order decides which queries get
-# driver-oracle evidence. Round-11 window (executes the r10 verdict,
-# item 1 — grade the 4 NEXT_WINDOW_PLAN queries, spend the rest on
-# the stalest driver evidence, one canary per family):
+# driver-oracle evidence. Round-12 window (executes the r11 verdict,
+# item 2 — grade the 6 NEXT_WINDOW_PLAN queries, then the r6 cohort,
+# one canary per family):
 #
-#   tier (a) — ALL 4 zero-driver-evidence queries (the r10
-#   NEXT_WINDOW_PLAN: DSIR, jaccard-auto, source divergence, filter
-#   funnel). filter_funnel and source_divergence also changed
-#   implementation this round (degenerate-input coalesce; BIGINT
-#   overflow guard), so their grades double as regrades.
+#   tier (a) — ALL 6 zero-driver-evidence queries (the r11
+#   NEXT_WINDOW_PLAN: token-window chunking, URL-canonical dedup,
+#   vocab coverage curve, context overflow, token-budget planner,
+#   RM3 expansion retrieval). token_budget_plan's graded path also
+#   changed this round (ADVICE item 1: the overflow pre-pass now
+#   bounds the budget and BOTH div-mod intermediates), and RM3's
+#   gained the candidate-mass fail-fast (r11 verdict item 3) — their
+#   grades double as regrades proving both guards results-neutral.
 #
-#   tier (b) — the one r10-graded query whose GRADED PATH gained code
-#   this round: dedup_ngram_jaccard now computes the Σc_s²
-#   pairing-row budget guard before pairing (r10 verdict item 3) —
-#   the guard is results-neutral by design, and this row proves it
-#   where it counts. (embedding_cosine_pairs/dedup_embedding_cosine
-#   gained the analogous count()-only guard; both r10-green, both
-#   replayed against their oracles every pytest run — regrading all
-#   three would cost canary slots for a results-neutral pre-check.)
+#   tier (b) — the other three retrieval rows, whose shared scoring
+#   core (bm25_scores) gained the candidate-mass fail-fast this
+#   round: the guard only pre-counts sum_t df(t)*qcount(t) and
+#   raises over budget, so these grades prove it results-neutral on
+#   every entry point (docs_bm25_topk r10, docs_bm25_self_retrieval
+#   r11, docs_hybrid_rrf_retrieval r9).
 #
-#   tier (c) — the 7 remaining r4-graded rows (7 rounds stale, the
-#   oldest evidence in the registry), promised by the r10 plan:
-#   date_arithmetic, array_split_ops, pivot_returnflag,
-#   explode_word_count, time_rollup_multi, embedding_centroids,
-#   approx_sketches_within_bounds.
+#   tier (c) — the FULL r6 cohort (32 rows, 6 rounds stale — the
+#   oldest driver evidence in the registry): sketch family
+#   (hll/cms/cardinality/quantile), the k-means/PQ training tier,
+#   graph ops (pagerank, asof clicks), events suite, BPE rows,
+#   IVM/time-travel maintenance, the r6 pipeline ops, tpch_q1 and
+#   unpivot/lateral.
 #
-#   tier (d) — the FULL r5 cohort (28 rows, 6 rounds stale): the 12
-#   stale TPC-H shapes, the PQ/IVF ANN tier, the r5 pipeline ops,
-#   array/map/struct function rows, join_full_outer +
-#   bucketed_colocated_join, heavy_hitters_freq.
-#
-#   tier (e) — per-family canaries for families (a)-(d) leave
-#   uncovered, stalest-first: sources (custom_datasource_scan, r6),
-#   subquery (recursive_cte_hierarchy, r6), maintenance
-#   (snapshot_cdc_diff, r6), window (window_rank_family, r6), scan
-#   (csv_scan, r7), sets (set_union_all, r7), streaming
-#   (stream_dedup_watermark, r7), layout (zorder_layout_scan, r7),
-#   udf (udaf_grouped_median, r8), retrieval
-#   (docs_bm25_self_retrieval, r9 — the family's stalest row;
-#   docs_bm25_topk was the r10 standing canary).
+#   tier (d) — 9 fillers from the r7 cohort, stalest-first under the
+#   standing one-canary-per-family rule for families (a)-(c) leave
+#   uncovered: sources (json_scan, named_table_scan), window
+#   (window_lag_running — the r6 cohort has no window row), sets
+#   (set_except, set_intersect), udf (udf_pandas_charge), multimodal
+#   (multimodal_frame_sample), reference-parity (ref_string_filter),
+#   and streaming (stream_source_replay_agg, r8 — no r7 stream row
+#   exists; maintenance is covered inside the r6 cohort by
+#   snapshot_time_travel + ivm_incremental_rollup).
 #
 # tools/coverage_counts.py asserts tier (a) matches the live
 # zero-evidence set; run it at round close and after every addition.
 #
-# r12 window sketch (write the final plan after the r11 artifact
-# lands): tier (a) = NEXT_WINDOW_PLAN below (the r11 additions);
-# then the r6 cohort (36 rows minus the 4 graded here as tier-(e)
-# canaries — 6 rounds stale by r12) under the standing family-canary
-# rules; csv/json/orc + set/stream r7 rows fill remaining slots.
+# r13 window sketch (write the final plan after the r12 artifact
+# lands): tier (a) = NEXT_WINDOW_PLAN below (the r12 additions);
+# then the r7 cohort remainder (~35 rows, 6 rounds stale by r13)
+# under the standing family-canary rules; orc_scan + multimodal
+# r8 rows fill remaining slots.
 GRADE_ORDER: tuple[str, ...] = (
-    # --- tier (a): the r10 additions (zero driver evidence) ---
-    "pipeline_dsir_resample",
-    "dedup_ngram_jaccard_auto",
-    "corpus_source_divergence",
-    "pipeline_filter_funnel",
-    # --- tier (b): graded-path changed this round ---
-    "dedup_ngram_jaccard",
-    # --- tier (c): the last r4-graded rows (stalest evidence) ---
-    "date_arithmetic",
-    "array_split_ops",
-    "pivot_returnflag",
-    "explode_word_count",
-    "time_rollup_multi",
-    "embedding_centroids",
-    "approx_sketches_within_bounds",
-    # --- tier (d): the full r5 cohort ---
-    "tpch_q2_min_cost_supplier",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_nation_year_profit",
-    "tpch_q11_important_stock",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_count",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q20_excess_supplier",
-    "tpch_q21_waiting_supplier",
-    "tpch_q22_global_sales_opportunity",
-    "array_higher_order",
-    "map_ops",
-    "struct_ops",
-    "join_full_outer",
-    "bucketed_colocated_join",
-    "heavy_hitters_freq",
-    "embedding_ivf_topk_approx",
-    "embedding_ivfpq_topk",
-    "embedding_pq_topk",
-    "text_fingerprint",
-    "text_repetition_score",
-    "pipeline_doc_chunks",
-    "pipeline_hash_split",
-    "pipeline_pii_redact",
-    "pipeline_sample_per_key",
-    "pipeline_stratified_sample",
-    # --- tier (e): per-family canaries, stalest-first ---
-    "custom_datasource_scan",
-    "recursive_cte_hierarchy",
-    "snapshot_cdc_diff",
-    "window_rank_family",
-    "csv_scan",
-    "set_union_all",
-    "stream_dedup_watermark",
-    "zorder_layout_scan",
-    "udaf_grouped_median",
+    # --- tier (a): the r11 additions (zero driver evidence) ---
+    "pipeline_chunk_token_windows",
+    "dedup_url_canonical",
+    "text_vocab_coverage_curve",
+    "pipeline_context_overflow",
+    "pipeline_token_budget_plan",
+    "docs_rm3_expansion_retrieval",
+    # --- tier (b): graded path gained the candidate-mass guard ---
+    "docs_bm25_topk",
     "docs_bm25_self_retrieval",
+    "docs_hybrid_rrf_retrieval",
+    # --- tier (c): the full r6 cohort (stalest evidence) ---
+    "ann_recall_eval",
+    "asof_join_clicks",
+    "bloom_prefilter_join",
+    "bpe_apply_merge",
+    "bpe_pair_counts",
+    "cardinality_sketch",
+    "cms_heavy_hitters",
+    "data_quality_report",
+    "dedup_incremental_batch",
+    "dedup_semantic_semdedup",
+    "embedding_ann_rerank",
+    "embedding_ivf_lloyd_topk",
+    "events_cohort_retention",
+    "events_funnel_stages",
+    "events_resample_gapfill",
+    "events_sessionization",
+    "hll_cardinality",
+    "hll_grouped_cardinality",
+    "ivm_incremental_rollup",
+    "kmeans_sampled_train_assign",
+    "kmeans_train_assign",
+    "lateral_topn_per_key",
+    "pagerank_supplier_graph",
+    "pipeline_length_buckets",
+    "pipeline_mixing_weights",
+    "pipeline_segment_dedup",
+    "pipeline_weighted_sample",
+    "pq_train_codebooks",
+    "quantile_sketch_hist",
+    "snapshot_time_travel",
+    "tpch_q1_pricing_summary",
+    "unpivot_measures",
+    # --- tier (d): r7 fillers, one canary per uncovered family ---
+    "json_scan",
+    "named_table_scan",
+    "window_lag_running",
+    "set_except",
+    "set_intersect",
+    "udf_pandas_charge",
+    "multimodal_frame_sample",
+    "ref_string_filter",
+    "stream_source_replay_agg",
 )
 
 # Explicit next-round grading tier (r8 verdict items 1 + 4): every
@@ -244,17 +240,11 @@ GRADE_ORDER: tuple[str, ...] = (
 # tests/test_queries_arrays.py, so a late-session addition can never
 # silently fall out of the evidence pipeline again (the r8 plan
 # comment omitted dedup_threshold_sensitivity exactly that way).
-# Entering r10 this list is exactly the r10 additions (cap ~10 per the
-# r9 verdict): each new query appends itself here at registration.
+# Entering r12 this list is exactly the r12 additions (cap ~6 per the
+# r11 verdict): each new query appends itself here at registration.
 NEXT_WINDOW_PLAN: tuple[str, ...] = (
-    # round-11 additions (zero driver evidence until the r12 window;
-    # cap ~6 per the r10 verdict):
-    "pipeline_chunk_token_windows",
-    "dedup_url_canonical",
-    "text_vocab_coverage_curve",
-    "pipeline_context_overflow",
-    "pipeline_token_budget_plan",
-    "docs_rm3_expansion_retrieval",
+    # round-12 additions (zero driver evidence until the r13 window):
+    # populated as this round's new queries register themselves.
 )
 
 

@@ -38,6 +38,9 @@ FIRST_ALLOWLIST = {
     # single-row aggregates driving fail-fast guards / dispatch
     "operators/dedup.py": (2, "1-row aggs: auto-dispatch ratio, pair budget"),
     "operators/corpus.py": (2, "1-row aggs: l1/budget overflow guards"),
+    # candidate-mass fail-fast (r11 verdict item 3): one 1-row agg over
+    # the broadcast-sized probe-term df frame before scoring
+    "operators/retrieval.py": (1, "1-row agg: candidate-row budget guard"),
 }
 
 _COLLECT = re.compile(r"\.collect\(\)")
@@ -52,7 +55,8 @@ def _sources():
             if f.endswith(".py"):
                 path = os.path.join(root, f)
                 rel = os.path.relpath(path, PKG)
-                yield rel, open(path).read()
+                with open(path, encoding="utf-8") as fh:
+                    yield rel, fh.read()
 
 
 def test_no_row_at_a_time_python_udfs():

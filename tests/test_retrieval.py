@@ -139,3 +139,41 @@ def test_hybrid_rrf_k_out_truncates(spark):
     out = hybrid_rrf_retrieval(ddf, edf, probe_mod=173, probe_rem=7, k_out=3).collect()
     assert len(out) == 3
     assert sorted(r["fused_rank"] for r in out) == [1, 2, 3]
+
+def test_candidate_mass_guard_raises_over_budget(spark, corpus):
+    # sum_t df(t)*qcount(t) for this query is small but positive;
+    # a budget of 1 row must trip the fail-fast BEFORE any scoring
+    from chapterhouseqe_spark.operators.retrieval import (
+        bm25_self_retrieval,
+        rm3_expansion_retrieval,
+    )
+
+    with pytest.raises(ValueError, match="max_candidate_rows"):
+        bm25_topk(
+            corpus, _q(spark, "spark", "join"), k=10, max_candidate_rows=1
+        )
+    # the shared-probe family trips on the same seam (probe_mod=1
+    # makes every doc a probe -> candidate mass well over 1)
+    with pytest.raises(ValueError, match="probe_mod"):
+        bm25_self_retrieval(
+            corpus, probe_mod=1, probe_rem=0, max_candidate_rows=1
+        )
+    with pytest.raises(ValueError, match="probe_mod"):
+        rm3_expansion_retrieval(
+            corpus, probe_mod=1, probe_rem=0, max_candidate_rows=1
+        )
+
+
+def test_candidate_mass_guard_results_neutral_under_budget(spark, corpus):
+    # guard on (default budget) vs guard waived (None): identical
+    # rankings — the pre-count only counts, never filters
+    q = _q(spark, "spark", "join")
+    with_guard = sorted(
+        (r["query_id"], r["doc_id"], r["score"], r["rank"])
+        for r in bm25_topk(corpus, q, k=10).collect()
+    )
+    waived = sorted(
+        (r["query_id"], r["doc_id"], r["score"], r["rank"])
+        for r in bm25_topk(corpus, q, k=10, max_candidate_rows=None).collect()
+    )
+    assert with_guard == waived

@@ -244,14 +244,21 @@ def test_rm3_expansion_retrieves_zero_overlap_doc(spark):
 
 
 def test_token_budget_overflow_guard():
-    """The div-mod split's largest intermediate is max(w) * W; the
-    guard must fail loudly at 2^62 instead of letting Spark's
-    non-ANSI long arithmetic wrap into a silently wrong plan."""
+    """The guard bound is budget_multiple * (max(w) + 2) * W — one
+    formula covering the budget B = m * sum(A) itself and BOTH
+    div-mod intermediates (ADVICE r11: the original max(w) * W bound
+    ignored the first term and the multiplier). It must fail loudly
+    at 2^62 instead of letting Spark's non-ANSI long arithmetic wrap
+    into a silently wrong plan."""
     import pytest
 
     from chapterhouseqe_spark.operators.corpus import _check_budget_bound
 
-    _check_budget_bound(0, 0)
-    _check_budget_bound(2**31, 2**31)  # exactly 2^62 is legal
+    _check_budget_bound(0, 0, 2)
+    _check_budget_bound(2**30 - 2, 2**31, 2)  # exactly 2^62 is legal
     with pytest.raises(ValueError, match="overflow int64"):
-        _check_budget_bound(2**31, 2**31 + 1)
+        _check_budget_bound(2**30 - 2, 2**31 + 1, 2)
+    # the multiplier now tightens the bound: the same (mx, den) that
+    # passes at m=2 trips at m=4
+    with pytest.raises(ValueError, match="overflow int64"):
+        _check_budget_bound(2**30 - 2, 2**31, 4)
