@@ -1251,3 +1251,139 @@ def token_budget_plan(
             ),
         )
     )
+
+
+def hashed_bow_embedding(text: Column, dim: int = 16) -> Column:
+    """Deterministic pooled text embedding: feature-hashed bag-of-words.
+
+    Each whitespace token hashes (md5 -> 60-bit int, the engine-wide
+    portable hash) into one of ``dim`` buckets; the embedding is the
+    per-bucket token COUNT vector as doubles — i.e. the sum-pool of
+    one-hot token embeddings, the classic hashing-trick text vector
+    (Weinberger et al. 2009). No model weights, so every component is
+    an exact small integer any engine reproduces bit-for-bit — the
+    embedding stand-in that lets chunk-level ANN retrieval be graded
+    against a SQL oracle (a real encoder drops in by replacing this
+    column with a model-scored one of the same array<double> shape).
+
+    Pure narrow expression — no shuffle, no UDF, no explode: the
+    histogram is ONE ``aggregate`` fold over the token-hash array
+    (per token, rebuild the dim-slot accumulator with the hashed slot
+    incremented), so md5 runs ONCE per token. The first draft counted
+    each bucket with ``transform(sequence(0, dim-1), j ->
+    size(filter(hs, ...)))`` — a lambda-captured subexpression is
+    re-evaluated per output element, so the whole hash array (md5 of
+    every token, and the chunk-text slice feeding it) ran dim times
+    per row: measured 16x = ~100s at sf1 before the fold, ~seconds
+    after. O(dim * n_tokens) compare/copy work remains, but no
+    re-hashing.
+    """
+    toks = F.split(F.trim(text), r"\s+")
+    hs = F.transform(
+        toks,
+        lambda t: F.pmod(
+            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+            F.lit(dim),
+        ),
+    )
+    return F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0.0), dim),
+        lambda acc, h: F.transform(
+            acc,
+            lambda x, i: F.when(i.cast("long") == h, x + F.lit(1.0)).otherwise(x),
+        ),
+    )
+
+
+def chunk_ann_topk(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 32,
+    stride: int = 24,
+    dim: int = 16,
+    n_planes: int = 6,
+    seed: int = 42,
+    probe_mod: int = 173,
+    probe_rem: int = 7,
+    k: int = 5,
+) -> DataFrame:
+    """Chunk-level ANN retrieval: top-``k`` CHUNKS per probe query —
+    the RAG-serving path :func:`chunk_token_windows` was built for
+    (r11 verdict item 4), composing the chunker with the LSH ANN tier
+    (operators/similarity.py) end to end.
+
+    Probe queries are the deterministic ``doc_id % probe_mod ==
+    probe_rem`` sample, embedded from their FULL text; the candidate
+    side is every token-window chunk of every OTHER document, embedded
+    from its chunk text — both via :func:`hashed_bow_embedding`
+    (sum-pooled hashed one-hots), both signed into the same seeded
+    hyperplane LSH buckets. Candidates are BUCKET-RESTRICTED (a probe
+    only scores chunks sharing its signature — the ANN trade: a probe
+    whose bucket holds no foreign chunk returns no rows), then
+    exact-cosine reranked. Returns (probe_id, doc_id, chunk_idx, sim,
+    rank), rank 1..k per probe by (sim DESC, doc_id, chunk_idx).
+
+    100 TB shape: chunking + pooling + signatures are one narrow pass
+    inside the scan stage (zero shuffles, no UDF); the probe frame is
+    human-sized and BROADCASTS, so the candidate join is a broadcast
+    hash join on the bucket key — the corpus-side chunk frame never
+    shuffles. The only exchange is the final per-probe top-k window,
+    bounded by candidates (~n_chunks / 2^n_planes per probe). Hot
+    buckets inherit the corpus distribution — for degenerate corpora
+    compose with the salting guard of ``lsh_bucket_candidates``.
+
+    Bit-portability: embedding components are exact integers, so dot
+    products and squared norms are exact integer-valued doubles in
+    ANY fold order below 2^53 tokens-per-bucket; cosine is then one
+    sqrt+sqrt+mul+div of identical inputs, and bucket signatures fold
+    the same literal hyperplanes in the same order both engines (the
+    ``embedding_ann_lsh`` contract).
+    """
+    from chapterhouseqe_spark.operators.similarity import (
+        _hyperplanes,
+        _signature,
+        cosine,
+    )
+    from chapterhouseqe_spark.operators.util import ensure_parallelism
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    # the candidate-side chunking/pooling/scoring is narrow-but-
+    # expensive and inherits the scan's split count — a small or
+    # single-file corpus arrives near-single-partition and
+    # single-threads the whole scoring stage (measured 33s -> 4s at
+    # sf1 on 2 scan splits); at real scale this is a no-op.
+    chunks = chunk_token_windows(
+        ensure_parallelism(docs), text_col, id_col, size, stride
+    )
+    corpus = chunks.select(
+        F.col(id_col).alias("doc_id"),
+        "chunk_idx",
+        hashed_bow_embedding(F.col("chunk_text"), dim).alias("vb"),
+    )
+    corpus = corpus.withColumn("bucket", _signature("vb", planes).cast("int"))
+    probes = (
+        docs.filter(F.col(id_col) % probe_mod == probe_rem)
+        .select(
+            F.col(id_col).alias("probe_id"),
+            hashed_bow_embedding(F.col(text_col), dim).alias("va"),
+        )
+        .withColumn("bucket", _signature("va", planes).cast("int"))
+    )
+    cand = F.broadcast(probes).join(corpus, "bucket").filter(
+        F.col("doc_id") != F.col("probe_id")
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("sim").desc(), F.col("doc_id"), F.col("chunk_idx")
+    )
+    return (
+        cand.select(
+            "probe_id",
+            "doc_id",
+            "chunk_idx",
+            cosine(F.col("va"), F.col("vb")).alias("sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -7090,3 +7090,277 @@ def docs_rm3_expansion_retrieval(spark, sf_dir):
         n_exp=5,
         k_out=10,
     )
+
+
+_CHUNK_ANN_VEC_SQL = r"""list_transform(generate_series(0, 15), j ->
+      CAST(len(list_filter(
+        list_transform(string_split_regex(trim({src}), '\s+'),
+                       t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 16),
+        h -> h = j)) AS DOUBLE))"""
+
+
+def _chunk_ann_sig_sql(vec: str) -> str:
+    """6-plane hyperplane signature over a 16-dim vector column — the
+    DuckDB twin of similarity._signature (same literal planes, same
+    sequential fold; see embedding_ann_lsh)."""
+    return f"""CAST(SUM(CASE WHEN list_reduce(
+        list_transform(generate_series(1, 16), i -> {vec}[i] * pl.p[i]),
+        (acc, x) -> acc + x) > 0
+      THEN (CAST(1 AS BIGINT) << pl.j) ELSE 0 END) AS INTEGER)"""
+
+
+@query(
+    "docs_chunk_ann_topk",
+    oracle=f"""
+    WITH planes(j, p) AS (VALUES
+      {_lsh_planes_values(dim=16, n_planes=6)}
+    ),
+    tk AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, w,
+        CASE WHEN len(w) <= 32 THEN 1
+             ELSE 1 + (len(w) - 32 + 23) // 24 END AS nc
+      FROM tk
+    ),
+    ex AS (
+      SELECT doc_id, w, unnest(generate_series(0, nc - 1)) AS i FROM n
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        array_to_string(
+          w[CAST(i * 24 + 1 AS INT) : CAST(i * 24 + 32 AS INT)], ' '
+        ) AS chunk_text
+      FROM ex
+    ),
+    cvec AS (
+      SELECT doc_id, chunk_idx,
+        {_CHUNK_ANN_VEC_SQL.format(src="chunk_text")} AS vb
+      FROM chunks
+    ),
+    csig AS (
+      SELECT doc_id, chunk_idx, any_value(vb) AS vb,
+        {_chunk_ann_sig_sql("vb")} AS bucket
+      FROM cvec, planes pl
+      GROUP BY doc_id, chunk_idx
+    ),
+    pvec AS (
+      SELECT doc_id AS probe_id,
+        {_CHUNK_ANN_VEC_SQL.format(src="text")} AS va
+      FROM documents WHERE doc_id % 173 = 7
+    ),
+    psig AS (
+      SELECT probe_id, any_value(va) AS va,
+        {_chunk_ann_sig_sql("va")} AS bucket
+      FROM pvec, planes pl
+      GROUP BY probe_id
+    ),
+    cand AS (
+      SELECT p.probe_id, c.doc_id, c.chunk_idx,
+        list_reduce(
+          list_transform(generate_series(1, 16), i -> p.va[i] * c.vb[i]),
+          (acc, x) -> acc + x)
+        / (SQRT(list_reduce(
+             list_transform(generate_series(1, 16), i -> p.va[i] * p.va[i]),
+             (acc, x) -> acc + x))
+           * SQRT(list_reduce(
+               list_transform(generate_series(1, 16), i -> c.vb[i] * c.vb[i]),
+               (acc, x) -> acc + x))) AS sim
+      FROM psig p
+      JOIN csig c ON p.bucket = c.bucket AND c.doc_id != p.probe_id
+    )
+    SELECT probe_id, doc_id, chunk_idx, sim,
+           ROW_NUMBER() OVER (
+             PARTITION BY probe_id ORDER BY sim DESC, doc_id, chunk_idx
+           ) AS rank
+    FROM cand
+    QUALIFY rank <= 5
+    """,
+    tags=("pipeline", "retrieval", "similarity", "chunking"),
+    doc="chunk-level ANN retrieval (the RAG-serving composition, r11 "
+    "verdict item 4): token-window chunks (size=32, stride=24) are "
+    "embedded by feature-hashed bag-of-words sum-pooling (exact "
+    "integer counts — bit-portable), signed into seed-42 6-plane LSH "
+    "buckets, and probes (doc_id % 173 = 7, full-text embedding) "
+    "retrieve their top-5 BUCKET-RESTRICTED chunks by exact cosine. "
+    "Probe frame broadcasts; corpus chunks never shuffle; the only "
+    "exchange is the per-probe top-k window "
+    "(operators/corpus.py:chunk_ann_topk)",
+)
+def docs_chunk_ann_topk(spark, sf_dir):
+    from chapterhouseqe_spark.operators.corpus import chunk_ann_topk
+
+    return chunk_ann_topk(
+        t(spark, sf_dir, "documents"),
+        size=32,
+        stride=24,
+        dim=16,
+        n_planes=6,
+        seed=42,
+        probe_mod=173,
+        probe_rem=7,
+        k=5,
+    )
+
+
+@query(
+    "pipeline_filter_funnel_contam",
+    oracle=r"""
+    WITH words AS (
+      SELECT doc_id, lang, md5(text) AS fp,
+             unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+      FROM documents WHERE doc_id % 50 <> 0
+    ),
+    per_word AS (
+      SELECT doc_id, lang, fp, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM words WHERE w <> '' GROUP BY 1, 2, 3, 4
+    ),
+    per_doc AS (
+      SELECT doc_id, lang, fp,
+             CAST(SUM(c) AS BIGINT) AS wc,
+             CAST(MAX(c) AS BIGINT) AS maxc
+      FROM per_word GROUP BY 1, 2, 3
+    ),
+    staged AS (
+      SELECT doc_id, fp,
+             CASE WHEN wc < 10 OR wc > 5000 THEN 1
+                  WHEN lang <> 'en' THEN 2
+                  WHEN 5 * maxc >= wc THEN 3
+                  ELSE 0 END AS stage
+      FROM per_doc
+    ),
+    pass123 AS (SELECT doc_id, fp FROM staged WHERE stage = 0),
+    toksall AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+            FROM toksall) z
+    ),
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+    contam AS (
+      SELECT sh.doc_id FROM sh JOIN ev USING (s)
+      WHERE sh.doc_id % 50 <> 0
+      GROUP BY sh.doc_id HAVING COUNT(*) >= 3
+    ),
+    pass1234 AS (
+      SELECT doc_id, fp FROM pass123
+      WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+    ),
+    firsts AS (
+      SELECT fp, MIN(doc_id) AS keeper FROM pass1234 GROUP BY fp
+    ),
+    final AS (
+      SELECT p.doc_id,
+             CASE WHEN p.doc_id <> f.keeper THEN 5 ELSE 0 END AS stage
+      FROM pass1234 p JOIN firsts f ON p.fp = f.fp
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM staged) AS n_scored,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM staged WHERE stage = 1)
+        AS failed_length,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM staged WHERE stage = 2)
+        AS failed_lang,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM staged WHERE stage = 3)
+        AS failed_repetition,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM pass123
+         WHERE doc_id IN (SELECT doc_id FROM contam))
+        AS failed_contamination,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM final WHERE stage = 5)
+        AS failed_dup,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM final WHERE stage = 0)
+        AS kept
+    """,
+    tags=("pipeline", "text", "quality", "hygiene"),
+    doc="filter funnel WITH a benchmark-contamination stage (r11 "
+    "verdict item 5) — the one stage every production pretraining "
+    "funnel publishes that the base funnel lacked: docs fail at their "
+    "FIRST violated stage (length -> language -> repetition -> "
+    "contamination [>= 3 distinct 3-gram shingles shared with the "
+    "deterministic doc_id%50 eval split, eval shingles BROADCAST] -> "
+    "exact dedup keep-first among full survivors). Scored corpus is "
+    "the train split only; the eval split contributes shingles, "
+    "never rows (operators/dedup.py:contamination_overlap)",
+)
+def pipeline_filter_funnel_contam(spark, sf_dir):
+    from chapterhouseqe_spark.operators.dedup import contamination_overlap
+
+    docs_all = t(spark, sf_dir, "documents")
+    ev = docs_all.filter(F.col("doc_id") % 50 == 0)
+    train = docs_all.filter(F.col("doc_id") % 50 != 0)
+    words = train.select(
+        "doc_id",
+        "lang",
+        F.md5("text").alias("fp"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("w"),
+    ).filter(F.col("w") != "")
+    per_doc = (
+        words.groupBy("doc_id", "lang", "fp", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "lang", "fp")
+        .agg(
+            F.sum("c").cast("long").alias("wc"),
+            F.max("c").cast("long").alias("maxc"),
+        )
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    # same sharing discipline as the base funnel: the narrow
+    # (doc, fp, stage) frame feeds the early rollup AND the
+    # contamination/dedup branches — persist so the token-count
+    # lineage runs once.
+    staged = per_doc.select(
+        "doc_id",
+        "fp",
+        F.when((F.col("wc") < 10) | (F.col("wc") > 5000), 1)
+        .when(F.col("lang") != "en", 2)
+        .when(F.lit(5) * F.col("maxc") >= F.col("wc"), 3)
+        .otherwise(0)
+        .alias("stage"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    pass123 = staged.filter(F.col("stage") == 0).select("doc_id", "fp")
+    # contamination over the whole train split (one scan, broadcast
+    # eval shingles); attribution to stage 4 happens on the pass123
+    # join below, preserving first-violated-stage semantics.
+    contam = contamination_overlap(
+        train, ev, "text", "doc_id", k=3, min_overlap=3
+    ).select("doc_id", F.lit(1).alias("is_contam"))
+    with4 = pass123.join(F.broadcast(contam), "doc_id", "left").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    pass1234 = with4.filter(F.col("is_contam").isNull()).select(
+        "doc_id", "fp"
+    )
+    firsts = pass1234.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    final = pass1234.join(firsts, "fp").select(
+        F.when(F.col("doc_id") != F.col("keeper"), 5)
+        .otherwise(0)
+        .alias("stage")
+    )
+
+    def _n(c: Column, name: str) -> Column:
+        # coalesce: degenerate corpora must grade identically to the
+        # oracle's COUNT(*) subqueries (base-funnel lesson)
+        return F.coalesce(F.sum(c.cast("long")), F.lit(0)).alias(name)
+
+    early = staged.agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        _n(F.col("stage") == 1, "failed_length"),
+        _n(F.col("stage") == 2, "failed_lang"),
+        _n(F.col("stage") == 3, "failed_repetition"),
+    )
+    mid = with4.agg(
+        _n(F.col("is_contam") == 1, "failed_contamination"),
+    )
+    late = final.agg(
+        _n(F.col("stage") == 5, "failed_dup"),
+        _n(F.col("stage") == 0, "kept"),
+    )
+    return early.crossJoin(mid).crossJoin(late)

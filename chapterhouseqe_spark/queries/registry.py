@@ -243,8 +243,10 @@ GRADE_ORDER: tuple[str, ...] = (
 # Entering r12 this list is exactly the r12 additions (cap ~6 per the
 # r11 verdict): each new query appends itself here at registration.
 NEXT_WINDOW_PLAN: tuple[str, ...] = (
-    # round-12 additions (zero driver evidence until the r13 window):
-    # populated as this round's new queries register themselves.
+    # round-12 additions (zero driver evidence until the r13 window;
+    # cap ~6 per the r11 verdict):
+    "docs_chunk_ann_topk",
+    "pipeline_filter_funnel_contam",
 )
 
 
