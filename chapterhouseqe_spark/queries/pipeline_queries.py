@@ -430,10 +430,16 @@ def _lsh_planes_values(dim: int = 64, n_planes: int = 8, seed: int = 42) -> str:
     from chapterhouseqe_spark.operators.similarity import _hyperplanes
 
     planes = _hyperplanes(dim, n_planes, seed)
-    return ",\n      ".join(
-        f"({j}, [{', '.join(repr(v) for v in p)}]::DOUBLE[])"
-        for j, p in enumerate(planes)
-    )
+    # per-element VARCHAR round-trip ('…'::DOUBLE), NOT a bare decimal
+    # list cast: DuckDB parses bare decimal literals as DECIMAL and
+    # the DECIMAL->DOUBLE cast double-rounds (~5% of gaussian literals
+    # land 1 ulp off — measured on the classifier weights), which
+    # could flip a near-zero hyperplane dot's sign in the oracle only.
+    def _row(j: int, p: list[float]) -> str:
+        elems = ", ".join("'%r'::DOUBLE" % v for v in p)
+        return f"({j}, [{elems}])"
+
+    return ",\n      ".join(_row(j, p) for j, p in enumerate(planes))
 
 
 @query(
@@ -7364,3 +7370,59 @@ def pipeline_filter_funnel_contam(spark, sf_dir):
         _n(F.col("stage") == 0, "kept"),
     )
     return early.crossJoin(mid).crossJoin(late)
+
+
+def _quality_clf_weights_sql(dim: int = 64, seed: int = 7) -> str:
+    """The seeded stand-in classifier weights as a DuckDB DOUBLE[]
+    literal. Each element goes through the VARCHAR round-trip
+    ('…'::DOUBLE) — a bare decimal literal parses as DECIMAL first
+    and the DECIMAL->DOUBLE cast double-rounds (measured: 3 of 64
+    weights off by 1 ulp, enough to flip the fold's last digit),
+    while the string->double cast is correctly rounded (the o_dsum
+    lesson applied to literals)."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    ws = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+    return "[" + ", ".join(f"'{v!r}'::DOUBLE" for v in ws) + "]"
+
+
+@query(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH w(wv) AS (VALUES ({_quality_clf_weights_sql()})),
+    feats AS (
+      SELECT doc_id,
+        list_transform(generate_series(0, 63), j ->
+          CAST(len(list_filter(
+            list_transform(string_split_regex(trim(text), '\\s+'),
+                           t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 64),
+            h -> h = j)) AS DOUBLE)) AS c
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+        list_reduce(
+          list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(generate_series(1, 64), i -> c[i] * wv[i])),
+          (a, b) -> a + b) AS score
+      FROM feats, w
+    )
+    SELECT doc_id, score, score > 0 AS is_quality FROM scored
+    """,
+    tags=("pipeline", "text", "quality"),
+    doc="linear quality-classifier inference over hashed bag-of-words "
+    "features (the fastText-shaped corpus scorer of GPT-3/LLaMA-style "
+    "quality filtering; seeded stand-in weights — a trained model "
+    "drops in through the same seam). Weights are plan literals (the "
+    "degenerate broadcast); the whole query is one narrow projection "
+    "in the scan stage, zero shuffles, zero Python; score folds in "
+    "index order from the bias literal so both engines replay it "
+    "bit-for-bit (operators/corpus.py:hashed_linear_score)",
+)
+def text_quality_classifier(spark, sf_dir):
+    from chapterhouseqe_spark.operators.corpus import hashed_linear_score
+
+    return hashed_linear_score(
+        t(spark, sf_dir, "documents"), dim=64, seed=7
+    )

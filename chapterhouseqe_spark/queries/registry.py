@@ -247,6 +247,7 @@ NEXT_WINDOW_PLAN: tuple[str, ...] = (
     # cap ~6 per the r11 verdict):
     "docs_chunk_ann_topk",
     "pipeline_filter_funnel_contam",
+    "text_quality_classifier",
 )
 
 

@@ -90,3 +90,34 @@ def test_chunk_ann_topk_k_truncates(spark):
     assert per_probe, "identical docs share buckets; candidates exist"
     assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 2
                for v in per_probe.values())
+
+
+def test_hashed_linear_score_semantics(spark):
+    """score = bias + ordered dot of hashed counts with the weight
+    vector; user-passed weights override the seeded stand-ins, and
+    is_quality is the sign thresholding of score."""
+    from chapterhouseqe_spark.operators.corpus import (
+        hashed_bow_embedding,
+        hashed_linear_score,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "gamma")], "doc_id long, text string"
+    )
+    # all-ones weights: score == token count + bias
+    out = {
+        r["doc_id"]: (r["score"], r["is_quality"])
+        for r in hashed_linear_score(
+            df, dim=8, weights=[1.0] * 8, bias=-2.0
+        ).collect()
+    }
+    assert out[1] == (1.0, True)   # 3 tokens - 2
+    assert out[2] == (-1.0, False)  # 1 token - 2
+
+    with pytest.raises(ValueError, match="weights"):
+        hashed_linear_score(df, dim=8, weights=[1.0] * 4)
+
+    # seeded weights are deterministic across calls
+    a = hashed_linear_score(df, dim=16, seed=7).collect()
+    b = hashed_linear_score(df, dim=16, seed=7).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
