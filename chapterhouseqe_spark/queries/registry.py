@@ -158,14 +158,15 @@ def _ensure_registered() -> None:
 #   IVM/time-travel maintenance, the r6 pipeline ops, tpch_q1 and
 #   unpivot/lateral.
 #
-#   tier (d) — 9 fillers from the r7 cohort, stalest-first under the
-#   standing one-canary-per-family rule for families (a)-(c) leave
-#   uncovered: sources (json_scan, named_table_scan), window
-#   (window_lag_running — the r6 cohort has no window row), sets
-#   (set_except, set_intersect), udf (udf_pandas_charge), multimodal
-#   (multimodal_frame_sample), reference-parity (ref_string_filter),
-#   and streaming (stream_source_replay_agg, r8 — no r7 stream row
-#   exists; maintenance is covered inside the r6 cohort by
+#   tier (d) — 9 fillers, stalest-first under the standing
+#   one-canary-per-family rule for families (a)-(c) leave uncovered:
+#   scan (json_scan, r7), sources (named_table_scan, r7), window
+#   (window_lag_running, r7 — the r6 cohort has no window row), sets
+#   (set_except, r7), subquery (scalar_subquery, r7), udf
+#   (udf_pandas_charge, r7), multimodal (multimodal_frame_sample,
+#   r7), layout (manifest_pruned_scan, r8 — the family's stalest
+#   row), and streaming (stream_source_replay_agg, r8 — no r7 stream
+#   row exists; maintenance is covered inside the r6 cohort by
 #   snapshot_time_travel + ivm_incremental_rollup).
 #
 # tools/coverage_counts.py asserts tier (a) matches the live
@@ -221,15 +222,15 @@ GRADE_ORDER: tuple[str, ...] = (
     "snapshot_time_travel",
     "tpch_q1_pricing_summary",
     "unpivot_measures",
-    # --- tier (d): r7 fillers, one canary per uncovered family ---
+    # --- tier (d): fillers, one canary per uncovered family ---
     "json_scan",
     "named_table_scan",
     "window_lag_running",
     "set_except",
-    "set_intersect",
+    "scalar_subquery",
     "udf_pandas_charge",
     "multimodal_frame_sample",
-    "ref_string_filter",
+    "manifest_pruned_scan",
     "stream_source_replay_agg",
 )
 

@@ -92,31 +92,31 @@ def test_graded_prefix_invariants():
     assert not no_oracle, f"graded without oracle: {no_oracle}"
 
     # One representative per family stays in-window across rotations.
-    # r11 rotation (r10 verdict item 1: grade the 4 NEXT_WINDOW_PLAN
-    # queries, then the stalest cohorts — the 7 r4 leftovers + the
-    # full 28-row r5 cohort — plus per-family canaries stalest-first):
-    # most family reps fall out of the stale cohorts themselves (join/
-    # agg/similarity/text from r5, dedup from the regraded budget-guard
-    # path); tier (e) fills the families those cohorts miss with r6-r9
-    # rows. "udf" is udaf_grouped_median (the pandas-UDAF seam);
-    # "corpus-prep" is the freshly graded source-divergence addition.
+    # r12 rotation (r11 verdict item 2: grade the 6 NEXT_WINDOW_PLAN
+    # queries, then the guard-touched retrieval rows, then the full
+    # r6 cohort): most family reps fall out of the r6 cohort itself
+    # (join/agg/similarity/maintenance/streaming); tier (a) covers
+    # dedup/text/corpus-prep/retrieval with the freshly graded
+    # additions; tier (d) fills the rest with r7/r8 stalest rows —
+    # this map caught the first draft of the r12 window shipping
+    # WITHOUT a layout or subquery representative.
     families = {
-        "scan": "csv_scan",
-        "join": "join_full_outer",
-        "agg": "heavy_hitters_freq",
-        "window": "window_rank_family",
-        "udf": "udaf_grouped_median",
-        "dedup": "dedup_ngram_jaccard",
-        "similarity": "embedding_pq_topk",
-        "retrieval": "docs_bm25_self_retrieval",
-        "text": "text_fingerprint",
-        "streaming": "stream_dedup_watermark",
-        "maintenance": "snapshot_cdc_diff",
-        "layout": "zorder_layout_scan",
-        "sources": "custom_datasource_scan",
-        "corpus-prep": "corpus_source_divergence",
-        "sets": "set_union_all",
-        "subquery": "recursive_cte_hierarchy",
+        "scan": "json_scan",
+        "join": "asof_join_clicks",
+        "agg": "cms_heavy_hitters",
+        "window": "window_lag_running",
+        "udf": "udf_pandas_charge",
+        "dedup": "dedup_url_canonical",
+        "similarity": "embedding_ann_rerank",
+        "retrieval": "docs_rm3_expansion_retrieval",
+        "text": "text_vocab_coverage_curve",
+        "streaming": "stream_source_replay_agg",
+        "maintenance": "snapshot_time_travel",
+        "layout": "manifest_pruned_scan",
+        "sources": "named_table_scan",
+        "corpus-prep": "pipeline_token_budget_plan",
+        "sets": "set_except",
+        "subquery": "scalar_subquery",
     }
     out = [f"{fam}:{n}" for fam, n in families.items() if n not in first50]
     assert not out, f"families without an in-window representative: {out}"
