@@ -1580,3 +1580,67 @@ def sparse_tf_cosine_pairs(
         )
         .filter(F.col("cos_sim") >= F.lit(threshold))
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every ORDERED k-word gram,
+    then keep the minimum hash of each sliding window of ``w``
+    consecutive gram hashes. The selected set carries winnowing's
+    guarantee: any shared substring of at least ``k + w - 1`` words
+    between two documents produces at least one SHARED fingerprint —
+    the local, position-robust selection that plain every-nth or
+    mod-p fingerprint sampling lacks. Complements the family: exact
+    md5 (whole doc), SimHash (near-dup distance), MinHash (set
+    resemblance), winnowing (substring-overlap evidence).
+
+    Documents with fewer than ``k + w - 1`` words fingerprint as the
+    minimum over all their gram hashes (the standard short-input
+    convention); documents under ``k`` words produce no rows.
+
+    Output: one row per DISTINCT (``id_col``, ``fp``) — the per-doc
+    fingerprint SET (winnowing dedups repeated window minima).
+
+    100 TB shape: ONE narrow projection inside the scan stage — the
+    gram hashes materialize once per row behind a multi-referenced
+    select boundary (CollapseProject keeps non-cheap aliases with >1
+    reference, the chunk_token_windows discipline), so the per-row
+    cost is O(len) md5 calls plus O(n_grams * w) attribute reads for
+    the window minima; no shuffle, no UDF, no explode before the
+    final fingerprint unnest. Hashes are the engine-wide portable
+    md5 -> 60-bit BIGINT idiom, so the DuckDB oracle replays the
+    exact fingerprint set.
+    """
+    from functools import reduce
+
+    if k < 1 or w < 1:
+        raise ValueError("need k >= 1 and w >= 1")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    cnt = F.greatest(F.size(toks) - (k - 1), F.lit(0))
+    shifted = [F.slice(toks, i + 1, cnt) for i in range(k)]
+    grams = reduce(
+        lambda acc, nxt: F.zip_with(acc, nxt, lambda x, y: F.concat_ws(" ", x, y)),
+        shifted,
+    )
+    hs = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+    )
+    # narrow-but-expensive (one md5 per gram): under-split local scans
+    # single-thread it — ensure_parallelism no-ops on a well-split scan
+    d = ensure_parallelism(df).select(F.col(id_col), hs.alias("_h"))
+    nw = F.greatest(F.size(F.col("_h")) - F.lit(w - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(0), nw - F.lit(1)),
+        lambda j: F.array_min(F.slice(F.col("_h"), j + F.lit(1), w)),
+    )
+    return (
+        d.select(F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )

@@ -7426,3 +7426,47 @@ def text_quality_classifier(spark, sf_dir):
     return hashed_linear_score(
         t(spark, sf_dir, "documents"), dim=64, seed=7
     )
+
+
+@query(
+    "dedup_winnowing_fp",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+        list_transform(generate_series(1, greatest(len(t) - 4, 0)),
+          i -> ('0x' || substr(md5(
+                 t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                 t[i+3] || ' ' || t[i+4]), 1, 15))::BIGINT) AS h
+      FROM tk
+    ),
+    m AS (
+      SELECT doc_id,
+        list_distinct(list_transform(
+          generate_series(1, greatest(len(h) - 3, 1)),
+          j -> list_min(h[j : j + 3]))) AS fps
+      FROM g
+    )
+    SELECT doc_id, fp FROM (
+      SELECT doc_id, unnest(fps) AS fp FROM m
+    ) WHERE fp IS NOT NULL
+    """,
+    tags=("pipeline", "dedup", "text"),
+    doc="winnowing fingerprints (Schleimer et al. 2003, the MOSS "
+    "algorithm; k=5-word grams, window w=4): per doc, the distinct "
+    "set of sliding-window minima over ordered gram hashes — any "
+    "shared >= k+w-1 = 8-word substring between two docs yields a "
+    "shared fingerprint. One narrow scan-stage projection (gram "
+    "hashes materialize once behind a multi-referenced select "
+    "boundary); no shuffle, no UDF "
+    "(operators/dedup.py:winnow_fingerprints)",
+)
+def dedup_winnowing_fp(spark, sf_dir):
+    from chapterhouseqe_spark.operators.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(
+        t(spark, sf_dir, "documents"), "text", "doc_id", k=5, w=4
+    )

@@ -249,6 +249,7 @@ NEXT_WINDOW_PLAN: tuple[str, ...] = (
     "docs_chunk_ann_topk",
     "pipeline_filter_funnel_contam",
     "text_quality_classifier",
+    "dedup_winnowing_fp",
 )
 
 

@@ -121,3 +121,30 @@ def test_hashed_linear_score_semantics(spark):
     a = hashed_linear_score(df, dim=16, seed=7).collect()
     b = hashed_linear_score(df, dim=16, seed=7).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_winnowing_guarantee_and_short_doc_conventions(spark):
+    """Winnowing's contract: any shared substring of >= k + w - 1
+    words yields at least one shared fingerprint; docs under k words
+    produce no rows; docs under k+w-1 words fingerprint as the min
+    over all their gram hashes (one row)."""
+    from chapterhouseqe_spark.operators.dedup import winnow_fingerprints
+
+    shared = "one two three four five six seven eight"  # 8 = k+w-1 words
+    rows = [
+        (1, "prefix words here " + shared + " and a tail"),
+        (2, shared + " totally different continuation text now"),
+        (3, "short doc"),                      # < k words -> no rows
+        (4, "exactly five word gram here"),    # 5 words -> 1 gram -> 1 fp
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnow_fingerprints(df, k=5, w=4).collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] & fps[2], "shared 8-word substring must share a fp"
+    assert 3 not in fps
+    assert len(fps[4]) == 1
+
+    with pytest.raises(ValueError, match="k >= 1"):
+        winnow_fingerprints(df, k=0)
