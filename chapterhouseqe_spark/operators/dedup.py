@@ -1644,3 +1644,80 @@ def winnow_fingerprints(
         d.select(F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp"))
         .filter(F.col("fp").isNotNull())
     )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 3,
+    max_fp_freq: int | None = 1_000,
+    max_pair_rows: int | None = NGRAM_PAIR_ROW_BUDGET,
+) -> DataFrame:
+    """Document-overlap candidate pairs from winnowing fingerprints —
+    the MOSS pipeline's second half: docs sharing at least
+    ``min_shared`` distinct fingerprints are overlap candidates
+    (every shared >= k+w-1-word substring contributes one, so
+    min_shared=3 asks for ~3 independent shared passages).
+
+    This is the substring-evidence sibling of
+    :func:`ngram_jaccard_pairs`, with winnowing's scaling advantage:
+    the inverted index holds ~2/(w+1) of the gram count (window
+    minima only), so the pairing mass shrinks quadratically per
+    posting before any cap is applied.
+
+    Standing family guards, same semantics as the jaccard path:
+    ``max_fp_freq`` drops boilerplate fingerprints shared by more
+    docs than the cap (lossy, broadcast anti-join — hot fps are
+    license blocks and navigation chrome); ``max_pair_rows``
+    pre-counts the exact pairing mass sum_fp c_fp^2 on the persisted
+    fingerprint frame and raises with remediations instead of dying
+    an hour into a 100 TB run. ``None`` waives either.
+
+    100 TB shape: fingerprinting is the narrow scan-stage pass of
+    :func:`winnow_fingerprints`; then ONE hash exchange on the
+    fingerprint key for the pairing join and one pair-keyed count
+    aggregation (map-side combinable). Returns (id_a, id_b,
+    n_shared), id_a < id_b.
+    """
+    fps = winnow_fingerprints(df, text_col, id_col, k, w).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    posting = fps.select(F.col(id_col).alias("id"), "fp")
+    if max_fp_freq is not None:
+        hot = (
+            posting.groupBy("fp")
+            .count()
+            .filter(F.col("count") > max_fp_freq)
+            .select("fp")
+        )
+        posting = posting.join(F.broadcast(hot), "fp", "left_anti")
+    if max_pair_rows is not None:
+        pair_rows = (
+            posting.groupBy("fp")
+            .agg(F.count(F.lit(1)).cast("double").alias("c"))
+            .agg(F.sum(F.col("c") * F.col("c")).alias("pr"))
+            .first()["pr"]
+            or 0.0
+        )
+        if pair_rows > max_pair_rows:
+            raise ValueError(
+                f"winnow_overlap_pairs: pairing would materialize "
+                f"~{pair_rows:.3g} rows, over the max_pair_rows budget "
+                f"of {max_pair_rows:,}. Remediations: lower max_fp_freq "
+                "(drops boilerplate fingerprints), raise w (sparser "
+                "fingerprint selection), or switch to minhash_lsh_pairs; "
+                "pass max_pair_rows=None only for oversized-heap probe "
+                "runs."
+            )
+    a = posting.select(F.col("id").alias("id_a"), "fp")
+    b = posting.select(F.col("id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -7470,3 +7470,67 @@ def dedup_winnowing_fp(spark, sf_dir):
     return winnow_fingerprints(
         t(spark, sf_dir, "documents"), "text", "doc_id", k=5, w=4
     )
+
+
+@query(
+    "dedup_winnowing_overlap",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+        list_transform(generate_series(1, greatest(len(t) - 4, 0)),
+          i -> ('0x' || substr(md5(
+                 t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                 t[i+3] || ' ' || t[i+4]), 1, 15))::BIGINT) AS h
+      FROM tk
+    ),
+    m AS (
+      SELECT doc_id,
+        list_distinct(list_transform(
+          generate_series(1, greatest(len(h) - 3, 1)),
+          j -> list_min(h[j : j + 3]))) AS fps
+      FROM g
+    ),
+    fp AS (
+      SELECT doc_id, fp FROM (
+        SELECT doc_id, unnest(fps) AS fp FROM m
+      ) WHERE fp IS NOT NULL
+    ),
+    hot AS (
+      SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) > 1000
+    ),
+    posting AS (
+      SELECT doc_id, fp FROM fp WHERE fp NOT IN (SELECT fp FROM hot)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM posting a JOIN posting b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 3
+    """,
+    tags=("pipeline", "dedup", "text"),
+    doc="winnowing overlap candidate pairs (the MOSS pipeline's "
+    "second half): docs sharing >= 3 distinct winnowing fingerprints "
+    "(k=5, w=4 — each shared fp witnesses a shared >= 8-word "
+    "passage), boilerplate fps shared by > 1000 docs dropped "
+    "(broadcast anti-join), pairing mass fail-fast pre-counted on "
+    "the persisted fingerprint frame. One fp-keyed exchange + one "
+    "map-side-combinable pair count "
+    "(operators/dedup.py:winnow_overlap_pairs)",
+)
+def dedup_winnowing_overlap(spark, sf_dir):
+    from chapterhouseqe_spark.operators.dedup import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(
+        t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        k=5,
+        w=4,
+        min_shared=3,
+        max_fp_freq=1_000,
+    )

@@ -250,6 +250,7 @@ NEXT_WINDOW_PLAN: tuple[str, ...] = (
     "pipeline_filter_funnel_contam",
     "text_quality_classifier",
     "dedup_winnowing_fp",
+    "dedup_winnowing_overlap",
 )
 
 

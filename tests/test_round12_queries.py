@@ -148,3 +148,36 @@ def test_winnowing_guarantee_and_short_doc_conventions(spark):
 
     with pytest.raises(ValueError, match="k >= 1"):
         winnow_fingerprints(df, k=0)
+
+
+def test_winnowing_overlap_pairs_and_guards(spark):
+    from chapterhouseqe_spark.operators.dedup import winnow_overlap_pairs
+
+    passage = ("alpha beta gamma delta epsilon zeta eta theta iota "
+               "kappa lambda mu")  # 12 words: several shared windows
+    rows = [
+        (1, "intro text here " + passage + " closing remarks one"),
+        (2, passage + " unrelated continuation words follow here"),
+        (3, "completely different content with no shared passages at "
+            "all in this document body"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnow_overlap_pairs(df, k=5, w=4, min_shared=2).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared"] for r in out}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert not any(3 in p for p in pairs)
+
+    # pair-mass fail-fast trips on a tiny budget
+    with pytest.raises(ValueError, match="max_pair_rows"):
+        winnow_overlap_pairs(df, min_shared=1, max_pair_rows=1)
+
+    # hot-fp cap: a fingerprint shared by all 3 docs is dropped at
+    # max_fp_freq=2, so the boilerplate-only pair disappears
+    boiler = "common license header block for every single document here"
+    rows2 = [(i, boiler + f" unique tail {i} {i} {i}") for i in range(1, 4)]
+    df2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    with_cap = winnow_overlap_pairs(df2, k=5, w=4, min_shared=1,
+                                    max_fp_freq=2).collect()
+    without = winnow_overlap_pairs(df2, k=5, w=4, min_shared=1,
+                                   max_fp_freq=None).collect()
+    assert len(without) > len(with_cap)
