@@ -1442,9 +1442,12 @@ def hashed_linear_score(
     # narrow-but-expensive (per-token md5 + dim-slot fold): inherit a
     # small corpus's 1-2 scan splits and the whole scoring pass
     # single-threads (measured 8s -> <1s at the 10x local scale); at
-    # real scale the repartition never fires.
-    return ensure_parallelism(df).select(
-        F.col(id_col),
-        score.alias("score"),
-        (score > 0).alias("is_quality"),
+    # real scale the repartition never fires. The threshold derives
+    # from the ALIASED score attribute, not a second copy of the fold
+    # expression — referencing the fold twice in one projection would
+    # evaluate it twice per row wherever codegen CSE declines.
+    return (
+        ensure_parallelism(df)
+        .select(F.col(id_col), score.alias("score"))
+        .withColumn("is_quality", F.col("score") > 0)
     )
