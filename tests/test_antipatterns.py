@@ -36,7 +36,11 @@ COLLECT_ALLOWLIST = {
 }
 FIRST_ALLOWLIST = {
     # single-row aggregates driving fail-fast guards / dispatch
-    "operators/dedup.py": (2, "1-row aggs: auto-dispatch ratio, pair budget"),
+    "operators/dedup.py": (
+        3,
+        "1-row aggs: auto-dispatch ratio, jaccard pair budget, "
+        "winnowing pair budget",
+    ),
     "operators/corpus.py": (2, "1-row aggs: l1/budget overflow guards"),
     # candidate-mass fail-fast (r11 verdict item 3): one 1-row agg over
     # the broadcast-sized probe-term df frame before scoring
