@@ -117,6 +117,12 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     and we conservatively repartition — those frames are small by
     construction in this engine.
     """
+    if df.isStreaming:
+        # inputFiles() is illegal on a streaming frame (and split
+        # sizing is the source's job there: maxFilesPerTrigger /
+        # batch_rows govern per-micro-batch parallelism) — the
+        # operator-side repartition is a batch-only concern.
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if len(df.inputFiles()) < max(2, target // 2):
         return df.repartition(target)

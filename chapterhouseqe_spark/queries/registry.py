@@ -251,6 +251,7 @@ NEXT_WINDOW_PLAN: tuple[str, ...] = (
     "text_quality_classifier",
     "dedup_winnowing_fp",
     "dedup_winnowing_overlap",
+    "stream_quality_filter_agg",
 )
 
 

@@ -1835,3 +1835,92 @@ def events_markov_prediction_eval(spark, sf_dir):
             (F.sum(hit).cast("double") / F.count(F.lit(1))).alias("hit_rate"),
         )
     )
+
+
+def _stream_quality_oracle() -> str:
+    from chapterhouseqe_spark.queries.pipeline_queries import (
+        _quality_clf_weights_sql,
+    )
+
+    return f"""
+    WITH w(wv) AS (VALUES ({_quality_clf_weights_sql()})),
+    feats AS (
+      SELECT doc_id,
+        list_transform(generate_series(0, 63), j ->
+          CAST(len(list_filter(
+            list_transform(string_split_regex(trim(text), '\\s+'),
+                           t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 64),
+            h -> h = j)) AS DOUBLE)) AS c
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+        list_reduce(
+          list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(generate_series(1, 64), i -> c[i] * wv[i])),
+          (a, b) -> a + b) AS score
+      FROM feats, w
+    )
+    SELECT score > 0 AS is_quality,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {o_dsum("score")} AS sum_score
+    FROM scored GROUP BY 1
+    """
+
+
+@query(
+    "stream_quality_filter_agg",
+    oracle=_stream_quality_oracle(),
+    tags=("streaming", "quality"),
+    doc="the hashed linear quality classifier run INSIDE a structured "
+    "stream: documents stream from parquet through real micro-batches, "
+    "each batch is scored by the same stateless scan-stage projection "
+    "the batch query uses (operators/corpus.py:hashed_linear_score), "
+    "and the scored rows aggregate to per-verdict counts + a "
+    "decimal-exact score sum. The oracle recomputes the classifier in "
+    "SQL over the table — a single row scored differently between the "
+    "batch and streaming paths is a red row. Stateless projection -> "
+    "no watermark, no state store; the streaming cost equals the "
+    "batch cost per micro-batch",
+)
+def stream_quality_filter_agg(spark, sf_dir):
+    import shutil
+    import tempfile
+    import uuid
+
+    from chapterhouseqe_spark.operators.corpus import hashed_linear_score
+
+    docs = t(spark, sf_dir, "documents")
+    n_expected = docs.count()
+    tmp = tempfile.mkdtemp(prefix="chqe_stream_quality_")
+    try:
+        data_dir = f"{tmp}/data"
+        docs.write.parquet(data_dir)
+        stream = spark.readStream.schema(docs.schema).parquet(data_dir)
+        scored = hashed_linear_score(stream, dim=64, seed=7)
+        name = f"stream_quality_{uuid.uuid4().hex[:8]}"
+        q = (
+            scored.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(300)
+        got = spark.table(name).count()
+        if not finished or got < n_expected:
+            q.stop()
+            raise RuntimeError(
+                f"stream_quality_filter_agg: stream produced "
+                f"{got}/{n_expected} rows — infra stall, not a query bug"
+            )
+        return (
+            spark.table(name)
+            .groupBy("is_quality")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                dsum(F.col("score")).alias("sum_score"),
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
