@@ -297,3 +297,32 @@ def test_bench_tiers_cover_registry_exactly_once():
     )
     assert sorted(tiers) == sorted(names)
     assert len(set(bench.BENCH_QUERIES) & set(bench.EXTENDED_QUERIES)) == 0
+
+
+def test_bench_null_tier_totals_and_warm_floor_reps():
+    """r11 verdict item 1(b)+7: unmeasured breadth tiers serialize as
+    null (never 0), and the sf1 tier's warm-floor query list is the
+    one the bimodal-band triage pinned."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(__file__))
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(root, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    src = open(os.path.join(root, "bench.py"), encoding="utf-8").read()
+    # (b): both breadth totals go through _tier_total (null for an
+    # unmeasured tier, never 0) — pin the helper body and both call
+    # sites, since the helper is nested in main() and not importable
+    assert '"extended_total": _tier_total(extended)' in src
+    assert '"core_total": _tier_total(core)' in src
+    assert "return round(sum(tier.values()), 3) if tier else None" in src
+    # the orchestrator must re-attach breadth tiers until a pass
+    # carrying them SUCCEEDS, with one bounded retry
+    assert "if not breadth_done" in src
+    assert '"breadth-retry", "extended,core"' in src
+    # (7): dedup_minhash_lsh runs best-of-3 in the sf1 tier
+    assert 'reps = 3 if name == "dedup_minhash_lsh" else 1' in src
