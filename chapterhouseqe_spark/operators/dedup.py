@@ -509,9 +509,26 @@ def ngram_jaccard_pairs(
         # exact integer would shorten the prefix and lose pairs at
         # exactly the threshold; under-shooting only lengthens it.
         alpha = F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9))
-        posting = ranked.filter(F.col("rn") <= F.col("n") - alpha + 1).select("id", "s")
+        # (rn, n) ride along for the PPJoin positional filter at the
+        # candidate join below.
+        posting = ranked.filter(F.col("rn") <= F.col("n") - alpha + 1).select(
+            "id", "s", "rn", "n"
+        )
     if hot is not None:
         posting = posting.join(F.broadcast(hot), "s", "left_anti")
+    if prefix_filter:
+        # Persist the prefix posting: deriving it costs a freq join plus
+        # two per-doc window passes, and THREE consumers read it — the
+        # pair-budget guard's count action below and both sides of the
+        # candidate self-join. Without the persist the guard re-derives
+        # the whole ranked pipeline as a throwaway job (measured ~40% of
+        # the kcore query's pairs phase at sf0.1). The frame is strictly
+        # smaller than the full posting (prefixes only), MEMORY_AND_DISK
+        # spills rather than pins, and the guard's action doubles as the
+        # materializing pass. The direct path stays unpersisted: its
+        # posting is one explode over the already-cached shingle frame,
+        # cheaper re-derived than double-cached.
+        posting = posting.persist(StorageLevel.MEMORY_AND_DISK)
     # Fail-fast at the exactness boundary (r10 verdict item 3): the
     # r10 probe proved both exact paths die past ~150k closed-vocab
     # docs — the direct path's pairing aggregate by heap, the prefix
@@ -543,18 +560,54 @@ def ngram_jaccard_pairs(
                 "banded minhash_lsh_pairs; pass max_pair_rows=None "
                 "only for probe runs with an oversized heap."
             )
-    a = posting.select(F.col("id").alias("id_a"), "s")
-    b = posting.select(F.col("id").alias("id_b"), "s")
     if prefix_filter:
+        a = posting.select(
+            F.col("id").alias("id_a"),
+            "s",
+            F.col("rn").alias("rn_a"),
+            F.col("n").alias("n_a"),
+        )
+        b = posting.select(
+            F.col("id").alias("id_b"),
+            "s",
+            F.col("rn").alias("rn_b"),
+            F.col("n").alias("n_b"),
+        )
+        # PPJoin positional filter (Xiao et al. 2008), LOSSLESS: J >= t
+        # iff the intersection O >= ceil(t/(1+t)·(n_a+n_b)) =: o_min
+        # (rearrange O/(n_a+n_b-O) >= t; O integral). For a shared
+        # shingle at full-set ranks (rn_a, rn_b), every OTHER common
+        # element the order-minimal match admits sits strictly after it
+        # in both orders, so O <= 1 + min(n_a-rn_a, n_b-rn_b). A
+        # qualifying pair's order-minimal common element is in both
+        # prefixes (the prefix guarantee) and has no earlier common
+        # element, so that occurrence always passes — keeping pairs
+        # where ANY occurrence passes (then distinct) loses nothing,
+        # while hopeless candidates (648k -> the low thousands at
+        # sf0.1/t=0.3) never reach the array-intersect verify. Epsilon
+        # on the ceil can only LOWER the bound — the safe direction.
+        o_min = F.ceil(
+            F.lit(threshold / (1.0 + threshold)) * (F.col("n_a") + F.col("n_b"))
+            - F.lit(1e-9)
+        )
         cand = (
             a.join(b, "s")
             .filter(F.col("id_a") < F.col("id_b"))
+            .filter(
+                F.lit(1)
+                + F.least(
+                    F.col("n_a") - F.col("rn_a"), F.col("n_b") - F.col("rn_b")
+                )
+                >= o_min
+            )
             .select("id_a", "id_b")
             .distinct()
         )
         return _jaccard_on_pairs(cand, sh, n_docs=sh.count()).filter(
             F.col("jaccard") >= threshold
         )
+    a = posting.select(F.col("id").alias("id_a"), "s")
+    b = posting.select(F.col("id").alias("id_b"), "s")
     inter = (
         a.join(b, "s")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -263,13 +263,22 @@ def kcore_survivors(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    arcs = (
-        canon.select(F.col("u").alias("a"), F.col("v").alias("b"))
-        .unionAll(canon.select(F.col("v").alias("a"), F.col("u").alias("b")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    alive = arcs.select(F.col("a").alias("id")).distinct().persist(
-        StorageLevel.MEMORY_AND_DISK
+    # Eager localCheckpoint, not plain persist (the connected_components
+    # iteration-hygiene discipline): it materializes the arc blocks once
+    # AND truncates lineage, so each round's plan is one block-scan deep
+    # instead of embedding the (possibly very expensive) edge-derivation
+    # subtree three times per round (arcs + both alive semi-join sides),
+    # nested deeper every round. Over an exact-jaccard pair graph at
+    # sf0.1 the analyzer/optimizer cost of those growing plans was
+    # 1.8-5.8s PER ROUND of a 31s run; with truncation each round is
+    # ~0.3s. The blocks live on executors for the result's lifetime —
+    # an executor loss mid-peel fails the job (no lineage to recompute
+    # through), the standard iterative-graph trade.
+    arcs = canon.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        canon.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    ).localCheckpoint(eager=True)
+    alive = (
+        arcs.select(F.col("a").alias("id")).distinct().localCheckpoint(eager=True)
     )
     deg = None
     for _ in range(n_rounds):
@@ -279,28 +288,26 @@ def kcore_survivors(
             .groupBy("a")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        nxt = (
+        # eager: materializes this round before the next builds on it;
+        # superseded generations are reclaimed by the ContextCleaner
+        # when their frames go out of scope (never unpersist a
+        # checkpointed frame by hand — the blocks are its ONLY copy).
+        alive = (
             deg.filter(F.col("deg") >= k)
             .select(F.col("a").alias("id"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
-        nxt.count()  # materialize before dropping the parent
-        alive.unpersist()
-        alive = nxt
-    # materialize the RESULT before releasing the arc cache: the
-    # returned frame's lineage goes through arcs back to the (possibly
-    # very expensive) edge derivation — unpersisting first would make
-    # the caller's collect re-derive every pair from scratch (measured:
-    # turned a ~3 min sf1 run into a 30-min recompute that then hit
-    # executor memory pressure)
+    # The result persists + materializes so the caller's collect reads
+    # cache; if evicted it recomputes from the arc/alive CHECKPOINT
+    # blocks (one join-agg), never from the raw edge derivation — the
+    # recompute cliff the old persist-then-unpersist shape left open
+    # (measured: a ~3 min sf1 run turned into a 30-min recompute).
     out = (
         deg.filter(F.col("deg") >= k)
         .select(F.col("a").alias("id"), F.col("deg"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     out.count()
-    arcs.unpersist()
-    alive.unpersist()
     return out
 
 
