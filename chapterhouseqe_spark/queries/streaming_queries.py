@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from chapterhouseqe_spark.queries.registry import dsum, o_dsum, o_ts_str, query, ts_str
 from chapterhouseqe_spark.queries.core_sql import t
+from chapterhouseqe_spark.streaming.windows import stream_state_partitions
 
 
 @query(
@@ -226,22 +227,25 @@ def stream_source_replay_agg(spark, sf_dir):
     # every run materializes identical rows.
     name = f"stream_replay_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="chqe_stream_ckpt_")
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
-    try:
-        deadline = time.time() + 120
-        while time.time() < deadline:
-            if spark.table(name).count() >= 120:
-                break
-            time.sleep(0.25)
-    finally:
-        q.stop()
-        shutil.rmtree(ckpt, ignore_errors=True)
+    # 5 label keys: state partitions sized to key cardinality, not the
+    # session's batch-shuffle width (stream_state_partitions docstring).
+    with stream_state_partitions(spark, 8):
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if spark.table(name).count() >= 120:
+                    break
+                time.sleep(0.25)
+        finally:
+            q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
     got = spark.table(name).count()
     if got < 120:
         # A stalled stream must fail loudly, not return a partial
@@ -321,22 +325,27 @@ def stream_ewma_replay(spark, sf_dir):
     folded = streaming_ewma(stream, alpha=0.25)
     name = f"stream_ewma_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="chqe_ewma_ckpt_")
-    q = (
-        folded.writeStream.format("memory")
-        .queryName(name)
-        .option("checkpointLocation", ckpt)
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
-    try:
-        deadline = time.time() + 120
-        while time.time() < deadline:
-            if spark.table(name).count() >= 120:
-                break
-            time.sleep(0.25)
-    finally:
-        q.stop()
-        shutil.rmtree(ckpt, ignore_errors=True)
+    # 5 event-type keys: state partitions sized to key cardinality
+    # (stream_state_partitions docstring) — 32 inherited partitions
+    # meant 32 state-store commits + 32 pandas workers per micro-batch
+    # for 30 rows.
+    with stream_state_partitions(spark, 8):
+        q = (
+            folded.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if spark.table(name).count() >= 120:
+                    break
+                time.sleep(0.25)
+        finally:
+            q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
     got = spark.table(name).count()
     if got < 120:
         # A stalled stream must fail loudly, not return partial rows
@@ -446,23 +455,28 @@ def stream_dedup_watermark(spark, sf_dir):
             .dropDuplicatesWithinWatermark(["event_id"])
         )
         name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-        q = (
-            deduped.writeStream.format("memory")
-            .queryName(name)
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        finished = q.awaitTermination(300)
-        if not finished:
-            # stop BEFORE the finally block deletes the source/checkpoint
-            # out from under a live query (which would spew background
-            # failures into the shared session)
-            q.stop()
-            raise RuntimeError(
-                "stream_dedup_watermark: availableNow run did not finish "
-                "within 300s — infra stall, not a query bug"
+        # dedup state is per event_id (high cardinality), but each
+        # micro-batch moves only this demo corpus's rows — 8 stores
+        # hold ~12k state rows each at sf0.1; at production volume
+        # leave the session width (stream_state_partitions docstring).
+        with stream_state_partitions(spark, 8):
+            q = (
+                deduped.writeStream.format("memory")
+                .queryName(name)
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
             )
+            finished = q.awaitTermination(300)
+            if not finished:
+                # stop BEFORE the finally block deletes the
+                # source/checkpoint out from under a live query (which
+                # would spew background failures into the shared session)
+                q.stop()
+                raise RuntimeError(
+                    "stream_dedup_watermark: availableNow run did not "
+                    "finish within 300s — infra stall, not a query bug"
+                )
         got = spark.table(name).count()
         if got != n_expected:
             raise RuntimeError(
@@ -926,20 +940,25 @@ def stream_interval_join(spark, sf_dir):
             & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
         )
         name = f"stream_ij_{uuid.uuid4().hex[:8]}"
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(name)
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .start()
-        )
-        finished = q.awaitTermination(300)
-        if not finished:
-            q.stop()
-            raise RuntimeError(
-                "stream_interval_join: availableNow run did not finish "
-                "within 300s — infra stall, not a query bug"
+        # join state is per user_id, but micro-batch volume here is the
+        # demo corpus — 8 stores over ~10k users at sf0.1; at
+        # production volume leave the session width
+        # (stream_state_partitions docstring).
+        with stream_state_partitions(spark, 8):
+            q = (
+                joined.writeStream.format("memory")
+                .queryName(name)
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
             )
+            finished = q.awaitTermination(300)
+            if not finished:
+                q.stop()
+                raise RuntimeError(
+                    "stream_interval_join: availableNow run did not "
+                    "finish within 300s — infra stall, not a query bug"
+                )
         return (
             spark.table(name)
             .groupBy("user_id")

@@ -18,6 +18,7 @@ from chapterhouseqe_spark.streaming.windows import (
     read_events_stream,
     run_stream_to_memory,
     stream_dedup,
+    stream_state_partitions,
     stream_user_rollup,
     stream_window_counts,
 )
@@ -28,6 +29,7 @@ __all__ = [
     "sessionize",
     "stateful_user_stats",
     "stream_dedup",
+    "stream_state_partitions",
     "streaming_ewma",
     "stream_user_rollup",
     "stream_window_counts",

@@ -17,10 +17,37 @@ not apply inside streaming aggregations.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from chapterhouseqe_spark.queries.registry import dsum, ts_str
+
+
+@contextmanager
+def stream_state_partitions(spark: SparkSession, n: int):
+    """Pin ``spark.sql.shuffle.partitions`` for a stream's lifetime.
+
+    A stateful streaming query instantiates one state store (and, for
+    ``applyInPandasWithState``, one Python worker) PER shuffle partition
+    PER micro-batch, and the partition count is frozen into the
+    checkpoint at first batch — AQE never coalesces it (see the module
+    docstring). So the right number is keyed to the stream's KEY
+    CARDINALITY, not the session's batch-shuffle width: a 5-key demo
+    stream inheriting the session's 32 pays 32 store commits + 32
+    pandas workers per micro-batch to move ~30 rows (measured 13.4s ->
+    ~4s for the EWMA replay at sf0.1). At production cardinality size
+    ``n`` up or don't use this at all. Restores the previous value on
+    exit; the conf must stay pinned through the poll/stop, not just
+    ``.start()``, because the value is read when the FIRST BATCH plans.
+    """
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def read_events_stream(
