@@ -1367,11 +1367,20 @@ def mmr_from_candidates(
                 - F.coalesce(F.col("maxsel"), F.lit(0.0)) * F.lit(1.0 - lam),
             )
         ww = Window.partitionBy("probe_id").orderBy(F.desc("mmr"), F.col("id_b"))
+        # Eager localCheckpoint per round (the kcore/connected_components
+        # iteration-hygiene discipline): round r's pick feeds BOTH the
+        # next round's max-sim-to-selected join (via sel) and the
+        # remaining-pool anti-join, so without materialization the final
+        # plan nests every earlier round's subtree exponentially — the
+        # analyzer alone took whole seconds per round at sf0.1, and the
+        # single final job re-derived each pick many times. Each pick is
+        # n_probes rows; k tiny jobs beat one exponential one.
         pick = (
             scored.withColumn("rr", F.row_number().over(ww))
             .filter(F.col("rr") == 1)
             .select("probe_id", "id_b", "simq")
             .withColumn("rank", F.lit(r))
+            .localCheckpoint(eager=True)
         )
         sel = pick if sel is None else sel.unionByName(pick)
         remaining = remaining.join(
