@@ -857,6 +857,14 @@ def connected_components(
     non-convergence (now only reachable through a bug, given the
     logarithmic bound) into an error rather than an infinite loop.
     """
+    # Evaluate the (possibly very expensive — banded minhash, exact
+    # jaccard) pair pipeline exactly ONCE: the undirected-edge union
+    # below references ``pairs`` in both branches, and a lazy persist
+    # materializes only when round 1's job runs — which would execute
+    # the pair pipeline twice inside that job (union branches don't
+    # share exchanges). The checkpoint also truncates lineage, so each
+    # round's plan is a block scan, not the pair derivation.
+    pairs = pairs.localCheckpoint(eager=True)
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionAll(

@@ -358,13 +358,20 @@ def probe_term_queries(
     """The deterministic self-probe query set shared by the retrieval
     evals: docs with ``doc_id % probe_mod == probe_rem`` become
     queries made of their own ``n_terms`` highest-tf terms (ties by
-    term asc). Returns (query_id, term)."""
+    term asc). Returns (query_id, term), eagerly materialized: every
+    consumer broadcasts this frame at least twice per scoring pass
+    (query join + df pruning) plus once in the candidate-mass guard,
+    and each broadcast exchange re-evaluates its subtree — a window
+    sort over the tf frame per evaluation without the checkpoint. The
+    frame is |probes| x n_terms rows, broadcast-small by construction.
+    """
     w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("term"))
     return (
         tf.filter(F.col("doc_id") % probe_mod == probe_rem)
         .withColumn("tr", F.row_number().over(w))
         .filter(F.col("tr") <= n_terms)
         .select(F.col("doc_id").alias("query_id"), "term")
+        .localCheckpoint(eager=True)
     )
 
 
@@ -472,6 +479,15 @@ def rm3_expansion_retrieval(
                 + F.coalesce(F.col("eqw"), F.lit(0.0))
             ).alias("qw"),
         )
+        # Eager localCheckpoint: qterms' lineage embeds the ENTIRE
+        # first BM25 pass (fb window -> relevance-model fold), and the
+        # second bm25_scores call evaluates its query frame three times
+        # (candidate-mass guard, the scoring broadcast, the df-pruning
+        # broadcast) — without materialization that re-runs the first
+        # pass per evaluation (measured ~2/3 of the query's 16s at
+        # sf0.1). The frame is |probes| x (n_terms + n_exp) rows — the
+        # broadcast-small query set by construction.
+        .localCheckpoint(eager=True)
     )
     second = bm25_scores(
         tf,

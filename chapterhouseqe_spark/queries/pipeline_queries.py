@@ -4815,8 +4815,14 @@ def dedup_minhash_error_audit(spark, sf_dir):
             F.element_at(F.col("w"), i + 2),
         ),
     )
+    from chapterhouseqe_spark.operators.util import ensure_parallelism
+
+    # ensure_parallelism: the per-scale corpus is a single parquet file
+    # (one input split), which would run the trigram build AND the
+    # 16-permutation md5 signature pass on ONE task (measured 2-3x the
+    # whole query at sf0.1).
     sh = (
-        t(spark, sf_dir, "documents")
+        ensure_parallelism(t(spark, sf_dir, "documents"))
         .select("doc_id", toks.alias("w"))
         .select("doc_id", F.array_distinct(tri).alias("shingles"))
         .filter(F.size("shingles") > 0)
@@ -4872,7 +4878,11 @@ def dedup_minhash_error_audit(spark, sf_dir):
             )
         ),
     )
-    sigs = sh.select("doc_id", sig.alias("sig"))
+    # Eager localCheckpoint: the signature pass runs 16 md5s per
+    # shingle, and BOTH broadcast sides below would evaluate it
+    # independently (broadcast exchanges don't share subtrees) —
+    # checkpointing halves the md5 work. Per-doc 16 longs: tiny frame.
+    sigs = sh.select("doc_id", sig.alias("sig")).localCheckpoint(eager=True)
     est = (
         pairs.join(
             F.broadcast(
