@@ -418,6 +418,18 @@ def ngram_jaccard_pairs(
     when you need the EXACT answer on a corpus whose hot shingles you
     cannot afford to (lossily) cap.
 
+    The prefix path additionally applies the PPJoin POSITIONAL filter
+    (Xiao et al. 2008; see the inline proof at the candidate join) —
+    lossless, and it prunes candidates BEFORE the distinct and the
+    full-array verify join, the two stages whose dense candidate set
+    used to fill the disk on closed-vocab corpora. Round-12 re-probe
+    (PLANS.md): the r10 150k-uniform ENOSPC DNF now completes (~46 GB
+    peak spill), and the skewed-corpus shape the path exists for runs
+    >=12x faster than the unfiltered form on the same corpus; the
+    sf0.1 graded queries verify ~1-3k candidates instead of 648k.
+    Direct still wins dense-df corpora, so the ``auto`` dispatch
+    below is unchanged.
+
     ``prefix_filter="auto"`` (r9 verdict item 3) dispatches on the
     statistic that actually predicts the winner. The r10 crossover
     probe (PLANS.md round-10) REFUTED the size hypothesis: on the
