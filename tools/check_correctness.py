@@ -134,6 +134,17 @@ def main() -> int:
         names = args.names or sorted(queries)
     n_pass = n_fail = n_skip = 0
     for name in names:
+        # Inter-query cache relief (the bench._relieve discipline):
+        # operator-persisted frames accumulate across a multi-query
+        # session — a 21-query sf1 sweep OOM'd a 4g heap on a query
+        # that passes in isolation at the same heap. clearCache drops
+        # the persisted intermediates; the GC pair lets the
+        # ContextCleaner reclaim py4j-held broadcasts.
+        import gc
+
+        spark.catalog.clearCache()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
         if name not in queries:
             print(f"?? {name}: not registered")
             n_fail += 1
