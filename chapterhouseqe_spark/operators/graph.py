@@ -71,6 +71,13 @@ def pagerank_fixed_point(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Materialize both caches BEFORE the final job references e_deg
+    # n_iter times and nodes n_iter+1 times: persisted-but-lazy frames
+    # multiply referenced within one job race their own block
+    # computation, re-deriving the (possibly expensive) edge lineage
+    # per subtree instance (the kcore lesson, PLANS.md round 12).
+    e_deg.count()
+    nodes.count()
     base = (100 - damping_pct) * scale // 100
     ranks = nodes.select("id", F.lit(scale).cast("long").alias("rank"))
     for _ in range(n_iter):
@@ -203,6 +210,13 @@ def triangle_count(
         .select(F.col("o.u").alias("u"), F.col("o.w").alias("w"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Materialize both caches before the wedge job references und 4x
+    # (deg twice, the membership join, the edge-count leg) and e twice
+    # — lazy persists multiply referenced in one job race their own
+    # block computation (the kcore lesson, PLANS.md round 12). und's
+    # count doubles as the n_edges the result needs anyway.
+    und.count()
+    e.count()
     wedges = (
         e.select(F.col("u"), F.col("w").alias("v1"))
         .join(e.select(F.col("u"), F.col("w").alias("v2")), "u")
