@@ -577,3 +577,57 @@ def test_rm3_matches_float_replay_model(spark, docs):
         for rank, (d, s) in enumerate(ranked, start=1):
             want.append((qid, d, s, rank))
     assert got == sorted(want)
+
+
+@st.composite
+def jaccard_corpus(draw):
+    """Small corpora mixing shared boilerplate with per-doc tokens, so
+    pair similarities land above, below, and AT the threshold — the
+    shapes that stress the prefix guarantee, the positional filter's
+    bound, and the epsilon-ceil discipline."""
+    n_docs = draw(st.integers(2, 8))
+    header_len = draw(st.integers(0, 6))
+    header = [f"h{j}" for j in range(header_len)]
+    docs = []
+    for i in range(n_docs):
+        kind = draw(st.integers(0, 2))
+        if kind == 0 and docs:
+            # near/exact copy of an earlier doc (ties, J=1.0 pairs)
+            docs.append(list(draw(st.sampled_from(docs))))
+        else:
+            n_own = draw(st.integers(3, 8))
+            own = [f"t{i}_{j}" for j in range(n_own)]
+            docs.append(header + own)
+    threshold = draw(st.sampled_from([0.3, 0.5, 0.75]))
+    return docs, threshold
+
+
+@given(jaccard_corpus())
+@settings(**SMALL)
+def test_prefix_positional_filter_is_lossless(spark, case):
+    """The PPJoin positional filter (round 12) must never change the
+    pair set: prefix path == direct path, pairwise-identical jaccard,
+    on corpora with boilerplate skew, exact copies, and at-threshold
+    ties."""
+    from chapterhouseqe_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs, threshold = case
+    df = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in enumerate(docs)],
+        "doc_id long, text string",
+    )
+
+    def pairset(prefix_filter):
+        out = ngram_jaccard_pairs(
+            df,
+            "text",
+            "doc_id",
+            threshold=threshold,
+            prefix_filter=prefix_filter,
+            max_shingle_freq=None,
+        )
+        return sorted(
+            (r.id_a, r.id_b, round(r.jaccard, 12)) for r in out.collect()
+        )
+
+    assert pairset(True) == pairset(False)

@@ -518,3 +518,26 @@ def test_streaming_ewma_state_survives_micro_batches(spark, tmp_path):
     # the boundary rows genuinely exercise carried state: a restarted
     # fold (s=x) would emit x itself — assert they differ from that
     assert got[5] != 0.0 and got[6] != 75.0
+
+
+def test_stream_state_partitions_pins_and_restores(spark):
+    """The state-partition pin (round 12) must hold inside the block —
+    the value is read when the stream's first batch plans — and restore
+    the session value on BOTH clean exit and error exit; a leaked pin
+    would silently reshape every later batch query's shuffles."""
+    from chapterhouseqe_spark.streaming import stream_state_partitions
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with stream_state_partitions(spark, 3):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+        # nesting pins deeper and unwinds in order
+        with stream_state_partitions(spark, 2):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "2"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    try:
+        with stream_state_partitions(spark, 4):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
