@@ -1115,7 +1115,10 @@ def cdc_chunk_stats(
     hash before the explode leaves the scan stage — done here too
     (only md5(chunk) and length survive the projection).
     """
-    b = df.select(
+    # ensure_parallelism: the rolling-hash boundary scan below runs one
+    # md5 per character position — the heaviest narrow expression in the
+    # module — and a single-file corpus would run it on one task.
+    b = ensure_parallelism(df).select(
         F.col(id_col),
         F.col(text_col).alias("_t"),
         F.length(text_col).cast("int").alias("_n"),

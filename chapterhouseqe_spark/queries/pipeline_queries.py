@@ -1406,7 +1406,11 @@ def pipeline_pack_nosplit(spark, sf_dir):
     "(functions/text.py token conventions)",
 )
 def text_dup_ngram_fraction(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    from chapterhouseqe_spark.operators.util import ensure_parallelism
+
+    # single-file corpus scan: without the repartition the bigram
+    # build + explode single-threads (the error-audit lesson)
+    d = ensure_parallelism(t(spark, sf_dir, "documents"))
     w = F.split(F.trim(F.col("text")), r"\s+")
     # guard: F.sequence(1, 0) DESCENDS in Spark (the patch_grid ADVICE
     # trap), so a 1-token doc must yield an EMPTY gram array — explode
@@ -4473,7 +4477,13 @@ def text_zipf_coverage(spark, sf_dir):
     "go through DECIMAL(27,8) (order-insensitive, engine-exact)",
 )
 def embedding_gram_matrix(spark, sf_dir):
-    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    from chapterhouseqe_spark.operators.util import ensure_parallelism
+
+    # single-file embeddings scan: the dim^2 double-posexplode is
+    # narrow-but-heavy and would single-thread (the error-audit lesson)
+    e = ensure_parallelism(
+        t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
     left = e.select(
         "vec_id",
         F.col("embedding").alias("emb"),
