@@ -16,6 +16,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from chapterhouseqe_spark.operators.guards import (
+    CANDIDATE_MASS_BUDGET,
+    check_candidate_mass,
+)
+
 
 def chunk_documents(
     df: DataFrame,
@@ -1308,6 +1313,7 @@ def chunk_ann_topk(
     probe_mod: int = 173,
     probe_rem: int = 7,
     k: int = 5,
+    max_candidate_rows: int | None = CANDIDATE_MASS_BUDGET,
 ) -> DataFrame:
     """Chunk-level ANN retrieval: top-``k`` CHUNKS per probe query —
     the RAG-serving path :func:`chunk_token_windows` was built for
@@ -1333,6 +1339,21 @@ def chunk_ann_topk(
     bounded by candidates (~n_chunks / 2^n_planes per probe). Hot
     buckets inherit the corpus distribution — for degenerate corpora
     compose with the salting guard of ``lsh_bucket_candidates``.
+
+    ``max_candidate_rows`` is the candidate-mass fail-fast (r12
+    verdict item 1; shared helper in ``operators/guards.py``). The
+    r12 probe measured the family's scaling law on THIS operator:
+    with ``probe_mod`` held fixed the probe count grows with the
+    corpus and the candidate mass Σ_b probes(b)·chunks(b) goes
+    superlinear (12.7× at 10× corpus; linear once ``probe_mod``
+    scales with the corpus — PLANS.md r12 addendum). The guard
+    pre-counts that mass exactly: the probe-side bucket histogram is
+    human-sized and broadcasts, the chunk-side histogram is one
+    aggregation over the (persisted) chunk frame, and the raise names
+    the knobs. Results-neutral — it counts, never filters; the
+    guard's action also materializes the chunk-frame persist, so the
+    candidate join below reads the cache instead of re-running the
+    narrow chunk+pool+sign pass.
 
     Bit-portability: embedding components are exact integers, so dot
     products and squared norms are exact integer-valued doubles in
@@ -1371,6 +1392,38 @@ def chunk_ann_topk(
         )
         .withColumn("bucket", _signature("va", planes).cast("int"))
     )
+    if max_candidate_rows is not None:
+        # Exact candidate mass Σ_b probes(b)·chunks(b). Persist the
+        # chunk frame FIRST and let the guard's action materialize it
+        # (the eager-at-the-seam discipline): the candidate join below
+        # then reads the cache, so the narrow-but-expensive
+        # chunk+pool+sign pass runs once whether or not the guard is
+        # on. The probe lineage re-evaluates once for its histogram —
+        # it is the deliberately human-sized side.
+        corpus = corpus.persist(StorageLevel.MEMORY_AND_DISK)
+        pb = probes.groupBy("bucket").agg(
+            F.count(F.lit(1)).cast("double").alias("pc")
+        )
+        mass = (
+            corpus.groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("double").alias("cc"))
+            .join(F.broadcast(pb), "bucket")
+            .agg(F.sum(F.col("pc") * F.col("cc")).alias("m"))
+            .first()["m"]
+        )
+        check_candidate_mass(
+            "chunk_ann_topk",
+            mass,
+            max_candidate_rows,
+            knob="max_candidate_rows",
+            law="bucket-join mass sum_b probes(b) * chunks(b); the r12 "
+            "probe measured 12.7x at 10x corpus with probe_mod held "
+            "fixed (probe count grows with the corpus), linear once "
+            "probe_mod scales",
+            remediations="raise probe_mod (fewer probes), raise "
+            "n_planes (smaller buckets), or lower k and pre-filter "
+            "the probe set",
+        )
     cand = F.broadcast(probes).join(corpus, "bucket").filter(
         F.col("doc_id") != F.col("probe_id")
     )

@@ -35,6 +35,10 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from chapterhouseqe_spark.operators.guards import (
+    CANDIDATE_MASS_BUDGET,
+    check_candidate_mass,
+)
 from chapterhouseqe_spark.operators.util import ensure_parallelism
 
 logger = logging.getLogger(__name__)
@@ -352,7 +356,10 @@ def hot_shingle_mass_ratio(
 # path's dense candidate re-verify fills 79 GB of shuffle disk at the
 # same size. 1e9 sits safely below both failure modes while clearing
 # every feasible corpus the probe measured (50k uniform ≈ 2.7e8).
-NGRAM_PAIR_ROW_BUDGET = 1_000_000_000
+# (r12 verdict item 1: the compare-and-raise now lives in the shared
+# operators/guards.py helper; this alias keeps the family default in
+# one place.)
+NGRAM_PAIR_ROW_BUDGET = CANDIDATE_MASS_BUDGET
 
 
 def ngram_jaccard_pairs(
@@ -557,21 +564,29 @@ def ngram_jaccard_pairs(
             .agg(F.count(F.lit(1)).cast("double").alias("c"))
             .agg(F.sum(F.col("c") * F.col("c")).alias("pr"))
             .first()["pr"]
-            or 0.0
         )
-        if pair_rows > max_pair_rows:
-            path = "prefix" if prefix_filter else "direct"
-            raise ValueError(
-                f"ngram_jaccard_pairs: the {path} path would "
-                f"materialize ~{pair_rows:.3g} pairing rows, over the "
-                f"max_pair_rows budget of {max_pair_rows:,} (the r10 "
-                "probe's measured infeasibility boundary for EXACT "
-                "pairwise similarity on this engine's standard heap). "
-                "Remediations: cap hot shingles with max_shingle_freq "
-                "(lossy, documented recall contract) or switch to "
-                "banded minhash_lsh_pairs; pass max_pair_rows=None "
-                "only for probe runs with an oversized heap."
-            )
+        path = "prefix" if prefix_filter else "direct"
+        check_candidate_mass(
+            f"ngram_jaccard_pairs ({path} path)",
+            pair_rows,
+            max_pair_rows,
+            knob="max_pair_rows",
+            law="pairing mass sum_s c_s^2 over the inverted index; the "
+            "r10 probe's measured infeasibility boundary for EXACT "
+            "pairwise similarity on this engine's standard heap",
+            remediations="cap hot shingles with max_shingle_freq "
+            "(lossy, documented recall contract) or switch to banded "
+            "minhash_lsh_pairs",
+        )
+    elif prefix_filter:
+        # r12 ADVICE item 2: with the guard waived the persist above is
+        # lazy and its first consumers are BOTH sides of the candidate
+        # self-join — two references to a persisted-but-unmaterialized
+        # frame inside one job re-derive the freq-join + double-window
+        # pipeline twice (the documented multi-reference antipattern).
+        # The guard's count normally doubles as the materializing
+        # action; run it explicitly when the guard is off.
+        posting.count()
     if prefix_filter:
         a = posting.select(
             F.col("id").alias("id_a"),
@@ -1776,18 +1791,17 @@ def winnow_overlap_pairs(
             .agg(F.count(F.lit(1)).cast("double").alias("c"))
             .agg(F.sum(F.col("c") * F.col("c")).alias("pr"))
             .first()["pr"]
-            or 0.0
         )
-        if pair_rows > max_pair_rows:
-            raise ValueError(
-                f"winnow_overlap_pairs: pairing would materialize "
-                f"~{pair_rows:.3g} rows, over the max_pair_rows budget "
-                f"of {max_pair_rows:,}. Remediations: lower max_fp_freq "
-                "(drops boilerplate fingerprints), raise w (sparser "
-                "fingerprint selection), or switch to minhash_lsh_pairs; "
-                "pass max_pair_rows=None only for oversized-heap probe "
-                "runs."
-            )
+        check_candidate_mass(
+            "winnow_overlap_pairs",
+            pair_rows,
+            max_pair_rows,
+            knob="max_pair_rows",
+            law="pairing mass sum_fp c_fp^2 over the fingerprint index",
+            remediations="lower max_fp_freq (drops boilerplate "
+            "fingerprints), raise w (sparser fingerprint selection), "
+            "or switch to minhash_lsh_pairs",
+        )
     a = posting.select(F.col("id").alias("id_a"), "fp")
     b = posting.select(F.col("id").alias("id_b"), "fp")
     return (

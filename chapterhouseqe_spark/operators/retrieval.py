@@ -38,6 +38,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from chapterhouseqe_spark.operators.guards import (
+    CANDIDATE_MASS_BUDGET,
+    check_candidate_mass,
+)
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 
@@ -53,7 +58,10 @@ BM25_B = 0.75
 # the default budget the candidate frame is ~24 GB of (term, query_id,
 # doc_id, tf) rows — past what the standard-heap exact scoring pass
 # survives. Pass ``max_candidate_rows=None`` to waive for probe runs.
-RETRIEVAL_CANDIDATE_ROW_BUDGET = int(1e9)
+# (r12 verdict item 1: the compare-and-raise now lives in the shared
+# operators/guards.py helper; this alias keeps the family default in
+# one place.)
+RETRIEVAL_CANDIDATE_ROW_BUDGET = CANDIDATE_MASS_BUDGET
 
 
 def term_frequencies(
@@ -124,22 +132,19 @@ def bm25_scores(
             df.join(F.broadcast(qcount), "term")
             .agg(F.sum(F.col("df").cast("double") * F.col("qc")).alias("cr"))
             .first()["cr"]
-            or 0.0
         )
-        if cand_rows > max_candidate_rows:
-            raise ValueError(
-                "bm25_scores: the scoring pass would materialize "
-                f"~{cand_rows:.3g} candidate rows (sum_t df(t) * "
-                "qcount(t)), over the max_candidate_rows budget of "
-                f"{max_candidate_rows:,}. The r11 scale probe measured "
-                "this blowup on the self-probe evals: probe count "
-                "grows with the corpus when probe_mod is held fixed "
-                "(1x->10x corpus took 94.5s->639.2s). Remediations: "
-                "raise probe_mod (fewer probes), lower n_terms, or "
-                "drop stop-terms from the query set before scoring; "
-                "pass max_candidate_rows=None only for probe runs "
-                "with an oversized heap."
-            )
+        check_candidate_mass(
+            "bm25_scores",
+            cand_rows,
+            max_candidate_rows,
+            knob="max_candidate_rows",
+            law="sum_t df(t) * qcount(t); the r11 probe measured the "
+            "self-probe blowup — probe count grows with the corpus "
+            "when probe_mod is held fixed, 1x->10x took 94.5s->639.2s",
+            remediations="raise probe_mod (fewer probes), lower "
+            "n_terms, or drop stop-terms from the query set before "
+            "scoring",
+        )
 
     # posting-bounded candidates FIRST (query terms broadcast against
     # the index), so the dl join keys on candidates — AQE broadcasts

@@ -32,6 +32,10 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from chapterhouseqe_spark.operators.guards import (
+    CANDIDATE_MASS_BUDGET,
+    check_candidate_mass,
+)
 from chapterhouseqe_spark.operators.util import ensure_parallelism
 
 def exact_dot(a: Column, b: Column) -> Column:
@@ -58,6 +62,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     two_stage: bool | None = None,
+    max_candidate_rows: int | None = CANDIDATE_MASS_BUDGET,
 ) -> DataFrame:
     """Top-k cosine neighbors for every probe row (brute-force baseline).
 
@@ -84,13 +89,43 @@ def cosine_topk(
     (measured +0.6s at 2k rows vs −1.5s at 100k), so small corpora
     keep the single window; the sizing count is a metadata-cheap
     parquet count. Pass ``two_stage`` explicitly to pin either plan.
+
+    ``max_candidate_rows`` is the candidate-mass fail-fast (r12
+    verdict item 1, shared helper in ``operators/guards.py``): the
+    scored-pair mass is exactly |probes| × (|corpus| − 1), and a
+    SELF-PROBE filter (``id % m == r``) grows |probes| with the
+    corpus — the same law the retrieval and chunk-ANN probes measured
+    going superlinear with the modulus held fixed. Both counts are
+    cheap (the corpus count is already paid for two-stage sizing; the
+    probe count is a column-pruned filtered scan). Results-neutral:
+    counts only, never filters. ``None`` waives for probe runs.
     """
+    n_corpus = (
+        emb.count()
+        if two_stage is None or max_candidate_rows is not None
+        else None
+    )
     if two_stage is None:
-        two_stage = emb.count() > 20_000
+        two_stage = n_corpus > 20_000
     n_salts = 32
     probes = emb.filter(probe_filter).select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("ea")
     )
+    if max_candidate_rows is not None:
+        check_candidate_mass(
+            "cosine_topk",
+            probes.count() * float(max(n_corpus - 1, 0)),
+            max_candidate_rows,
+            knob="max_candidate_rows",
+            law="brute-force scored-pair mass |probes| * (|corpus|-1); "
+            "a self-probe filter (id % m == r) grows |probes| with "
+            "the corpus, so the pass is quadratic when m is held "
+            "fixed (the retrieval family's measured law)",
+            remediations="shrink the probe set (raise the probe "
+            "modulus or pass an explicit id list), or serve many "
+            "probes from the ANN tiers (ivf_topk/pq_topk/ivfpq_topk/"
+            "lsh_multiprobe_topk)",
+        )
     corpus = ensure_parallelism(emb).select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("eb")
     )

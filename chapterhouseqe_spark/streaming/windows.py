@@ -41,6 +41,17 @@ def stream_state_partitions(spark: SparkSession, n: int):
     ``n`` up or don't use this at all. Restores the previous value on
     exit; the conf must stay pinned through the poll/stop, not just
     ``.start()``, because the value is read when the FIRST BATCH plans.
+
+    SINGLE-THREADED-SESSION ASSUMPTION (r12 ADVICE item 3): the pin
+    mutates the SESSION-global conf for the whole start/poll/stop
+    window, so any concurrent batch work on the same session (other
+    threads, or even this block's own memory-sink polls — harmless
+    here, they scan tiny in-memory tables) plans with width ``n``
+    while the pin is held, and the get/restore pair is not atomic
+    across threads. This matches the repo's harness (one driver
+    thread per session); callers running concurrent queries should
+    use a dedicated session (``spark.newSession()``) for the stream
+    so the pin is scoped to its own conf clone.
     """
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))

@@ -362,7 +362,12 @@ def test_gram_matrix_single_dimension_sized_exchange(queries, spark, sf_dir):
     assert "Join" not in plan
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange hashpartitioning") <= 1
-    assert final.count("Exchange roundrobin") <= 1
+    # r12 ADVICE: Spark prints round-robin as the case-class toString
+    # "RoundRobinPartitioning(...)" (capitalized), unlike the
+    # Expression prettyName "hashpartitioning" — a lowercase match is
+    # always 0 and the cap never binds
+    assert final.count("Exchange RoundRobinPartitioning") <= 1
+    assert "roundrobin" not in final  # guard the guard: no lowercase form
 
 
 def test_byte_shards_no_corpus_single_partition(queries, spark, sf_dir):
