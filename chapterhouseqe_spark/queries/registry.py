@@ -131,107 +131,104 @@ def _ensure_registered() -> None:
 
 # Grading priority. The driver's correctness gate grades a 50-entry
 # prefix of the registry, so dict order decides which queries get
-# driver-oracle evidence. Round-12 window (executes the r11 verdict,
-# item 2 — grade the 6 NEXT_WINDOW_PLAN queries, then the r6 cohort,
-# one canary per family):
+# driver-oracle evidence. Round-13 window (executes the r12 verdict,
+# item 2 — grade the 6 r12 additions, then the r7 cohort, one canary
+# per family):
 #
-#   tier (a) — ALL 6 zero-driver-evidence queries (the r11
-#   NEXT_WINDOW_PLAN: token-window chunking, URL-canonical dedup,
-#   vocab coverage curve, context overflow, token-budget planner,
-#   RM3 expansion retrieval). token_budget_plan's graded path also
-#   changed this round (ADVICE item 1: the overflow pre-pass now
-#   bounds the budget and BOTH div-mod intermediates), and RM3's
-#   gained the candidate-mass fail-fast (r11 verdict item 3) — their
-#   grades double as regrades proving both guards results-neutral.
+#   tier (a) — ALL 6 zero-driver-evidence queries (the r12
+#   NEXT_WINDOW_PLAN: chunk-level ANN retrieval, the contamination
+#   funnel stage, the hashed linear quality classifier, both
+#   winnowing rows, the streaming classifier). chunk_ann_topk's
+#   graded path also gained the shared candidate-mass fail-fast this
+#   round (r12 verdict item 1) — its grade doubles as the
+#   results-neutrality proof on the graded entry point.
 #
-#   tier (b) — the other three retrieval rows, whose shared scoring
-#   core (bm25_scores) gained the candidate-mass fail-fast this
-#   round: the guard only pre-counts sum_t df(t)*qcount(t) and
-#   raises over budget, so these grades prove it results-neutral on
-#   every entry point (docs_bm25_topk r10, docs_bm25_self_retrieval
-#   r11, docs_hybrid_rrf_retrieval r9).
+#   tier (b) — the FULL r7 cohort (37 rows, 6 rounds stale — the
+#   oldest driver evidence in the registry): the scalar-function
+#   families (string/math/date/regexp/like/case/null), the join
+#   suite (inner/left/right/semi/anti/multiway), agg shapes
+#   (group/having, rollup, cube, count-distinct, percentiles,
+#   variance), subqueries (IN/EXISTS/CTE), sets, window topn,
+#   order-by/limit, the reference-parity rows (coercion, comparison,
+#   int division, projection, string filter, order/limit),
+#   merge-upsert maintenance, tpch q3/q5, sequence packing and
+#   unigram quality.
 #
-#   tier (c) — the FULL r6 cohort (32 rows, 6 rounds stale — the
-#   oldest driver evidence in the registry): sketch family
-#   (hll/cms/cardinality/quantile), the k-means/PQ training tier,
-#   graph ops (pagerank, asof clicks), events suite, BPE rows,
-#   IVM/time-travel maintenance, the r6 pipeline ops, tpch_q1 and
-#   unpivot/lateral.
-#
-#   tier (d) — 9 fillers, stalest-first under the standing
-#   one-canary-per-family rule for families (a)-(c) leave uncovered:
-#   scan (json_scan, r7), sources (named_table_scan, r7), window
-#   (window_lag_running, r7 — the r6 cohort has no window row), sets
-#   (set_except, r7), subquery (scalar_subquery, r7), udf
-#   (udf_pandas_charge, r7), multimodal (multimodal_frame_sample,
-#   r7), layout (manifest_pruned_scan, r8 — the family's stalest
-#   row), and streaming (stream_source_replay_agg, r8 — no r7 stream
-#   row exists; maintenance is covered inside the r6 cohort by
-#   snapshot_time_travel + ivm_incremental_rollup).
+#   tier (c) — 7 fillers under the standing one-canary-per-family
+#   rule for families (a)+(b) leave uncovered, then stalest-first:
+#   udf (udaf_grouped_median, r11 — the family's stalest row),
+#   similarity (embedding_cosine_topk, r8 — ALSO regrades the
+#   brute-force baseline that gained the mass guard this round),
+#   layout (manifest_bloom_scan, r8), sources
+#   (custom_datasource_scan, r11), then the three stalest remaining
+#   r8 rows for breadth: orc_scan, multimodal_audio_chunks,
+#   graph_triangle_count (hll_set_algebra and events_tumbling_window
+#   are the r8 remainder, first in line for r14 — their families
+#   carry fresh r12 evidence elsewhere).
 #
 # tools/coverage_counts.py asserts tier (a) matches the live
 # zero-evidence set; run it at round close and after every addition.
 #
-# r13 window sketch (write the final plan after the r12 artifact
-# lands): tier (a) = NEXT_WINDOW_PLAN below (the r12 additions);
-# then the r7 cohort remainder (~35 rows, 6 rounds stale by r13)
-# under the standing family-canary rules; orc_scan + multimodal
-# r8 rows fill remaining slots.
+# r14 window sketch (write the final plan after the r13 artifact
+# lands): tier (a) = NEXT_WINDOW_PLAN below (the r13 additions);
+# then the r8 cohort remainder (~36 rows, 6 rounds stale by r14)
+# under the standing family-canary rules; hll_set_algebra +
+# events_tumbling_window lead the fillers.
 GRADE_ORDER: tuple[str, ...] = (
-    # --- tier (a): the r11 additions (zero driver evidence) ---
-    "pipeline_chunk_token_windows",
-    "dedup_url_canonical",
-    "text_vocab_coverage_curve",
-    "pipeline_context_overflow",
-    "pipeline_token_budget_plan",
-    "docs_rm3_expansion_retrieval",
-    # --- tier (b): graded path gained the candidate-mass guard ---
-    "docs_bm25_topk",
-    "docs_bm25_self_retrieval",
-    "docs_hybrid_rrf_retrieval",
-    # --- tier (c): the full r6 cohort (stalest evidence) ---
-    "ann_recall_eval",
-    "asof_join_clicks",
-    "bloom_prefilter_join",
-    "bpe_apply_merge",
-    "bpe_pair_counts",
-    "cardinality_sketch",
-    "cms_heavy_hitters",
-    "data_quality_report",
-    "dedup_incremental_batch",
-    "dedup_semantic_semdedup",
-    "embedding_ann_rerank",
-    "embedding_ivf_lloyd_topk",
-    "events_cohort_retention",
-    "events_funnel_stages",
-    "events_resample_gapfill",
-    "events_sessionization",
-    "hll_cardinality",
-    "hll_grouped_cardinality",
-    "ivm_incremental_rollup",
-    "kmeans_sampled_train_assign",
-    "kmeans_train_assign",
-    "lateral_topn_per_key",
-    "pagerank_supplier_graph",
-    "pipeline_length_buckets",
-    "pipeline_mixing_weights",
-    "pipeline_segment_dedup",
-    "pipeline_weighted_sample",
-    "pq_train_codebooks",
-    "quantile_sketch_hist",
-    "snapshot_time_travel",
-    "tpch_q1_pricing_summary",
-    "unpivot_measures",
-    # --- tier (d): fillers, one canary per uncovered family ---
-    "json_scan",
-    "named_table_scan",
-    "window_lag_running",
-    "set_except",
-    "scalar_subquery",
-    "udf_pandas_charge",
-    "multimodal_frame_sample",
-    "manifest_pruned_scan",
-    "stream_source_replay_agg",
+    # --- tier (a): the r12 additions (zero driver evidence) ---
+    "docs_chunk_ann_topk",
+    "pipeline_filter_funnel_contam",
+    "text_quality_classifier",
+    "dedup_winnowing_fp",
+    "dedup_winnowing_overlap",
+    "stream_quality_filter_agg",
+    # --- tier (b): the full r7 cohort (stalest evidence) ---
+    "case_when_buckets",
+    "count_distinct",
+    "cte_segment_totals",
+    "cube_agg",
+    "date_functions",
+    "distinct_values",
+    "exists_subquery",
+    "group_having",
+    "in_subquery",
+    "join_anti",
+    "join_inner_agg",
+    "join_left_with_zeros",
+    "join_multiway_star",
+    "join_right",
+    "join_semi",
+    "like_patterns",
+    "math_functions",
+    "merge_upsert_orders",
+    "null_handling",
+    "order_by_limit_topk",
+    "percentile_stats",
+    "pipeline_pack_sequences",
+    "ref_coercion_mixed",
+    "ref_comparison_ops",
+    "ref_int_division",
+    "ref_order_by_limit",
+    "ref_projection_unnamed",
+    "ref_string_filter",
+    "regexp_ops",
+    "rollup_agg",
+    "set_intersect",
+    "string_functions",
+    "text_unigram_quality",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "variance_exact",
+    "window_rank_topn",
+    # --- tier (c): fillers, one canary per uncovered family, then
+    # --- stalest-first breadth ---
+    "udaf_grouped_median",
+    "embedding_cosine_topk",
+    "manifest_bloom_scan",
+    "custom_datasource_scan",
+    "orc_scan",
+    "multimodal_audio_chunks",
+    "graph_triangle_count",
 )
 
 # Explicit next-round grading tier (r8 verdict items 1 + 4): every
@@ -241,17 +238,11 @@ GRADE_ORDER: tuple[str, ...] = (
 # tests/test_queries_arrays.py, so a late-session addition can never
 # silently fall out of the evidence pipeline again (the r8 plan
 # comment omitted dedup_threshold_sensitivity exactly that way).
-# Entering r12 this list is exactly the r12 additions (cap ~6 per the
+# Entering r13 this list is exactly the r13 additions (cap ~6 per the
 # r11 verdict): each new query appends itself here at registration.
 NEXT_WINDOW_PLAN: tuple[str, ...] = (
-    # round-12 additions (zero driver evidence until the r13 window;
-    # cap ~6 per the r11 verdict):
-    "docs_chunk_ann_topk",
-    "pipeline_filter_funnel_contam",
-    "text_quality_classifier",
-    "dedup_winnowing_fp",
-    "dedup_winnowing_overlap",
-    "stream_quality_filter_agg",
+    # round-13 additions (zero driver evidence until the r14 window;
+    # cap ~6 per the standing rule):
 )
 
 

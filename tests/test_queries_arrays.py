@@ -92,31 +92,32 @@ def test_graded_prefix_invariants():
     assert not no_oracle, f"graded without oracle: {no_oracle}"
 
     # One representative per family stays in-window across rotations.
-    # r12 rotation (r11 verdict item 2: grade the 6 NEXT_WINDOW_PLAN
-    # queries, then the guard-touched retrieval rows, then the full
-    # r6 cohort): most family reps fall out of the r6 cohort itself
-    # (join/agg/similarity/maintenance/streaming); tier (a) covers
-    # dedup/text/corpus-prep/retrieval with the freshly graded
-    # additions; tier (d) fills the rest with r7/r8 stalest rows —
-    # this map caught the first draft of the r12 window shipping
-    # WITHOUT a layout or subquery representative.
+    # r13 rotation (r12 verdict item 2: grade the 6 r12 additions,
+    # then the full r7 cohort): the r7 cohort itself carries
+    # join/agg/window/sets/subquery/maintenance/scan reps; tier (a)
+    # covers dedup/text/corpus-prep/retrieval/streaming with the
+    # freshly graded additions; tier (c) fills udf/similarity/layout/
+    # sources — the four families the first two tiers leave uncovered
+    # (this map caught the r12 window draft shipping WITHOUT a layout
+    # or subquery representative; the r13 draft initially lacked a
+    # sources row the same way).
     families = {
-        "scan": "json_scan",
-        "join": "asof_join_clicks",
-        "agg": "cms_heavy_hitters",
-        "window": "window_lag_running",
-        "udf": "udf_pandas_charge",
-        "dedup": "dedup_url_canonical",
-        "similarity": "embedding_ann_rerank",
-        "retrieval": "docs_rm3_expansion_retrieval",
-        "text": "text_vocab_coverage_curve",
-        "streaming": "stream_source_replay_agg",
-        "maintenance": "snapshot_time_travel",
-        "layout": "manifest_pruned_scan",
-        "sources": "named_table_scan",
-        "corpus-prep": "pipeline_token_budget_plan",
-        "sets": "set_except",
-        "subquery": "scalar_subquery",
+        "scan": "orc_scan",
+        "join": "join_inner_agg",
+        "agg": "group_having",
+        "window": "window_rank_topn",
+        "udf": "udaf_grouped_median",
+        "dedup": "dedup_winnowing_fp",
+        "similarity": "embedding_cosine_topk",
+        "retrieval": "docs_chunk_ann_topk",
+        "text": "text_quality_classifier",
+        "streaming": "stream_quality_filter_agg",
+        "maintenance": "merge_upsert_orders",
+        "layout": "manifest_bloom_scan",
+        "sources": "custom_datasource_scan",
+        "corpus-prep": "pipeline_filter_funnel_contam",
+        "sets": "set_intersect",
+        "subquery": "exists_subquery",
     }
     out = [f"{fam}:{n}" for fam, n in families.items() if n not in first50]
     assert not out, f"families without an in-window representative: {out}"
