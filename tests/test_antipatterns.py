@@ -41,7 +41,11 @@ FIRST_ALLOWLIST = {
         "1-row aggs: auto-dispatch ratio, jaccard pair budget, "
         "winnowing pair budget",
     ),
-    "operators/corpus.py": (2, "1-row aggs: l1/budget overflow guards"),
+    "operators/corpus.py": (
+        3,
+        "1-row aggs: l1/budget overflow guards + chunk-ANN "
+        "candidate-mass guard (r12 verdict item 1)",
+    ),
     # candidate-mass fail-fast (r11 verdict item 3): one 1-row agg over
     # the broadcast-sized probe-term df frame before scoring
     "operators/retrieval.py": (1, "1-row agg: candidate-row budget guard"),
