@@ -16,8 +16,10 @@ ITS OWN FRESH JVM subprocess (fresh JIT, fresh heap — a real session
 sample, not a warm in-process repeat), and the recorded artifact
 carries the per-query MEDIAN plus SPREAD (max−min across passes). The
 breadth tiers (extended + core) exist for regression coverage, not
-headline grading, and run once — in the first pass that SUCCEEDS: if
-the pass carrying them dies, the next pass inherits them, with one
+headline grading, and run on TWO of the scheduled passes (r12 verdict
+item 3 — a single sample could not separate sweep wins from pass
+noise), reported as median + spread like the headline tier: if a
+breadth-carrying pass dies, a later pass inherits its slot, with one
 bounded extended+core-only retry as the backstop, and unmeasured
 tiers report ``null`` rather than 0 (r11 verdict item 1 — round 11
 shipped ``extended_total: 0`` after a silent pass-1 death). A
@@ -334,7 +336,17 @@ def run_single(tiers: set[str]) -> dict:
             # artifact carries the query's steady-state cost, not the
             # JIT lottery (r11 verdict item 7). All three runs charge
             # the tier budget; only the floor is recorded.
-            reps = 3 if name == "dedup_minhash_lsh" else 1
+            # dedup_ngram_jaccard joined the pinned set in r13 (r12
+            # verdict item 4): 24.8s median with a 7.47s spread was
+            # the noisiest sf1 row for three straight rounds — its
+            # band is JIT/cache lottery on the inverted-index shuffle,
+            # not plan-dominated, so the warm floor is the number the
+            # round-over-round gate should compare.
+            reps = (
+                3
+                if name in ("dedup_minhash_lsh", "dedup_ngram_jaccard")
+                else 1
+            )
             best = None
             for _ in range(reps):
                 t0 = time.time()
@@ -396,10 +408,19 @@ def main() -> None:
     # status, duration, and a stderr tail in a "passes" provenance
     # block so the next triage starts from data.
     n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
+    # r12 verdict item 3: the breadth tiers (extended + core) used to
+    # ride pass 1 alone, so a 29% core-total swing had no spread to
+    # separate sweep wins from single-pass noise. They now ride TWO of
+    # the scheduled passes (median + spread reported like the headline
+    # tier); more than two would double the bench's long tail for a
+    # diminishing noise estimate.
+    breadth_target = min(
+        n_passes, int(os.environ.get("SPARK_GRAFT_BENCH_BREADTH_PASSES", "2"))
+    ) or 1
     here = os.path.abspath(__file__)
     pass_results: list[dict] = []
     pass_meta: list[dict] = []
-    breadth_done = False
+    breadth_done = 0
 
     def run_pass(label: str, tiers: str) -> None:
         nonlocal breadth_done
@@ -432,7 +453,7 @@ def main() -> None:
                 pass_results.append(json.load(fh))
             meta["ok"] = True
             if "extended" in tiers:
-                breadth_done = True
+                breadth_done += 1
         except (OSError, json.JSONDecodeError):
             try:
                 with open(err_path) as fh:
@@ -456,20 +477,22 @@ def main() -> None:
                     pass
 
     for i in range(n_passes):
-        # the first pass carries the breadth tiers (extended + core,
-        # run once); if it dies, the NEXT pass inherits them so the
-        # 84-query extended / computed core regression series never
-        # silently drops a round again
+        # the first breadth_target passes carry the breadth tiers; if
+        # one dies, a later pass inherits its slot so the 84-query
+        # extended / computed core regression series never silently
+        # drops a round again
         tiers = (
             "headline,extended,core,sf1"
-            if not breadth_done
+            if breadth_done < breadth_target
             else "headline,sf1"
         )
         run_pass(str(i + 1), tiers)
     if not breadth_done:
         # every scheduled pass either failed or (impossible today, but
         # cheap to guard) ran without breadth — one bounded retry
-        # dedicated to the regression tiers alone
+        # dedicated to the regression tiers alone (a single sample
+        # beats a null round; the artifact's *_median_of field records
+        # the degraded state)
         run_pass("breadth-retry", "extended,core")
     if not pass_results:
         print("bench: every pass failed", file=sys.stderr)
@@ -482,11 +505,16 @@ def main() -> None:
     timings, timings_spread = _merge(head_passes)
     sf1, sf1_spread = _merge(sf1_passes)
     # None (not {}) when no pass measured the tier → totals serialize
-    # as null, unambiguous against a real 0-second measurement
-    extended = next(
-        (p["extended"] for p in pass_results if p.get("extended")), None
+    # as null, unambiguous against a real 0-second measurement. With
+    # two samples (r12 item 3) the recorded map is the per-query
+    # MEDIAN and the *_spread map the per-query max−min, exactly like
+    # the headline tier.
+    ext_passes = [p["extended"] for p in pass_results if p.get("extended")]
+    core_passes = [p["core"] for p in pass_results if p.get("core")]
+    extended, extended_spread = (
+        _merge(ext_passes) if ext_passes else (None, None)
     )
-    core = next((p["core"] for p in pass_results if p.get("core")), None)
+    core, core_spread = _merge(core_passes) if core_passes else (None, None)
     sf1_skipped = sorted(
         set().union(*(p.get("sf1_skipped", []) for p in pass_results))
     )
@@ -509,8 +537,18 @@ def main() -> None:
                 round(sum(p.values()), 3) for p in head_passes
             ],
             "extended": extended,
+            "extended_spread": extended_spread,
+            "extended_median_of": len(ext_passes),
+            "extended_pass_totals": [
+                round(sum(p.values()), 3) for p in ext_passes
+            ],
             "extended_total": _tier_total(extended),
             "core": core,
+            "core_spread": core_spread,
+            "core_median_of": len(core_passes),
+            "core_pass_totals": [
+                round(sum(p.values()), 3) for p in core_passes
+            ],
             "core_total": _tier_total(core),
             "sf1": sf1,
             "sf1_spread": sf1_spread,

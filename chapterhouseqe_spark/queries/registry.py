@@ -243,6 +243,7 @@ GRADE_ORDER: tuple[str, ...] = (
 NEXT_WINDOW_PLAN: tuple[str, ...] = (
     # round-13 additions (zero driver evidence until the r14 window;
     # cap ~6 per the standing rule):
+    "pipeline_decontaminate_benchmark",
 )
 
 

@@ -370,6 +370,33 @@ def test_gram_matrix_single_dimension_sized_exchange(queries, spark, sf_dir):
     assert "roundrobin" not in final  # guard the guard: no lowercase form
 
 
+def test_winnowing_fp_plan_shape(queries, spark, sf_dir):
+    # r12 verdict item 6: pin winnowing fingerprints the way the gram
+    # matrix is pinned. The whole operator is one narrow scan-stage
+    # pass (gram hashes -> window minima -> distinct-unnest): zero
+    # joins, zero KEYED exchanges; at most one unkeyed round-robin
+    # (ensure_parallelism splitting a single-file scan — a no-op on a
+    # well-split 100 TB scan). A keyed exchange or join appearing here
+    # means someone turned the per-doc pass into a shuffle.
+    plan = _executed_plan(queries["dedup_winnowing_fp"](spark, sf_dir))
+    assert "Join" not in plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 0
+    assert final.count("Exchange RoundRobinPartitioning") <= 1
+    assert "roundrobin" not in final
+    assert "Exchange SinglePartition" not in final
+
+
+def test_winnowing_overlap_plan_shape(queries, spark, sf_dir):
+    # the pairing half: one broadcast anti-join (hot-fp cap), the pair
+    # join, and the pair-keyed count agg — never a cartesian, never a
+    # single-partition collapse of the pair set
+    plan = _executed_plan(queries["dedup_winnowing_overlap"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange SinglePartition" not in final
+
+
 def test_byte_shards_no_corpus_single_partition(queries, spark, sf_dir):
     # the distributed prefix sum may single-partition ONLY the 64-row
     # bucket-offset frame: the doc-level window must stay bucket-keyed
