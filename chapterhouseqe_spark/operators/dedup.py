@@ -1298,6 +1298,52 @@ def contamination_overlap(
     )
 
 
+def winnow_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark-contamination screen over winnowing fingerprints —
+    the sparse-index sibling of :func:`contamination_overlap`. Both
+    sides fingerprint with :func:`winnow_fingerprints` (Schleimer et
+    al. 2003); a train document is flagged when it shares at least
+    ``min_shared`` distinct fingerprints with the benchmark set.
+
+    Detection contract: winnowing guarantees any shared substring of
+    >= ``k + w - 1`` words yields a shared fingerprint, so at the
+    defaults (k=5, w=4) this catches every >= 8-word verbatim overlap
+    — the SAME passage-length granularity as the dense 8-gram screen —
+    while broadcasting only the benchmark's window minima, ~2/(w+1)
+    of its gram count. The counts differ in meaning: the dense screen
+    totals every shared 8-gram; this one counts shared SELECTED
+    fingerprints (evidence of distinct shared passages), so thresholds
+    calibrate per-screen, not interchangeably.
+
+    Scale shape (100 TB): benchmark fingerprints collect into ONE
+    broadcast hash relation (fixed benchmarks -> constant size as the
+    train corpus scales); the train side is the narrow scan-stage
+    fingerprint pass with no shuffle before the final doc-keyed count,
+    which is map-side combinable. Cost = |train fingerprints| hash
+    probes — ~2.5x fewer rows probed than the dense screen at w=4.
+    """
+    ev = (
+        winnow_fingerprints(eval_df, text_col, id_col, k, w)
+        .select("fp")
+        .distinct()
+    )
+    tr = winnow_fingerprints(train, text_col, id_col, k, w)
+    return (
+        tr.join(F.broadcast(ev), "fp")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_fp"))
+        .filter(F.col("n_shared_fp") >= min_shared)
+    )
+
+
 def segment_dedup(
     df: DataFrame,
     text_col: str,

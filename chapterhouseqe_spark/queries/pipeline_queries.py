@@ -7602,3 +7602,60 @@ def pipeline_decontaminate_benchmark(spark, sf_dir):
     return contamination_overlap(
         train, bench, "text", "doc_id", k=8, min_overlap=1
     )
+
+
+@query(
+    "pipeline_decontaminate_winnow",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+        list_transform(generate_series(1, greatest(len(t) - 4, 0)),
+          i -> ('0x' || substr(md5(
+                 t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                 t[i+3] || ' ' || t[i+4]), 1, 15))::BIGINT) AS h
+      FROM tk
+    ),
+    m AS (
+      SELECT doc_id,
+        list_distinct(list_transform(
+          generate_series(1, greatest(len(h) - 3, 1)),
+          j -> list_min(h[j : j + 3]))) AS fps
+      FROM g
+    ),
+    fp AS (
+      SELECT doc_id, fp FROM (
+        SELECT doc_id, unnest(fps) AS fp FROM m
+      ) WHERE fp IS NOT NULL
+    ),
+    ev AS (SELECT DISTINCT fp FROM fp WHERE doc_id < 40)
+    SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_fp
+    FROM fp f JOIN ev USING (fp)
+    WHERE f.doc_id >= 40
+    GROUP BY f.doc_id
+    """,
+    tags=("pipeline", "hygiene", "dedup"),
+    doc="winnowing-based benchmark decontamination — the sparse-index "
+    "scale path for the same screen pipeline_decontaminate_benchmark "
+    "runs densely: both sides fingerprint with MOSS winnowing (k=5, "
+    "w=4 -> every shared >= 8-word passage guaranteed caught, the "
+    "same granularity as the dense 8-gram screen), the fixed "
+    "<= 40-doc benchmark's fingerprint set broadcasts at ~2/(w+1) of "
+    "its gram count, and the train side is one narrow scan pass + "
+    "a map-side-combinable doc-keyed count. Counts are shared "
+    "SELECTED fingerprints (distinct-passage evidence), not "
+    "exhaustive gram totals "
+    "(operators/dedup.py:winnow_contamination)",
+)
+def pipeline_decontaminate_winnow(spark, sf_dir):
+    from chapterhouseqe_spark.operators.dedup import winnow_contamination
+
+    docs = t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 40)
+    train = docs.filter(F.col("doc_id") >= 40)
+    return winnow_contamination(
+        train, bench, "text", "doc_id", k=5, w=4, min_shared=1
+    )

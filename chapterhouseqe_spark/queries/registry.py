@@ -244,6 +244,7 @@ NEXT_WINDOW_PLAN: tuple[str, ...] = (
     # round-13 additions (zero driver evidence until the r14 window;
     # cap ~6 per the standing rule):
     "pipeline_decontaminate_benchmark",
+    "pipeline_decontaminate_winnow",
 )
 
 

@@ -325,5 +325,9 @@ def test_bench_null_tier_totals_and_warm_floor_reps():
     # carrying them SUCCEEDS, with one bounded retry
     assert "if not breadth_done" in src
     assert '"breadth-retry", "extended,core"' in src
-    # (7): dedup_minhash_lsh runs best-of-3 in the sf1 tier
-    assert 'reps = 3 if name == "dedup_minhash_lsh" else 1' in src
+    # (r11 item 7 / r12 item 4): the two bimodal sf1 rows run
+    # best-of-3 so the artifact records the warm floor
+    assert (
+        'if name in ("dedup_minhash_lsh", "dedup_ngram_jaccard")' in src
+    )
+    assert "best = dt if best is None else min(best, dt)" in src
