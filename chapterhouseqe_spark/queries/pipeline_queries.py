@@ -7556,9 +7556,11 @@ def dedup_winnowing_overlap(spark, sf_dir):
     )
 
 
-@query(
-    "pipeline_decontaminate_benchmark",
-    oracle=r"""
+# Shared by the batch screen below and the streaming ingest screen in
+# streaming_queries.py — the two run the SAME dense 8-gram semantics,
+# so one oracle grades both (a divergence between the batch and
+# streaming paths reds whichever diverged).
+DECONTAM_BENCH_ORACLE = r"""
     WITH toks AS (
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
       FROM documents
@@ -7577,7 +7579,12 @@ def dedup_winnowing_overlap(spark, sf_dir):
     FROM sh JOIN ev USING (s)
     WHERE sh.doc_id >= 40
     GROUP BY sh.doc_id
-    """,
+    """
+
+
+@query(
+    "pipeline_decontaminate_benchmark",
+    oracle=DECONTAM_BENCH_ORACLE,
     tags=("pipeline", "hygiene", "dedup"),
     doc="FIXED-benchmark decontamination (r12 verdict item 7): the "
     "graded funnel stage decontaminates against a corpus-FRACTION "

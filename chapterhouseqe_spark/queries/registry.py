@@ -245,6 +245,7 @@ NEXT_WINDOW_PLAN: tuple[str, ...] = (
     # cap ~6 per the standing rule):
     "pipeline_decontaminate_benchmark",
     "pipeline_decontaminate_winnow",
+    "stream_decontaminate_ingest",
 )
 
 

@@ -1971,3 +1971,121 @@ def stream_quality_filter_agg(spark, sf_dir):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _stream_decontam_oracle() -> str:
+    from chapterhouseqe_spark.queries.pipeline_queries import (
+        DECONTAM_BENCH_ORACLE,
+    )
+
+    return DECONTAM_BENCH_ORACLE
+
+
+@query(
+    "stream_decontaminate_ingest",
+    oracle=_stream_decontam_oracle(),
+    tags=("streaming", "hygiene", "dedup"),
+    doc="fixed-benchmark decontamination AT INGEST: documents stream "
+    "through real micro-batches and each batch is screened against "
+    "the constant <= 40-doc benchmark's 8-gram shingle broadcast "
+    "(operators/dedup.py:contamination_overlap) inside foreachBatch; "
+    "flagged docs land in an idempotent quarantine sink (per-batch "
+    "dynamic partition overwrite -> a replayed batch rewrites its own "
+    "partition instead of duplicating, the exactly-once foreachBatch "
+    "idiom). ZERO streaming state: a document's row lives in exactly "
+    "one micro-batch, so the per-doc overlap count is batch-local — "
+    "no watermark, no state store, and the union of per-batch screens "
+    "equals the full-corpus screen, which is what the (shared batch) "
+    "oracle grades. 100 TB: benchmark broadcast constant, per-batch "
+    "cost linear in batch rows, quarantine appends only flagged docs",
+)
+def stream_decontaminate_ingest(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from chapterhouseqe_spark.operators.dedup import word_shingles
+
+    docs = t(spark, sf_dir, "documents")
+    n_expected = docs.count()
+    data_dir = _stage_stream_source(spark, docs, f"{sf_dir}:{n_expected}")
+    # Compute the benchmark's distinct 8-gram shingle set ONCE and pin
+    # it — the production shape (benchmarks are fixed; their shingles
+    # are derived at deploy time, not per batch). Each micro-batch
+    # then pays only a broadcast build over the pinned rows + one
+    # narrow probe pass; re-deriving the eval side per batch cost
+    # ~1.4s/batch of pure re-computation in the first cut (25-batch
+    # sf1 run: 36.2s -> see PLANS.md for the post-pin number).
+    ev = (
+        docs.filter(F.col("doc_id") < 40)
+        .select(F.explode(word_shingles(F.col("text"), 8)).alias("s"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    tmp = tempfile.mkdtemp(prefix="chqe_stream_decontam_")
+    out_dir = f"{tmp}/quarantine"
+    os.makedirs(out_dir)
+    sink_schema = "doc_id bigint, n_overlap bigint, _batch_id bigint"
+
+    def _screen(batch, batch_id):
+        tr = batch.filter(F.col("doc_id") >= 40).select(
+            F.col("doc_id"),
+            F.explode(word_shingles(F.col("text"), 8)).alias("s"),
+        )
+        flagged = (
+            tr.join(F.broadcast(ev), "s")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_overlap"))
+            .filter(F.col("n_overlap") >= 1)
+        )
+        (
+            flagged.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
+
+    try:
+        # Two staged files (~4k docs) per trigger => the larger scales
+        # really run MULTIPLE micro-batches (sf0.1: 2, sf1: 13), so the
+        # batch-local-aggregation and per-batch-partition idempotence
+        # claims are exercised, not vacuously true on one all-files
+        # batch (availableNow's default chunking). Production ingest
+        # would batch by arrival; the per-batch cost here is the same
+        # screen at whatever the batch size is. The shuffle-width pin
+        # covers the foreachBatch groupBy: a ~4k-doc batch on 32
+        # shuffle tasks is pure scheduling overhead (instrumented
+        # ~0.85s/batch fixed cost at width 32); 8 matches the batch
+        # size. Same single-threaded-session contract as the stateful
+        # streams that use this helper.
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(data_dir)
+        )
+        with stream_state_partitions(spark, 8):
+            q = (
+                stream.writeStream.foreachBatch(_screen)
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            finished = q.awaitTermination(300)
+        if not finished:
+            q.stop()
+            raise RuntimeError(
+                "stream_decontaminate_ingest: stream did not finish in "
+                "300s — infra stall, not a query bug"
+            )
+        # availableNow + finished => every input file's batch committed.
+        # Materialize before the tmp cleanup (the returned frame must
+        # not read a deleted sink); flagged sets are tiny by design.
+        return (
+            spark.read.schema(sink_schema)
+            .parquet(out_dir)
+            .select("doc_id", "n_overlap")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
