@@ -1504,3 +1504,95 @@ def hashed_linear_score(
         .select(F.col(id_col), score.alias("score"))
         .withColumn("is_quality", F.col("score") > 0)
     )
+
+
+def perceptron_train(
+    df: DataFrame,
+    label: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 16,
+    epochs: int = 3,
+) -> DataFrame:
+    """Train a linear classifier IN-ENGINE: batch perceptron over
+    hashed bag-of-words features (Rosenblatt's update, applied in
+    batch: ``w += sum over misclassified docs of y * x`` per epoch).
+    Completes the classifier family — :func:`hashed_linear_score` is
+    inference, the streaming variant is in-stream inference, this is
+    the training step that produces the weights they consume.
+
+    The batch (not sequential) update is the point for BOTH engines
+    and both scales:
+
+    - **Exactness**: features are exact integer counts
+      (:func:`hashed_bow_embedding`), labels are +/-1, the epoch
+      update is an ORDER-FREE integer sum — so the whole training loop
+      is replayable bit-for-bit by any engine (the DuckDB oracle
+      re-trains and must land on identical weights). Sequential
+      perceptron depends on row order — meaningless on a distributed
+      shuffle-ordered corpus.
+    - **Scale**: one epoch = ONE aggregation job over the cached
+      feature frame — dim partial sums + a misclassification count,
+      map-side combinable, no shuffle wider than the single reduced
+      row. Weights travel between epochs as plan literals (the
+      degenerate broadcast, same seam as inference). Driver state is
+      the dim-sized weight vector — bounded, epochs * dim values.
+
+    100 TB: the feature pass runs ONCE (persisted + materialized at
+    the seam — every epoch re-reading the corpus would re-run the
+    per-token md5 fold ``epochs`` times, the multi-reference-lineage
+    antipattern); each epoch then costs one cache scan. Magnitudes:
+    |w_j| <= epochs * total_tokens stays far below 2^53, so the
+    long arithmetic is exact.
+
+    Returns ``(j, weight, n_mis_last)``: the trained weight per
+    feature index plus the misclassified-doc count entering the LAST
+    update (constant across rows — a convergence diagnostic that
+    rides along without a second output shape).
+    """
+    from chapterhouseqe_spark.operators.util import ensure_parallelism
+
+    if dim < 1 or epochs < 1:
+        raise ValueError("need dim >= 1 and epochs >= 1")
+    feats = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            label.cast("long").alias("y"),
+            hashed_bow_embedding(F.col(text_col), dim).alias("c"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    feats.count()  # materialize at the seam: epochs jobs read the cache
+    try:
+        w = [0] * dim
+        n_mis = 0
+        for _ in range(epochs):
+            dot = F.lit(0).cast("long")
+            for j, wj in enumerate(w):
+                if wj != 0:
+                    dot = dot + F.lit(int(wj)) * F.element_at(
+                        F.col("c"), j + 1
+                    ).cast("long")
+            mis = feats.filter(F.col("y") * dot <= 0)
+            row = mis.agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(
+                        F.col("y")
+                        * F.element_at(F.col("c"), j + 1).cast("long")
+                    ).alias(f"d{j}")
+                    for j in range(dim)
+                ],
+            ).first()
+            n_mis = row["n"]
+            if n_mis == 0:
+                break  # converged: every later epoch is a no-op
+            w = [w[j] + row[f"d{j}"] for j in range(dim)]
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [(j, int(w[j]), int(n_mis)) for j in range(dim)],
+            "j int, weight bigint, n_mis_last bigint",
+        )
+    finally:
+        feats.unpersist()

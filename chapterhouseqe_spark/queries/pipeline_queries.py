@@ -7666,3 +7666,82 @@ def pipeline_decontaminate_winnow(spark, sf_dir):
     return winnow_contamination(
         train, bench, "text", "doc_id", k=5, w=4, min_shared=1
     )
+
+
+@query(
+    "perceptron_train_weights",
+    oracle=r"""
+    WITH js AS (SELECT unnest(generate_series(0, 15)) AS j),
+    feats AS (
+      SELECT doc_id,
+        (CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 60
+              THEN 1 ELSE -1 END)::BIGINT AS y,
+        list_transform(generate_series(0, 15), j ->
+          len(list_filter(
+            list_transform(string_split_regex(trim(text), '\s+'),
+                           t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 16),
+            h -> h = j))::BIGINT) AS c
+      FROM documents
+    ),
+    w0 AS (SELECT j, 0::BIGINT AS w FROM js),
+    wl0 AS (SELECT list(w ORDER BY j) AS wl FROM w0),
+    mis1 AS (
+      SELECT f.y, f.c FROM feats f, wl0
+      WHERE f.y * list_reduce(list_prepend(0::BIGINT,
+          list_transform(generate_series(1, 16), i -> wl0.wl[i] * f.c[i])),
+          (a, b) -> a + b) <= 0
+    ),
+    u1 AS (SELECT js.j, SUM(m.y * m.c[js.j + 1])::BIGINT AS dw
+           FROM mis1 m CROSS JOIN js GROUP BY js.j),
+    w1 AS (SELECT w0.j, w0.w + COALESCE(u1.dw, 0) AS w
+           FROM w0 LEFT JOIN u1 USING (j)),
+    wl1 AS (SELECT list(w ORDER BY j) AS wl FROM w1),
+    mis2 AS (
+      SELECT f.y, f.c FROM feats f, wl1
+      WHERE f.y * list_reduce(list_prepend(0::BIGINT,
+          list_transform(generate_series(1, 16), i -> wl1.wl[i] * f.c[i])),
+          (a, b) -> a + b) <= 0
+    ),
+    u2 AS (SELECT js.j, SUM(m.y * m.c[js.j + 1])::BIGINT AS dw
+           FROM mis2 m CROSS JOIN js GROUP BY js.j),
+    w2 AS (SELECT w1.j, w1.w + COALESCE(u2.dw, 0) AS w
+           FROM w1 LEFT JOIN u2 USING (j)),
+    wl2 AS (SELECT list(w ORDER BY j) AS wl FROM w2),
+    mis3 AS (
+      SELECT f.y, f.c FROM feats f, wl2
+      WHERE f.y * list_reduce(list_prepend(0::BIGINT,
+          list_transform(generate_series(1, 16), i -> wl2.wl[i] * f.c[i])),
+          (a, b) -> a + b) <= 0
+    ),
+    u3 AS (SELECT js.j, SUM(m.y * m.c[js.j + 1])::BIGINT AS dw
+           FROM mis3 m CROSS JOIN js GROUP BY js.j),
+    w3 AS (SELECT w2.j, w2.w + COALESCE(u3.dw, 0) AS w
+           FROM w2 LEFT JOIN u3 USING (j))
+    SELECT w3.j, w3.w AS weight,
+           (SELECT COUNT(*) FROM mis3)::BIGINT AS n_mis_last
+    FROM w3
+    """,
+    tags=("pipeline", "quality", "train"),
+    doc="in-engine classifier TRAINING: 3 epochs of batch perceptron "
+    "over hashed bag-of-words features (dim 16), labels from a "
+    "length rule (>= 60 words). The batch update (w += sum over "
+    "misclassified of y*x per epoch) is an ORDER-FREE integer sum, "
+    "so the whole training loop replays bit-for-bit in the oracle — "
+    "which re-trains from scratch with three unrolled epochs and "
+    "must land on IDENTICAL weights. One cached feature scan + one "
+    "dim-wide global aggregation per epoch; weights travel between "
+    "epochs as plan literals. Completes the classifier family: "
+    "train (this) -> batch inference (text_quality_classifier) -> "
+    "in-stream inference (stream_quality_filter_agg) "
+    "(operators/corpus.py:perceptron_train)",
+)
+def perceptron_train_weights(spark, sf_dir):
+    from chapterhouseqe_spark.operators.corpus import perceptron_train
+
+    docs = t(spark, sf_dir, "documents")
+    label = F.when(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 60, 1
+    ).otherwise(-1)
+    return perceptron_train(
+        docs, label, "text", "doc_id", dim=16, epochs=3
+    )

@@ -42,9 +42,10 @@ FIRST_ALLOWLIST = {
         "winnowing pair budget",
     ),
     "operators/corpus.py": (
-        3,
+        4,
         "1-row aggs: l1/budget overflow guards + chunk-ANN "
-        "candidate-mass guard (r12 verdict item 1)",
+        "candidate-mass guard (r12 verdict item 1) + the perceptron "
+        "epoch update (one dim-wide row per epoch, epochs bounded)",
     ),
     # candidate-mass fail-fast (r11 verdict item 3): one 1-row agg over
     # the broadcast-sized probe-term df frame before scoring

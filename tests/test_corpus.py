@@ -215,3 +215,45 @@ def test_write_training_shards_round_trip(spark, sf_dir, tmp_path):
     one = back.filter("shard = 0").coalesce(1).collect()
     ps = [r.pos for r in sorted(one, key=lambda r: r.pos)]
     assert ps == list(range(1, len(ps) + 1))
+
+
+def test_perceptron_train_converges_and_matches_hand_math(spark):
+    """Separable fixture: 'alpha'(slot 11) x4 tokens labeled +1, one
+    'delta'(slot 1) token labeled -1. Epoch 1 from w=0 updates on every
+    doc (y*0 <= 0): w[11] = +4*n_pos, w[1] = -n_neg; epoch 2 classifies
+    everything correctly -> the loop must early-break with
+    n_mis_last = 0 and leave the epoch-1 weights untouched."""
+    from pyspark.sql import functions as F
+
+    from chapterhouseqe_spark.operators.corpus import perceptron_train
+
+    rows = [(i, "alpha alpha alpha alpha") for i in range(3)] + [
+        (i, "delta") for i in range(3, 8)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    label = F.when(F.col("doc_id") < 3, 1).otherwise(-1)
+    got = {
+        r.j: (r.weight, r.n_mis_last)
+        for r in perceptron_train(
+            docs, label, "text", "doc_id", dim=16, epochs=5
+        ).collect()
+    }
+    assert len(got) == 16
+    assert all(n == 0 for _, n in got.values())  # converged, early break
+    expected = {j: 0 for j in range(16)}
+    expected[11] = 4 * 3  # 4 'alpha' tokens x 3 positive docs
+    expected[1] = -5  # 1 'delta' token x 5 negative docs
+    assert {j: w for j, (w, _) in got.items()} == expected
+
+
+def test_perceptron_train_validates_params(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from chapterhouseqe_spark.operators.corpus import perceptron_train
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        perceptron_train(docs, F.lit(1), dim=0)
+    with pytest.raises(ValueError):
+        perceptron_train(docs, F.lit(1), epochs=0)
