@@ -778,3 +778,139 @@ def hll_sliding_oracle_sql(
            ex.n_exact AS n_exact
     FROM s JOIN ex USING (window_start)
     """
+
+
+# --- MinHash signatures as a mergeable sketch ------------------------
+
+# Universal-hash modulus: 2^31 - 1 (Mersenne prime). Base hashes and
+# multipliers stay below 2^31, so a*x + b < 2^62 fits signed 64-bit
+# arithmetic EXACTLY in both engines — the whole signature pipeline is
+# integer math, bit-replayable by the SQL oracle.
+MINHASH_P = 2_147_483_647
+
+
+def minhash_params(num_hashes: int, seed: int = 13) -> list[tuple[int, int]]:
+    """Seeded (a, b) pairs for the universal hash family
+    ``h_i(x) = (a_i * x + b_i) mod P`` — shared by the Spark
+    expressions and the oracle-SQL literal table so both engines run
+    the identical family."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    return [
+        (rng.randrange(1, MINHASH_P), rng.randrange(0, MINHASH_P))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_params_sql(num_hashes: int, seed: int = 13) -> str:
+    """The same params as a SQL VALUES body: ``(i, a, b), ...``."""
+    return ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(minhash_params(num_hashes, seed))
+    )
+
+
+def minhash_group_signatures(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    num_hashes: int = 64,
+    seed: int = 13,
+) -> DataFrame:
+    """Per-group MinHash signature over a set-element column: one
+    ``array<bigint>`` of ``num_hashes`` component minima per group —
+    the classic mergeable sketch (Broder 1997). Signatures of shards
+    merge by COMPONENTWISE MIN, which is exactly what the map-side
+    partial aggregation below already does, so a 100 TB corpus pays
+    ONE scan and a ``num_groups``-row exchange of partial minima — no
+    per-document shuffle, no pairing. Duplicate elements cannot move a
+    min, so no pre-distinct pass is needed.
+
+    The base hash is the engine-wide md5 -> 60-bit idiom folded into
+    [0, P); the family is ``(a_i * x + b_i) mod P`` with seeded
+    literal coefficients (:func:`minhash_params`) — all integer, so
+    the oracle replays the signature bit-for-bit.
+    """
+    if num_hashes < 1:
+        raise ValueError("need num_hashes >= 1")
+    x = (
+        F.conv(F.substring(F.md5(F.col(key_col)), 1, 15), 16, 10).cast(
+            "long"
+        )
+        % F.lit(MINHASH_P)
+    )
+    # materialize the base hash ONCE per row; the num_hashes agg
+    # expressions below each reference the aliased column, not a
+    # fresh copy of the md5 fold
+    prepped = df.select(F.col(group_col).alias("g"), x.alias("x"))
+    params = minhash_params(num_hashes, seed)
+    sig = prepped.groupBy("g").agg(
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MINHASH_P)).alias(
+                f"h{i}"
+            )
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    return sig.select(
+        F.col("g").alias(group_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def source_similarity_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    k: int = 3,
+    num_hashes: int = 64,
+    seed: int = 13,
+) -> DataFrame:
+    """Pairwise corpus-level similarity BETWEEN SOURCES: estimated
+    shingle-set Jaccard for every source pair from their MinHash
+    signatures — the curation question "how much does source A
+    duplicate source B" answered without ever pairing documents.
+
+    est_jaccard = (# matching signature components) / num_hashes, an
+    unbiased Jaccard estimator with std err ~ 1/sqrt(num_hashes).
+    The division is by a power of two, so even the double result is
+    bit-exact across engines.
+
+    100 TB shape: one scan + shingle explode, ONE map-side-combinable
+    min-aggregation to ``n_sources`` signature rows, then an
+    ``n_sources^2``-row comparison — trivially small (sources are
+    crawls/registries, not documents). This is the sketch-algebra
+    member of the dedup family: minhash_lsh_pairs answers "which DOC
+    pairs overlap", this answers "which SOURCE pairs overlap".
+    """
+    from chapterhouseqe_spark.operators.dedup import word_shingles
+
+    sh = df.select(
+        F.col(source_col),
+        F.explode(word_shingles(F.col(text_col), k)).alias("s"),
+    )
+    sigs = minhash_group_signatures(sh, "s", source_col, num_hashes, seed)
+    a = sigs.select(
+        F.col(source_col).alias("src_a"), F.col("sig").alias("sig_a")
+    )
+    b = sigs.select(
+        F.col(source_col).alias("src_b"), F.col("sig").alias("sig_b")
+    )
+    n_match = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda u, v: u == v),
+            lambda m: m,
+        )
+    )
+    # est_jaccard derives from the ALIASED n_match attribute (the
+    # repo-wide declined-CSE discipline: referencing the zip_with
+    # fold twice in one projection would evaluate it twice per row)
+    return (
+        a.join(b, F.col("src_a") < F.col("src_b"))
+        .select("src_a", "src_b", n_match.cast("bigint").alias("n_match"))
+        .withColumn(
+            "est_jaccard",
+            F.col("n_match").cast("double") / F.lit(float(num_hashes)),
+        )
+    )

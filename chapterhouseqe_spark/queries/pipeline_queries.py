@@ -7745,3 +7745,74 @@ def perceptron_train_weights(spark, sf_dir):
     return perceptron_train(
         docs, label, "text", "doc_id", dim=16, epochs=3
     )
+
+
+def _source_minhash_oracle() -> str:
+    from chapterhouseqe_spark.operators.sketches import minhash_params_sql
+
+    return rf"""
+    WITH params(i, a, b) AS (VALUES {minhash_params_sql(64, seed=13)}),
+    toks AS (
+      SELECT source, string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT source,
+             ('0x' || substr(md5(
+                w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15))::BIGINT
+               % 2147483647 AS x
+      FROM (SELECT source, w,
+                   unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+            FROM toks) z
+    ),
+    sigs AS (
+      SELECT sh.source, p.i, MIN((p.a * sh.x + p.b) % 2147483647) AS h
+      FROM sh CROSS JOIN params p
+      GROUP BY sh.source, p.i
+    ),
+    sigl AS (
+      SELECT source, list(h ORDER BY i) AS sig FROM sigs GROUP BY source
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           len(list_filter(
+             list_transform(generate_series(1, 64),
+                            i -> a.sig[i] = b.sig[i]),
+             v -> v))::BIGINT AS n_match,
+           len(list_filter(
+             list_transform(generate_series(1, 64),
+                            i -> a.sig[i] = b.sig[i]),
+             v -> v)) / 64.0 AS est_jaccard
+    FROM sigl a JOIN sigl b ON a.source < b.source
+    """
+
+
+@query(
+    "source_similarity_minhash",
+    oracle=_source_minhash_oracle(),
+    tags=("pipeline", "dedup", "sketch"),
+    doc="pairwise SOURCE-level shingle-Jaccard estimates from "
+    "mergeable MinHash signatures (Broder 1997): one scan + shingle "
+    "explode, one map-side-combinable 64-way min aggregation to "
+    "n_sources signature rows, then an n_sources^2 comparison — "
+    "'how much does source A duplicate source B' without pairing a "
+    "single document. Universal hashes (a*x+b) mod 2^31-1 over the "
+    "md5 base keep every component integer-exact, so the oracle "
+    "replays the signatures bit-for-bit; est_jaccard divides by a "
+    "power of two (bit-exact double). Signatures of shards merge by "
+    "componentwise min — the mergeable-sketch contract the HLL/CMS "
+    "family already carries "
+    "(operators/sketches.py:source_similarity_minhash)",
+)
+def source_similarity_minhash_q(spark, sf_dir):
+    from chapterhouseqe_spark.operators.sketches import (
+        source_similarity_minhash,
+    )
+
+    return source_similarity_minhash(
+        t(spark, sf_dir, "documents"),
+        "text",
+        "source",
+        k=3,
+        num_hashes=64,
+        seed=13,
+    )

@@ -247,6 +247,7 @@ NEXT_WINDOW_PLAN: tuple[str, ...] = (
     "pipeline_decontaminate_winnow",
     "stream_decontaminate_ingest",
     "perceptron_train_weights",
+    "source_similarity_minhash",
 )
 
 
