@@ -1864,13 +1864,19 @@ _STREAM_STAGE: dict[str, str] = {}
 
 
 def _stage_stream_source(spark, docs, key: str) -> str:
+    import atexit
     import os
+    import shutil
     import tempfile
 
     path = _STREAM_STAGE.get(key)
     if path and os.path.isdir(path):
         return path
     tmp = tempfile.mkdtemp(prefix="chqe_stream_stage_")
+    # session-lifetime cache, but not beyond: reclaim the staged copy
+    # when the process exits (nothing reads it after the session dies,
+    # and repeated bench/check runs would otherwise accumulate copies)
+    atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     data_dir = f"{tmp}/data"
     # ~2k rows per file: multi-file micro-batch parallelism at every
     # probe scale without a tiny-file explosion (sf0.1 -> ~3 files,
