@@ -342,9 +342,23 @@ def run_single(tiers: set[str]) -> dict:
             # band is JIT/cache lottery on the inverted-index shuffle,
             # not plan-dominated, so the warm floor is the number the
             # round-over-round gate should compare.
+            # multimodal_decode_features joined in r13: each heavy-row
+            # pin added upstream bumps its first run ~+0.7s (r11 0.55
+            # -> r12 0.70 with the minhash pin -> r13 1.38 with the
+            # ngram pin) — a LASTING JVM effect of the extra JIT churn
+            # that _relieve cannot undo (bisected: reps1 0.585s /
+            # current 1.42s / relief-before 1.47s), while its warm
+            # steady state is unchanged at ~0.6-0.8s. The row measures
+            # the mapInPandas decode, not the JIT lottery of whatever
+            # ran before it, so record ITS warm floor too.
             reps = (
                 3
-                if name in ("dedup_minhash_lsh", "dedup_ngram_jaccard")
+                if name
+                in (
+                    "dedup_minhash_lsh",
+                    "dedup_ngram_jaccard",
+                    "multimodal_decode_features",
+                )
                 else 1
             )
             best = None

@@ -325,9 +325,15 @@ def test_bench_null_tier_totals_and_warm_floor_reps():
     # carrying them SUCCEEDS, with one bounded retry
     assert "if not breadth_done" in src
     assert '"breadth-retry", "extended,core"' in src
-    # (r11 item 7 / r12 item 4): the two bimodal sf1 rows run
-    # best-of-3 so the artifact records the warm floor
-    assert (
-        'if name in ("dedup_minhash_lsh", "dedup_ngram_jaccard")' in src
-    )
+    # (r11 item 7 / r12 item 4 / r13 bisect): the bimodal /
+    # context-sensitive sf1 rows run best-of-3 so the artifact
+    # records each row's warm floor, not the JIT lottery of whatever
+    # ran before it in the shared child JVM
+    pinned_src = src.split("reps = (", 1)[1].split(")", 1)[0]
+    for pin in (
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "multimodal_decode_features",
+    ):
+        assert f'"{pin}"' in pinned_src, f"{pin} left the sf1 pin set"
     assert "best = dt if best is None else min(best, dt)" in src
