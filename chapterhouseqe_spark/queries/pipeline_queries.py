@@ -7816,3 +7816,88 @@ def source_similarity_minhash_q(spark, sf_dir):
         num_hashes=64,
         seed=13,
     )
+
+
+@query(
+    "pipeline_decontaminate_chunks",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    ev AS (
+      SELECT DISTINCT
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] ||
+             ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' ||
+             w[i+7] AS s
+      FROM (SELECT w, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS i
+            FROM tk WHERE doc_id < 40) z
+    ),
+    n AS (
+      SELECT doc_id, w,
+        CASE WHEN len(w) <= 32 THEN 1
+             ELSE 1 + (len(w) - 32 + 23) // 24 END AS nc
+      FROM tk WHERE doc_id >= 40
+    ),
+    ex AS (
+      SELECT doc_id, w, unnest(generate_series(0, nc - 1)) AS i FROM n
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        string_split_regex(array_to_string(
+          w[CAST(i * 24 + 1 AS INT) : CAST(i * 24 + 32 AS INT)], ' '
+        ), '\s+') AS cw
+      FROM ex
+    ),
+    csh AS (
+      SELECT DISTINCT doc_id, chunk_idx,
+        cw[i] || ' ' || cw[i+1] || ' ' || cw[i+2] || ' ' || cw[i+3] ||
+        ' ' || cw[i+4] || ' ' || cw[i+5] || ' ' || cw[i+6] || ' ' ||
+        cw[i+7] AS s
+      FROM (SELECT doc_id, chunk_idx, cw,
+                   unnest(generate_series(1, greatest(len(cw) - 7, 0))) AS i
+            FROM chunks) z
+    )
+    SELECT c.doc_id, c.chunk_idx, CAST(COUNT(*) AS BIGINT) AS n_overlap
+    FROM csh c JOIN ev USING (s)
+    GROUP BY c.doc_id, c.chunk_idx
+    """,
+    tags=("pipeline", "hygiene", "dedup", "chunking"),
+    doc="CHUNK-level benchmark decontamination: flag contaminated "
+    "token windows instead of discarding whole documents — the "
+    "data-efficient production screen (one leaked passage should "
+    "cost one window, not a book). Train docs chunk by the standard "
+    "token windows (size=32, stride=24); each chunk's 8-gram set "
+    "probes the same fixed-benchmark broadcast the doc-level screen "
+    "uses. COVERAGE IS EXACT, not approximate: size - stride = 8 = "
+    "the gram width, so every 8-gram of the document lies fully "
+    "inside at least one window (a k-gram always fits when "
+    "size - stride >= k - 1) — the union of flagged chunks witnesses "
+    "every overlap the doc-level screen catches. One narrow "
+    "chunk+shingle pass, one constant broadcast, one map-side-"
+    "combinable (doc, chunk)-keyed count "
+    "(operators/corpus.py:chunk_token_windows + "
+    "operators/dedup.py:word_shingles)",
+)
+def pipeline_decontaminate_chunks(spark, sf_dir):
+    from chapterhouseqe_spark.operators.corpus import chunk_token_windows
+    from chapterhouseqe_spark.operators.dedup import word_shingles
+
+    docs = t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 40)
+    train = docs.filter(F.col("doc_id") >= 40)
+    ev = (
+        bench.select(F.explode(word_shingles(F.col("text"), 8)).alias("s"))
+        .distinct()
+    )
+    ch = chunk_token_windows(train, "text", "doc_id", size=32, stride=24)
+    tr = ch.select(
+        "doc_id",
+        "chunk_idx",
+        F.explode(word_shingles(F.col("chunk_text"), 8)).alias("s"),
+    )
+    return (
+        tr.join(F.broadcast(ev), "s")
+        .groupBy("doc_id", "chunk_idx")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )

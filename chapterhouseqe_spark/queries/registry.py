@@ -248,6 +248,7 @@ NEXT_WINDOW_PLAN: tuple[str, ...] = (
     "stream_decontaminate_ingest",
     "perceptron_train_weights",
     "source_similarity_minhash",
+    "pipeline_decontaminate_chunks",
 )
 
 

@@ -105,3 +105,26 @@ def test_source_similarity_identical_and_disjoint(spark):
     assert got[("srcA", "srcB")] == 1.0
     assert got[("srcA", "srcC")] < 0.2
     assert got[("srcB", "srcC")] < 0.2
+
+
+def test_chunk_screen_covers_exactly_the_doc_screen(spark):
+    """The size-stride coverage claim, proven on real data: with
+    size - stride = 8 = the gram width, every 8-gram lies fully inside
+    at least one window, so the SET OF FLAGGED DOCUMENTS from the
+    chunk-level screen equals the doc-level screen's — no overlap can
+    hide in a window boundary, and chunks can't flag grams the doc
+    doesn't have."""
+    from chapterhouseqe_spark.queries.registry import get_queries
+
+    q = get_queries()
+    sf = "/root/testdata/sf0.001"
+    doc_level = {
+        r.doc_id
+        for r in q["pipeline_decontaminate_benchmark"](spark, sf).collect()
+    }
+    chunk_level = {
+        r.doc_id
+        for r in q["pipeline_decontaminate_chunks"](spark, sf).collect()
+    }
+    assert doc_level == chunk_level
+    assert doc_level  # non-vacuous: the corpus has planted overlaps
