@@ -337,3 +337,40 @@ def test_bench_null_tier_totals_and_warm_floor_reps():
     ):
         assert f'"{pin}"' in pinned_src, f"{pin} left the sf1 pin set"
     assert "best = dt if best is None else min(best, dt)" in src
+
+
+def test_regression_gate_tiers():
+    """The breadth tiers got two-sample medians in r13; the gate must
+    be able to diff them round-over-round (BENCH_LOCAL_r{N}.json
+    snapshots) with tier-scoped waivers — a mover fails with the
+    tier's own waiver key, and the sf1 path is unchanged."""
+    import json
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with tempfile.TemporaryDirectory() as d:
+        a, b = os.path.join(d, "a.json"), os.path.join(d, "b.json")
+        with open(a, "w") as fh:
+            json.dump({"core": {"q_slow": [2.0, 0.1], "q_ok": [1.0, 0.1]},
+                       "sf1": {"q_slow": 2.0}}, fh)
+        with open(b, "w") as fh:
+            json.dump({"core": {"q_slow": [4.1, 0.1], "q_ok": [1.05, 0.1]},
+                       "sf1": {"q_slow": 2.1}}, fh)
+        gate = os.path.join(root, "tools", "sf1_regression_gate.py")
+        r = subprocess.run(
+            [sys.executable, gate, "--tier", "core", a, b],
+            capture_output=True, text=True, cwd=root,
+        )
+        assert r.returncode == 1
+        assert "q_slow" in r.stdout
+        assert "core-regression-ok" in r.stderr  # tier-scoped waiver key
+        # sf1 tier of the same pair: 1.05x mover is under threshold
+        r2 = subprocess.run(
+            [sys.executable, gate, "--tier", "sf1", a, b],
+            capture_output=True, text=True, cwd=root,
+        )
+        assert r2.returncode == 0
+        assert "no movers above threshold" in r2.stdout

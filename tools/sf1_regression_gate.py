@@ -46,25 +46,35 @@ THRESHOLD = 1.5
 FLOOR_SEC = 0.5
 
 
-def extract_sf1(path: str) -> dict[str, float] | None:
-    """Pull the per-query sf1 map out of any bench output shape.
+def extract_map(path: str, tier: str = "sf1") -> dict[str, float] | None:
+    """Pull a per-query tier map out of any bench output shape.
 
     Values are MEDIANS: r11+ artifacts carry ``[median, spread]``
     pairs (bench.py median-of-N isolated passes — r10 verdict item 2);
     r9/r10 artifacts carry flat single-pass floats. The gate diffs the
     medians so a page-cache-band outlier session can no longer read as
-    a regression."""
+    a regression. ``tier`` selects sf1 (driver artifacts + local runs)
+    or extended/core (two-sample medians since r13 — local
+    ``BENCH_LOCAL_r{N}.json`` snapshots + bench_last.json only, since
+    the driver's compact line carries breadth TOTALS, not maps)."""
     with open(path) as fh:
         d = json.load(fh)
     if isinstance(d.get("parsed"), dict):  # driver BENCH_r{N}.json
         d = d["parsed"]
-    m = d.get("sf1_queries") or d.get("sf1")
+    if tier == "sf1":
+        m = d.get("sf1_queries") or d.get("sf1")
+    else:
+        m = d.get(tier)
     if not m:
         return None
     return {
         n: float(v[0]) if isinstance(v, (list, tuple)) else float(v)
         for n, v in m.items()
     }
+
+
+def extract_sf1(path: str) -> dict[str, float] | None:
+    return extract_map(path, "sf1")
 
 
 def _round_num(path: str) -> int:
@@ -75,7 +85,7 @@ def _round_num(path: str) -> int:
         return -1
 
 
-def candidate_sources() -> list[tuple[str, dict[str, float]]]:
+def candidate_sources(tier: str = "sf1") -> list[tuple[str, dict[str, float]]]:
     """All map-bearing sources, oldest -> newest. Artifacts order by
     the ROUND NUMBER in the filename (mtimes don't survive git
     checkouts, so mtime order can invert after a fresh clone);
@@ -83,7 +93,11 @@ def candidate_sources() -> list[tuple[str, dict[str, float]]]:
     mtime-newer than the newest artifact (a fresh round-close run) —
     a stale bench_last from a prior round is skipped, its round's
     artifact already carries that map."""
-    paths = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")), key=_round_num)
+    pattern = "BENCH_r*.json" if tier == "sf1" else "BENCH_LOCAL_r*.json"
+    paths = sorted(glob.glob(os.path.join(REPO, pattern)), key=_round_num)
+    paths = [p for p in paths if "LOCAL" in p] if tier != "sf1" else [
+        p for p in paths if "LOCAL" not in p
+    ]
     last = os.path.join(REPO, "bench_last.json")
     if os.path.exists(last) and (
         not paths
@@ -93,7 +107,7 @@ def candidate_sources() -> list[tuple[str, dict[str, float]]]:
     out = []
     for p in paths:
         try:
-            m = extract_sf1(p)
+            m = extract_map(p, tier)
         except (json.JSONDecodeError, OSError):
             continue
         if m:
@@ -105,14 +119,15 @@ def candidate_sources() -> list[tuple[str, dict[str, float]]]:
     return out
 
 
-def waivers() -> set[str]:
+def waivers(tier: str = "sf1") -> set[str]:
     names: set[str] = set()
     plans = os.path.join(REPO, "PLANS.md")
     if not os.path.exists(plans):
         return names
+    key = f"{tier}-regression-ok:"
     for line in open(plans):
-        if "sf1-regression-ok:" in line:
-            frag = line.split("sf1-regression-ok:", 1)[1].strip()
+        if key in line:
+            frag = line.split(key, 1)[1].strip()
             if frag:
                 names.add(frag.split()[0].strip(":,"))
     return names
@@ -139,25 +154,35 @@ def main() -> int:
         action="store_true",
         help="append the diff summary to PLANS.md",
     )
+    ap.add_argument(
+        "--tier",
+        choices=("sf1", "extended", "core"),
+        default="sf1",
+        help="which per-query map to diff (breadth tiers use the "
+        "BENCH_LOCAL_r{N}.json snapshots, two-sample medians)",
+    )
     args = ap.parse_args()
 
     if args.pair:
         if len(args.pair) != 2:
             print("need exactly two paths (PREV CUR)", file=sys.stderr)
             return 2
-        srcs = [(p, extract_sf1(p)) for p in args.pair]
+        srcs = [(p, extract_map(p, args.tier)) for p in args.pair]
         if any(m is None for _, m in srcs):
-            print("no sf1 map in one of the inputs", file=sys.stderr)
+            print(f"no {args.tier} map in one of the inputs", file=sys.stderr)
             return 2
     else:
-        srcs = candidate_sources()[-2:]
+        srcs = candidate_sources(args.tier)[-2:]
         if len(srcs) < 2:
-            print("sf1-gate: fewer than two sf1 maps exist — nothing to diff")
+            print(
+                f"{args.tier}-gate: fewer than two {args.tier} maps "
+                "exist — nothing to diff"
+            )
             return 0
 
     (prev_path, prev), (cur_path, cur) = srcs
     movers = diff_maps(prev, cur)
-    waived = waivers()
+    waived = waivers(args.tier)
     bad = [m for m in movers if m[0] not in waived]
     shared = set(prev) & set(cur)
     imp = sorted(
@@ -166,7 +191,7 @@ def main() -> int:
     )[:3]
 
     print(
-        f"sf1-gate: {os.path.basename(prev_path)} -> "
+        f"{args.tier}-gate: {os.path.basename(prev_path)} -> "
         f"{os.path.basename(cur_path)}  ({len(shared)} shared queries, "
         f"threshold {THRESHOLD}x above {FLOOR_SEC}s)"
     )
@@ -182,7 +207,7 @@ def main() -> int:
     if args.record:
         with open(os.path.join(REPO, "PLANS.md"), "a") as fh:
             fh.write(
-                f"\n- sf1-gate {os.path.basename(prev_path)} -> "
+                f"\n- {args.tier}-gate {os.path.basename(prev_path)} -> "
                 f"{os.path.basename(cur_path)}: "
                 + (
                     "; ".join(
@@ -197,9 +222,9 @@ def main() -> int:
 
     if bad:
         print(
-            "sf1-gate FAILED: add a PLANS.md A/B entry and an explicit\n"
-            "'sf1-regression-ok: <name> — <reason>' waiver for each "
-            "genuine mover",
+            f"{args.tier}-gate FAILED: add a PLANS.md A/B entry and an "
+            f"explicit\n'{args.tier}-regression-ok: <name> — <reason>' "
+            "waiver for each genuine mover",
             file=sys.stderr,
         )
         return 1
