@@ -86,6 +86,8 @@ def bm25_scores(
     queries: DataFrame,
     weight_col: str | None = None,
     max_candidate_rows: int | None = RETRIEVAL_CANDIDATE_ROW_BUDGET,
+    dl: DataFrame | None = None,
+    stats=None,
 ) -> DataFrame:
     """(query_id, doc_id, score) for every candidate doc sharing >= 1
     term with the query — the scoring core shared by :func:`bm25_topk`,
@@ -109,27 +111,66 @@ def bm25_scores(
     needs. The multiply wraps the UNCHANGED unweighted product (one
     extra rounding step, same written order both engines), so the
     default path is bit-identical to before.
+
+    r13 optimization-round restructure (guide §2.3/§2.4/§5; results
+    bit-identical, proven against the oracle): the old shape evaluated
+    the corpus-wide ``df``/``dl`` aggregations once per CONSUMING
+    SUBTREE — the guard's ``first()``, the df broadcast, the 1-row
+    stats broadcast and the dl join each recomputed their aggregation
+    from the tf frame (broadcast exchanges don't share subtrees), five
+    jobs per scoring call. Now: ``dl`` is computed once and persisted,
+    the 1-row corpus stats collapse to two plan literals via one
+    ``first()`` (which doubles as the dl/tf cache materialization —
+    the exact doubles the old crossJoin'd stats column carried), and
+    ``df`` is aggregated AFTER the broadcast semi-join with the query
+    terms — the same df values for every term that can score, but the
+    aggregation shuffles only posting rows of query terms instead of
+    the whole vocabulary, and its human-sized result is eagerly
+    checkpointed so the guard and the scoring broadcast share one
+    computation. ``dl``/``stats`` can be passed in by callers that run
+    several scoring passes over the same tf frame (RM3).
     """
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    # the ONLY single-partition exchange carries this 1-row frame
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    from pyspark import StorageLevel
+
+    if dl is None:
+        dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    if stats is None:
+        # one tiny collect: (n docs, avgdl) — the same two values the
+        # old plan crossJoin-broadcast as a 1-row frame, now plan
+        # literals (no per-call re-aggregation of dl inside the
+        # broadcast subtree). The action also materializes the tf and
+        # dl caches for every later consumer.
+        stats = dl.agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        ).first()
+    n_docs, avgdl = stats["n"], stats["avgdl"]
+
+    # df over query terms only: semi-join prune BEFORE the term
+    # aggregation (df(t) is unchanged for surviving terms — every
+    # posting row of t is kept), then eagerly checkpoint the
+    # human-sized result so the candidate-mass guard and the scoring
+    # broadcast read it instead of re-aggregating the corpus.
+    dfp = (
+        tf.join(F.broadcast(queries.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .localCheckpoint(eager=True)
     )
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     if max_candidate_rows is not None:
         # exact candidate-row pre-count: df(t) * qcount(t) summed over
-        # the probe terms only — the query side is human-sized and
-        # broadcasts, so this is one small agg + one broadcast join
-        # against the persisted tf-derived df frame, never a second
-        # corpus scan. doubles (not longs): the count can legitimately
+        # the probe terms only — both sides human-sized now (dfp is
+        # checkpointed), so this costs one local job, never a corpus
+        # scan. doubles (not longs): the count can legitimately
         # overflow int64 in the pathological case the guard exists for.
         qcount = queries.groupBy("term").agg(
             F.count(F.lit(1)).cast("double").alias("qc")
         )
         cand_rows = (
-            df.join(F.broadcast(qcount), "term")
+            dfp.join(F.broadcast(qcount), "term")
             .agg(F.sum(F.col("df").cast("double") * F.col("qc")).alias("cr"))
             .first()["cr"]
         )
@@ -150,7 +191,7 @@ def bm25_scores(
     # the index), so the dl join keys on candidates — AQE broadcasts
     # dl at small scale and shuffle-joins it at corpus scale.
     sc = (
-        (2 * F.col("n") - 2 * F.col("df") + 1).cast("double")
+        (2 * F.lit(n_docs) - 2 * F.col("df") + 1).cast("double")
         / (2 * F.col("df") + 1)
     ) * (
         (F.col("tf") * F.lit(BM25_K1 + 1.0))
@@ -159,7 +200,7 @@ def bm25_scores(
             + F.lit(BM25_K1)
             * (
                 F.lit(1.0 - BM25_B)
-                + F.lit(BM25_B) * (F.col("dl") / F.col("avgdl"))
+                + F.lit(BM25_B) * (F.col("dl") / F.lit(avgdl))
             )
         )
     )
@@ -167,9 +208,8 @@ def bm25_scores(
         sc = F.col(weight_col) * sc
     scored = (
         tf.join(F.broadcast(queries), "term")
-        .join(F.broadcast(df.join(F.broadcast(queries.select("term").distinct()), "term")), "term")
+        .join(F.broadcast(dfp), "term")
         .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
         .withColumn("sc", sc)
     )
     # ordered left fold, NOT SUM: accumulation order is part of the
@@ -328,15 +368,29 @@ def bm25_self_retrieval(
     (score DESC, doc_id ASC) — one aggregation over posting-bounded
     candidates instead of a per-query global sort.
     """
+    from pyspark import StorageLevel
+
     tf = term_frequencies(docs, text_col, id_col)
     probes = probe_term_queries(tf, probe_mod, probe_rem, n_terms)
+    # Persist the scored frame: it feeds BOTH the broadcast self_rows
+    # extraction and the `better` comparison side — without the persist
+    # each consumer re-ran the whole scoring pipeline (the
+    # multi-reference lazy-lineage antipattern, r12 sweep; measured
+    # ~2x this query's cost at sf0.1). Candidate-mass-guard-bounded,
+    # so MEMORY_AND_DISK is safe at scale. The eager self_rows
+    # checkpoint below materializes the cache before the broadcast
+    # references it.
     scores = bm25_scores(
         tf, F.broadcast(probes), max_candidate_rows=max_candidate_rows
-    )
-    self_rows = scores.filter(F.col("query_id") == F.col("doc_id")).select(
-        "query_id",
-        F.col("score").alias("self_score"),
-        F.col("doc_id").alias("self_id"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    self_rows = (
+        scores.filter(F.col("query_id") == F.col("doc_id"))
+        .select(
+            "query_id",
+            F.col("score").alias("self_score"),
+            F.col("doc_id").alias("self_id"),
+        )
+        .localCheckpoint(eager=True)
     )
     better = (
         scores.join(F.broadcast(self_rows), "query_id")
@@ -429,10 +483,26 @@ def rm3_expansion_retrieval(
     Returns (probe_id, doc_id, score, rank), rank 1..k_out per probe
     by (score DESC, doc_id).
     """
+    from pyspark import StorageLevel
+
     tf = term_frequencies(docs, text_col, id_col)
     probes = probe_term_queries(tf, probe_mod, probe_rem, n_terms)
+    # dl/stats computed ONCE and shared by the relevance model and both
+    # scoring passes (bm25_scores r13 restructure) — previously each
+    # consumer re-aggregated them from tf.
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    ).first()
     first = bm25_scores(
-        tf, F.broadcast(probes), max_candidate_rows=max_candidate_rows
+        tf,
+        F.broadcast(probes),
+        max_candidate_rows=max_candidate_rows,
+        dl=dl,
+        stats=stats,
     ).filter(
         F.col("query_id") != F.col("doc_id")
     )
@@ -444,7 +514,6 @@ def rm3_expansion_retrieval(
         .filter(F.col("fb_rank") <= k_fb)
         .select("query_id", "doc_id", "fb_rank")
     )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     contrib = (
         F.col("tf").cast("double") / F.col("dl")
     ) * (F.lit(1.0) / (F.lit(RRF_K) + F.col("fb_rank")))
@@ -499,6 +568,8 @@ def rm3_expansion_retrieval(
         F.broadcast(qterms),
         weight_col="qw",
         max_candidate_rows=max_candidate_rows,
+        dl=dl,
+        stats=stats,
     ).filter(
         F.col("query_id") != F.col("doc_id")
     )

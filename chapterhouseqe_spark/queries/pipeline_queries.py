@@ -4831,11 +4831,22 @@ def dedup_minhash_error_audit(spark, sf_dir):
     # (one input split), which would run the trigram build AND the
     # 16-permutation md5 signature pass on ONE task (measured 2-3x the
     # whole query at sf0.1).
+    # Pre-filter on the cheap token count, NOT on size(shingles) after
+    # the projection: a post-projection filter gets pushed below the
+    # repartition by substituting the whole trigram expression into the
+    # predicate, which builds the trigram+array_distinct array on the
+    # SINGLE pre-exchange scan task (r13 profile: a 9.8s one-task stage
+    # vs 0.5s for the same work on 32 tasks) and then again above the
+    # exchange. Token count >= 3 ⇔ non-empty shingle array (the same
+    # equivalence with_shingles documents).
     sh = (
-        ensure_parallelism(t(spark, sf_dir, "documents"))
+        ensure_parallelism(
+            t(spark, sf_dir, "documents").filter(
+                F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
+            )
+        )
         .select("doc_id", toks.alias("w"))
         .select("doc_id", F.array_distinct(tri).alias("shingles"))
-        .filter(F.size("shingles") > 0)
     )
     from pyspark import StorageLevel
 
