@@ -902,6 +902,18 @@ def connected_components(
     labels = ids.select(F.col("id"), F.col("id").alias("component")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # Convergence via the label-sum invariant (r13 optimization round,
+    # guide §2.4): every update takes a least() of the old label and
+    # candidate mins, so per-row labels are monotonically non-increasing
+    # and the exact decimal sum of labels strictly decreases iff ANY row
+    # changed. Comparing sums needs one aggregation over the (cached)
+    # new frame per round — the old check joined the new generation back
+    # to the previous one (an extra exchange + full compare per round).
+    # decimal(38,0): exact at any id magnitude / corpus size, no int64
+    # overflow. The agg also doubles as the action that materializes
+    # each generation's cache before the parent is unpersisted.
+    label_sum = F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+    prev_sum = labels.agg(label_sum).first()["s"]
     try:
         for i in range(max_iterations):
             neighbor_min = (
@@ -938,25 +950,21 @@ def connected_components(
                 updated = updated.localCheckpoint(eager=True)
             else:
                 updated = updated.persist(StorageLevel.MEMORY_AND_DISK)
-            # full count (not limit(1)) so `updated` is materialized into
-            # its cache before the previous generation is unpersisted —
-            # otherwise later rounds would silently recompute through the
-            # unpersisted parent.
-            changed = (
-                updated.alias("u")
-                .join(labels.alias("l"), "id")
-                .filter(F.col("u.component") != F.col("l.component"))
-                .count()
-            )
+            # full aggregation (not limit(1)) so `updated` is
+            # materialized into its cache before the previous generation
+            # is unpersisted — otherwise later rounds would silently
+            # recompute through the unpersisted parent.
+            new_sum = updated.agg(label_sum).first()["s"]
             labels.unpersist()
             labels = updated
-            if changed == 0:
+            if new_sum == prev_sum:
                 # final eager checkpoint: the frame is already
                 # materialized (the convergence count ran it), so this
                 # only writes the cached blocks — and it guarantees the
                 # RETURNED plan is one scan deep regardless of where the
                 # last periodic checkpoint fell in the round cycle.
                 return labels.localCheckpoint(eager=True)
+            prev_sum = new_sum
         raise RuntimeError(
             f"connected_components: no convergence after {max_iterations} rounds "
             "(graph diameter exceeds the iteration cap)"

@@ -193,6 +193,7 @@ def triangle_count(
         .union(und.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("d"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # orient low (d, id) -> high (d, id)
     e = (
@@ -215,24 +216,49 @@ def triangle_count(
     # — lazy persists multiply referenced in one job race their own
     # block computation (the kcore lesson, PLANS.md round 12). und's
     # count doubles as the n_edges the result needs anyway.
-    und.count()
+    n_edges = und.count()
+    n_nodes = deg.count()
     e.count()
-    wedges = (
-        e.select(F.col("u"), F.col("w").alias("v1"))
-        .join(e.select(F.col("u"), F.col("w").alias("v2")), "u")
-        .filter(F.col("v1") < F.col("v2"))
+    # Edge-iterator form of the same degree-ordered count (r13
+    # optimization round, guide §2.3/§2.4): a triangle {u,w,x} with
+    # orientation u->w, u->x, w->x is found at its (u,w) edge as a
+    # common out-neighbor x — so n_triangles = sum over oriented edges
+    # (u,w) of |N+(u) ∩ N+(w)|, with N+ the out-adjacency under the
+    # SAME low-(degree,id) orientation. Identical integer to the
+    # wedge-join formulation (each triangle counted exactly once at
+    # its lowest-(degree,id) node), but the O(sum outdeg²) wedge rows
+    # are never materialized or shuffled: on the sf0.1 supplier graph
+    # (~1k nodes, ~300k edges, dense) the wedge join + membership join
+    # burned 124 CPU-seconds building and hash-joining ~45M wedge
+    # rows; the intersect form walks the same wedge mass inside a
+    # codegen'd array op per edge, no Generate, no exchange of wedge
+    # rows. Per-node out-adjacency stays arboricity-bounded by the
+    # orientation — the paper's "last reducer" defense carries over
+    # unchanged (a celebrity node's array is only its LOW-end edges).
+    adj = e.groupBy("u").agg(F.collect_list("w").alias("ns"))
+    tri = (
+        e.join(adj.select(F.col("u"), F.col("ns").alias("ns_u")), "u")
+        .join(
+            adj.select(F.col("u").alias("w"), F.col("ns").alias("ns_w")),
+            "w",
+        )
+        .select(
+            F.size(F.array_intersect("ns_u", "ns_w")).cast("long").alias("c")
+        )
+        .agg(F.sum("c").alias("n_triangles"))
     )
-    tri = wedges.join(
-        und.select(
-            F.col("a").alias("v1"), F.col("b").alias("v2")
-        ),
-        ["v1", "v2"],
-    ).agg(F.count(F.lit(1)).alias("n_triangles"))
-    counts = und.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
-        F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
-    )
-    return counts.crossJoin(F.broadcast(tri)).select(
-        "n_nodes", "n_edges", F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles")
+    # n_nodes/n_edges as plan literals: the counts above already
+    # materialized the caches (und.count() doubled as n_edges from the
+    # start; deg.count() both materializes deg's cache — which the two
+    # orientation joins and the counts consumed independently before —
+    # and IS n_nodes), so the old two-crossJoin tail re-aggregating
+    # und and deg inside broadcast subtrees collapses to two literal
+    # columns on the 1-row triangle aggregate (r13 optimization round;
+    # guide §2.4 — same values, three fewer jobs / re-aggregations).
+    return tri.select(
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
     )
 
 
