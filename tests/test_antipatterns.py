@@ -37,9 +37,11 @@ COLLECT_ALLOWLIST = {
 FIRST_ALLOWLIST = {
     # single-row aggregates driving fail-fast guards / dispatch
     "operators/dedup.py": (
-        3,
+        5,
         "1-row aggs: auto-dispatch ratio, jaccard pair budget, "
-        "winnowing pair budget",
+        "winnowing pair budget + the CC label-sum convergence check "
+        "(one 1-row agg per round, replacing a join back to the "
+        "previous generation — r13 optimization)",
     ),
     "operators/corpus.py": (
         4,
@@ -48,8 +50,10 @@ FIRST_ALLOWLIST = {
         "epoch update (one dim-wide row per epoch, epochs bounded)",
     ),
     # candidate-mass fail-fast (r11 verdict item 3): one 1-row agg over
-    # the broadcast-sized probe-term df frame before scoring
-    "operators/retrieval.py": (1, "1-row agg: candidate-row budget guard"),
+    # the broadcast-sized probe-term df frame before scoring, plus the
+    # two BM25 corpus-stats aggregates (n_docs/avgdl as plan literals
+    # instead of a re-aggregated 1-row broadcast — r13 optimization)
+    "operators/retrieval.py": (3, "1-row aggs: candidate budget + corpus stats"),
 }
 
 _COLLECT = re.compile(r"\.collect\(\)")

@@ -47,6 +47,9 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file://{evdir}",
+            # Spark 4 compresses event logs (zstd) by default; the
+            # parser below reads plain JSONL.
+            "spark.eventLog.compress": "false",
         },
     )
     queries = get_queries()
