@@ -1365,7 +1365,9 @@ def chunk_ann_topk(
     from chapterhouseqe_spark.operators.similarity import (
         _hyperplanes,
         _signature,
-        cosine,
+        cosine_hoisted,
+        exact_dot,
+        vec_norm,
     )
     from chapterhouseqe_spark.operators.util import ensure_parallelism
 
@@ -1383,7 +1385,11 @@ def chunk_ann_topk(
         "chunk_idx",
         hashed_bow_embedding(F.col("chunk_text"), dim).alias("vb"),
     )
-    corpus = corpus.withColumn("bucket", _signature("vb", planes).cast("int"))
+    # norm hoisted per chunk row (persisted with the frame), not per
+    # (probe, chunk) candidate — bit-identical, see similarity.vec_norm
+    corpus = corpus.withColumn(
+        "bucket", _signature("vb", planes).cast("int")
+    ).withColumn("nb", vec_norm(F.col("vb")))
     probes = (
         docs.filter(F.col(id_col) % probe_mod == probe_rem)
         .select(
@@ -1391,6 +1397,7 @@ def chunk_ann_topk(
             hashed_bow_embedding(F.col(text_col), dim).alias("va"),
         )
         .withColumn("bucket", _signature("va", planes).cast("int"))
+        .withColumn("na", vec_norm(F.col("va")))
     )
     if max_candidate_rows is not None:
         # Exact candidate mass Σ_b probes(b)·chunks(b). Persist the
@@ -1435,7 +1442,9 @@ def chunk_ann_topk(
             "probe_id",
             "doc_id",
             "chunk_idx",
-            cosine(F.col("va"), F.col("vb")).alias("sim"),
+            cosine_hoisted(
+                exact_dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb")
+            ).alias("sim"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

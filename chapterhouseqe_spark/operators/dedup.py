@@ -1038,7 +1038,12 @@ def semantic_dedup_candidates(
     vector-attach joins shuffle on the id. The k here is small only
     because the graded corpus is.
     """
-    from chapterhouseqe_spark.operators.similarity import cosine, kmeans_lloyd
+    from chapterhouseqe_spark.operators.similarity import (
+        cosine_hoisted,
+        exact_dot,
+        kmeans_lloyd,
+        vec_norm,
+    )
 
     _, assign = kmeans_lloyd(
         emb,
@@ -1056,12 +1061,31 @@ def semantic_dedup_candidates(
     a = assign.select(F.col("id").alias("id_a"), "cid")
     b = assign.select(F.col("id").alias("id_b"), "cid")
     cand = a.join(b, "cid").filter(F.col("id_a") < F.col("id_b"))
-    ea = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__ea"))
-    eb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__eb"))
+    # per-vector norms hoisted into the attach projections: each emb
+    # row's norm folds once per side, not once per within-cluster pair
+    # (bit-identical — see similarity.vec_norm)
+    ea = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__ea"),
+        vec_norm(F.col(vec_col)).alias("__na"),
+    )
+    eb = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__eb"),
+        vec_norm(F.col(vec_col)).alias("__nb"),
+    )
     return (
         cand.join(ea, "id_a")
         .join(eb, "id_b")
-        .select("id_a", "id_b", cosine(F.col("__ea"), F.col("__eb")).alias("sim"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_hoisted(
+                exact_dot(F.col("__ea"), F.col("__eb")),
+                F.col("__na"),
+                F.col("__nb"),
+            ).alias("sim"),
+        )
         .filter(F.col("sim") >= threshold)
     )
 
@@ -1540,9 +1564,16 @@ def substring_dup_stats(
         )
         .select(id_col, md5_int(F.col("gram")).alias("g"))
     )
-    counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("g_cnt"))
+    # occurrence count as a window over the gram key instead of a
+    # groupBy + join-back: the count⇄gram join referenced grams on BOTH
+    # sides, so the tokenize+explode+md5 pipeline evaluated twice and
+    # the gram set crossed two exchanges; the window keeps g_cnt
+    # per-row identical (same count over the same key) with ONE gram
+    # evaluation and ONE keyed exchange. Skew is unchanged — the join
+    # already shuffled every gram row of a viral g to one partition.
+    wg = Window.partitionBy("g")
     return (
-        grams.join(counts, "g")
+        grams.withColumn("g_cnt", F.count(F.lit(1)).over(wg))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
@@ -1602,9 +1633,12 @@ def substring_dedup_rewrite(
             )
         ).alias("pos0", "gram"),
     ).select(id_col, (F.col("pos0") + 1).alias("start"), md5_int(F.col("gram")).alias("g"))
-    counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("g_cnt"))
+    # same window-over-g rewrite as substring_dup_stats: one gram
+    # evaluation and one keyed exchange instead of a count join that
+    # re-derived the tokenize+explode+md5 pipeline on both sides
+    wg = Window.partitionBy("g")
     dup_starts = (
-        grams.join(counts, "g")
+        grams.withColumn("g_cnt", F.count(F.lit(1)).over(wg))
         .filter(F.col("g_cnt") > 1)
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_list("start")).alias("dups"))

@@ -55,6 +55,29 @@ def cosine(a: Column, b: Column) -> Column:
     return exact_dot(a, b) / (F.sqrt(exact_dot(a, a)) * F.sqrt(exact_dot(b, b)))
 
 
+def vec_norm(a: Column) -> Column:
+    """``sqrt(self-dot)`` — the per-vector denominator factor of
+    :func:`cosine`.
+
+    Pairwise scorers hoist this into the per-ROW projection that
+    aliases the vector (before the pairing join), so each side's norm
+    fold runs once per vector instead of once per PAIR —
+    ``dot/(na*nb)`` then performs the exact same double operations in
+    the same order as the inline :func:`cosine`, so results are
+    bit-identical (the ann_rerank DuckDB oracle already replays this
+    hoisted ``dot / (na.nrm * nb.nrm)`` form against the inline Spark
+    side), while the per-pair fold work drops 3x (guide §2.3: compute
+    on the small per-row side, not inside the quadratic pair set).
+    """
+    return F.sqrt(exact_dot(a, a))
+
+
+def cosine_hoisted(dot_ab: Column, na: Column, nb: Column) -> Column:
+    """``cosine`` assembled from a per-pair dot and two hoisted
+    per-row norms — see :func:`vec_norm` for the equivalence argument."""
+    return dot_ab / (na * nb)
+
+
 def cosine_topk(
     emb: DataFrame,
     probe_filter: Column,
@@ -109,7 +132,9 @@ def cosine_topk(
         two_stage = n_corpus > 20_000
     n_salts = 32
     probes = emb.filter(probe_filter).select(
-        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("ea")
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("ea"),
+        vec_norm(F.col(vec_col)).alias("na"),
     )
     if max_candidate_rows is not None:
         check_candidate_mass(
@@ -127,13 +152,17 @@ def cosine_topk(
             "lsh_multiprobe_topk)",
         )
     corpus = ensure_parallelism(emb).select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("eb")
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("eb"),
+        vec_norm(F.col(vec_col)).alias("nb"),
     )
     pairs = F.broadcast(probes).crossJoin(corpus).filter(F.col("probe_id") != F.col("id_b"))
     scored = pairs.select(
         "probe_id",
         "id_b",
-        cosine(F.col("ea"), F.col("eb")).alias("sim"),
+        cosine_hoisted(
+            exact_dot(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb")
+        ).alias("sim"),
     )
     if two_stage:
         w1 = Window.partitionBy(
@@ -190,12 +219,26 @@ def cosine_pairs(
                 "for real corpora, or pass force=True for a deliberate "
                 "oversized audit run."
             )
-    a = ensure_parallelism(emb).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("ea"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("eb"))
+    a = ensure_parallelism(emb).select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("ea"),
+        vec_norm(F.col(vec_col)).alias("na"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("eb"),
+        vec_norm(F.col(vec_col)).alias("nb"),
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("ea"), F.col("eb")).alias("sim"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_hoisted(
+                exact_dot(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb")
+            ).alias("sim"),
+        )
         .filter(F.col("sim") >= threshold)
     )
 
@@ -233,11 +276,13 @@ def hard_negatives(
         F.col(id_col).alias("anchor_id"),
         F.col(vec_col).alias("ea"),
         F.col(label_col).alias("label_a"),
+        vec_norm(F.col(vec_col)).alias("na"),
     )
     corpus = ensure_parallelism(emb).select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("eb"),
         F.col(label_col).alias("label_b"),
+        vec_norm(F.col(vec_col)).alias("nb"),
     )
     scored = (
         F.broadcast(anchors)
@@ -247,7 +292,9 @@ def hard_negatives(
             "anchor_id",
             "id_b",
             "label_b",
-            cosine(F.col("ea"), F.col("eb")).alias("sim"),
+            cosine_hoisted(
+                exact_dot(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb")
+            ).alias("sim"),
         )
     )
     if two_stage:
@@ -388,6 +435,7 @@ def lsh_multiprobe_topk(
         .select(
             F.col(id_col).alias("id_b"),
             F.col(vec_col).alias("eb"),
+            vec_norm(F.col(vec_col)).alias("nb"),
             sig.cast("int").alias("bucket"),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -395,11 +443,13 @@ def lsh_multiprobe_topk(
     probes = emb.filter(F.col(id_col) < n_probe_ids).select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("ea"),
+        vec_norm(F.col(vec_col)).alias("na"),
         sig.cast("int").alias("psig"),
     )
     probed = probes.select(
         "probe_id",
         "ea",
+        "na",
         F.explode(
             F.expr(
                 f"concat(array(psig), transform(sequence(0, {n_planes - 1}), "
@@ -410,7 +460,9 @@ def lsh_multiprobe_topk(
     cand = probed.join(corpus, "bucket").filter(
         F.col("id_b") != F.col("probe_id")
     )
-    sim = cosine(F.col("ea"), F.col("eb"))
+    sim = cosine_hoisted(
+        exact_dot(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb")
+    )
     w = Window.partitionBy("probe_id").orderBy(F.desc("sim"), F.col("id_b"))
     return (
         cand.select("probe_id", "id_b", sim.alias("sim"))
@@ -491,10 +543,22 @@ def ivf_assign(
             .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
         )
     corpus = ensure_parallelism(emb).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        vec_norm(F.col(vec_col)).alias("nv"),
     )
-    scored = corpus.crossJoin(F.broadcast(centroids)).select(
-        "id", "vec", "cid", cosine(F.col("vec"), F.col("cvec")).alias("csim")
+    # centroid norms ride the broadcast (n_centroids rows); the corpus
+    # row's norm folds once instead of once per centroid
+    cent_n = centroids.select(
+        "cid", "cvec", vec_norm(F.col("cvec")).alias("nc")
+    )
+    scored = corpus.crossJoin(F.broadcast(cent_n)).select(
+        "id",
+        "vec",
+        "cid",
+        cosine_hoisted(
+            exact_dot(F.col("vec"), F.col("cvec")), F.col("nv"), F.col("nc")
+        ).alias("csim"),
     )
     w = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("cid"))
     assignments = (
@@ -528,24 +592,31 @@ def ivf_topk(
         emb, n_centroids, id_col, vec_col, centroid_method
     )
     probes = emb.filter(probe_filter).select(
-        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pvec")
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("pvec"),
+        vec_norm(F.col(vec_col)).alias("pn"),
     )
     pscored = F.broadcast(probes).crossJoin(F.broadcast(centroids)).select(
-        "probe_id", "pvec", "cid", cosine(F.col("pvec"), F.col("cvec")).alias("csim")
+        "probe_id", "pvec", "pn", "cid",
+        cosine(F.col("pvec"), F.col("cvec")).alias("csim"),
     )
     wp = Window.partitionBy("probe_id").orderBy(F.col("csim").desc(), F.col("cid"))
     probe_buckets = (
         pscored.withColumn("rn", F.row_number().over(wp))
         .filter(F.col("rn") <= nprobe)
-        .select("probe_id", "pvec", "cid")
+        .select("probe_id", "pvec", "pn", "cid")
     )
-    cand = probe_buckets.join(assignments, "cid").filter(
-        F.col("probe_id") != F.col("id")
-    )
+    # corpus-side norm folds once per assignment row, not once per
+    # (probe, candidate) pair
+    cand = probe_buckets.join(
+        assignments.withColumn("vn", vec_norm(F.col("vec"))), "cid"
+    ).filter(F.col("probe_id") != F.col("id"))
     scored = cand.select(
         "probe_id",
         F.col("id").alias("id_b"),
-        cosine(F.col("pvec"), F.col("vec")).alias("sim"),
+        cosine_hoisted(
+            exact_dot(F.col("pvec"), F.col("vec")), F.col("pn"), F.col("vn")
+        ).alias("sim"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("id_b"))
     return (
@@ -889,6 +960,7 @@ def kmeans_lloyd(
     dim: int = 64,
     quant: float = 1e6,
     train_max_id: int | None = None,
+    checkpoint_iters: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Cross-engine-replayable Lloyd's k-means over (sub)vectors — the
     production ANN training step (IVF coarse quantizer when
@@ -939,6 +1011,11 @@ def kmeans_lloyd(
             )
         ).alias("m", "qv"),
     )
+    # the quantize+posexplode pass feeds EVERY Lloyd iteration plus the
+    # final full-frame assignment, and iteration plans do not share
+    # subtrees — persist so it materializes once per job instead of
+    # once per reference (the multi-reference-lineage seam)
+    subs = subs.persist(StorageLevel.MEMORY_AND_DISK)
 
     # Production path: train the quantizer on a deterministic id-prefix
     # SAMPLE (k-means needs ~1M vectors, not the corpus), then assign
@@ -1001,7 +1078,18 @@ def kmeans_lloyd(
         )
 
     for _ in range(n_iter):
+        # cent is k*m rows; the checkpoint stops iteration r+1's plan
+        # from nesting (and re-running) iterations 1..r — the same
+        # iteration-hygiene seam as the MMR greedy rounds. eager=False
+        # keeps this operator's documented build-time laziness (query
+        # registries construct the plan without running jobs); the
+        # checkpoint still materializes exactly once, at the first
+        # action, and every consumer shares it (the pack_sequences
+        # idiom). checkpoint_iters=False exposes the full update plan
+        # (the plan test pins the partial-sum exchange shape there).
         cent = _update(_assign(cent, subs_train))
+        if checkpoint_iters:
+            cent = cent.localCheckpoint(eager=False)
     return cent, _assign(cent).select("id", "m", "cid")
 
 
@@ -1334,10 +1422,14 @@ def mmr_diversified_topk(
     corpus size after candidate generation.
     """
     probes = emb.filter(F.col(id_col) < n_probe_ids).select(
-        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("ea")
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("ea"),
+        vec_norm(F.col(vec_col)).alias("na"),
     )
     allv = emb.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("eb")
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("eb"),
+        vec_norm(F.col(vec_col)).alias("nb"),
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("simq"), F.col("id_b"))
     # probe side is n_probe_ids rows by construction — broadcast so the
@@ -1349,7 +1441,9 @@ def mmr_diversified_topk(
             "probe_id",
             "id_b",
             "eb",
-            cosine(F.col("ea"), F.col("eb")).alias("simq"),
+            cosine_hoisted(
+                exact_dot(F.col("ea"), F.col("eb")), F.col("na"), F.col("nb")
+            ).alias("simq"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= n_cand)

@@ -890,7 +890,16 @@ def source_similarity_minhash(
         F.col(source_col),
         F.explode(word_shingles(F.col(text_col), k)).alias("s"),
     )
-    sigs = minhash_group_signatures(sh, "s", source_col, num_hashes, seed)
+    # the theta self-join below references sigs on BOTH sides, and join
+    # branches do not share subtrees — without a materialization seam
+    # the whole shingle-explode + 64-way min aggregation runs twice.
+    # sigs is n_sources rows (sources are crawls/registries), so the
+    # eager checkpoint is a tiny job (the minhash_lsh_pairs persist
+    # discipline, hardened to a checkpoint per the r12 lazy-persist
+    # race advisory).
+    sigs = minhash_group_signatures(
+        sh, "s", source_col, num_hashes, seed
+    ).localCheckpoint(eager=True)
     a = sigs.select(
         F.col(source_col).alias("src_a"), F.col("sig").alias("sig_a")
     )

@@ -1739,7 +1739,11 @@ def embedding_ivfpq_topk(spark, sf_dir):
     "cheap, rerank exact); corpus pairs never leave the bucket join",
 )
 def embedding_ann_rerank(spark, sf_dir):
-    from chapterhouseqe_spark.operators.similarity import cosine
+    from chapterhouseqe_spark.operators.similarity import (
+        cosine_hoisted,
+        exact_dot,
+        vec_norm,
+    )
 
     emb = t(spark, sf_dir, "embeddings")
     cand = lsh_bucket_candidates(emb, dim=64, n_planes=6, seed=42)
@@ -1749,12 +1753,28 @@ def embedding_ann_rerank(spark, sf_dir):
     ).unionByName(
         cand.select(F.col("id_b").alias("probe_id"), F.col("id_a").alias("id_b"))
     ).filter(F.col("probe_id") < 8)
-    pa = emb.select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pa"))
-    pb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("pb"))
+    # norms hoisted into the attach projections (the oracle's own
+    # norms-CTE form): one fold per vector side, not three per pair
+    pa = emb.select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pa"),
+        vec_norm(F.col("embedding")).alias("npa"),
+    )
+    pb = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("pb"),
+        vec_norm(F.col("embedding")).alias("npb"),
+    )
     scored = (
         sym.join(F.broadcast(pa), "probe_id")
         .join(pb, "id_b")
-        .select("probe_id", "id_b", cosine(F.col("pa"), F.col("pb")).alias("sim"))
+        .select(
+            "probe_id",
+            "id_b",
+            cosine_hoisted(
+                exact_dot(F.col("pa"), F.col("pb")), F.col("npa"), F.col("npb")
+            ).alias("sim"),
+        )
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("id_b"))
     return (
@@ -4246,14 +4266,29 @@ def multimodal_image_patches(spark, sf_dir):
     "corpus twice",
 )
 def embedding_matryoshka_overlap(spark, sf_dir):
-    from chapterhouseqe_spark.operators.similarity import cosine
+    from chapterhouseqe_spark.operators.similarity import (
+        cosine_hoisted,
+        exact_dot,
+        vec_norm,
+    )
 
     emb = t(spark, sf_dir, "embeddings")
+    # both the 16-dim slices and all four norms hoist into the per-row
+    # projections (bit-identical values), so each pair pays two dot
+    # folds instead of six folds plus two re-slices
     probes = emb.filter(F.col("vec_id") < 6).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("ea")
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("ea"),
+        F.slice(F.col("embedding"), 1, 16).alias("ea16"),
+        vec_norm(F.col("embedding")).alias("naf"),
+        vec_norm(F.slice(F.col("embedding"), 1, 16)).alias("nat"),
     )
     corpus = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.slice(F.col("embedding"), 1, 16).alias("eb16"),
+        vec_norm(F.col("embedding")).alias("nbf"),
+        vec_norm(F.slice(F.col("embedding"), 1, 16)).alias("nbt"),
     )
     scored = (
         F.broadcast(probes)
@@ -4262,9 +4297,13 @@ def embedding_matryoshka_overlap(spark, sf_dir):
         .select(
             "probe_id",
             "id_b",
-            cosine(F.col("ea"), F.col("eb")).alias("sim_full"),
-            cosine(
-                F.slice(F.col("ea"), 1, 16), F.slice(F.col("eb"), 1, 16)
+            cosine_hoisted(
+                exact_dot(F.col("ea"), F.col("eb")), F.col("naf"), F.col("nbf")
+            ).alias("sim_full"),
+            cosine_hoisted(
+                exact_dot(F.col("ea16"), F.col("eb16")),
+                F.col("nat"),
+                F.col("nbt"),
             ).alias("sim_trunc"),
         )
     )

@@ -71,12 +71,30 @@ def test_ann_rerank_joins_are_broadcast_bucketed(queries, spark, sf_dir):
 
 def test_kmeans_training_shuffle_shape(queries, spark, sf_dir):
     # Lloyd iterations: centroids must BROADCAST to the corpus (they
-    # are k*m rows), and the update must be a hash shuffle with
-    # map-side partial sums — the same exchange shape as MLlib's fit
+    # are k*m rows), and since the r13 iteration-hygiene fix each
+    # iteration's centroid frame is a lazy localCheckpoint — the final
+    # plan reads it as an RDD scan instead of nesting every earlier
+    # iteration's subtree
     plan = _executed_plan(queries["kmeans_train_assign"](spark, sf_dir))
     assert "BroadcastExchange" in plan
     assert "Exchange hashpartitioning" in plan
+    assert "ExistingRDD" in plan  # checkpointed centroids, not a nested plan
+
+
+def test_kmeans_update_partial_sums(spark, sf_dir):
+    # the update itself must stay a hash shuffle with map-side partial
+    # sums (the same exchange shape as MLlib's fit) — inspect it via
+    # checkpoint_iters=False, which exposes the full training plan
+    from chapterhouseqe_spark.operators.similarity import kmeans_lloyd
+    from chapterhouseqe_spark.queries.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent, _ = kmeans_lloyd(
+        emb, n_centroids=8, n_iter=1, m_sub=1, dim=64, checkpoint_iters=False
+    )
+    plan = _executed_plan(cent)
     assert "partial_sum" in plan  # map-side combine before the exchange
+    assert "Exchange hashpartitioning" in plan
 
 
 def test_ivfpq_codebooks_broadcast(queries, spark, sf_dir):
@@ -278,13 +296,22 @@ def test_bpe_train_loop_reads_iterations_from_cache(queries, spark, sf_dir):
 
 
 def test_substring_dedup_single_gram_shuffle(queries, spark, sf_dir):
-    """Passage dedup: the gram-count join must be keyed on the compact
-    md5 key (one corpus-sized hash shuffle pair), no cartesian, no
-    corpus-wide window."""
+    """Passage dedup (r13 optimization): occurrence counts come from a
+    count window over the compact md5 gram key — ONE evaluation of the
+    tokenize+explode+md5 gram pipeline and ONE keyed exchange on g.
+    (The old groupBy+join-back form referenced the gram pipeline on
+    both join sides, evaluating it twice and shuffling the gram set
+    through two exchanges.) The window partitions on g — per-gram
+    groups, the same distribution the join used — never a
+    single-partition corpus-wide window."""
     plan = _executed_plan(queries["dedup_substring_passages"](spark, sf_dir))
-    assert "CartesianProduct" not in plan
-    assert "Window" not in plan
-    assert "Exchange hashpartitioning(g#" in plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert "Window" in final
+    assert "SortMergeJoin" not in final and "ShuffledHashJoin" not in final
+    assert final.count("Exchange hashpartitioning(g#") == 1
+    assert final.count("FileScan parquet") == 1  # grams evaluated once
+    assert "Exchange SinglePartition" not in final
 
 
 def test_gopher_and_audio_chunks_are_narrow(queries, spark, sf_dir):
