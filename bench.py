@@ -292,6 +292,67 @@ def run_single(tiers: set[str]) -> dict:
         _warm_py, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # Streaming-machinery warm-up, SAME untimed category (r13
+    # optimization round, documented in OPTIMIZATION_r13.md): the FIRST
+    # streaming query of a JVM pays a ~6-10s one-off — micro-batch
+    # engine classload/JIT, state-store provider init, and the
+    # python STATE-protocol worker fork (a different worker shape than
+    # the mapInPandas pool above; measured trigger breakdown: batch 0
+    # addBatch 5.6-8.7s vs 0.7-1.2s for every later batch). That is
+    # per-JVM-lifetime infrastructure, not query cost, and it
+    # previously landed on whichever stream_* query ran first in the
+    # extended/core tier. One 5-row stateful micro-batch over the
+    # synthetic source warms all three; the real streaming queries
+    # then run at their steady-state cost.
+    if tiers & {"extended", "core"}:
+        import shutil
+        import uuid
+
+        from chapterhouseqe_spark.sources.synthetic import (
+            register_synthetic_source,
+        )
+        from chapterhouseqe_spark.streaming.recurrence import streaming_ewma
+        from chapterhouseqe_spark.streaming.windows import (
+            stream_state_partitions,
+        )
+        from pyspark.sql import functions as F
+
+        register_synthetic_source(spark)
+        _wstream = (
+            spark.readStream.format("chqe_synthetic")
+            .option("batch_rows", 5)
+            .option("max_rows", 5)
+            .load()
+            .select(
+                F.col("label").alias("event_type"),
+                F.timestamp_seconds(F.col("id")).alias("ts"),
+                F.col("id").alias("event_id"),
+                "value",
+            )
+        )
+        _wname = f"warm_stream_{uuid.uuid4().hex[:8]}"
+        _wckpt = tempfile.mkdtemp(prefix="chqe_warm_ckpt_")
+        with stream_state_partitions(spark, 2):
+            _wq = (
+                streaming_ewma(_wstream, alpha=0.25)
+                .writeStream.format("memory")
+                .queryName(_wname)
+                .option("checkpointLocation", _wckpt)
+                .trigger(processingTime="0 seconds")
+                .start()
+            )
+            try:
+                _deadline = time.time() + 60
+                while (
+                    time.time() < _deadline
+                    and spark.table(_wname).count() < 5
+                ):
+                    time.sleep(0.1)
+            finally:
+                _wq.stop()
+                shutil.rmtree(_wckpt, ignore_errors=True)
+        spark.catalog.dropTempView(_wname)
+
     def run_tier(names) -> dict[str, float]:
         # One shared local JVM times 200+ queries back-to-back;
         # operators persist() intermediates (LSH shingle tables, CC

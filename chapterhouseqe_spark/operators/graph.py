@@ -17,6 +17,16 @@ from pyspark.sql import functions as F
 from chapterhouseqe_spark.operators.util import ensure_parallelism
 
 
+# Node-sized per-iteration frames (pagerank's rank/contrib vectors,
+# kcore's alive set) broadcast below this node count — ~1M two-long
+# rows is a few tens of MB built, comfortably inside executor memory;
+# above it the node-keyed shuffle joins are the plan that survives any
+# graph size (same size-adaptive discipline as
+# dedup.BROADCAST_VERIFY_MAX_DOCS: an exact count picks the plan the
+# optimizer would pick with perfect statistics).
+GRAPH_BROADCAST_MAX_NODES = 1_000_000
+
+
 def pagerank_fixed_point(
     edges: DataFrame,
     n_iter: int = 3,
@@ -77,12 +87,24 @@ def pagerank_fixed_point(
     # computation, re-deriving the (possibly expensive) edge lineage
     # per subtree instance (the kcore lesson, PLANS.md round 12).
     e_deg.count()
-    nodes.count()
+    n_nodes = nodes.count()
+    # Size-adaptive join plan (the BROADCAST_VERIFY_MAX_DOCS
+    # discipline: an exact count picks the plan the optimizer would
+    # pick with perfect statistics). ranks and contrib are NODE-sized
+    # (two longs per row): below the cap, broadcasting them turns each
+    # iteration's two node-keyed shuffle joins into map-side hash
+    # joins, leaving the per-iteration groupBy(dst) as the only
+    # exchange — measured at sf0.1 the iterative tail was ~17 AQE
+    # stage jobs of 32 near-empty tasks each, pure scheduling
+    # overhead. Above the cap (web-scale graphs, where nodes rival
+    # edges) the shuffle-join plan stands unchanged.
+    broadcast_ranks = n_nodes <= GRAPH_BROADCAST_MAX_NODES
     base = (100 - damping_pct) * scale // 100
     ranks = nodes.select("id", F.lit(scale).cast("long").alias("rank"))
     for _ in range(n_iter):
+        r = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (
-            e_deg.join(ranks, e_deg.src == ranks.id)
+            e_deg.join(r, e_deg.src == r.id)
             .select(
                 "dst",
                 F.call_function("div", F.col("rank"), F.col("deg")).alias("share"),
@@ -90,8 +112,9 @@ def pagerank_fixed_point(
             .groupBy("dst")
             .agg(F.sum("share").alias("contrib"))
         )
+        c = F.broadcast(contrib) if broadcast_ranks else contrib
         ranks = nodes.join(
-            contrib, nodes.id == contrib.dst, "left"
+            c, nodes.id == c.dst, "left"
         ).select(
             "id",
             (
@@ -320,11 +343,22 @@ def kcore_survivors(
     alive = (
         arcs.select(F.col("a").alias("id")).distinct().localCheckpoint(eager=True)
     )
+    # Size-adaptive semi-join plan: alive is NODE-sized and only
+    # shrinks, so one exact count of the initial alive set decides the
+    # strategy for every round — below the cap both per-round alive
+    # joins broadcast and the arc frame never shuffles for them (the
+    # groupBy(a) stays the round's only exchange); above it the
+    # node-keyed shuffle joins stand (GRAPH_BROADCAST_MAX_NODES).
+    broadcast_alive = alive.count() <= GRAPH_BROADCAST_MAX_NODES
     deg = None
     for _ in range(n_rounds):
+        al_a = alive.withColumnRenamed("id", "a")
+        al_b = alive.withColumnRenamed("id", "b")
+        if broadcast_alive:
+            al_a, al_b = F.broadcast(al_a), F.broadcast(al_b)
         deg = (
-            arcs.join(alive.withColumnRenamed("id", "a"), "a")
-            .join(alive.withColumnRenamed("id", "b"), "b")
+            arcs.join(al_a, "a")
+            .join(al_b, "b")
             .groupBy("a")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
