@@ -913,33 +913,22 @@ def connected_components(
     # overflow. The agg also doubles as the action that materializes
     # each generation's cache before the parent is unpersisted.
     label_sum = F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-    first = labels.agg(label_sum, F.count(F.lit(1)).alias("n")).first()
-    prev_sum = first["s"]
-    # Size-adaptive join plan (GRAPH_BROADCAST_MAX_NODES discipline):
-    # labels / neighbor_min / jump are all NODE-sized two-column
-    # frames; below the cap each round's three node-keyed joins become
-    # map-side broadcast joins and the edge frame never shuffles —
-    # above it (graphs whose label vector rivals executor memory) the
-    # shuffle plan stands. The node count rides the same 1-row
-    # aggregate that seeds the convergence sum.
-    from chapterhouseqe_spark.operators.graph import GRAPH_BROADCAST_MAX_NODES
-
-    bcast = first["n"] <= GRAPH_BROADCAST_MAX_NODES
-
-    def _b(df: DataFrame) -> DataFrame:
-        return F.broadcast(df) if bcast else df
-
+    prev_sum = labels.agg(label_sum).first()["s"]
+    # NOTE (r13 optimization round): a size-adaptive broadcast of the
+    # node-sized labels/neighbor_min/jump frames was tried here and
+    # REVERTED — same-session A/B measured no win (AQE already
+    # converts these joins at runtime), and the per-round broadcast
+    # residue (hash relations are not unpersistable from the API)
+    # regressed queries later in the bench's shared-session tier.
     try:
         for i in range(max_iterations):
-            lab_b = _b(labels)
             neighbor_min = (
-                edges.join(lab_b, edges.dst == lab_b.id)
+                edges.join(labels, edges.dst == labels.id)
                 .groupBy("src")
                 .agg(F.min("component").alias("nmin"))
             )
-            nm_b = _b(neighbor_min)
             hopped = labels.join(
-                nm_b, labels.id == nm_b.src, "left"
+                neighbor_min, labels.id == neighbor_min.src, "left"
             ).select(
                 "id",
                 F.least(
@@ -949,10 +938,8 @@ def connected_components(
             # pointer jump: follow my label to ITS label. Labels are
             # always ids (mins over ids), so the lookup hits; each jump
             # halves the remaining distance to the component minimum.
-            jump = _b(
-                hopped.select(
-                    F.col("id").alias("jid"), F.col("component").alias("jcomp")
-                )
+            jump = hopped.select(
+                F.col("id").alias("jid"), F.col("component").alias("jcomp")
             )
             updated = hopped.join(
                 jump, hopped.component == jump.jid, "left"

@@ -17,16 +17,6 @@ from pyspark.sql import functions as F
 from chapterhouseqe_spark.operators.util import ensure_parallelism
 
 
-# Node-sized per-iteration frames (pagerank's rank/contrib vectors,
-# kcore's alive set) broadcast below this node count — ~1M two-long
-# rows is a few tens of MB built, comfortably inside executor memory;
-# above it the node-keyed shuffle joins are the plan that survives any
-# graph size (same size-adaptive discipline as
-# dedup.BROADCAST_VERIFY_MAX_DOCS: an exact count picks the plan the
-# optimizer would pick with perfect statistics).
-GRAPH_BROADCAST_MAX_NODES = 1_000_000
-
-
 def pagerank_fixed_point(
     edges: DataFrame,
     n_iter: int = 3,
@@ -87,24 +77,19 @@ def pagerank_fixed_point(
     # computation, re-deriving the (possibly expensive) edge lineage
     # per subtree instance (the kcore lesson, PLANS.md round 12).
     e_deg.count()
-    n_nodes = nodes.count()
-    # Size-adaptive join plan (the BROADCAST_VERIFY_MAX_DOCS
-    # discipline: an exact count picks the plan the optimizer would
-    # pick with perfect statistics). ranks and contrib are NODE-sized
-    # (two longs per row): below the cap, broadcasting them turns each
-    # iteration's two node-keyed shuffle joins into map-side hash
-    # joins, leaving the per-iteration groupBy(dst) as the only
-    # exchange — measured at sf0.1 the iterative tail was ~17 AQE
-    # stage jobs of 32 near-empty tasks each, pure scheduling
-    # overhead. Above the cap (web-scale graphs, where nodes rival
-    # edges) the shuffle-join plan stands unchanged.
-    broadcast_ranks = n_nodes <= GRAPH_BROADCAST_MAX_NODES
+    nodes.count()
+    # NOTE (r13 optimization round): size-adaptively broadcasting the
+    # node-sized ranks/contrib frames here was tried and REVERTED —
+    # the bench measured a consistent +0.4s (spread 0.15) WITH the
+    # broadcasts: AQE already converts these joins at runtime where
+    # profitable, and per-iteration broadcast hash relations are not
+    # unpersistable from the API, so they only add heap residue in
+    # long-lived sessions.
     base = (100 - damping_pct) * scale // 100
     ranks = nodes.select("id", F.lit(scale).cast("long").alias("rank"))
     for _ in range(n_iter):
-        r = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (
-            e_deg.join(r, e_deg.src == r.id)
+            e_deg.join(ranks, e_deg.src == ranks.id)
             .select(
                 "dst",
                 F.call_function("div", F.col("rank"), F.col("deg")).alias("share"),
@@ -112,9 +97,8 @@ def pagerank_fixed_point(
             .groupBy("dst")
             .agg(F.sum("share").alias("contrib"))
         )
-        c = F.broadcast(contrib) if broadcast_ranks else contrib
         ranks = nodes.join(
-            c, nodes.id == c.dst, "left"
+            contrib, nodes.id == contrib.dst, "left"
         ).select(
             "id",
             (
@@ -343,22 +327,19 @@ def kcore_survivors(
     alive = (
         arcs.select(F.col("a").alias("id")).distinct().localCheckpoint(eager=True)
     )
-    # Size-adaptive semi-join plan: alive is NODE-sized and only
-    # shrinks, so one exact count of the initial alive set decides the
-    # strategy for every round — below the cap both per-round alive
-    # joins broadcast and the arc frame never shuffles for them (the
-    # groupBy(a) stays the round's only exchange); above it the
-    # node-keyed shuffle joins stand (GRAPH_BROADCAST_MAX_NODES).
-    broadcast_alive = alive.count() <= GRAPH_BROADCAST_MAX_NODES
+    # NOTE (r13 optimization round): broadcasting the node-sized alive
+    # set here was tried and REVERTED — the shuffle plan's semi-joins
+    # and the groupBy(a) share arc partitioning that the broadcast
+    # form throws away (an arc-sized exchange per round came back),
+    # and the bench's shared-session core tier measured the query 2x
+    # slower with the broadcasts in. Guide §2.4: keyed-alike
+    # operations sharing one exchange beat removing the exchange from
+    # just the join.
     deg = None
     for _ in range(n_rounds):
-        al_a = alive.withColumnRenamed("id", "a")
-        al_b = alive.withColumnRenamed("id", "b")
-        if broadcast_alive:
-            al_a, al_b = F.broadcast(al_a), F.broadcast(al_b)
         deg = (
-            arcs.join(al_a, "a")
-            .join(al_b, "b")
+            arcs.join(alive.withColumnRenamed("id", "a"), "a")
+            .join(alive.withColumnRenamed("id", "b"), "b")
             .groupBy("a")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
