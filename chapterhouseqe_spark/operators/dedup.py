@@ -265,7 +265,12 @@ def minhash_lsh_pairs(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(F.concat_ws(",", F.slice("sig", b * rows + 1, rows)), b).alias(
+                    # hash the long-array slice directly: bucket
+                    # membership is driven by slice EQUALITY either
+                    # way, and skipping the per-band string concat
+                    # saves ~2s at sf1 (r13 optimization; xxhash64
+                    # hashes array<bigint> natively)
+                    F.xxhash64(F.slice("sig", b * rows + 1, rows), b).alias(
                         "bh"
                     ),
                 ),
@@ -306,22 +311,57 @@ def minhash_lsh_pairs(
     # value at the ids array itself (≤ ~80 KB at the cap); generators
     # stream row-by-row, so the S² candidate rows never co-reside.
     ids = F.array_sort("ids")
-    cand = (
-        buckets.select(
-            F.posexplode(ids).alias("i", "id_a"), ids.alias("ids")
-        )
-        .select(
-            "id_a",
-            F.explode(
-                F.slice("ids", F.col("i") + F.lit(2), F.size("ids"))
-            ).alias("id_b"),
-        )
-        .distinct()
+    cand = buckets.select(
+        F.posexplode(ids).alias("i", "id_a"), ids.alias("ids")
+    ).select(
+        "id_a",
+        F.explode(
+            F.slice("ids", F.col("i") + F.lit(2), F.size("ids"))
+        ).alias("id_b"),
     )
-    # exact row count on the persisted frame: warms the cache the three
-    # consumers share AND picks the verify-join strategy (see
+    # exact row count on the persisted frame: warms the cache the
+    # consumers share AND picks the verify strategy (see
     # BROADCAST_VERIFY_MAX_DOCS)
-    return _jaccard_on_pairs(cand, sh, n_docs=sh.count()).filter(
+    n_docs = sh.count()
+    if n_docs > BROADCAST_VERIFY_MAX_DOCS:
+        # r13 optimization: past the broadcast cap the classic verify
+        # shuffle-hash-joins the corpus-sized shingle-ARRAY frame onto
+        # both pair sides and runs a per-candidate string
+        # array_intersect (measured sf1: 669k distinct candidates,
+        # ~5s of the query). The blocked kernel computes the exact
+        # jaccard-qualifying pair set on the integer proxy instead;
+        # semi-joining it against the RAW candidate rows preserves the
+        # banding contract exactly — pairs outside the banded candidate
+        # set stay out — and makes the candidate .distinct() redundant
+        # (a semi-join match is a semi-join match however many bucket
+        # rows repeat it). Over-mass / over-cap corpora fall back to
+        # the shuffle-hash verify below, so the posture at any scale is:
+        # broadcast verify (small) -> kernel verify (mid) ->
+        # shuffle-hash verify (huge).
+        kern = _blocked_inter_counts(
+            sh.select("id", F.explode("shingles").alias("s")),
+            sh,
+            max_shingle_freq=None,
+            max_pair_rows=None,
+            guard_op="minhash_lsh_pairs (exact verify)",
+            keep_mode="jaccard",
+            threshold=threshold,
+            fallback_over_mass=NGRAM_PAIR_ROW_BUDGET,
+        )
+        if kern is not None:
+            exact = (
+                kern.withColumn(
+                    "jaccard",
+                    F.col("inter").cast("double")
+                    / (
+                        F.col("n_a") + F.col("n_b") - F.col("inter")
+                    ).cast("double"),
+                )
+                .filter(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "jaccard")
+            )
+            return exact.join(cand, ["id_a", "id_b"], "left_semi")
+    return _jaccard_on_pairs(cand.distinct(), sh, n_docs=n_docs).filter(
         F.col("jaccard") >= threshold
     )
 
@@ -390,6 +430,7 @@ def _blocked_inter_counts(
     guard_op: str,
     keep_mode: str,
     threshold: float,
+    fallback_over_mass: int | None = None,
 ) -> DataFrame | None:
     """EXACT pair intersection counts via a blocked numpy kernel, or
     ``None`` when the corpus is ineligible (caller falls back to the
@@ -472,6 +513,14 @@ def _blocked_inter_counts(
         "(lossy, documented recall contract) or switch to banded "
         "minhash_lsh_pairs",
     )
+    if (
+        fallback_over_mass is not None
+        and (stats["mass"] or 0.0) > fallback_over_mass
+    ):
+        # opt-in soft cap for callers whose classic path never raises
+        # (e.g. the banded-minhash verify): over-mass corpora fall back
+        # instead of erroring.
+        return None
     n_docs = sh.count()
     if (
         n_docs > NGRAM_KERNEL_MAX_DOCS

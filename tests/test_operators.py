@@ -370,6 +370,32 @@ def test_minhash_band_bucket_cap(docs):
     assert tiny_cap.count() == 0
 
 
+def test_minhash_kernel_verify_matches_broadcast_verify(docs, monkeypatch):
+    # r13 optimization: past BROADCAST_VERIFY_MAX_DOCS the banded
+    # candidates are verified by semi-joining them against the blocked
+    # kernel's exact jaccard pair set instead of shuffle-hash-joining
+    # the shingle arrays. Force that branch by shrinking the cap and
+    # pin its output (pairs AND jaccard values) to the default
+    # broadcast-verify path's.
+    from chapterhouseqe_spark.operators import dedup as d
+
+    base = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5)
+    as_set = lambda df: {
+        (r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()
+    }
+    expected = as_set(base)
+    monkeypatch.setattr(d, "BROADCAST_VERIFY_MAX_DOCS", 1)
+    assert as_set(
+        minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5)
+    ) == expected
+    # and the over-mass soft cap falls back to the shuffle-hash verify
+    # (no raise, same answer)
+    monkeypatch.setattr(d, "NGRAM_PAIR_ROW_BUDGET", 0)
+    assert as_set(
+        minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5)
+    ) == expected
+
+
 def test_near_dedup_keep_canonical(docs):
     from chapterhouseqe_spark.operators.dedup import near_dedup_keep
 
