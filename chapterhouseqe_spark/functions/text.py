@@ -310,6 +310,12 @@ def unigram_prob_scores(docs, text_col: str = "text", id_col: str = "doc_id"):
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("w"),
     ).filter(F.length("w") > 0)
+    # three consumers, but deriving toks is ONE cheap split+explode —
+    # an r13 A/B measured persist+materialize at +0.25s (sf0.1 warm
+    # 0.69 -> 0.94s): the cache write costs more than two
+    # re-derivations. Persist only what is reused AND expensive — see
+    # bigram_prob_scores below, whose occurrence frame carries two
+    # md5_int conversions per row and does win from the persist.
     vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     total = toks.agg(F.count(F.lit(1)).alias("total"))
     per_doc = (
@@ -660,6 +666,17 @@ def bigram_prob_scores(docs, text_col: str = "text", id_col: str = "doc_id"):
         )
         .select(id_col, md5_int(F.col("p.bg")).alias("g"), md5_int(F.col("p.w1")).alias("g1"))
     )
+    # THREE consumers read this frame (joint, prefix, and the score
+    # join's occurrence side), and deriving it costs the tokenize +
+    # bigram explode + two md5_int conversions per occurrence — the
+    # multi-reference re-evaluation antipattern. Persist + eager
+    # materialization (the count doubles as the action so the two
+    # aggregations below never race the lazy persist): 22.8s -> 15.5s
+    # at sf1, r13 optimization.
+    from pyspark import StorageLevel
+
+    bigrams = bigrams.persist(StorageLevel.MEMORY_AND_DISK)
+    bigrams.count()
     joint = bigrams.groupBy("g").agg(F.count(F.lit(1)).alias("cnt_bg"))
     prefix = bigrams.groupBy("g1").agg(F.count(F.lit(1)).alias("cnt_w1"))
     return (
