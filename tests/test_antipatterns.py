@@ -92,6 +92,10 @@ TOPANDAS_ALLOWLIST = {
     # inverted-index join) — r13 optimization
     "operators/dedup.py": (2, "coded-posting/sizes broadcast proxy, "
                               "capped by NGRAM_KERNEL_MAX_*"),
+    # the small-graph iterative kernels' edge-list collect: bounded by
+    # SMALL_GRAPH_MAX_EDGES (checked before the collect) — r13
+    "operators/graph.py": (1, "small-graph edge list, capped by "
+                              "SMALL_GRAPH_MAX_EDGES"),
 }
 
 

@@ -435,6 +435,40 @@ def test_connected_components_long_chain_checkpointed(spark):
     assert plan_len < 20_000, f"plan depth not bounded: {plan_len} chars"
 
 
+def test_small_graph_kernels_match_distributed_loops(spark, monkeypatch):
+    # r13 optimization: under SMALL_GRAPH_MAX_EDGES the iterative graph
+    # operators run an exact numpy replica of their integer recurrences.
+    # Force the distributed loops by zeroing the cap and pin that both
+    # paths produce identical rows (values included) for CC, k-core,
+    # and pagerank on graphs with chains, cliques, and isolated nodes.
+    from chapterhouseqe_spark.operators import graph as g
+    from chapterhouseqe_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (5, 7), (6, 7), (6, 8)],
+        "id_a long, id_b long",
+    )
+    ids = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 5, 6, 7, 8, 11)], "id long"
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    rows = lambda df: sorted(tuple(r) for r in df.collect())
+    kernel = (
+        rows(connected_components(pairs, ids)),
+        rows(g.kcore_survivors(edges, k=2, n_rounds=3)),
+        rows(g.pagerank_fixed_point(edges, n_iter=3)),
+    )
+    monkeypatch.setattr(g, "SMALL_GRAPH_MAX_EDGES", -1)
+    dist = (
+        rows(connected_components(pairs, ids)),
+        rows(g.kcore_survivors(edges, k=2, n_rounds=3)),
+        rows(g.pagerank_fixed_point(edges, n_iter=3)),
+    )
+    assert kernel == dist
+
+
 def test_connected_components_iteration_guard(spark):
     from chapterhouseqe_spark.operators.dedup import connected_components
 
