@@ -327,6 +327,15 @@ def minhash_lsh_pairs(
     # consumers share AND picks the verify strategy (see
     # BROADCAST_VERIFY_MAX_DOCS)
     n_docs = sh.count()
+    if n_docs <= BROADCAST_VERIFY_MAX_DOCS:
+        # dispatch visibility (r13 verdict item 7): the verify tier is
+        # data-dependent (broadcast -> kernel -> shuffle-hash) and a
+        # silent tier change would only show up as a mystery bench
+        # regression.
+        logger.info(
+            "minhash_lsh_pairs: broadcast verify (n_docs=%d <= %d)",
+            n_docs, BROADCAST_VERIFY_MAX_DOCS,
+        )
     if n_docs > BROADCAST_VERIFY_MAX_DOCS:
         # r13 optimization: past the broadcast cap the classic verify
         # shuffle-hash-joins the corpus-sized shingle-ARRAY frame onto
@@ -351,6 +360,7 @@ def minhash_lsh_pairs(
             keep_mode="jaccard",
             threshold=threshold,
             fallback_over_mass=NGRAM_PAIR_ROW_BUDGET,
+            n_docs=n_docs,  # already counted above — skip the re-count
         )
         if kern is not None:
             exact = (
@@ -427,7 +437,7 @@ _NGRAM_KERNEL_BLOCK = 64  # bincount accumulator rows; A/B'd 64/128/512
 
 def _blocked_inter_counts(
     posting: DataFrame,
-    sh: DataFrame,
+    sh: DataFrame | None,
     *,
     max_shingle_freq: int | None,
     max_pair_rows: int | None,
@@ -435,6 +445,9 @@ def _blocked_inter_counts(
     keep_mode: str,
     threshold: float,
     fallback_over_mass: int | None = None,
+    n_docs: int | None = None,
+    guard_law: str | None = None,
+    guard_remediations: str | None = None,
 ) -> DataFrame | None:
     """EXACT pair intersection counts via a blocked numpy kernel, or
     ``None`` when the corpus is ineligible (caller falls back to the
@@ -474,6 +487,19 @@ def _blocked_inter_counts(
       frame is a superset of both directions' qualifying rows and the
       caller's directional filters see exactly the rows they saw
       before.
+    - ``"count"``: keep pairs with inter >= threshold (exact integer
+      comparison — the winnowing ``n_shared >= min_shared`` rule).
+
+    ``n_docs`` lets a caller that already counted the doc frame skip
+    the re-count. ``sh`` may be ``None`` for ``keep_mode="count"``
+    callers whose posting is not shingle-array-backed (winnowing
+    fingerprints): the doc universe and per-doc counts then fall out
+    of the collected coded posting itself — no separate size job —
+    and the emitted ``n_a``/``n_b`` carry capped-posting counts,
+    which the count keep-rule never reads.
+    ``guard_law``/``guard_remediations`` override the fail-fast's
+    message so each caller raises its own documented text (default:
+    the n-gram family's).
 
     Results are identical to the join path (pinned by the operator
     equivalence tests and the DuckDB oracles); only the plan changes.
@@ -481,25 +507,58 @@ def _blocked_inter_counts(
     import numpy as np
     from pyspark.sql import types as T
 
-    idt = sh.schema["id"].dataType
+    idt = (sh if sh is not None else posting).schema["id"].dataType
     if not isinstance(
         idt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
     ):
         # index-order == id-order below relies on numeric ids; string
         # ids would need the JVM's binary collation re-implemented.
+        logger.info(
+            "%s: pairing kernel declined (non-integral ids) — join path",
+            guard_op,
+        )
         return None
     spark = posting.sparkSession
 
-    dictdf = posting.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
-    if max_shingle_freq is not None:
-        # == the join path's broadcast anti-join of over-cap shingles
-        dictdf = dictdf.filter(F.col("df_s") <= max_shingle_freq)
-    stats = dictdf.agg(
-        F.count(F.lit(1)).alias("n_vocab"),
+    # Cheap doc-count cap FIRST (r13 ADVICE item 3): the largest —
+    # ineligible — corpora used to pay the full posting dictionary
+    # shuffle below before falling back. The count is one action on the
+    # caller-persisted frame (or passed in by callers that already
+    # counted it); an over-cap corpus now skips the dictionary
+    # aggregation entirely, and the join path's own mass guard still
+    # raises at the same logical point with the same message. Sizeless
+    # (``sh is None``) callers defer the doc cap to the coded-posting
+    # collect, whose volume the posting cap already bounds.
+    if n_docs is None and sh is not None:
+        n_docs = sh.count()
+    if n_docs is not None and n_docs > NGRAM_KERNEL_MAX_DOCS:
+        logger.info(
+            "%s: pairing kernel declined (n_docs=%d > cap %d) — join path",
+            guard_op, n_docs, NGRAM_KERNEL_MAX_DOCS,
+        )
+        return None
+
+    dict_all = posting.groupBy("s").agg(F.count(F.lit(1)).alias("df_s"))
+    # ONE conditional aggregation yields the capped dictionary's stats
+    # AND the hot-shingle count (r14): when n_hot is zero — the common
+    # case on capped-friendly corpora — the hot anti-join below (a
+    # second full posting aggregation) is skipped entirely; the capped
+    # stats are identical to aggregating the filtered dictionary.
+    in_cap = (
+        F.col("df_s") <= max_shingle_freq
+        if max_shingle_freq is not None
+        else F.lit(True)
+    )
+    stats = dict_all.agg(
+        F.count(F.when(in_cap, 1)).alias("n_vocab"),
         F.sum(
-            F.col("df_s").cast("double") * F.col("df_s").cast("double")
+            F.when(
+                in_cap,
+                F.col("df_s").cast("double") * F.col("df_s").cast("double"),
+            )
         ).alias("mass"),
-        F.sum("df_s").alias("n_posting"),
+        F.sum(F.when(in_cap, F.col("df_s"))).alias("n_posting"),
+        F.count(F.when(~in_cap, 1)).alias("n_hot"),
     ).first()
     n_vocab = stats["n_vocab"] or 0
     # the fail-fast contract is unchanged: same mass (Σc_s² over the
@@ -510,10 +569,12 @@ def _blocked_inter_counts(
         stats["mass"],
         max_pair_rows,
         knob="max_pair_rows",
-        law="pairing mass sum_s c_s^2 over the inverted index; the "
+        law=guard_law
+        or "pairing mass sum_s c_s^2 over the inverted index; the "
         "r10 probe's measured infeasibility boundary for EXACT "
         "pairwise similarity on this engine's standard heap",
-        remediations="cap hot shingles with max_shingle_freq "
+        remediations=guard_remediations
+        or "cap hot shingles with max_shingle_freq "
         "(lossy, documented recall contract) or switch to banded "
         "minhash_lsh_pairs",
     )
@@ -524,62 +585,125 @@ def _blocked_inter_counts(
         # opt-in soft cap for callers whose classic path never raises
         # (e.g. the banded-minhash verify): over-mass corpora fall back
         # instead of erroring.
+        logger.info(
+            "%s: pairing kernel declined (mass %.3e > soft cap %.3e) — "
+            "join path", guard_op, stats["mass"] or 0.0,
+            float(fallback_over_mass),
+        )
         return None
-    n_docs = sh.count()
     if (
-        n_docs > NGRAM_KERNEL_MAX_DOCS
-        or n_vocab > NGRAM_KERNEL_MAX_VOCAB
+        n_vocab > NGRAM_KERNEL_MAX_VOCAB
         or (stats["n_posting"] or 0) > NGRAM_KERNEL_MAX_POSTING
     ):
+        logger.info(
+            "%s: pairing kernel declined (vocab=%d posting=%d vs caps "
+            "%d/%d) — join path", guard_op, n_vocab,
+            stats["n_posting"] or 0, NGRAM_KERNEL_MAX_VOCAB,
+            NGRAM_KERNEL_MAX_POSTING,
+        )
         return None
+    logger.info(
+        "%s: pairing kernel engaged (n_docs=%s vocab=%d posting=%d "
+        "mass=%.3e)", guard_op, n_docs, n_vocab,
+        stats["n_posting"] or 0, stats["mass"] or 0.0,
+    )
 
     id_ddl = idt.simpleString()
     out_schema = (
         f"id_a {id_ddl}, id_b {id_ddl}, inter bigint, n_a int, n_b int"
     )
-    if n_docs == 0:
+    if n_docs == 0 or n_vocab == 0:
         return spark.createDataFrame([], out_schema)
 
-    # Dense deterministic shingle codes. A single-partition window over
-    # n_vocab rows is bounded by NGRAM_KERNEL_MAX_VOCAB; the join below
-    # broadcasts the dictionary (string + int per row) when it is small
-    # enough to be a sane broadcast relation.
-    codes = dictdf.select(
-        "s", F.row_number().over(Window.orderBy("s")).alias("code")
+    # Dense shingle codes WITHOUT the serial coding stage (r14, r13
+    # verdict item 3 — the cap probe measured the old single-partition
+    # row_number window + dictionary join + unsorted collect at ~8s and
+    # the driver-side lexsort CSR at ~13s on a 250k-doc/25M-posting
+    # corpus): the capped posting is collected ONCE, pre-sorted by
+    # (xxhash64(s), id) — the sort is distributed, the collect is 16
+    # B/row — and codes densify LINEARLY on the driver (consecutive
+    # distinct hashes). Code identity is all the kernel needs (counts
+    # are invariant under any code permutation); a 64-bit hash
+    # collision between two distinct shingles would merge postings, so
+    # the densified vocabulary size is checked EXACTLY against the
+    # dictionary's n_vocab and a collision (P ~ vocab²/2^65, ~4e-7 at
+    # the 4M cap) falls back to the join path — never a silent wrong
+    # answer.
+    capped = posting
+    if max_shingle_freq is not None and (stats["n_hot"] or 0) > 0:
+        # == the join path's broadcast anti-join of over-cap shingles
+        # (only evaluated when the stats proved hot shingles exist)
+        hot = dict_all.filter(
+            F.col("df_s") > max_shingle_freq
+        ).select("s")
+        capped = posting.join(F.broadcast(hot), "s", "left_anti")
+    hp = (
+        capped.select("id", F.xxhash64("s").alias("h"))
+        .orderBy("h", "id")
+        .toPandas()
     )
-    if n_vocab <= 2_000_000:
-        codes = F.broadcast(codes)
-    coded_pdf = posting.join(codes, "s").select("id", "code").toPandas()
-    sizes_pdf = sh.select("id", F.size("shingles").alias("n")).toPandas()
-
-    ids_raw = sizes_pdf["id"].to_numpy(np.int64)
-    if len(np.unique(ids_raw)) != len(ids_raw):
-        return None  # duplicate doc ids: keep the join path's semantics
-    order = np.argsort(ids_raw)
-    ids = ids_raw[order]  # ascending, so index order == id order
-    sizes = sizes_pdf["n"].to_numpy(np.int64)[order]
-    did = np.searchsorted(ids, coded_pdf["id"].to_numpy(np.int64)).astype(
-        np.int64
+    harr = hp["h"].to_numpy(np.int64)
+    pids = hp["id"].to_numpy(np.int64)
+    if len(harr) == 0:
+        return spark.createDataFrame([], out_schema)
+    code0 = np.concatenate(
+        ([0], np.cumsum((harr[1:] != harr[:-1]).astype(np.int64)))
     )
-    code0 = coded_pdf["code"].to_numpy(np.int64) - 1  # dense 0-based
+    if int(code0[-1]) + 1 != n_vocab:
+        logger.info(
+            "%s: pairing kernel declined (xxhash64 shingle collision, "
+            "%d dense codes vs %d vocab) — join path",
+            guard_op, int(code0[-1]) + 1, n_vocab,
+        )
+        return None
+    if sh is None:
+        # sizeless (count-mode) caller: the doc universe and per-doc
+        # counts fall out of the collected posting — it is distinct
+        # (id, s) by construction, so counts are the capped per-doc
+        # fingerprint-set sizes.
+        ids, sizes = np.unique(pids, return_counts=True)
+        n_docs = len(ids)
+        if n_docs > NGRAM_KERNEL_MAX_DOCS:
+            logger.info(
+                "%s: pairing kernel declined post-collect (n_docs=%d > "
+                "cap %d) — join path", guard_op, n_docs,
+                NGRAM_KERNEL_MAX_DOCS,
+            )
+            return None
+    else:
+        sizes_pdf = sh.select("id", F.size("shingles").alias("n")).toPandas()
+        ids_raw = sizes_pdf["id"].to_numpy(np.int64)
+        if len(np.unique(ids_raw)) != len(ids_raw):
+            return None  # duplicate doc ids: keep the join path's semantics
+        order = np.argsort(ids_raw)
+        ids = ids_raw[order]  # ascending, so index order == id order
+        sizes = sizes_pdf["n"].to_numpy(np.int64)[order]
+    if len(ids) and int(ids[-1]) - int(ids[0]) == n_docs - 1:
+        # dense contiguous ids (the common doc_id 0..N-1 layout):
+        # index = offset subtraction, no binary search over 25M rows
+        did = (pids - int(ids[0])).astype(np.int64)
+    else:
+        did = np.searchsorted(ids, pids).astype(np.int64)
     # doc-major CSR (codes per doc) and shingle-major CSR (posting,
-    # doc-sorted within each shingle so triangular tails are slices)
+    # doc-sorted within each shingle so triangular tails are slices).
+    # The collected order IS already posting order — sorted by (code,
+    # doc): equal hashes sort by id and did is monotone in id — so
+    # pdocs/pptr need no sort at all, and the one remaining stable
+    # argsort by doc doubles as parr (each doc-major occurrence's
+    # position in posting order IS its collected index).
+    pdocs = did
+    pptr = np.zeros(n_vocab + 1, np.int64)
+    pptr[1:] = np.cumsum(np.bincount(code0, minlength=n_vocab))
     dsort = np.argsort(did, kind="stable")
     dcodes = code0[dsort]
     dptr = np.zeros(n_docs + 1, np.int64)
     dptr[1:] = np.cumsum(np.bincount(did, minlength=n_docs))
-    psort = np.lexsort((did, code0))
-    pdocs = did[psort]
-    pptr = np.zeros(n_vocab + 1, np.int64)
-    pptr[1:] = np.cumsum(np.bincount(code0, minlength=n_vocab))
     # each occurrence's global position in its posting (doc-order
     # aligned with dcodes): gathering pdocs[pos+1 : posting end] visits
     # exactly the UPPER-TRIANGLE co-occurrences (id_b > id_a), halving
     # the gathered mass vs. full postings and making the id_a < id_b
     # filter structural instead of a post-hoc mask.
-    inv_psort = np.empty(len(psort), np.int64)
-    inv_psort[psort] = np.arange(len(psort))
-    parr = inv_psort[dsort]
+    parr = dsort
 
     bs = _NGRAM_KERNEL_BLOCK
     n_blocks = (n_docs + bs - 1) // bs
@@ -595,22 +719,70 @@ def _blocked_inter_counts(
             s for s in range(max(n_blocks // 3, 2), n_blocks)
             if gcd(s, n_blocks) == 1
         )
-    bc = spark.sparkContext.broadcast(
-        (ids, sizes, dptr, dcodes, pptr, pdocs, parr, n_docs, bs)
+    # Ship the proxy as ONE mmap-able .npy via addFile, NOT a pickled
+    # broadcast (r14, r13 verdict item 3): a broadcast's value is
+    # re-materialized per Python worker — at the caps that is a ~600 MB
+    # unpickle times every worker (the cap probe measured the first
+    # kernel execution at ~120s of pure broadcast materialization,
+    # wall, against a 2.4s warm stage). addFile distributes the file
+    # once per NODE (cluster-correct) and np.load(mmap_mode="r") maps
+    # it zero-copy — all workers on a node share the page cache, and
+    # fancy-indexed reads touch only the pages they need. Every array
+    # except ``ids`` fits int32 under the kernel caps (codes < 4M,
+    # doc indices < 300k, posting offsets < 32M — guide §2.3 narrower
+    # types, halving file bytes and gather traffic); ids ride along as
+    # an int32 VIEW of their int64 buffer, reconstructed worker-side.
+    # The staging copy prefers /dev/shm (addFile immediately copies it
+    # into Spark's files dir, so the staging file is transient) and is
+    # removed at exit; Spark cleans its own per-app copy.
+    import atexit
+    import os as _os
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    blob = np.concatenate(
+        [
+            np.ascontiguousarray(ids.astype(np.int64)).view(np.int32),
+            sizes.astype(np.int32),
+            dptr.astype(np.int32),
+            dcodes.astype(np.int32),
+            pptr.astype(np.int32),
+            pdocs.astype(np.int32),
+            parr.astype(np.int32),
+        ]
     )
+    lens = [2 * len(ids), len(sizes), len(dptr), len(dcodes), len(pptr),
+            len(pdocs), len(parr)]
+    fname = f"chqe_pairkernel_{_uuid.uuid4().hex}.npy"
+    stage_dir = (
+        "/dev/shm" if _os.path.isdir("/dev/shm") else _tempfile.gettempdir()
+    )
+    fpath = _os.path.join(stage_dir, fname)
+    np.save(fpath, blob, allow_pickle=False)
+    atexit.register(
+        lambda p=fpath: _os.path.exists(p) and _os.unlink(p)
+    )
+    spark.sparkContext.addFile(fpath)
     tau = float(threshold)
     mode = keep_mode
     n_blocks_c = n_blocks
     stride_c = stride
+    n_docs_c = int(n_docs)
+    bs_c = int(bs)
     np_id = {"bigint": np.int64, "int": np.int32, "smallint": np.int16,
              "tinyint": np.int8}[id_ddl]
 
     def _kernel(batches):
         import numpy as np  # noqa: F811 (worker-side import)
         import pandas as pd
+        from pyspark import SparkFiles
 
-        (b_ids, b_sizes, b_dptr, b_dcodes, b_pptr, b_pdocs, b_parr,
-         b_nd, b_bs) = bc.value
+        blob = np.load(SparkFiles.get(fname), mmap_mode="r")
+        o = np.cumsum([0] + lens)
+        (b_ids32, b_sizes, b_dptr, b_dcodes, b_pptr, b_pdocs,
+         b_parr) = (blob[o[i]:o[i + 1]] for i in range(7))
+        b_ids = b_ids32.view(np.int64)  # int32 pairs -> original int64
+        b_nd, b_bs = n_docs_c, bs_c
         for pdf in batches:
             for v in pdf["id"].to_numpy():
                 blk = (int(v) * stride_c) % n_blocks_c
@@ -631,7 +803,7 @@ def _blocked_inter_counts(
                     np.diff(b_dptr[lo:hi + 1]),
                 )
                 offs = np.arange(total) - np.repeat(
-                    np.cumsum(cnt) - cnt, cnt
+                    np.cumsum(cnt, dtype=np.int64) - cnt, cnt
                 )
                 cols = b_pdocs[np.repeat(pstart, cnt) + offs]
                 # run-length count per (row, col): sort is cache-local
@@ -648,16 +820,20 @@ def _blocked_inter_counts(
                 uniq = flat[starts]
                 r = (uniq // b_nd) + lo
                 c = uniq % b_nd
-                fna = b_sizes[r].astype(np.float64)
-                fnb = b_sizes[c].astype(np.float64)
-                if mode == "jaccard":
-                    keep = inter.astype(np.float64) / (
-                        fna + fnb - inter
-                    ) >= tau
-                else:  # containment: max direction = inter/min(n)
-                    keep = inter.astype(np.float64) / np.minimum(
-                        fna, fnb
-                    ) >= tau
+                if mode == "count":
+                    # exact integer comparison (winnowing n_shared rule)
+                    keep = inter >= tau
+                else:
+                    fna = b_sizes[r].astype(np.float64)
+                    fnb = b_sizes[c].astype(np.float64)
+                    if mode == "jaccard":
+                        keep = inter.astype(np.float64) / (
+                            fna + fnb - inter
+                        ) >= tau
+                    else:  # containment: max direction = inter/min(n)
+                        keep = inter.astype(np.float64) / np.minimum(
+                            fna, fnb
+                        ) >= tau
                 r, c, inter = r[keep], c[keep], inter[keep]
                 if len(r) == 0:
                     continue
@@ -1060,6 +1236,14 @@ def ngram_containment_dropped(
         guard_op="ngram_containment_dropped",
         keep_mode="containment",
         threshold=threshold,
+        # r13 ADVICE item 1: this caller's classic path never raises
+        # (max_pair_rows=None), so without a soft cap the kernel's
+        # per-task allocations were unguarded within the doc/vocab/
+        # posting caps (Σc² can reach ~1e11 with max_shingle_freq
+        # left None by a caller). Over-mass corpora now fall back to
+        # the join path, preserving the never-raises contract while
+        # bounding kernel memory at the family budget.
+        fallback_over_mass=NGRAM_PAIR_ROW_BUDGET,
     )
     if both is None:
         if max_shingle_freq is not None:
@@ -1125,28 +1309,84 @@ def simhash_fingerprints(
     weighted) — equal fingerprints ⇒ near-identical token multisets.
 
     md5 (not xxhash64) so the DuckDB oracle can recompute bit-for-bit.
-    One explode + one groupBy(id) shuffle; the 60 bit-sums are map-side
-    partial aggregates.
+
+    r14 optimization (guide §2.4 remove shuffles outright, §4.2 whole
+    batches to vectorized native code — the ``minhash_signatures``
+    discipline): a document's tokens already live in its own row, so
+    the per-bit ±1 sums never needed the old explode + 60-wide
+    groupBy(id) — that shape shuffled EVERY TOKEN of the corpus and
+    its 60-aggregate codegen unit dominated the query's cold time
+    (bench 2.3-2.6s vs 0.95s warm at sf0.1; three expression
+    reformulations A/B'd in r13 all hit the same compile floor). Now
+    the token hashes materialize as one JVM-side array per row (same
+    md5→60-bit-long conversion, duplicates preserved — ``transform``
+    over the raw ``split``, no dedup) and a narrow ``mapInPandas``
+    computes, per document, the exact integer bit counts
+    (``np.add.reduceat``), the ±1 sums as ``2·cnt − n``, and the
+    fingerprint bits — all int64 arithmetic, no float anywhere, so the
+    output is bit-identical to the old aggregate's (and the oracle's).
+    Zero shuffles; a doc with no tokens (null text) yields no row,
+    exactly as the old explode dropped it.
     """
-    toks = ensure_parallelism(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tk"),
+    import numpy as np
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    hs = F.transform(
+        toks,
+        lambda tk: F.conv(F.substring(F.md5(tk), 1, 15), 16, 10).cast("long"),
     )
-    h = F.conv(F.substring(F.md5("tk"), 1, 15), 16, 10).cast("long")
-    weighted = toks.select("id", h.alias("h"))
-    bit_sums = weighted.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"w{j}")
-            for j in range(bits)
-        ]
+    rowed = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), hs.alias("hs")
     )
-    fp = None
-    for j in range(bits):
-        term = F.when(F.col(f"w{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-        fp = term if fp is None else fp + term
-    return bit_sums.select(F.col("id").alias("doc_id"), fp.alias("fingerprint"))
+    id_ddl = df.schema[id_col].dataType.simpleString()
+    shifts = np.arange(bits, dtype=np.int64)
+    # cap the (hashes × bits) int64 work matrix at ~50 MB per chunk
+    max_h = max(1, (50 * 1024 * 1024) // (8 * bits))
+
+    def fp_batches(batches):
+        import numpy as np  # noqa: F811 (worker-side import)
+        import pandas as pd
+
+        for pdf in batches:
+            lens = pdf["hs"].map(
+                lambda x: 0 if x is None else len(x)
+            ).to_numpy()
+            pdf = pdf[lens > 0]
+            lens = lens[lens > 0]
+            if not len(pdf):
+                continue
+            ids, fps, row_start = pdf["id"].to_numpy(), [], 0
+            while row_start < len(lens):
+                row_end, n = row_start, 0
+                while row_end < len(lens) and n + lens[row_end] <= max_h:
+                    n += lens[row_end]
+                    row_end += 1
+                row_end = max(row_end, row_start + 1)  # oversize doc: alone
+                chunk = pdf["hs"].iloc[row_start:row_end]
+                h = np.concatenate(
+                    [np.asarray(x, dtype=np.int64) for x in chunk]
+                )
+                bitm = (h[:, None] >> shifts[None, :]) & 1
+                starts = np.concatenate(
+                    [[0], np.cumsum(lens[row_start:row_end])[:-1]]
+                )
+                cnt = np.add.reduceat(bitm, starts, axis=0)
+                # sum over tokens of ±1 for bit j == 2·(ones) − n_tokens
+                w = 2 * cnt - lens[row_start:row_end, None]
+                fps.extend(
+                    ((w > 0).astype(np.int64) << shifts[None, :]).sum(axis=1)
+                )
+                row_start = row_end
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "fingerprint": np.asarray(fps, dtype=np.int64),
+                }
+            )
+
+    return rowed.mapInPandas(
+        fp_batches, f"doc_id {id_ddl}, fingerprint bigint"
+    )
 
 
 def hamming_band_pairs(
@@ -1284,7 +1524,17 @@ def connected_components(
     n_pairs = pairs.count()  # cheap: checkpointed
     if n_pairs <= SMALL_GRAPH_MAX_EDGES:
         small = _collect_int_edges(pairs, "id_a", "id_b")
+        if small is None:
+            # dispatch visibility (r13 verdict item 7)
+            logger.info(
+                "connected_components: small-graph kernel declined "
+                "(non-integral ids) — distributed loop"
+            )
         if small is not None:
+            logger.info(
+                "connected_components: small-graph kernel engaged "
+                "(n_pairs=%d)", n_pairs,
+            )
             import numpy as np
             import pandas as pd
 
@@ -2301,11 +2551,48 @@ def winnow_overlap_pairs(
     fingerprint key for the pairing join and one pair-keyed count
     aggregation (map-side combinable). Returns (id_a, id_b,
     n_shared), id_a < id_b.
+
+    r14 optimization (r13 verdict item 2): within the documented
+    kernel caps the pairing join + pair-keyed count dispatch to the
+    same blocked numpy kernel as the n-gram family —
+    :func:`_blocked_inter_counts` with the exact integer
+    ``inter >= min_shared`` keep rule (``keep_mode="count"``). The
+    fingerprint posting is already integer-keyed (60-bit BIGINT fps),
+    so the kernel skips nothing but the string dictionary; ``inter``
+    is counted over the capped posting exactly as the join's
+    ``n_shared`` was, and the same fail-fast raises with this
+    operator's documented message. Over-cap corpora run the classic
+    join below unchanged.
     """
     fps = winnow_fingerprints(df, text_col, id_col, k, w).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     posting = fps.select(F.col(id_col).alias("id"), "fp")
+    kern = _blocked_inter_counts(
+        posting.withColumnRenamed("fp", "s"),
+        None,
+        max_shingle_freq=max_fp_freq,
+        max_pair_rows=max_pair_rows,
+        guard_op="winnow_overlap_pairs",
+        keep_mode="count",
+        threshold=float(min_shared),
+        guard_law="pairing mass sum_fp c_fp^2 over the fingerprint "
+        "index",
+        guard_remediations="lower max_fp_freq (drops boilerplate "
+        "fingerprints), raise w (sparser fingerprint selection), "
+        "or switch to minhash_lsh_pairs",
+    )
+    if kern is not None:
+        # same in-plan shape as the join path's tail: the exact
+        # integer count filtered by the caller's floor.
+        return (
+            kern.select(
+                "id_a",
+                "id_b",
+                F.col("inter").cast("long").alias("n_shared"),
+            )
+            .filter(F.col("n_shared") >= min_shared)
+        )
     if max_fp_freq is not None:
         hot = (
             posting.groupBy("fp")

@@ -11,10 +11,14 @@ functions once their arithmetic is pinned.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from chapterhouseqe_spark.operators.util import ensure_parallelism
+
+logger = logging.getLogger(__name__)
 
 # Small-graph kernel cap, shared by the iterative operators here and
 # connected_components (operators/dedup.py). The iterative frames these
@@ -39,8 +43,13 @@ def _collect_int_edges(e: DataFrame, src: str, dst: str):
     from pyspark.sql import types as T
 
     idt = e.schema[src].dataType
-    if not isinstance(
-        idt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    # both endpoint columns must be integral (r13 ADVICE item 4): all
+    # current callers pass same-typed columns, but a non-integral dst
+    # would otherwise pass the gate and die inside to_numpy instead of
+    # falling back to the distributed loop.
+    _ints = (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
+    if not isinstance(idt, _ints) or not isinstance(
+        e.schema[dst].dataType, _ints
     ):
         return None
     pdf = e.select(src, dst).toPandas()
@@ -107,7 +116,19 @@ def pagerank_fixed_point(
     n_edges = e.count()
     if n_edges <= SMALL_GRAPH_MAX_EDGES:
         small = _collect_int_edges(e, "src", "dst")
+        if small is None:
+            # dispatch visibility (r13 verdict item 7): a silent
+            # fallback here would quietly restore the per-round job
+            # cost with no signal in the bench.
+            logger.info(
+                "pagerank_fixed_point: small-graph kernel declined "
+                "(non-integral ids) — distributed loop"
+            )
         if small is not None:
+            logger.info(
+                "pagerank_fixed_point: small-graph kernel engaged "
+                "(n_edges=%d)", n_edges,
+            )
             import numpy as np
             import pandas as pd
 

@@ -5790,13 +5790,14 @@ def graph_kcore_dup_families(spark, sf_dir):
         "text",
         "doc_id",
         threshold=0.3,
-        # direct path -> the r13 blocked pairing kernel: same exact pair
-        # set (oracle-graded), but the pairs frame is now a Range ->
-        # MapInPandas lineage with no exchanges and near-zero memory
-        # footprint, so kcore's persisted peel state no longer competes
-        # with a pairing join. (prefix_filter=True was the pre-kernel
-        # memory-safety choice: the old direct path's inverted index ran
-        # out of execution memory at 50k docs under kcore's state.)
+        # r14 (r13 ADVICE item 2): "auto" dispatch — the sf corpora
+        # still measure a near-zero hot-shingle mass ratio and take
+        # the direct path -> blocked pairing kernel (identical exact
+        # pair set, pinned by test_prefix_filter_auto_dispatch), while
+        # corpora past the kernel caps get skew-based dispatch instead
+        # of the known-bad unconditional direct join (the pre-kernel
+        # OOM shape this family's prefix_filter=True used to guard).
+        prefix_filter="auto",
         max_shingle_freq=None,  # graded vs an exact oracle (r8 ADVICE)
     ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     return kcore_survivors(pairs, k=2, n_rounds=3)
@@ -5900,9 +5901,14 @@ def pipeline_split_leakage_audit(spark, sf_dir):
         "text",
         "doc_id",
         threshold=0.3,
-        # direct path -> the r13 blocked pairing kernel: same exact
-        # pair set (oracle-graded) with no pairing exchanges; prefix
-        # was the pre-kernel memory/scale choice
+        # r14 (r13 ADVICE item 2): "auto" dispatch — the sf corpora
+        # still measure a near-zero hot-shingle mass ratio and take
+        # the direct path -> blocked pairing kernel (identical exact
+        # pair set, pinned by test_prefix_filter_auto_dispatch), while
+        # corpora past the kernel caps get skew-based dispatch instead
+        # of the known-bad unconditional direct join (the pre-kernel
+        # OOM shape this family's prefix_filter=True used to guard).
+        prefix_filter="auto",
         max_shingle_freq=None,  # graded vs an exact oracle (r8 ADVICE)
     ).select("id_a", "id_b")
     return (
@@ -5999,9 +6005,14 @@ def pipeline_cluster_aware_split(spark, sf_dir):
         "text",
         "doc_id",
         threshold=0.3,
-        # direct path -> the r13 blocked pairing kernel: same exact
-        # pair set (oracle-graded) with no pairing exchanges; prefix
-        # was the pre-kernel memory/scale choice
+        # r14 (r13 ADVICE item 2): "auto" dispatch — the sf corpora
+        # still measure a near-zero hot-shingle mass ratio and take
+        # the direct path -> blocked pairing kernel (identical exact
+        # pair set, pinned by test_prefix_filter_auto_dispatch), while
+        # corpora past the kernel caps get skew-based dispatch instead
+        # of the known-bad unconditional direct join (the pre-kernel
+        # OOM shape this family's prefix_filter=True used to guard).
+        prefix_filter="auto",
         max_shingle_freq=None,  # graded vs an exact oracle (r8 ADVICE)
     ).select("id_a", "id_b")
     comp = connected_components(pairs, docs.select(F.col("doc_id").alias("id")))
@@ -6519,9 +6530,14 @@ def dedup_threshold_sensitivity(spark, sf_dir):
         "text",
         "doc_id",
         threshold=0.2,
-        # direct path -> the r13 blocked pairing kernel: same exact
-        # pair set (oracle-graded) with no pairing exchanges; prefix
-        # was the pre-kernel memory/scale choice
+        # r14 (r13 ADVICE item 2): "auto" dispatch — the sf corpora
+        # still measure a near-zero hot-shingle mass ratio and take
+        # the direct path -> blocked pairing kernel (identical exact
+        # pair set, pinned by test_prefix_filter_auto_dispatch), while
+        # corpora past the kernel caps get skew-based dispatch instead
+        # of the known-bad unconditional direct join (the pre-kernel
+        # OOM shape this family's prefix_filter=True used to guard).
+        prefix_filter="auto",
         max_shingle_freq=None,  # graded vs an exact oracle (r8 ADVICE)
     )
     return pairs.groupBy(
